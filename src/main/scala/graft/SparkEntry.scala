@@ -1,13 +1,152 @@
 package graft
+
 import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+import org.apache.spark.sql.functions._
+import graft.core.{Structure, Gr}
+import graft.algos._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in `queries` is an implemented operator from SURVEY §2 run
+  * against a deterministic graph projection of the driver's TPC-H-ish
+  * tables (graft.Fixtures); `oracleSql` holds the DuckDB-equivalent SQL
+  * (iterative algorithms: unrolled, see graft.OracleSql).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  import Gr._
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
+    * build the supplier co-order graph and rank suppliers by PageRank. */
+  def entry(spark: SparkSession): DataFrame = {
+    val g = Fixtures.supplierGraph(spark, "/root/testdata/sf0.001").symmetrized
+    PageRank.run(g, maxIter = 20).orderBy(desc("pagerank"))
+  }
+
+  private def q(f: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame = f
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- structure ops (SURVEY §2.2) ----
+    "q_degrees" -> q { (s, dir) =>
+      Structure.degrees(Fixtures.custSuppGraph(s, dir))
+    },
+    "q_symmetrize" -> q { (s, dir) =>
+      Structure.symmetrize(Fixtures.supplierEdges(s, dir))
+    },
+    "q_two_hop" -> q { (s, dir) =>
+      Structure.twoHopNeighbors(Fixtures.supplierEdges(s, dir))
+    },
+    "q_induced_subgraph" -> q { (s, dir) =>
+      val e = Fixtures.supplierEdges(s, dir)
+      val verts = Structure.extractVertexList(e).filter(col(ID) % 3 === 0)
+      Structure.inducedSubgraph(e, verts)
+    },
+    "q_khop" -> q { (s, dir) =>
+      val e = Fixtures.supplierEdges(s, dir)
+      val seeds = e.agg(min(SRC).as(ID))
+      Structure.kHopNeighbors(Structure.symmetrize(e), seeds, 2)
+    },
+    // ---- traversal (§2.3) ----
+    "q_bfs" -> q { (s, dir) =>
+      val g = Fixtures.supplierGraph(s, dir).symmetrized
+      val src = g.vertices.agg(min(ID)).first().getLong(0)
+      Traversal.bfs(g, src).select(col(ID), col("distance").cast("long").as("distance"))
+    },
+    // ---- link analysis / centrality (§2.4) ----
+    "q_pagerank" -> q { (s, dir) =>
+      val g = Fixtures.supplierGraph(s, dir).symmetrized
+      PageRank.runFixed(g, iters = 10)
+        .select(col(ID), round(col("pagerank"), 6).as("pagerank"))
+    },
+    // ---- components (§2.5) ----
+    "q_wcc" -> q { (s, dir) =>
+      Components.wcc(Fixtures.supplierGraph(s, dir))
+    },
+    "q_triangles" -> q { (s, dir) =>
+      Triangles.countPerVertex(Fixtures.supplierGraph(s, dir))
+    },
+    // ---- link prediction (§2.6) ----
+    "q_jaccard" -> q { (s, dir) =>
+      val r = Similarity.allPairs(Fixtures.supplierGraph(s, dir), Similarity.Jaccard)
+      r.select(col(SRC), col(DST), round(col("jaccard_coeff"), 6).as("jaccard_coeff"))
+    },
+    "q_overlap" -> q { (s, dir) =>
+      val r = Similarity.allPairs(Fixtures.supplierGraph(s, dir), Similarity.Overlap)
+      r.select(col(SRC), col(DST), round(col("overlap_coeff"), 6).as("overlap_coeff"))
+    },
+    "q_cosine" -> q { (s, dir) =>
+      val r = Similarity.allPairs(Fixtures.supplierGraph(s, dir), Similarity.Cosine)
+      r.select(col(SRC), col(DST), round(col("cosine_coeff"), 6).as("cosine_coeff"))
+    },
+    "q_sorensen" -> q { (s, dir) =>
+      val r = Similarity.allPairs(Fixtures.supplierGraph(s, dir), Similarity.Sorensen)
+      r.select(col(SRC), col(DST), round(col("sorensen_coeff"), 6).as("sorensen_coeff"))
+    },
+  )
+
+  import Fixtures._
+
+  def oracleSql: Map[String, String] = Map(
+    "q_degrees" ->
+      s"""WITH $CUSTSUPP_EDGES_SQL,
+         |verts AS MATERIALIZED (SELECT src AS id FROM cs_edges UNION SELECT dst FROM cs_edges),
+         |outd AS MATERIALIZED (SELECT src AS id, count(*) AS out_degree FROM cs_edges GROUP BY 1),
+         |ind AS MATERIALIZED (SELECT dst AS id, count(*) AS in_degree FROM cs_edges GROUP BY 1)
+         |SELECT v.id, coalesce(i.in_degree, 0) AS in_degree,
+         |       coalesce(o.out_degree, 0) AS out_degree,
+         |       coalesce(i.in_degree, 0) + coalesce(o.out_degree, 0) AS degree
+         |FROM verts v LEFT JOIN outd o ON o.id = v.id LEFT JOIN ind i ON i.id = v.id""".stripMargin,
+    "q_symmetrize" ->
+      s"WITH $SUPP_EDGES_SQL SELECT src, dst, weight FROM supp_edges UNION ALL SELECT dst, src, weight FROM supp_edges",
+    "q_two_hop" ->
+      s"""WITH $SUPP_EDGES_SQL
+         |SELECT DISTINCT a.src AS src, b.dst AS dst
+         |FROM supp_edges a JOIN supp_edges b ON a.dst = b.src
+         |WHERE a.src <> b.dst""".stripMargin,
+    "q_induced_subgraph" ->
+      s"""WITH $SUPP_EDGES_SQL
+         |SELECT src, dst, weight FROM supp_edges
+         |WHERE src % 3 = 0 AND dst % 3 = 0""".stripMargin,
+    "q_khop" ->
+      s"""WITH $SUPP_EDGES_SQL,
+         |$SUPP_UND_SQL,
+         |seed AS MATERIALIZED (SELECT min(src) AS id FROM supp_edges),
+         |h1 AS MATERIALIZED (SELECT DISTINCT u.dst AS id FROM und u JOIN seed s ON u.src = s.id),
+         |h2 AS MATERIALIZED (SELECT DISTINCT u.dst AS id FROM und u JOIN h1 ON u.src = h1.id)
+         |SELECT id FROM seed UNION SELECT id FROM h1 UNION SELECT id FROM h2""".stripMargin,
+    "q_bfs" -> OracleSql.bfsSupplier(maxDepth = 12),
+    "q_pagerank" -> OracleSql.pagerankSupplier(iters = 10),
+    "q_wcc" -> OracleSql.wccSupplier(rounds = 10),
+    "q_triangles" ->
+      s"""WITH $SUPP_EDGES_SQL,
+         |$SUPP_VERTS_SQL,
+         |tri AS MATERIALIZED (
+         |  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+         |  FROM supp_edges e1 JOIN supp_edges e2 ON e1.dst = e2.src
+         |  WHERE EXISTS (SELECT 1 FROM supp_edges e3 WHERE e3.src = e1.src AND e3.dst = e2.dst)
+         |),
+         |cnt AS MATERIALIZED (
+         |  SELECT id, count(*) AS triangle_count FROM (
+         |    SELECT a AS id FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri
+         |  ) GROUP BY id
+         |)
+         |SELECT v.id, coalesce(c.triangle_count, 0) AS triangle_count
+         |FROM verts v LEFT JOIN cnt c ON c.id = v.id""".stripMargin,
+    "q_jaccard" -> similaritySql("round(CAST(i.i AS DOUBLE) / (da.d + db.d - i.i), 6)", "jaccard_coeff"),
+    "q_overlap" -> similaritySql("round(CAST(i.i AS DOUBLE) / least(da.d, db.d), 6)", "overlap_coeff"),
+    "q_cosine" -> similaritySql("round(CAST(i.i AS DOUBLE) / sqrt(CAST(da.d AS DOUBLE) * db.d), 6)", "cosine_coeff"),
+    "q_sorensen" -> similaritySql("round(2.0 * i.i / (da.d + db.d), 6)", "sorensen_coeff"),
+  )
+
+  private def similaritySql(scoreExpr: String, name: String): String =
+    s"""WITH $SUPP_EDGES_SQL,
+       |$SUPP_UND_SQL,
+       |deg AS MATERIALIZED (SELECT src AS id, count(*) AS d FROM und GROUP BY 1),
+       |inter AS MATERIALIZED (
+       |  SELECT l.src AS a, r.dst AS b, count(*) AS i
+       |  FROM und l JOIN und r ON l.dst = r.src
+       |  WHERE l.src < r.dst
+       |  GROUP BY 1, 2
+       |)
+       |SELECT i.a AS src, i.b AS dst, $scoreExpr AS $name
+       |FROM inter i JOIN deg da ON da.id = i.a JOIN deg db ON db.id = i.b""".stripMargin
 }

@@ -1,0 +1,99 @@
+package graft.algos
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.core.{PropertyGraph, Structure, Gr}
+import graft.prims.Iterate
+
+/** Connected components, core decomposition, and related fixpoint programs.
+  *
+  * Reference: `components/weakly_connected_components_impl.cuh` (WCC),
+  * `cores/core_number_impl.cuh` (peeling), `cores/k_core_impl.cuh`.
+  */
+object Components {
+  import Gr._
+
+  /** Weakly connected components — min-label propagation to fixpoint.
+    * Reference `components/connectivity.py:86`. Label = smallest vertex id
+    * in the component. Each round: one aggregate-messages shuffle; rounds ≤
+    * graph diameter. For power-law graphs diameter is small; for
+    * pathological chains the large-star/small-star variant would bound
+    * rounds at O(log V) — diameter loops suffice for our workloads and the
+    * loop is lineage-checkpointed either way.
+    * @return DataFrame(id, component). */
+  def wcc(g: PropertyGraph, maxIter: Int = 50): DataFrame = {
+    val und = Structure.symmetrize(g.edges.select(SRC, DST)).localCheckpoint(true)
+    val init = g.vertices.select(col(ID), col(ID).as("component"))
+    var changed = 1L
+    var labels = init.localCheckpoint(true)
+    var it = 0
+    while (changed > 0 && it < maxIter) {
+      it += 1
+      val nbrMin = und.join(labels.withColumnRenamed(ID, SRC), SRC)
+        .groupBy(col(DST).as(ID)).agg(min("component").as("nbr_min"))
+      val next = labels.join(nbrMin, Seq(ID), "left")
+        .select(col(ID), least(col("component"), coalesce(col("nbr_min"), col("component"))).as("component"))
+        .localCheckpoint(true)
+      changed = next.join(labels.withColumnRenamed("component", "old"), ID)
+        .filter(col("component") < col("old")).count()
+      labels = next
+    }
+    labels
+  }
+
+  /** Core number per vertex — iterative peeling (reference
+    * `cores/core_number.py:10`, impl `core_number_impl.cuh`). Works on the
+    * symmetrized graph (degree_type=BIDIRECTIONAL default). k-bucketed
+    * peeling: repeatedly remove all vertices with degree < k, incrementing k
+    * when the graph is k-stable. Each round is a degree agg + semi-join.
+    * @return DataFrame(id, core_number). */
+  def coreNumber(g: PropertyGraph, maxK: Int = Int.MaxValue): DataFrame = {
+    val spark = g.spark
+    import spark.implicits._
+    var remaining = Structure.canonicalize(
+      Structure.symmetrize(g.edges.select(SRC, DST))).select(SRC, DST)
+      .localCheckpoint(true)
+    // track remaining vertices explicitly: a vertex that loses its last edge
+    // mid-peel must still receive a core number at the CURRENT stage.
+    var verts = g.vertices.select(ID).localCheckpoint(true)
+    var result = spark.emptyDataset[(Long, Int)].toDF(ID, "core_number")
+    var k = 1
+    var nVerts = verts.count()
+    while (nVerts > 0 && k <= maxK) {
+      // Standard peeling: at stage k, repeatedly delete vertices with
+      // degree < k; vertices deleted at stage k have core number k-1.
+      var stable = false
+      while (!stable) {
+        val deg = verts.join(undirDegrees(remaining), Seq(ID), "left")
+          .select(col(ID), coalesce(col("degree"), lit(0L)).as("degree"))
+        val weak = deg.filter(col("degree") < k).select(ID).localCheckpoint(true)
+        if (weak.count() == 0) stable = true
+        else {
+          result = result.union(weak.withColumn("core_number", lit(k - 1))).localCheckpoint(true)
+          verts = verts.join(weak, Seq(ID), "left_anti").localCheckpoint(true)
+          remaining = remaining
+            .join(weak.withColumnRenamed(ID, SRC), Seq(SRC), "left_anti")
+            .join(weak.withColumnRenamed(ID, DST), Seq(DST), "left_anti")
+            .localCheckpoint(true)
+        }
+      }
+      nVerts = verts.count()
+      k += 1
+    }
+    result
+  }
+
+  /** Degrees over a canonical (src<dst, deduped) undirected edge list. */
+  private def undirDegrees(canonEdges: DataFrame): DataFrame =
+    canonEdges.select(col(SRC).as(ID)).union(canonEdges.select(col(DST).as(ID)))
+      .groupBy(ID).agg(count(lit(1)).as("degree"))
+
+  /** k-core subgraph: edges whose BOTH endpoints have core_number ≥ k
+    * (reference `cores/k_core.py:28`). */
+  def kCore(g: PropertyGraph, k: Int, coreNumbers: Option[DataFrame] = None): DataFrame = {
+    val cores = coreNumbers.getOrElse(coreNumber(g))
+    val keep = cores.filter(col("core_number") >= k).select(ID)
+    Structure.inducedSubgraph(
+      Structure.canonicalize(Structure.symmetrize(g.edges.select(SRC, DST))), keep)
+  }
+}

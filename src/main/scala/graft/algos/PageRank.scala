@@ -1,0 +1,83 @@
+package graft.algos
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.core.{PropertyGraph, Gr}
+import graft.prims.Iterate
+
+/** PageRank / personalized PageRank — power iteration with dangling-mass
+  * redistribution and L1 convergence, matching the reference contract
+  * (`link_analysis/pagerank.py:69`: alpha=0.85, tol=1e-5, max_iter=100;
+  * core loop `link_analysis/pagerank_impl.cuh`: per-iteration
+  * `update_edge_src_property` + `per_v_transform_reduce_incoming_e` (plus-
+  * reduce) + `transform_reduce_v` for dangling mass and the L1 delta).
+  *
+  * Spark realization: ranks ⋈ out-degree → contribution per edge →
+  * groupBy(dst).sum — one shuffle per iteration; dangling mass and the
+  * convergence delta are scalar aggs batched every `checkEvery` rounds.
+  * The out-degree table is computed once and reused (the reference's
+  * `precomputed_vertex_out_weight`).
+  */
+object PageRank {
+  import Gr._
+
+  /** @return DataFrame(id, pagerank) summing to 1 (within fp error). */
+  def run(g: PropertyGraph, alpha: Double = 0.85, tol: Double = 1e-5,
+          maxIter: Int = 100, personalization: Option[DataFrame] = None,
+          weighted: Boolean = false): DataFrame = {
+    val spark = g.spark
+    val verts = g.vertices.select(ID).localCheckpoint(true)
+    val nV = verts.count().toDouble
+
+    val e = if (weighted) g.weightedEdges.select(SRC, DST, WEIGHT)
+            else g.edges.select(SRC, DST).withColumn(WEIGHT, lit(1.0))
+    // out-weight per source (reference precomputed_vertex_out_weight)
+    val outW = e.groupBy(col(SRC).as(ID)).agg(sum(WEIGHT).as("out_w"))
+      .localCheckpoint(true)
+    val edges = e.join(outW.withColumnRenamed(ID, SRC), SRC)
+      .select(col(SRC), col(DST), (col(WEIGHT) / col("out_w")).as("norm_w"))
+      .localCheckpoint(true)
+
+    // reset vector: uniform 1/V or personalization distribution
+    val reset = personalization match {
+      case Some(p) =>
+        val cols = p.columns
+        val total = p.agg(sum(col(cols(1)))).first().getDouble(0)
+        verts.join(p.select(col(cols(0)).as(ID), (col(cols(1)) / total).as("reset")), Seq(ID), "left")
+          .select(col(ID), coalesce(col("reset"), lit(0.0)).as("reset"))
+          .localCheckpoint(true)
+      case None => verts.withColumn("reset", lit(1.0 / nV)).localCheckpoint(true)
+    }
+
+    val danglingSet = verts.join(outW, Seq(ID), "left_anti").localCheckpoint(true)
+    val init = reset.select(col(ID), col("reset").as("pagerank"))
+
+    val step = { (ranks: DataFrame, _: Int) =>
+      // dangling mass: rank stuck on sink vertices, redistributed via reset
+      val dangling = ranks.join(danglingSet, Seq(ID), "left_semi")
+        .agg(coalesce(sum("pagerank"), lit(0.0))).first().getDouble(0)
+      val contribs = edges.join(ranks.withColumnRenamed(ID, SRC), SRC)
+        .select(col(DST).as(ID), (col("pagerank") * col("norm_w")).as("c"))
+        .groupBy(ID).agg(sum("c").as("in_sum"))
+      reset.join(contribs, Seq(ID), "left")
+        .select(col(ID),
+          (lit(alpha) * (coalesce(col("in_sum"), lit(0.0)) + lit(dangling) * col("reset"))
+            + lit(1.0 - alpha) * col("reset")).as("pagerank"))
+    }
+    // reference converges on L1 norm < tol (`pagerank_impl.cuh:311`);
+    // tol<=0 → fixed-iteration mode, no per-round convergence job.
+    val conv = if (tol <= 0) null else { (prev: DataFrame, cur: DataFrame) =>
+      cur.join(prev.withColumnRenamed("pagerank", "prev"), ID)
+        .agg(sum(abs(col("pagerank") - col("prev")))).first().getDouble(0) < tol
+    }
+    val result = Iterate.loop(init, maxIter, step, conv, checkEvery = 1, checkpointEvery = 1)
+
+    result.select(col(ID), col("pagerank"))
+  }
+
+  /** Fixed-iteration variant (no convergence job per round) — used by the
+    * oracle queries so DuckDB-unrolled SQL matches exactly, and the fastest
+    * form for benchmarking a known iteration budget. */
+  def runFixed(g: PropertyGraph, iters: Int, alpha: Double = 0.85): DataFrame =
+    run(g, alpha = alpha, tol = -1.0, maxIter = iters)
+}

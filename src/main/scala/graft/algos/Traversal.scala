@@ -1,0 +1,94 @@
+package graft.algos
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.core.{PropertyGraph, Gr}
+
+/** BFS / SSSP / k-hop — level-synchronous frontier expansion.
+  *
+  * Reference: `traversal/bfs_impl.cuh` (frontier buckets, direction
+  * optimization), `traversal/sssp_impl.cuh` (near-far relaxation),
+  * python surface `traversal/bfs.py:69`, `traversal/sssp.py:108`.
+  *
+  * Spark realization: the frontier is a DataFrame; one round = frontier ⋈
+  * edges → min-reduce by dst → anti-join/merge with settled state. Each
+  * round is a bounded shuffle on vertex id; `localCheckpoint` truncates
+  * lineage so depth-D traversals stay O(D) jobs, not O(D²) plan replay.
+  * Direction-optimizing BFS (top-down/bottom-up) is unnecessary here: the
+  * bottom-up trick saves random memory probes on CPUs/GPUs, while in Spark
+  * the cost model is shuffle volume — frontier⋈edges already only moves
+  * frontier-incident edges.
+  */
+object Traversal {
+  import Gr._
+
+  /** BFS distances + predecessors from a single source.
+    * @return DataFrame(id, distance, predecessor); unreached vertices absent
+    *         (reference marks them with sentinel; callers outer-join). */
+  def bfs(g: PropertyGraph, source: Long, depthLimit: Int = Int.MaxValue): DataFrame = {
+    val e = g.edges.select(SRC, DST).localCheckpoint(true)
+    var settled = g.spark.range(1).select(lit(source).as(ID),
+      lit(0).as("distance"), lit(-1L).as("predecessor")).localCheckpoint(true)
+    var frontier = settled.select(ID)
+    var depth = 0
+    var frontierCount = 1L
+    while (frontierCount > 0 && depth < depthLimit) {
+      depth += 1
+      val next = e.join(frontier.withColumnRenamed(ID, SRC), SRC)
+        .groupBy(col(DST).as(ID)).agg(min(SRC).as("predecessor"))
+        .join(settled.select(ID), Seq(ID), "left_anti")
+        .withColumn("distance", lit(depth))
+        .select(ID, "distance", "predecessor")
+        .localCheckpoint(true)
+      frontierCount = next.count()
+      if (frontierCount > 0) {
+        settled = settled.union(next).localCheckpoint(true)
+        frontier = next.select(ID)
+      }
+    }
+    settled
+  }
+
+  /** Single-source shortest paths over non-negative weights — Bellman-Ford
+    * style rounds (every round relaxes all edges out of improved vertices),
+    * the DataFrame analogue of the reference's near-far bucketing. Converges
+    * in ≤ (longest shortest path hop count) rounds.
+    * @param cutoff stop exploring beyond this distance (reference `sssp.py` cutoff). */
+  def sssp(g: PropertyGraph, source: Long, cutoff: Double = Double.PositiveInfinity,
+           maxRounds: Int = 200): DataFrame = {
+    val e = g.weightedEdges.select(SRC, DST, WEIGHT).localCheckpoint(true)
+    var dist = g.spark.range(1).select(lit(source).as(ID),
+      lit(0.0).as("distance"), lit(-1L).as("predecessor")).localCheckpoint(true)
+    // improved = vertices whose distance changed last round (the frontier)
+    var improved = dist
+    var round = 0
+    var nImproved = 1L
+    while (nImproved > 0 && round < maxRounds) {
+      round += 1
+      val cand = e.join(improved.select(col(ID).as(SRC), col("distance").as("d_src")), SRC)
+        .select(col(DST).as(ID), (col("d_src") + col(WEIGHT)).as("distance"), col(SRC).as("predecessor"))
+        .filter(col("distance") <= cutoff)
+      // min per dst, deterministic predecessor tie-break via struct ordering
+      val best = cand.groupBy(ID)
+        .agg(min(struct(col("distance"), col("predecessor"))).as("s"))
+        .select(col(ID), col("s.distance").as("distance"), col("s.predecessor").as("predecessor"))
+      val next = dist.select(ID, "distance", "predecessor").union(best)
+        .groupBy(ID).agg(min(struct(col("distance"), col("predecessor"))).as("s"))
+        .select(col(ID), col("s.distance").as("distance"), col("s.predecessor").as("predecessor"))
+        .localCheckpoint(true)
+      val imp = next.join(dist.withColumnRenamed("distance", "d_old")
+          .select(ID, "d_old"), Seq(ID), "left")
+        .filter(col("d_old").isNull || col("distance") < col("d_old"))
+        .select(ID, "distance", "predecessor")
+        .localCheckpoint(true)
+      nImproved = imp.count()
+      dist = next
+      improved = imp
+    }
+    dist
+  }
+
+  /** Keep only reachable rows (`traversal/sssp.py:233 filter_unreachable`). */
+  def filterUnreachable(df: DataFrame): DataFrame =
+    df.filter(!col("distance").isNull && !col("distance").isNaN)
+}

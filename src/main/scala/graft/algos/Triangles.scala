@@ -1,0 +1,106 @@
+package graft.algos
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.core.{PropertyGraph, Structure, Gr}
+
+/** Triangle counting and k-truss.
+  *
+  * Reference: `community/triangle_count_impl.cuh` (decl `algorithms.hpp:1871`),
+  * `community/k_truss_impl.cuh` (`algorithms.hpp:1923`).
+  *
+  * Plan shape: canonical orientation (src<dst on the symmetrized graph) then
+  * the classic two-path self-join + closing-edge semi-join. With the canonic
+  * orientation every triangle {a<b<c} is counted exactly once as
+  * (a,b)⋈(b,c)⋈(a,c). Both joins shuffle on a single vertex key; at scale
+  * the degree-ordered orientation (order by degree, not id) bounds the
+  * two-path fanout by arboricity — id order is used here because the oracle
+  * must reproduce it in SQL; `orientByDegree=true` gives the skew-safe plan.
+  */
+object Triangles {
+  import Gr._
+
+  /** Canonically-oriented edge list of the undirected simple graph. */
+  def oriented(g: PropertyGraph, orientByDegree: Boolean = false): DataFrame = {
+    val canon = Structure.canonicalize(Structure.symmetrize(g.edges.select(SRC, DST)))
+    if (!orientByDegree) canon.select(SRC, DST)
+    else {
+      // orient low-degree → high-degree (tie: smaller id first): bounds
+      // per-vertex out-fanout by O(sqrt(E)) on any graph.
+      val deg = canon.select(col(SRC).as(ID)).union(canon.select(col(DST).as(ID)))
+        .groupBy(ID).agg(count(lit(1)).as("d"))
+      canon
+        .join(deg.select(col(ID).as(SRC), col("d").as("d_src")), SRC)
+        .join(deg.select(col(ID).as(DST), col("d").as("d_dst")), DST)
+        .select(
+          when(col("d_src") < col("d_dst") ||
+               (col("d_src") === col("d_dst") && col(SRC) < col(DST)), col(SRC))
+            .otherwise(col(DST)).as(SRC),
+          when(col("d_src") < col("d_dst") ||
+               (col("d_src") === col("d_dst") && col(SRC) < col(DST)), col(DST))
+            .otherwise(col(SRC)).as(DST))
+    }
+  }
+
+  /** All triangles as (a,b,c) rows with a<b<c (id orientation). */
+  def enumerate(g: PropertyGraph): DataFrame = {
+    val e = oriented(g).localCheckpoint(true)
+    val ab = e.select(col(SRC).as("a"), col(DST).as("b"))
+    val bc = e.select(col(SRC).as("b"), col(DST).as("c"))
+    val ac = e.select(col(SRC).as("a"), col(DST).as("c"))
+    ab.join(bc, "b").join(ac, Seq("a", "c"), "left_semi").select("a", "b", "c")
+  }
+
+  /** Per-vertex triangle count (reference `triangle_count.py:34`).
+    * @return DataFrame(id, triangle_count) covering every vertex. */
+  def countPerVertex(g: PropertyGraph): DataFrame = {
+    val tri = enumerate(g).localCheckpoint(true)
+    val counts = tri.select(col("a").as(ID))
+      .union(tri.select(col("b").as(ID)))
+      .union(tri.select(col("c").as(ID)))
+      .groupBy(ID).agg(count(lit(1)).as("triangle_count"))
+    g.vertices.select(ID).join(counts, Seq(ID), "left")
+      .select(col(ID), coalesce(col("triangle_count"), lit(0L)).as("triangle_count"))
+  }
+
+  /** Total triangle count. */
+  def countTotal(g: PropertyGraph): Long = enumerate(g).count()
+
+  /** Per-edge triangle support (edge_triangle_count, `algorithms.hpp:1898`):
+    * number of triangles each canonical edge participates in. */
+  def edgeSupport(g: PropertyGraph): DataFrame = {
+    val e = oriented(g).localCheckpoint(true)
+    edgeSupportOf(e)
+  }
+
+  private def edgeSupportOf(e: DataFrame): DataFrame = {
+    val tri = {
+      val ab = e.select(col(SRC).as("a"), col(DST).as("b"))
+      val bc = e.select(col(SRC).as("b"), col(DST).as("c"))
+      val ac = e.select(col(SRC).as("a"), col(DST).as("c"))
+      ab.join(bc, "b").join(ac, Seq("a", "c"), "left_semi")
+    }.localCheckpoint(true)
+    val sup = tri.select(col("a").as(SRC), col("b").as(DST))
+      .union(tri.select(col("b").as(SRC), col("c").as(DST)))
+      .union(tri.select(col("a").as(SRC), col("c").as(DST)))
+      .groupBy(SRC, DST).agg(count(lit(1)).as("support"))
+    e.join(sup, Seq(SRC, DST), "left")
+      .select(col(SRC), col(DST), coalesce(col("support"), lit(0L)).as("support"))
+  }
+
+  /** k-truss subgraph (reference `ktruss_subgraph.py:11`): iteratively drop
+    * edges with support < k-2 until fixpoint. Returns canonical edges. */
+  def kTruss(g: PropertyGraph, k: Int, maxIter: Int = 100): DataFrame = {
+    var e = oriented(g).localCheckpoint(true)
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIter) {
+      it += 1
+      val keep = edgeSupportOf(e).filter(col("support") >= k - 2)
+        .select(SRC, DST).localCheckpoint(true)
+      changed = e.count() - keep.count()
+      e = keep
+    }
+    e
+  }
+}

@@ -1,0 +1,88 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Graph properties, mirroring the reference's `Graph.Properties`
+  * (cugraph `structure/graph_implementation/simpleGraph.py:79-89`:
+  * multi_edge, directed, renumbered, self_loop, store_transposed, weighted).
+  * Spark needs no physical transpose: push vs pull is a join-key choice.
+  */
+final case class GraphProperties(
+    directed: Boolean = true,
+    weighted: Boolean = false,
+    renumbered: Boolean = false,
+    multiEdge: Boolean = false)
+
+/** Property-light graph over a columnar edge list — the COO edge list is the
+  * source of truth, exactly as in the reference (`simpleGraph.py:42-67`), but
+  * held as a Spark DataFrame so every operator is distributed by construction.
+  *
+  * Canonical edge schema: `src: Long, dst: Long[, weight: Double]`.
+  * Canonical vertex schema: `id: Long` (+ optional property columns).
+  *
+  * No CSR view is materialized: Spark's shuffle-hash/sort-merge joins play the
+  * role of adjacency lookups, and per-partition adjacency is built only inside
+  * tight loops when an algorithm genuinely needs it.
+  */
+final case class PropertyGraph(
+    vertices: DataFrame,
+    edges: DataFrame,
+    props: GraphProperties,
+    renumberMap: Option[DataFrame] = None) {
+
+  def spark: SparkSession = edges.sparkSession
+  def hasWeights: Boolean = edges.columns.contains(Gr.WEIGHT)
+
+  /** Edge list with a weight column guaranteed (1.0 default, as the
+    * reference does for unweighted graphs in algorithm entry points). */
+  def weightedEdges: DataFrame =
+    if (hasWeights) edges else edges.withColumn(Gr.WEIGHT, lit(1.0))
+
+  def numVertices: Long = vertices.count()
+  def numEdges: Long = edges.count()
+
+  /** Undirected view: union of edges with their reversals, deduplicated.
+    * Reference: `structure/symmetrize.py:167`. */
+  def symmetrized: PropertyGraph =
+    if (!props.directed) this
+    else PropertyGraph(vertices, Structure.symmetrize(edges), props.copy(directed = false), renumberMap)
+
+  def cache(): PropertyGraph = {
+    vertices.persist(StorageLevel.MEMORY_AND_DISK)
+    edges.persist(StorageLevel.MEMORY_AND_DISK)
+    this
+  }
+
+  def unpersist(): PropertyGraph = {
+    vertices.unpersist(); edges.unpersist(); this
+  }
+
+  /** Map internal dense ids in `col` back to external ids.
+    * Reference: `NumberMap.unrenumber` (`structure/number_map.py:599`) —
+    * a single hash join on the renumber map. */
+  def unrenumber(df: DataFrame, col: String): DataFrame = renumberMap match {
+    case None => df
+    case Some(m) =>
+      val extCols = m.columns.filterNot(_ == Gr.INT_ID)
+      val joined = df.join(broadcastIfSmall(m), df(col) === m(Gr.INT_ID), "left")
+      // replace the internal id column with the external one(s)
+      val keep = df.columns.filterNot(_ == col).map(df(_)) ++
+        extCols.map(c => m(c).as(if (extCols.length == 1) col else s"${col}_$c"))
+      joined.select(keep.toIndexedSeq: _*)
+  }
+
+  private def broadcastIfSmall(df: DataFrame): DataFrame = df
+}
+
+/** Column-name constants (reference pins these at `simpleGraph.py:36-40`). */
+object Gr {
+  val SRC = "src"
+  val DST = "dst"
+  val WEIGHT = "weight"
+  val EDGE_ID = "edge_id"
+  val EDGE_TYPE = "edge_type"
+  val ID = "id"
+  val INT_ID = "int_id"
+}

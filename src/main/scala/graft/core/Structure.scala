@@ -1,0 +1,136 @@
+package graft.core
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Structural transforms over COO edge lists — projection/filter analogues.
+  *
+  * Reference inventory: SURVEY §2.2 / cugraph `structure/symmetrize.py`,
+  * `graph_functions.hpp` (remove_self_loops :1062, remove_multi_edges :1131,
+  * coarsen_graph :622, relabel :653), `simpleGraph.py` degrees :1021.
+  *
+  * All are pure declarative DataFrame programs: Catalyst plans the joins,
+  * partial aggregation happens map-side, and at 100 TB every one of these is
+  * a single shuffle keyed on (src,dst) or a vertex id.
+  */
+object Structure {
+  import Gr._
+
+  /** Undirected graph = union of edges with reversed copy, then multi-edge
+    * dedup summing weights for parallel edges (reference
+    * `symmetrize.py:9-78` groupby-dedup; weight merge is `min` there when
+    * `keep_min_value_edge`, sum for multigraph collapse — we take sum for
+    * weighted co-occurrence semantics and min when `keepMinWeight`). */
+  def symmetrize(edges: DataFrame, keepMinWeight: Boolean = false): DataFrame = {
+    val hasW = edges.columns.contains(WEIGHT)
+    val fwd = if (hasW) edges.select(SRC, DST, WEIGHT) else edges.select(SRC, DST)
+    val rev = if (hasW) edges.select(col(DST).as(SRC), col(SRC).as(DST), col(WEIGHT))
+              else edges.select(col(DST).as(SRC), col(SRC).as(DST))
+    val uni = fwd.union(rev)
+    if (hasW) {
+      val agg = if (keepMinWeight) min(WEIGHT) else max(WEIGHT)
+      uni.groupBy(SRC, DST).agg(agg.as(WEIGHT))
+    } else uni.distinct()
+  }
+
+  /** Drop self loops (`graph_functions.hpp:1062`). */
+  def removeSelfLoops(edges: DataFrame): DataFrame = edges.filter(col(SRC) =!= col(DST))
+
+  /** Collapse parallel edges; weight kept per `keep_min_value_edge`
+    * (`graph_functions.hpp:1131`). */
+  def removeMultiEdges(edges: DataFrame, keepMinWeight: Boolean = true): DataFrame =
+    if (edges.columns.contains(WEIGHT)) {
+      val agg = if (keepMinWeight) min(WEIGHT) else max(WEIGHT)
+      edges.groupBy(SRC, DST).agg(agg.as(WEIGHT))
+    } else edges.dropDuplicates(SRC, DST)
+
+  /** Canonicalize an undirected edge list to src<=dst form (used by
+    * triangle counting's degree/id ordering and `to_undirected`,
+    * `simpleGraph.py:1415`). */
+  def canonicalize(edges: DataFrame): DataFrame = {
+    val hasW = edges.columns.contains(WEIGHT)
+    val base = edges.select(
+      least(col(SRC), col(DST)).as(SRC),
+      greatest(col(SRC), col(DST)).as(DST))
+    val withW = if (hasW) edges.select(
+      least(col(SRC), col(DST)).as(SRC),
+      greatest(col(SRC), col(DST)).as(DST), col(WEIGHT)) else base
+    removeMultiEdges(removeSelfLoops(withW))
+  }
+
+  /** Distinct vertices of an edge list (`simpleGraph.py:883`). */
+  def extractVertexList(edges: DataFrame): DataFrame =
+    edges.select(col(SRC).as(ID)).union(edges.select(col(DST).as(ID))).distinct()
+
+  /** Per-vertex in/out/total degrees (`simpleGraph.py:1021` degrees_function).
+    * One hash agg per direction + outer join; vertices with no edges get 0. */
+  def degrees(g: PropertyGraph): DataFrame = {
+    val out = g.edges.groupBy(col(SRC).as(ID)).agg(count(lit(1)).as("out_degree"))
+    val in = g.edges.groupBy(col(DST).as(ID)).agg(count(lit(1)).as("in_degree"))
+    g.vertices.select(col(ID))
+      .join(out, Seq(ID), "left").join(in, Seq(ID), "left")
+      .select(col(ID),
+        coalesce(col("in_degree"), lit(0L)).as("in_degree"),
+        coalesce(col("out_degree"), lit(0L)).as("out_degree"))
+      .withColumn("degree", col("in_degree") + col("out_degree"))
+  }
+
+  /** Edges whose BOTH endpoints are in the vertex set S — two semi-joins
+    * (reference `community/induced_subgraph.py:33`). S small → broadcast. */
+  def inducedSubgraph(edges: DataFrame, verts: DataFrame): DataFrame = {
+    val s = verts.select(col(verts.columns.head).as(ID))
+    edges.join(s.withColumnRenamed(ID, SRC), Seq(SRC), "left_semi")
+         .join(s.withColumnRenamed(ID, DST), Seq(DST), "left_semi")
+  }
+
+  /** Distinct vertex pairs exactly two hops apart (`simpleGraph.py:774`,
+    * C++ `graph_functions.hpp:847`) — edge self-join a.dst==b.src. */
+  def twoHopNeighbors(edges: DataFrame): DataFrame = {
+    val a = edges.select(col(SRC).as("v"), col(DST).as("mid"))
+    val b = edges.select(col(SRC).as("mid"), col(DST).as("w"))
+    a.join(b, "mid").filter(col("v") =!= col("w"))
+      .select(col("v").as(SRC), col("w").as(DST)).distinct()
+  }
+
+  /** Vertices within k hops of the seed set (`algorithms.hpp:2311`):
+    * iterated frontier expansion join+distinct. Frontier stays a DataFrame —
+    * never collected. */
+  def kHopNeighbors(edges: DataFrame, seeds: DataFrame, k: Int): DataFrame = {
+    val e = edges.select(SRC, DST)
+    var reached = seeds.select(col(seeds.columns.head).as(ID)).distinct()
+    var frontier = reached
+    for (_ <- 1 to k) {
+      val next = frontier.withColumnRenamed(ID, SRC).join(e, SRC)
+        .select(col(DST).as(ID)).distinct()
+        .join(reached, Seq(ID), "left_anti")
+      frontier = next.localCheckpoint(eager = true)
+      reached = reached.union(frontier)
+    }
+    reached.distinct()
+  }
+
+  /** Contract vertices by a label map and sum parallel edge weights —
+    * Louvain's contraction step (`coarsen_graph`, `graph_functions.hpp:622`;
+    * used at `community/louvain_impl.cuh:267`). Two joins + one agg. */
+  def coarsen(edges: DataFrame, labels: DataFrame): DataFrame = {
+    // labels: (id, label)
+    val l = labels.select(col(labels.columns(0)).as(ID), col(labels.columns(1)).as("label"))
+    val hasW = edges.columns.contains(WEIGHT)
+    val e = if (hasW) edges else edges.withColumn(WEIGHT, lit(1.0))
+    e.join(l.select(col(ID).as(SRC), col("label").as("c_src")), SRC)
+     .join(l.select(col(ID).as(DST), col("label").as("c_dst")), DST)
+     .groupBy(col("c_src").as(SRC), col("c_dst").as(DST))
+     .agg(sum(WEIGHT).as(WEIGHT))
+  }
+
+  /** Apply an old→new vertex id map to an edge list
+    * (`graph_functions.hpp:653`) — join ×2. */
+  def relabel(edges: DataFrame, mapping: DataFrame): DataFrame = {
+    val m = mapping.select(col(mapping.columns(0)).as("_old"), col(mapping.columns(1)).as("_new"))
+    val carry = edges.columns.filterNot(c => c == SRC || c == DST).map(col)
+    edges.join(m, edges(SRC) === m("_old"))
+      .select((Seq(col("_new").as(SRC), col(DST)) ++ carry.toIndexedSeq): _*)
+      .join(m, col(DST) === m("_old"))
+      .select((Seq(col(SRC), col("_new").as(DST)) ++ carry.toIndexedSeq): _*)
+  }
+}

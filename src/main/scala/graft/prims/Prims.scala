@@ -1,0 +1,92 @@
+package graft.prims
+
+import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.Gr._
+
+/** The primitive layer every algorithm is written against — the Spark
+  * analogue of cugraph's `cpp/include/cugraph/prims/` .cuh headers (SURVEY §0):
+  *
+  *   - `aggregateToDst/Src` ≙ `per_v_transform_reduce_incoming_outgoing_e.cuh`
+  *     — a join of vertex state onto edges followed by a hash aggregation on
+  *     the other endpoint. Catalyst turns it into partial (map-side) + final
+  *     aggregation, which is exactly the reference's edge-partition-local
+  *     reduce + cross-GPU allreduce.
+  *   - `Iterate.loop` ≙ the host-side iteration driver with convergence
+  *     checks (`pagerank_impl.cuh:311`), plus lineage control: each round is
+  *     `localCheckpoint`ed so 100-round loops don't build 100-deep plans.
+  *   - `topKPerKey` ≙ the per-source top-k / fanout-sampling pattern
+  *     (`transform_reduce_v_frontier_outgoing_e_by_dst.cuh` + sampling).
+  *   - a broadcast-join lookup ≙ `kv_store.cuh`.
+  */
+object AggregateMessages {
+
+  /** Join per-vertex state onto edge sources, emit a message expression per
+    * edge, reduce by destination. `state` must have an `id` column; message
+    * expressions may refer to edge columns and state columns.
+    *
+    * Pull-based algorithms (PageRank/Katz/HITS) call this with the natural
+    * edge direction; push-based (BFS/SSSP) with the frontier as `state`.
+    * `store_transposed` in the reference is just this join-key choice
+    * (SURVEY §1.4) — no physical transpose.
+    */
+  def toDst(edges: DataFrame, state: DataFrame, msg: Column, agg: Column => Column,
+            out: String = "msg"): DataFrame = {
+    edges.join(state.withColumnRenamed(ID, SRC), SRC)
+      .select(col(DST).as(ID), msg.as("_m"))
+      .groupBy(ID).agg(agg(col("_m")).as(out))
+  }
+
+  def toSrc(edges: DataFrame, state: DataFrame, msg: Column, agg: Column => Column,
+            out: String = "msg"): DataFrame = {
+    edges.join(state.withColumnRenamed(ID, DST), DST)
+      .select(col(SRC).as(ID), msg.as("_m"))
+      .groupBy(ID).agg(agg(col("_m")).as(out))
+  }
+}
+
+object Iterate {
+
+  /** Iteration driver for fixed-point DataFrame loops.
+    *
+    * Each step maps the current state DataFrame to the next; every
+    * `checkpointEvery` rounds the state is `localCheckpoint`ed (eager) to
+    * truncate lineage — the Spark analogue of the reference keeping device
+    * buffers across iterations instead of replaying the whole history.
+    * `converged` (optional) is evaluated every `checkEvery` rounds; it costs
+    * a job, so convergence checks are batched exactly as SURVEY §7.4-1
+    * prescribes.
+    */
+  def loop(init: DataFrame, maxIter: Int,
+           step: (DataFrame, Int) => DataFrame,
+           converged: (DataFrame, DataFrame) => Boolean = null,
+           checkEvery: Int = 1,
+           checkpointEvery: Int = 3): DataFrame = {
+    var cur = init.localCheckpoint(true)
+    var it = 0
+    var done = false
+    while (it < maxIter && !done) {
+      val nxt0 = step(cur, it)
+      val nxt = if ((it + 1) % checkpointEvery == 0 || converged != null)
+        nxt0.localCheckpoint(true) else nxt0
+      if (converged != null && (it + 1) % checkEvery == 0)
+        done = converged(cur, nxt)
+      cur = nxt
+      it += 1
+    }
+    cur
+  }
+}
+
+object TopK {
+
+  /** Top-k rows per key — THE canonical Spark pattern for per-source fanout
+    * sampling and similarity top-k (SURVEY §2.7): window row_number ≤ k.
+    * For very large fanouts a TypedImperativeAggregate reservoir would beat
+    * the sort; the window form is whole-stage-codegen'd and AQE-skew-safe. */
+  def perKey(df: DataFrame, keyCols: Seq[String], orderBy: Seq[Column], k: Int): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(orderBy: _*)
+    df.withColumn("_rn", row_number().over(w)).filter(col("_rn") <= k).drop("_rn")
+  }
+}
