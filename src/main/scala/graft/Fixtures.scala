@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.core.{PropertyGraph, GraphBuilder, Gr}
+import graft.core.{PropertyGraph, GraphBuilder, GraphProperties, Structure, Gr}
 
 /** Graph projections over the driver-provided TPC-H-ish parquet tables
   * (TESTDATA.md / FIXTURES.md §4). Each projection is defined so the DuckDB
@@ -16,16 +16,28 @@ object Tables {
 object Fixtures {
   import Gr._
 
+  /** Session-scoped cache of materialized fixture DataFrames. Verify/Bench
+    * run many queries over the same graph projections in one session; the
+    * reference likewise benchmarks algorithms on a PREBUILT graph
+    * (`bench_algos.py` benches `create_graph` separately from the algos), so
+    * graph construction is paid once, not per query. `localCheckpoint(eager)`
+    * keeps the materialized result partition-local (no lineage replay). */
+  private val cache = scala.collection.concurrent.TrieMap[(Int, String), DataFrame]()
+  private def cached(spark: SparkSession, key: String)(build: => DataFrame): DataFrame =
+    cache.getOrElseUpdate((System.identityHashCode(spark), key),
+      build.localCheckpoint(eager = true))
+
   /** Supplier co-order graph: suppliers appearing in the same order, canonical
     * src<dst, weight = number of shared orders. ~100 vertices at any SF —
     * the small dense fixture for triangle/similarity/PageRank/BFS oracles. */
-  def supplierEdges(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables(spark, dir, "lineitem").select("l_orderkey", "l_suppkey").distinct()
-    val a = li.select(col("l_orderkey"), col("l_suppkey").as(SRC))
-    val b = li.select(col("l_orderkey"), col("l_suppkey").as(DST))
-    a.join(b, "l_orderkey").filter(col(SRC) < col(DST))
-      .groupBy(SRC, DST).agg(count(lit(1)).cast("double").as(WEIGHT))
-  }
+  def supplierEdges(spark: SparkSession, dir: String): DataFrame =
+    cached(spark, s"supp:$dir") {
+      val li = Tables(spark, dir, "lineitem").select("l_orderkey", "l_suppkey").distinct()
+      val a = li.select(col("l_orderkey"), col("l_suppkey").as(SRC))
+      val b = li.select(col("l_orderkey"), col("l_suppkey").as(DST))
+      a.join(b, "l_orderkey").filter(col(SRC) < col(DST))
+        .groupBy(SRC, DST).agg(count(lit(1)).cast("double").as(WEIGHT))
+    }
 
   /** SQL prelude reconstructing supplierEdges for the DuckDB oracle. */
   val SUPP_EDGES_SQL: String =
@@ -44,18 +56,30 @@ object Fixtures {
   val SUPP_UND_SQL: String =
     "und AS MATERIALIZED (SELECT src, dst, weight FROM supp_edges UNION ALL SELECT dst, src, weight FROM supp_edges)"
 
-  def supplierGraph(spark: SparkSession, dir: String): PropertyGraph =
-    GraphBuilder.fromEdges(supplierEdges(spark, dir), SRC, DST, Some(WEIGHT), directed = true)
+  def supplierGraph(spark: SparkSession, dir: String): PropertyGraph = {
+    val e = supplierEdges(spark, dir)
+    val v = cached(spark, s"supp_verts:$dir")(Structure.extractVertexList(e))
+    PropertyGraph(v, e, GraphProperties(directed = true, weighted = true))
+  }
+
+  /** Symmetrized supplier graph with cached undirected edges — the fixture
+    * most algorithm queries run on. */
+  def supplierGraphUnd(spark: SparkSession, dir: String): PropertyGraph = {
+    val und = cached(spark, s"supp_und:$dir")(Structure.symmetrize(supplierEdges(spark, dir)))
+    val v = cached(spark, s"supp_verts:$dir")(Structure.extractVertexList(supplierEdges(spark, dir)))
+    PropertyGraph(v, und, GraphProperties(directed = false, weighted = true))
+  }
 
   /** Customer→supplier bipartite graph (supplier ids offset by 100000 to
     * keep the id spaces disjoint): weight = total extended price. */
-  def custSuppEdges(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables(spark, dir, "lineitem")
-    val o = Tables(spark, dir, "orders")
-    li.join(o, li("l_orderkey") === o("o_orderkey"))
-      .groupBy(col("o_custkey").as(SRC), (col("l_suppkey") + 100000L).as(DST))
-      .agg(sum("l_extendedprice").as(WEIGHT))
-  }
+  def custSuppEdges(spark: SparkSession, dir: String): DataFrame =
+    cached(spark, s"custsupp:$dir") {
+      val li = Tables(spark, dir, "lineitem")
+      val o = Tables(spark, dir, "orders")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("o_custkey").as(SRC), (col("l_suppkey") + 100000L).as(DST))
+        .agg(sum("l_extendedprice").as(WEIGHT))
+    }
 
   val CUSTSUPP_EDGES_SQL: String =
     """cs_edges AS MATERIALIZED (
@@ -69,13 +93,14 @@ object Fixtures {
 
   /** Part co-order graph (larger: ~2000 vertices at sf0.01) — parts appearing
     * in the same order. For WCC/community at a bigger scale. */
-  def partEdges(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables(spark, dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    val a = li.select(col("l_orderkey"), col("l_partkey").as(SRC))
-    val b = li.select(col("l_orderkey"), col("l_partkey").as(DST))
-    a.join(b, "l_orderkey").filter(col(SRC) < col(DST))
-      .groupBy(SRC, DST).agg(count(lit(1)).cast("double").as(WEIGHT))
-  }
+  def partEdges(spark: SparkSession, dir: String): DataFrame =
+    cached(spark, s"part:$dir") {
+      val li = Tables(spark, dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+      val a = li.select(col("l_orderkey"), col("l_partkey").as(SRC))
+      val b = li.select(col("l_orderkey"), col("l_partkey").as(DST))
+      a.join(b, "l_orderkey").filter(col(SRC) < col(DST))
+        .groupBy(SRC, DST).agg(count(lit(1)).cast("double").as(WEIGHT))
+    }
 
   val PART_EDGES_SQL: String =
     """part_edges AS MATERIALIZED (

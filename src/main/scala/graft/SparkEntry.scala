@@ -18,7 +18,7 @@ object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * build the supplier co-order graph and rank suppliers by PageRank. */
   def entry(spark: SparkSession): DataFrame = {
-    val g = Fixtures.supplierGraph(spark, "/root/testdata/sf0.001").symmetrized
+    val g = Fixtures.supplierGraphUnd(spark, "/root/testdata/sf0.001")
     PageRank.run(g, maxIter = 20).orderBy(desc("pagerank"))
   }
 
@@ -47,19 +47,30 @@ object SparkEntry {
     },
     // ---- traversal (§2.3) ----
     "q_bfs" -> q { (s, dir) =>
-      val g = Fixtures.supplierGraph(s, dir).symmetrized
+      val g = Fixtures.supplierGraphUnd(s, dir)
       val src = g.vertices.agg(min(ID)).first().getLong(0)
-      Traversal.bfs(g, src).select(col(ID), col("distance").cast("long").as("distance"))
+      val res = Traversal.bfs(g, src)
+        .select(col(ID), col("distance").cast("long").as("distance"))
+        .localCheckpoint(true)
+      // the DuckDB oracle's recursive CTE is depth-capped at 12: assert the
+      // Spark side finished within that budget rather than silently relying
+      // on a low-diameter fixture (ADVICE r1).
+      val maxDepth = res.agg(max("distance")).first().getLong(0)
+      require(maxDepth <= 12, s"BFS depth $maxDepth exceeds oracle budget 12")
+      res
     },
     // ---- link analysis / centrality (§2.4) ----
     "q_pagerank" -> q { (s, dir) =>
-      val g = Fixtures.supplierGraph(s, dir).symmetrized
+      val g = Fixtures.supplierGraphUnd(s, dir)
       PageRank.runFixed(g, iters = 10)
         .select(col(ID), round(col("pagerank"), 6).as("pagerank"))
     },
     // ---- components (§2.5) ----
     "q_wcc" -> q { (s, dir) =>
-      Components.wcc(Fixtures.supplierGraph(s, dir))
+      val (labels, rounds) = Components.wccWithRounds(Fixtures.supplierGraph(s, dir))
+      // oracle unrolls 10 label-propagation rounds: assert fixpoint within it
+      require(rounds <= 10, s"WCC took $rounds rounds, oracle budget is 10")
+      labels
     },
     "q_triangles" -> q { (s, dir) =>
       Triangles.countPerVertex(Fixtures.supplierGraph(s, dir))

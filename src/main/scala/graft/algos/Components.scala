@@ -21,7 +21,12 @@ object Components {
     * rounds at O(log V) — diameter loops suffice for our workloads and the
     * loop is lineage-checkpointed either way.
     * @return DataFrame(id, component). */
-  def wcc(g: PropertyGraph, maxIter: Int = 50): DataFrame = {
+  def wcc(g: PropertyGraph, maxIter: Int = 50): DataFrame = wccWithRounds(g, maxIter)._1
+
+  /** WCC returning (labels, roundsUntilFixpoint). The round count lets oracle
+    * queries ASSERT the Spark side converged within the oracle's unrolled
+    * budget instead of silently relying on a low-diameter fixture. */
+  def wccWithRounds(g: PropertyGraph, maxIter: Int = 50): (DataFrame, Int) = {
     val und = Structure.symmetrize(g.edges.select(SRC, DST)).localCheckpoint(true)
     val init = g.vertices.select(col(ID), col(ID).as("component"))
     var changed = 1L
@@ -38,7 +43,8 @@ object Components {
         .filter(col("component") < col("old")).count()
       labels = next
     }
-    labels
+    // `it` counts rounds including the final no-change confirmation round
+    (labels, it)
   }
 
   /** Core number per vertex — iterative peeling (reference

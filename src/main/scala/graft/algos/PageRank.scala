@@ -50,11 +50,15 @@ object PageRank {
     }
 
     val danglingSet = verts.join(outW, Seq(ID), "left_anti").localCheckpoint(true)
+    // count ONCE: when the graph has no dangling (sink) vertices — the common
+    // case — skip the per-iteration semi-join + scalar job entirely.
+    val hasDangling = danglingSet.count() > 0
     val init = reset.select(col(ID), col("reset").as("pagerank"))
 
     val step = { (ranks: DataFrame, _: Int) =>
       // dangling mass: rank stuck on sink vertices, redistributed via reset
-      val dangling = ranks.join(danglingSet, Seq(ID), "left_semi")
+      val dangling = if (!hasDangling) 0.0
+        else ranks.join(danglingSet, Seq(ID), "left_semi")
         .agg(coalesce(sum("pagerank"), lit(0.0))).first().getDouble(0)
       val contribs = edges.join(ranks.withColumnRenamed(ID, SRC), SRC)
         .select(col(DST).as(ID), (col("pagerank") * col("norm_w")).as("c"))

@@ -27,13 +27,17 @@ object Renumber {
     * Returns map DataFrame: (extCol₁.., int_id: Long).
     */
   def buildMap(edges: DataFrame, srcCols: Seq[String], dstCols: Seq[String],
-               denseContiguous: Boolean = true): DataFrame = {
+               denseContiguous: Boolean = true, sorted: Boolean = false): DataFrame = {
     require(srcCols.length == dstCols.length, "src/dst arity mismatch")
     val n = srcCols.length
     val extNames = (0 until n).map(i => s"ext_$i")
     val srcSide = edges.select(srcCols.zip(extNames).map { case (c, a) => col(c).as(a) }: _*)
     val dstSide = edges.select(dstCols.zip(extNames).map { case (c, a) => col(c).as(a) }: _*)
-    val distinctVerts = srcSide.union(dstSide).distinct()
+    val distinctVerts0 = srcSide.union(dstSide).distinct()
+    // sorted=true gives a DETERMINISTIC id assignment (ids in external-id
+    // order) at the cost of a global sort — used by tests/oracles; the
+    // default is partition-order ids (cheaper, still dense+unique).
+    val distinctVerts = if (sorted) distinctVerts0.orderBy(extNames.map(col): _*) else distinctVerts0
     assignIds(distinctVerts, denseContiguous)
   }
 
@@ -58,21 +62,19 @@ object Renumber {
                     carryCols: Seq[String] = Seq.empty): (DataFrame, DataFrame) = {
     val map = buildMap(edges, srcCols, dstCols)
     val extNames = srcCols.indices.map(i => s"ext_$i")
-
-    def joinSide(df: DataFrame, keyCols: Seq[String], outName: String, keep: Seq[Column]): DataFrame = {
-      val cond = keyCols.zip(extNames).map { case (k, e) => df(k) <=> map(e) }.reduce(_ && _)
-      df.join(map, cond).select(keep :+ map(Gr.INT_ID).as(outName): _*)
-    }
+    // Alias the map per join side: joining the SAME DataFrame instance twice
+    // is Spark's ambiguous-self-join trap (mis-resolved attributes /
+    // AnalysisException). `m1`/`m2` give each join its own attribute ids.
+    val m1 = map.as("m1")
+    val m2 = map.as("m2")
 
     val carry = carryCols.map(edges(_))
-    val withSrc = joinSide(edges, srcCols, Gr.SRC, dstCols.map(edges(_)) ++ carry)
-    // after first select, dst cols + carry survive by name
-    val withBoth = {
-      val df = withSrc
-      val cond = dstCols.zip(extNames).map { case (k, e) => df(k) <=> map(e) }.reduce(_ && _)
-      df.join(map, cond)
-        .select((Seq(df(Gr.SRC), map(Gr.INT_ID).as(Gr.DST)) ++ carryCols.map(df(_))): _*)
-    }
+    val srcCond = srcCols.zip(extNames).map { case (k, e) => edges(k) <=> col(s"m1.$e") }.reduce(_ && _)
+    val withSrc = edges.join(m1, srcCond)
+      .select((dstCols.map(edges(_)) ++ carry :+ col(s"m1.${Gr.INT_ID}").as(Gr.SRC)): _*)
+    val dstCond = dstCols.zip(extNames).map { case (k, e) => withSrc(k) <=> col(s"m2.$e") }.reduce(_ && _)
+    val withBoth = withSrc.join(m2, dstCond)
+      .select((Seq(withSrc(Gr.SRC), col(s"m2.${Gr.INT_ID}").as(Gr.DST)) ++ carryCols.map(withSrc(_))): _*)
     (withBoth, map)
   }
 }

@@ -17,18 +17,18 @@ object Structure {
   import Gr._
 
   /** Undirected graph = union of edges with reversed copy, then multi-edge
-    * dedup summing weights for parallel edges (reference
-    * `symmetrize.py:9-78` groupby-dedup; weight merge is `min` there when
-    * `keep_min_value_edge`, sum for multigraph collapse — we take sum for
-    * weighted co-occurrence semantics and min when `keepMinWeight`). */
-  def symmetrize(edges: DataFrame, keepMinWeight: Boolean = false): DataFrame = {
+    * dedup. Weight merge follows the reference: `symmetrize_df`
+    * (`symmetrize.py:75`) keeps the MIN weight when collapsing an edge with
+    * its reverse — that is our default. `sumWeights = true` gives the
+    * multigraph-collapse semantics (sum of parallel edge weights) instead. */
+  def symmetrize(edges: DataFrame, sumWeights: Boolean = false): DataFrame = {
     val hasW = edges.columns.contains(WEIGHT)
     val fwd = if (hasW) edges.select(SRC, DST, WEIGHT) else edges.select(SRC, DST)
     val rev = if (hasW) edges.select(col(DST).as(SRC), col(SRC).as(DST), col(WEIGHT))
               else edges.select(col(DST).as(SRC), col(SRC).as(DST))
     val uni = fwd.union(rev)
     if (hasW) {
-      val agg = if (keepMinWeight) min(WEIGHT) else max(WEIGHT)
+      val agg = if (sumWeights) sum(WEIGHT) else min(WEIGHT)
       uni.groupBy(SRC, DST).agg(agg.as(WEIGHT))
     } else uni.distinct()
   }

@@ -15,16 +15,35 @@ import pandas as pd
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
-def canon(df: pd.DataFrame) -> str:
+def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
-    # normalize dtypes: ints -> int64, floats -> rounded float64
+    # normalize dtypes: ints -> int64, floats -> float64
     for c in df.columns:
         if pd.api.types.is_float_dtype(df[c]):
-            df[c] = df[c].astype("float64").round(9)
+            df[c] = df[c].astype("float64")
         elif pd.api.types.is_integer_dtype(df[c]):
             df[c] = df[c].astype("int64")
-    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
-    return hashlib.md5(df.to_csv(index=False).encode()).hexdigest()
+    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+
+def frames_equal(got: pd.DataFrame, exp: pd.DataFrame) -> bool:
+    """Tolerance compare: both sides already round floats to ~6 dp but may
+    use different rounding modes on ties (Spark HALF_UP vs DuckDB) — exact
+    hashing of rounded values is a latent flaky gate (ADVICE r1). Floats use
+    np.isclose; everything else exact."""
+    import numpy as np
+    g, e = canon(got), canon(exp)
+    if list(g.columns) != list(e.columns) or len(g) != len(e):
+        return False
+    for c in g.columns:
+        if pd.api.types.is_float_dtype(g[c]) or pd.api.types.is_float_dtype(e[c]):
+            if not np.allclose(g[c].astype("float64"), e[c].astype("float64"),
+                               rtol=1e-6, atol=1e-8, equal_nan=True):
+                return False
+        else:
+            if not g[c].equals(e[c]):
+                return False
+    return True
 
 def main(out_dir, sf_dir):
     con = duckdb.connect()
@@ -50,7 +69,7 @@ def main(out_dir, sf_dir):
             continue
         rows_ok = len(got) == len(exp)
         cols_ok = sorted(got.columns) == sorted(exp.columns)
-        hash_ok = cols_ok and rows_ok and canon(got) == canon(exp)
+        hash_ok = cols_ok and rows_ok and frames_equal(got, exp)
         status = "PASS" if hash_ok else "FAIL"
         if hash_ok: n_pass += 1
         else: n_fail += 1
