@@ -53,6 +53,180 @@ object OracleSql {
     b.toString
   }
 
+  /** Bellman-Ford SSSP unrolled: d_i(v) = min(d_{i-1}(v), min over edges
+    * (u,v) of d_{i-1}(u)+w). Spark side asserts fixpoint within `rounds`. */
+  def ssspSupplier(rounds: Int): String = {
+    val b = new StringBuilder
+    b ++= s"WITH $SUPP_EDGES_SQL,\n$SUPP_UND_SQL,\n"
+    b ++= "d0 AS MATERIALIZED (SELECT (SELECT min(src) FROM supp_edges) AS id, 0.0 AS d),\n"
+    for (i <- 1 to rounds) {
+      b ++= s"""d$i AS MATERIALIZED (
+        |  SELECT id, min(d) AS d FROM (
+        |    SELECT id, d FROM d${i - 1}
+        |    UNION ALL
+        |    SELECT u.dst AS id, p.d + u.weight AS d
+        |    FROM und u JOIN d${i - 1} p ON p.id = u.src
+        |  ) GROUP BY id
+        |)""".stripMargin
+      b ++= (if (i < rounds) ",\n" else "\n")
+    }
+    b ++= s"SELECT id, round(d, 6) AS distance FROM d$rounds"
+    b.toString
+  }
+
+  /** Katz centrality unrolled, fixed iterations, final L2 normalization:
+    * c_i = alpha·(Σ_in c_{i-1}) + beta over the symmetrized supplier graph. */
+  def katzSupplier(iters: Int, alpha: Double, beta: Double = 1.0): String = {
+    val b = new StringBuilder
+    b ++= s"WITH $SUPP_EDGES_SQL,\n$SUPP_UND_SQL,\n$SUPP_VERTS_SQL,\n"
+    b ++= s"k0 AS MATERIALIZED (SELECT id, CAST($beta AS DOUBLE) AS c FROM verts),\n"
+    for (i <- 1 to iters) {
+      b ++= s"""k$i AS MATERIALIZED (
+        |  SELECT v.id, CAST($alpha AS DOUBLE) * coalesce(s.in_sum, 0) + CAST($beta AS DOUBLE) AS c
+        |  FROM verts v LEFT JOIN (
+        |    SELECT u.dst AS id, sum(p.c) AS in_sum
+        |    FROM und u JOIN k${i - 1} p ON p.id = u.src GROUP BY 1
+        |  ) s ON s.id = v.id
+        |)""".stripMargin
+      b ++= ",\n"
+    }
+    b ++= s"norm AS MATERIALIZED (SELECT sqrt(sum(c * c)) AS n FROM k$iters)\n"
+    b ++= s"SELECT id, round(c / (SELECT n FROM norm), 6) AS katz FROM k$iters"
+    b.toString
+  }
+
+  /** Eigenvector centrality unrolled: power iteration with per-round L2
+    * normalization on the symmetrized weighted supplier graph. */
+  def eigenvectorSupplier(iters: Int): String = {
+    val b = new StringBuilder
+    b ++= s"WITH $SUPP_EDGES_SQL,\n$SUPP_UND_SQL,\n$SUPP_VERTS_SQL,\n"
+    b ++= "nv AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts),\n"
+    b ++= "e0 AS MATERIALIZED (SELECT id, 1.0 / sqrt((SELECT n FROM nv)) AS c FROM verts),\n"
+    for (i <- 1 to iters) {
+      b ++= s"""e${i}r AS MATERIALIZED (
+        |  SELECT v.id, coalesce(s.in_sum, 0) AS c
+        |  FROM verts v LEFT JOIN (
+        |    SELECT u.dst AS id, sum(p.c * u.weight) AS in_sum
+        |    FROM und u JOIN e${i - 1} p ON p.id = u.src GROUP BY 1
+        |  ) s ON s.id = v.id
+        |),
+        |e$i AS MATERIALIZED (
+        |  SELECT id, c / (SELECT CASE WHEN sqrt(sum(c*c)) = 0 THEN 1 ELSE sqrt(sum(c*c)) END FROM e${i}r) AS c
+        |  FROM e${i}r
+        |)""".stripMargin
+      b ++= (if (i < iters) ",\n" else "\n")
+    }
+    b ++= s"SELECT id, round(c, 6) AS ec FROM e$iters"
+    b.toString
+  }
+
+  /** HITS unrolled on the customer→supplier bipartite graph, sum-normalized
+    * authorities then hubs each round (matches Centrality.hits order). */
+  def hitsCustSupp(iters: Int): String = {
+    val b = new StringBuilder
+    b ++= s"WITH $CUSTSUPP_EDGES_SQL,\n"
+    b ++= "verts AS MATERIALIZED (SELECT src AS id FROM cs_edges UNION SELECT dst FROM cs_edges),\n"
+    b ++= "h0 AS MATERIALIZED (SELECT id, 1.0 AS h, 1.0 AS a FROM verts),\n"
+    for (i <- 1 to iters) {
+      b ++= s"""a${i}r AS MATERIALIZED (
+        |  SELECT v.id, coalesce(s.x, 0) AS a FROM verts v LEFT JOIN (
+        |    SELECT e.dst AS id, sum(p.h) AS x FROM cs_edges e JOIN h${i - 1} p ON p.id = e.src GROUP BY 1
+        |  ) s ON s.id = v.id
+        |),
+        |a$i AS MATERIALIZED (
+        |  SELECT id, a / (SELECT CASE WHEN sum(a)=0 THEN 1 ELSE sum(a) END FROM a${i}r) AS a FROM a${i}r
+        |),
+        |h${i}r AS MATERIALIZED (
+        |  SELECT v.id, coalesce(s.x, 0) AS h FROM verts v LEFT JOIN (
+        |    SELECT e.src AS id, sum(p.a) AS x FROM cs_edges e JOIN a$i p ON p.id = e.dst GROUP BY 1
+        |  ) s ON s.id = v.id
+        |),
+        |h$i AS MATERIALIZED (
+        |  SELECT r.id, r.h / (SELECT CASE WHEN sum(h)=0 THEN 1 ELSE sum(h) END FROM h${i}r) AS h, a$i.a AS a
+        |  FROM h${i}r r JOIN a$i ON a$i.id = r.id
+        |)""".stripMargin
+      b ++= (if (i < iters) ",\n" else "\n")
+    }
+    b ++= s"SELECT id, round(h, 6) AS hubs, round(a, 6) AS authorities FROM h$iters"
+    b.toString
+  }
+
+  /** Directed PageRank with dangling-mass redistribution on the
+    * customer→supplier bipartite graph (suppliers are sinks), unrolled. */
+  def pagerankCustSupp(iters: Int, alpha: Double = 0.85): String = {
+    val b = new StringBuilder
+    b ++= s"WITH $CUSTSUPP_EDGES_SQL,\n"
+    b ++= "verts AS MATERIALIZED (SELECT src AS id FROM cs_edges UNION SELECT dst FROM cs_edges),\n"
+    b ++= "nv AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts),\n"
+    b ++= "outw AS MATERIALIZED (SELECT src AS id, sum(weight) AS w FROM cs_edges GROUP BY 1),\n"
+    b ++= "dang AS MATERIALIZED (SELECT v.id FROM verts v LEFT JOIN outw o ON o.id = v.id WHERE o.id IS NULL),\n"
+    b ++= "p0 AS MATERIALIZED (SELECT id, 1.0 / (SELECT n FROM nv) AS pr FROM verts),\n"
+    for (i <- 1 to iters) {
+      b ++= s"""dm$i AS MATERIALIZED (
+        |  SELECT coalesce(sum(p.pr), 0) AS m FROM p${i - 1} p JOIN dang d ON d.id = p.id
+        |),
+        |p$i AS MATERIALIZED (
+        |  SELECT v.id,
+        |    $alpha * (coalesce(s.in_sum, 0) + (SELECT m FROM dm$i) / (SELECT n FROM nv))
+        |      + ${1.0 - alpha} / (SELECT n FROM nv) AS pr
+        |  FROM verts v LEFT JOIN (
+        |    SELECT e.dst AS id, sum(p.pr * e.weight / o.w) AS in_sum
+        |    FROM cs_edges e JOIN p${i - 1} p ON p.id = e.src JOIN outw o ON o.id = e.src
+        |    GROUP BY 1
+        |  ) s ON s.id = v.id
+        |)""".stripMargin
+      b ++= (if (i < iters) ",\n" else "\n")
+    }
+    b ++= s"SELECT id, round(pr, 6) AS pagerank FROM p$iters"
+    b.toString
+  }
+
+  /** Brandes betweenness, all sources, unrolled by BFS level on the
+    * symmetrized supplier graph (unweighted shortest paths). Forward phase:
+    * per-level frontier with path counts sigma; backward phase: dependency
+    * delta(v) = sigma_v · Σ_{w∈succ} (1+delta_w)/sigma_w. Undirected ⇒
+    * halve; normalized by (n-1)(n-2)/2. `levels` must be ≥ the graph's
+    * eccentricity — the Spark query asserts that. */
+  def betweennessSupplier(levels: Int): String = {
+    val b = new StringBuilder
+    b ++= s"WITH $SUPP_EDGES_SQL,\n$SUPP_UND_SQL,\n$SUPP_VERTS_SQL,\n"
+    b ++= "nv AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts),\n"
+    b ++= "f0 AS MATERIALIZED (SELECT id AS root, id, 1.0 AS sigma FROM verts),\n"
+    b ++= "s0 AS MATERIALIZED (SELECT root, id FROM f0),\n"
+    for (l <- 1 to levels) {
+      b ++= s"""f$l AS MATERIALIZED (
+        |  SELECT p.root, u.dst AS id, sum(p.sigma) AS sigma
+        |  FROM f${l - 1} p JOIN und u ON u.src = p.id
+        |  WHERE NOT EXISTS (SELECT 1 FROM s${l - 1} s WHERE s.root = p.root AND s.id = u.dst)
+        |  GROUP BY 1, 2
+        |),
+        |s$l AS MATERIALIZED (SELECT root, id FROM s${l - 1} UNION ALL SELECT root, id FROM f$l),
+        |""".stripMargin
+    }
+    b ++= s"d$levels AS MATERIALIZED (SELECT root, id, sigma, 0.0 AS delta FROM f$levels),\n"
+    for (l <- levels - 1 to 0 by -1) {
+      b ++= s"""c$l AS MATERIALIZED (
+        |  SELECT w.root, u.src AS id, sum((1 + w.delta) / w.sigma) AS xw
+        |  FROM und u JOIN d${l + 1} w ON w.id = u.dst GROUP BY 1, 2
+        |),
+        |d$l AS MATERIALIZED (
+        |  SELECT f.root, f.id, f.sigma, f.sigma * coalesce(c.xw, 0) AS delta
+        |  FROM f$l f LEFT JOIN c$l c ON c.root = f.root AND c.id = f.id
+        |),
+        |""".stripMargin
+    }
+    b ++= "alldelta AS MATERIALIZED (" +
+      (0 to levels).map(l => s"SELECT root, id, delta FROM d$l").mkString(" UNION ALL ") + "),\n"
+    b ++= """bc AS MATERIALIZED (
+      |  SELECT id, sum(delta) / 2.0 AS raw FROM alldelta WHERE root <> id GROUP BY id
+      |)
+      |SELECT v.id,
+      |  round(coalesce(bc.raw, 0) / (((SELECT n FROM nv) - 1) * ((SELECT n FROM nv) - 2) / 2.0), 6)
+      |    AS betweenness_centrality
+      |FROM verts v LEFT JOIN bc ON bc.id = v.id""".stripMargin
+    b.toString
+  }
+
   /** BFS distances from the smallest supplier vertex — recursive CTE with a
     * depth bound; min(dist) per vertex = BFS level. */
   def bfsSupplier(maxDepth: Int): String =

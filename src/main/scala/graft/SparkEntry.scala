@@ -65,6 +65,46 @@ object SparkEntry {
       PageRank.runFixed(g, iters = 10)
         .select(col(ID), round(col("pagerank"), 6).as("pagerank"))
     },
+    "q_sssp" -> q { (s, dir) =>
+      val g = Fixtures.supplierGraphUnd(s, dir)
+      val src = g.vertices.agg(min(ID)).first().getLong(0)
+      val (res, rounds) = Traversal.ssspWithRounds(g, src)
+      require(rounds <= 10, s"SSSP took $rounds rounds, oracle budget is 10")
+      res.select(col(ID), round(col("distance"), 6).as("distance"))
+    },
+    "q_katz" -> q { (s, dir) =>
+      val g = Fixtures.supplierGraphUnd(s, dir)
+      Centrality.katz(g, alpha = 0.005, beta = 1.0, maxIter = 10, tol = -1.0)
+        .select(col(ID), round(col("katz"), 6).as("katz"))
+    },
+    "q_eigenvector" -> q { (s, dir) =>
+      val g = Fixtures.supplierGraphUnd(s, dir)
+      Centrality.eigenvector(g, maxIter = 10, tol = -1.0)
+        .select(col(ID), round(col("ec"), 6).as("ec"))
+    },
+    "q_hits" -> q { (s, dir) =>
+      val g = Fixtures.custSuppGraph(s, dir)
+      Centrality.hits(g, maxIter = 4, tol = -1.0)
+        .select(col(ID), round(col("hubs"), 6).as("hubs"),
+          round(col("authorities"), 6).as("authorities"))
+    },
+    "q_pagerank_directed" -> q { (s, dir) =>
+      // directed bipartite graph: suppliers are dangling sinks — exercises
+      // the dangling-mass redistribution branch with edge weights.
+      val g = Fixtures.custSuppGraph(s, dir)
+      PageRank.run(g, tol = -1.0, maxIter = 10, weighted = true)
+        .select(col(ID), round(col("pagerank"), 6).as("pagerank"))
+    },
+    "q_degree_centrality" -> q { (s, dir) =>
+      Centrality.degreeCentrality(Fixtures.custSuppGraph(s, dir))
+        .select(col(ID), round(col("degree_centrality"), 6).as("degree_centrality"))
+    },
+    "q_betweenness" -> q { (s, dir) =>
+      val g = Fixtures.supplierGraph(s, dir)
+      val (res, levels) = Centrality.betweennessWithLevels(g)
+      require(levels <= 4, s"BFS eccentricity $levels exceeds oracle level budget 4")
+      res.select(col(ID), round(col("betweenness_centrality"), 6).as("betweenness_centrality"))
+    },
     // ---- components (§2.5) ----
     "q_wcc" -> q { (s, dir) =>
       val (labels, rounds) = Components.wccWithRounds(Fixtures.supplierGraph(s, dir))
@@ -125,6 +165,21 @@ object SparkEntry {
          |h2 AS MATERIALIZED (SELECT DISTINCT u.dst AS id FROM und u JOIN h1 ON u.src = h1.id)
          |SELECT id FROM seed UNION SELECT id FROM h1 UNION SELECT id FROM h2""".stripMargin,
     "q_bfs" -> OracleSql.bfsSupplier(maxDepth = 12),
+    "q_sssp" -> OracleSql.ssspSupplier(rounds = 10),
+    "q_katz" -> OracleSql.katzSupplier(iters = 10, alpha = 0.005),
+    "q_eigenvector" -> OracleSql.eigenvectorSupplier(iters = 10),
+    "q_hits" -> OracleSql.hitsCustSupp(iters = 4),
+    "q_pagerank_directed" -> OracleSql.pagerankCustSupp(iters = 10),
+    "q_degree_centrality" ->
+      s"""WITH $CUSTSUPP_EDGES_SQL,
+         |verts AS MATERIALIZED (SELECT src AS id FROM cs_edges UNION SELECT dst FROM cs_edges),
+         |nv AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts),
+         |outd AS MATERIALIZED (SELECT src AS id, count(*) AS d FROM cs_edges GROUP BY 1),
+         |ind AS MATERIALIZED (SELECT dst AS id, count(*) AS d FROM cs_edges GROUP BY 1)
+         |SELECT v.id,
+         |  round((coalesce(i.d, 0) + coalesce(o.d, 0)) / ((SELECT n FROM nv) - 1), 6) AS degree_centrality
+         |FROM verts v LEFT JOIN outd o ON o.id = v.id LEFT JOIN ind i ON i.id = v.id""".stripMargin,
+    "q_betweenness" -> OracleSql.betweennessSupplier(levels = 4),
     "q_pagerank" -> OracleSql.pagerankSupplier(iters = 10),
     "q_wcc" -> OracleSql.wccSupplier(rounds = 10),
     "q_triangles" ->

@@ -1,0 +1,204 @@
+package graft.algos
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.core.{PropertyGraph, Structure, Gr}
+import graft.prims.Iterate
+
+/** Katz / eigenvector / HITS / degree centrality — the PageRank-shaped
+  * dense-iteration family, plus Brandes betweenness.
+  *
+  * Reference: `centrality/katz_centrality_impl.cuh` (`algorithms.hpp:1502`),
+  * `centrality/eigenvector_centrality_impl.cuh` (`:1413`),
+  * `link_analysis/hits_impl.cuh` (`:1452`),
+  * `centrality/degree_centrality.py:7`,
+  * `centrality/betweenness_centrality_impl.cuh` (`:297`).
+  *
+  * All dense iterations are one aggregate-messages shuffle per round
+  * (ranks ⋈ edges → groupBy(dst).sum) — the Spark realization of
+  * `per_v_transform_reduce_incoming_e` with `reduce_op::plus` — with scalar
+  * normalization aggs batched into the same round.
+  */
+object Centrality {
+  import Gr._
+
+  /** Katz centrality: c ← alpha·(Aᵀ c) + beta, fixed iterations or L1 tol.
+    * Reference defaults (`katz_centrality.py:10`): beta=1.0, tol=1e-6. */
+  def katz(g: PropertyGraph, alpha: Double, beta: Double = 1.0,
+           maxIter: Int = 100, tol: Double = 1e-6,
+           normalized: Boolean = true): DataFrame = {
+    val verts = g.vertices.select(ID).localCheckpoint(true)
+    val e = g.edges.select(SRC, DST).localCheckpoint(true)
+    val init = verts.withColumn("katz", lit(beta))
+    val step = { (c: DataFrame, _: Int) =>
+      val in = e.join(c.withColumnRenamed(ID, SRC), SRC)
+        .groupBy(col(DST).as(ID)).agg(sum("katz").as("in_sum"))
+      verts.join(in, Seq(ID), "left")
+        .select(col(ID), (lit(alpha) * coalesce(col("in_sum"), lit(0.0)) + lit(beta)).as("katz"))
+    }
+    val conv = if (tol <= 0) null else { (prev: DataFrame, cur: DataFrame) =>
+      cur.join(prev.withColumnRenamed("katz", "prev"), ID)
+        .agg(sum(abs(col("katz") - col("prev")))).first().getDouble(0) < tol
+    }
+    val res = Iterate.loop(init, maxIter, step, conv, checkpointEvery = 1)
+    if (!normalized) res
+    else {
+      val norm = res.agg(sqrt(sum(col("katz") * col("katz")))).first().getDouble(0)
+      res.select(col(ID), (col("katz") / norm).as("katz"))
+    }
+  }
+
+  /** Eigenvector centrality — power iteration with L2 normalization per
+    * round (reference `eigenvector_centrality.py:13`, tol on L1 delta). */
+  def eigenvector(g: PropertyGraph, maxIter: Int = 100, tol: Double = 1e-6): DataFrame = {
+    val verts = g.vertices.select(ID).localCheckpoint(true)
+    val nV = verts.count().toDouble
+    val e = g.weightedEdges.select(SRC, DST, WEIGHT).localCheckpoint(true)
+    val init = verts.withColumn("ec", lit(1.0 / math.sqrt(nV)))
+    val step = { (c: DataFrame, _: Int) =>
+      val in = e.join(c.withColumnRenamed(ID, SRC), SRC)
+        .groupBy(col(DST).as(ID)).agg(sum(col("ec") * col(WEIGHT)).as("in_sum"))
+      val raw = verts.join(in, Seq(ID), "left")
+        .select(col(ID), coalesce(col("in_sum"), lit(0.0)).as("ec"))
+        .localCheckpoint(true)
+      val norm = raw.agg(sqrt(sum(col("ec") * col("ec")))).first().getDouble(0)
+      raw.select(col(ID), (col("ec") / lit(if (norm == 0) 1.0 else norm)).as("ec"))
+    }
+    val conv = if (tol <= 0) null else { (prev: DataFrame, cur: DataFrame) =>
+      cur.join(prev.withColumnRenamed("ec", "prev"), ID)
+        .agg(sum(abs(col("ec") - col("prev")))).first().getDouble(0) < tol
+    }
+    Iterate.loop(init, maxIter, step, conv, checkpointEvery = 1)
+  }
+
+  /** HITS hubs & authorities, sum-normalized each half-round
+    * (reference `link_analysis/hits.py:11`, `hits_impl.cuh`).
+    * @return DataFrame(id, hubs, authorities). */
+  def hits(g: PropertyGraph, maxIter: Int = 100, tol: Double = 1e-5): DataFrame = {
+    val verts = g.vertices.select(ID).localCheckpoint(true)
+    val e = g.edges.select(SRC, DST).localCheckpoint(true)
+    val init = verts.withColumn("hubs", lit(1.0)).withColumn("authorities", lit(1.0))
+    val step = { (hs: DataFrame, _: Int) =>
+      // authorities(v) = Σ hubs(u) over u→v, then sum-normalize
+      val auth0 = e.join(hs.select(col(ID).as(SRC), col("hubs")), SRC)
+        .groupBy(col(DST).as(ID)).agg(sum("hubs").as("a"))
+      val authAll = verts.join(auth0, Seq(ID), "left")
+        .select(col(ID), coalesce(col("a"), lit(0.0)).as("a")).localCheckpoint(true)
+      val aNorm = authAll.agg(sum("a")).first().getDouble(0)
+      val auth = authAll.select(col(ID), (col("a") / lit(if (aNorm == 0) 1.0 else aNorm)).as("authorities"))
+      // hubs(u) = Σ authorities(v) over u→v, then sum-normalize
+      val hub0 = e.join(auth.select(col(ID).as(DST), col("authorities")), DST)
+        .groupBy(col(SRC).as(ID)).agg(sum("authorities").as("h"))
+      val hubAll = verts.join(hub0, Seq(ID), "left")
+        .select(col(ID), coalesce(col("h"), lit(0.0)).as("h")).localCheckpoint(true)
+      val hNorm = hubAll.agg(sum("h")).first().getDouble(0)
+      hubAll.select(col(ID), (col("h") / lit(if (hNorm == 0) 1.0 else hNorm)).as("hubs"))
+        .join(auth, ID)
+        .select(col(ID), col("hubs"), col("authorities"))
+    }
+    val conv = if (tol <= 0) null else { (prev: DataFrame, cur: DataFrame) =>
+      cur.join(prev.select(col(ID), col("hubs").as("ph")), ID)
+        .agg(sum(abs(col("hubs") - col("ph")))).first().getDouble(0) < tol
+    }
+    Iterate.loop(init, maxIter, step, conv, checkpointEvery = 1)
+  }
+
+  /** Degree centrality: degree / (V-1) (reference `degree_centrality.py:7`). */
+  def degreeCentrality(g: PropertyGraph): DataFrame = {
+    val nV = g.vertices.count().toDouble
+    Structure.degrees(g).select(col(ID),
+      (col("degree") / lit(nV - 1.0)).as("degree_centrality"))
+  }
+
+  /** Betweenness centrality — Brandes with all (or k sampled) sources
+    * batched as a `root` column so the whole computation is a constant
+    * number of Spark jobs per BFS LEVEL, not per source
+    * (reference `betweenness_centrality.py:16`; SURVEY §7.4-2).
+    *
+    * Forward phase: level-synchronous multi-source BFS over state
+    * (root, id, dist, sigma); backward phase: dependency accumulation
+    * delta(v) = Σ_{w succ} sigma(v)/sigma(w) · (1+delta(w)) by descending
+    * level — each level is one join+agg keyed on (root, vertex).
+    */
+  def betweenness(g: PropertyGraph, k: Option[Int] = None, seed: Long = 42,
+                  normalized: Boolean = true, directed: Boolean = false): DataFrame =
+    betweennessWithLevels(g, k, seed, normalized, directed)._1
+
+  /** Betweenness also returning the BFS level count (longest shortest path
+    * from any root) so oracle queries can assert the unrolled SQL's level
+    * budget was sufficient. */
+  def betweennessWithLevels(g: PropertyGraph, k: Option[Int] = None, seed: Long = 42,
+                  normalized: Boolean = true, directed: Boolean = false): (DataFrame, Int) = {
+    val e0 = if (directed) g.edges.select(SRC, DST)
+             else Structure.symmetrize(g.edges.select(SRC, DST))
+    val e = e0.localCheckpoint(true)
+    val verts = g.vertices.select(ID).localCheckpoint(true)
+    val nV = verts.count().toDouble
+    val roots = (k match {
+      case Some(kk) => verts.orderBy(xxhash64(col(ID), lit(seed))).limit(kk)
+      case None => verts
+    }).select(col(ID).as("root")).localCheckpoint(true)
+
+    // forward multi-source BFS: settled(root, id, dist, sigma)
+    var settled = roots.select(col("root"), col("root").as(ID),
+      lit(0).as("dist"), lit(1.0).as("sigma")).localCheckpoint(true)
+    var frontier = settled
+    var level = 0
+    var more = true
+    val levels = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    levels += frontier
+    while (more) {
+      level += 1
+      val next = frontier.withColumnRenamed(ID, SRC).join(e, SRC)
+        .select(col("root"), col(DST).as(ID), col("sigma"))
+        .join(settled.select(col("root"), col(ID)).withColumn("_seen", lit(1)),
+          Seq("root", ID), "left_anti")
+        .groupBy("root", ID).agg(sum("sigma").as("sigma"))
+        .withColumn("dist", lit(level))
+        .select("root", ID, "dist", "sigma")
+        .localCheckpoint(true)
+      if (next.isEmpty) more = false
+      else {
+        settled = settled.union(next).localCheckpoint(true)
+        frontier = next
+        levels += next
+      }
+    }
+    // backward sweep by descending level
+    var delta = settled.select(col("root"), col(ID), lit(0.0).as("delta"))
+      .localCheckpoint(true)
+    for (l <- level - 1 to 0 by -1) {
+      val wState = settled.filter(col("dist") === l + 1)
+        .join(delta, Seq("root", ID))
+        .select(col("root"), col(ID).as(DST), col("sigma").as("sigma_w"), col("delta").as("delta_w"))
+      val contrib = e.join(wState, DST)
+        .select(col("root"), col(SRC).as(ID), col("sigma_w"), col("delta_w"))
+        .join(settled.filter(col("dist") === l).select(col("root"), col(ID), col("sigma")),
+          Seq("root", ID))
+        .select(col("root"), col(ID),
+          (col("sigma") / col("sigma_w") * (lit(1.0) + col("delta_w"))).as("c"))
+        .groupBy("root", ID).agg(sum("c").as("inc"))
+      delta = delta.join(contrib, Seq("root", ID), "left")
+        .select(col("root"), col(ID), (col("delta") + coalesce(col("inc"), lit(0.0))).as("delta"))
+        .localCheckpoint(true)
+    }
+    val bc0 = delta.filter(col("root") =!= col(ID))
+      .groupBy(ID).agg(sum("delta").as("betweenness_centrality"))
+    val full = verts.join(bc0, Seq(ID), "left")
+      .select(col(ID), coalesce(col("betweenness_centrality"), lit(0.0)).as("betweenness_centrality"))
+    // undirected graphs count each path twice; normalization per reference
+    val halved = if (directed) full
+      else full.select(col(ID), (col("betweenness_centrality") / 2.0).as("betweenness_centrality"))
+    val res = if (!normalized) halved
+    else {
+      val denom = if (directed) (nV - 1.0) * (nV - 2.0) else (nV - 1.0) * (nV - 2.0) / 2.0
+      val scale = k match {
+        case Some(kk) => denom * kk / nV   // sample scaling
+        case None => denom
+      }
+      halved.select(col(ID),
+        (col("betweenness_centrality") / lit(if (scale == 0) 1.0 else scale)).as("betweenness_centrality"))
+    }
+    (res, level)
+  }
+}

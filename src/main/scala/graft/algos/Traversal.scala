@@ -55,7 +55,13 @@ object Traversal {
     * in ≤ (longest shortest path hop count) rounds.
     * @param cutoff stop exploring beyond this distance (reference `sssp.py` cutoff). */
   def sssp(g: PropertyGraph, source: Long, cutoff: Double = Double.PositiveInfinity,
-           maxRounds: Int = 200): DataFrame = {
+           maxRounds: Int = 200): DataFrame = ssspWithRounds(g, source, cutoff, maxRounds)._1
+
+  /** SSSP also returning the number of relaxation rounds until fixpoint, so
+    * oracle queries can assert convergence within the oracle's unrolled
+    * round budget. */
+  def ssspWithRounds(g: PropertyGraph, source: Long, cutoff: Double = Double.PositiveInfinity,
+           maxRounds: Int = 200): (DataFrame, Int) = {
     val e = g.weightedEdges.select(SRC, DST, WEIGHT).localCheckpoint(true)
     var dist = g.spark.range(1).select(lit(source).as(ID),
       lit(0.0).as("distance"), lit(-1L).as("predecessor")).localCheckpoint(true)
@@ -85,7 +91,7 @@ object Traversal {
       dist = next
       improved = imp
     }
-    dist
+    (dist, round)
   }
 
   /** Keep only reachable rows (`traversal/sssp.py:233 filter_unreachable`). */
