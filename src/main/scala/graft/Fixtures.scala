@@ -1,5 +1,6 @@
 package graft
 
+import graft.prims.Mat._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.{PropertyGraph, GraphBuilder, GraphProperties, Structure, Gr}
@@ -20,12 +21,12 @@ object Fixtures {
     * run many queries over the same graph projections in one session; the
     * reference likewise benchmarks algorithms on a PREBUILT graph
     * (`bench_algos.py` benches `create_graph` separately from the algos), so
-    * graph construction is paid once, not per query. `localCheckpoint(eager)`
-    * keeps the materialized result partition-local (no lineage replay). */
+    * graph construction is paid once, not per query. `Iterate.materialize`
+    * keeps the result partition-local with reset plan statistics. */
   private val cache = scala.collection.concurrent.TrieMap[(Int, String), DataFrame]()
   private def cached(spark: SparkSession, key: String)(build: => DataFrame): DataFrame =
     cache.getOrElseUpdate((System.identityHashCode(spark), key),
-      build.localCheckpoint(eager = true))
+      build.mat)
 
   /** Supplier co-order graph: suppliers appearing in the same order, canonical
     * src<dst, weight = number of shared orders. ~100 vertices at any SF —
@@ -114,7 +115,38 @@ object Fixtures {
   def partGraph(spark: SparkSession, dir: String): PropertyGraph =
     GraphBuilder.fromEdges(partEdges(spark, dir), SRC, DST, Some(WEIGHT), directed = true)
 
+  /** Directed cyclic fixture for SCC: canonical supplier edges plus the
+    * REVERSED copies of edges with weight ≥ 2 (creates 2-cycles → nontrivial
+    * strongly connected components). */
+  def cyclicSupplierGraph(spark: SparkSession, dir: String): PropertyGraph = {
+    val e = cached(spark, s"supp_cyc:$dir") {
+      val s = supplierEdges(spark, dir)
+      s.select(SRC, DST).union(
+        s.filter(col(WEIGHT) >= 2).select(col(DST).as(SRC), col(SRC).as(DST))).distinct()
+    }
+    PropertyGraph(Structure.extractVertexList(e), e, GraphProperties(directed = true))
+  }
+
+  /** Tiny 3-level DAG from the TPC-H hierarchy: region → nation(+100) →
+    * supplier(+1000). Deterministic levels 0/1/2 for the topo-sort oracle. */
+  def hierarchyDag(spark: SparkSession, dir: String): PropertyGraph = {
+    val nation = Tables(spark, dir, "nation")
+    val supplier = Tables(spark, dir, "supplier")
+    val e1 = nation.select(col("n_regionkey").cast("long").as(SRC),
+      (col("n_nationkey") + 100L).cast("long").as(DST))
+    val e2 = supplier.select((col("s_nationkey") + 100L).cast("long").as(SRC),
+      (col("s_suppkey") + 1000L).cast("long").as(DST))
+    val e = e1.union(e2)
+    PropertyGraph(Structure.extractVertexList(e), e, GraphProperties(directed = true))
+  }
+
   def documents(spark: SparkSession, dir: String): DataFrame = Tables(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = Tables(spark, dir, "embeddings")
-  def events(spark: SparkSession, dir: String): DataFrame = Tables(spark, dir, "events")
+
+  /** events.parquet carries a TIMESTAMP(NANOS) column (pandas-written), which
+    * Spark's Parquet reader rejects by default — read nanos as raw long. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    Tables(spark, dir, "events")
+  }
 }

@@ -227,6 +227,55 @@ object OracleSql {
     b.toString
   }
 
+  /** k-truss unrolled: `rounds` peels of (edge support via triangle count →
+    * filter support ≥ k−2) over the canonical supplier edges. Spark asserts
+    * fixpoint within `rounds`. */
+  def ktrussSupplier(k: Int, rounds: Int): String = {
+    val b = new StringBuilder
+    b ++= s"WITH $SUPP_EDGES_SQL,\n"
+    b ++= "t0 AS MATERIALIZED (SELECT src, dst FROM supp_edges),\n"
+    for (i <- 1 to rounds) {
+      b ++= s"""tri$i AS MATERIALIZED (
+        |  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+        |  FROM t${i - 1} e1 JOIN t${i - 1} e2 ON e1.dst = e2.src
+        |  WHERE EXISTS (SELECT 1 FROM t${i - 1} e3 WHERE e3.src = e1.src AND e3.dst = e2.dst)
+        |),
+        |sup$i AS MATERIALIZED (
+        |  SELECT src, dst, count(*) AS s FROM (
+        |    SELECT a AS src, b AS dst FROM tri$i
+        |    UNION ALL SELECT b, c FROM tri$i
+        |    UNION ALL SELECT a, c FROM tri$i
+        |  ) GROUP BY 1, 2
+        |),
+        |t$i AS MATERIALIZED (
+        |  SELECT e.src, e.dst FROM t${i - 1} e JOIN sup$i s ON s.src = e.src AND s.dst = e.dst
+        |  WHERE s.s >= ${k - 2}
+        |)""".stripMargin
+      b ++= (if (i < rounds) ",\n" else "\n")
+    }
+    b ++= s"SELECT src, dst FROM t$rounds"
+    b.toString
+  }
+
+  /** SCC oracle via transitive closure (recursive CTE): component(v) =
+    * min w with v →* w and w →* v, over the cyclic supplier fixture
+    * (canonical edges + reversed copies of weight ≥ 2 edges). */
+  def sccSupplier: String =
+    s"""WITH RECURSIVE $SUPP_EDGES_SQL,
+       |dedges AS MATERIALIZED (
+       |  SELECT src, dst FROM supp_edges
+       |  UNION SELECT dst AS src, src AS dst FROM supp_edges WHERE weight >= 2
+       |),
+       |verts AS MATERIALIZED (SELECT src AS id FROM dedges UNION SELECT dst FROM dedges),
+       |reach(a, b) AS (
+       |  SELECT id, id FROM verts
+       |  UNION
+       |  SELECT r.a, e.dst FROM reach r JOIN dedges e ON e.src = r.b
+       |)
+       |SELECT r1.a AS id, min(r1.b) AS component
+       |FROM reach r1 JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a
+       |GROUP BY 1""".stripMargin
+
   /** BFS distances from the smallest supplier vertex — recursive CTE with a
     * depth bound; min(dist) per vertex = BFS level. */
   def bfsSupplier(maxDepth: Int): String =

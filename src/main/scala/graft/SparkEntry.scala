@@ -1,8 +1,9 @@
 package graft
 
+import graft.prims.Mat._
 import org.apache.spark.sql.{SparkSession, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.core.{Structure, Gr}
+import graft.core.{Structure, GraphBuilder, Gr}
 import graft.algos._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -51,7 +52,7 @@ object SparkEntry {
       val src = g.vertices.agg(min(ID)).first().getLong(0)
       val res = Traversal.bfs(g, src)
         .select(col(ID), col("distance").cast("long").as("distance"))
-        .localCheckpoint(true)
+        .mat
       // the DuckDB oracle's recursive CTE is depth-capped at 12: assert the
       // Spark side finished within that budget rather than silently relying
       // on a low-diameter fixture (ADVICE r1).
@@ -114,6 +115,71 @@ object SparkEntry {
     },
     "q_triangles" -> q { (s, dir) =>
       Triangles.countPerVertex(Fixtures.supplierGraph(s, dir))
+    },
+    "q_scc" -> q { (s, dir) =>
+      Components.scc(Fixtures.cyclicSupplierGraph(s, dir))
+    },
+    "q_edge_triangles" -> q { (s, dir) =>
+      Triangles.edgeSupport(Fixtures.supplierGraph(s, dir))
+    },
+    "q_ktruss" -> q { (s, dir) =>
+      val (res, rounds) = Triangles.kTrussWithRounds(Fixtures.supplierGraph(s, dir), k = 4)
+      require(rounds <= 3, s"k-truss took $rounds rounds, oracle budget is 3")
+      res
+    },
+    "q_core_number" -> q { (s, dir) =>
+      Components.coreNumber(Fixtures.supplierGraph(s, dir))
+        .select(col(ID), col("core_number").cast("long").as("core_number"))
+    },
+    "q_kcore" -> q { (s, dir) =>
+      Components.kCore(Fixtures.supplierGraph(s, dir), k = 50)
+    },
+    "q_louvain" -> q { (s, dir) =>
+      val (labels, q) = Community.louvain(Fixtures.partGraph(s, dir), maxLevel = 2, maxIter = 5)
+      require(!q.isNaN, "louvain modularity is NaN")
+      labels
+    },
+    "q_modularity" -> q { (s, dir) =>
+      // modularity of the supplier-nation partition — exact scalar metric
+      val und = Structure.symmetrize(Fixtures.supplierEdges(s, dir))
+      val labels = Tables(s, dir, "supplier")
+        .select(col("s_suppkey").as(ID), col("s_nationkey").cast("long").as("c"))
+      val m = Community.modularity(und, labels)
+      s.range(1).select(round(lit(m), 6).as("modularity"))
+    },
+    "q_mst" -> q { (s, dir) =>
+      TreeDag.boruvkaMst(Fixtures.supplierGraphUnd(s, dir))
+    },
+    "q_topo_sort" -> q { (s, dir) =>
+      TreeDag.topologicalLevels(Fixtures.hierarchyDag(s, dir))
+        .select(col(ID), col("level").cast("long").as("level"))
+    },
+    // ---- structure extras (§2.2) ----
+    "q_ego" -> q { (s, dir) =>
+      val e = Fixtures.supplierEdges(s, dir)
+      val und = Structure.symmetrize(e.select(SRC, DST))
+      val seeds = e.agg(min(SRC).as(ID))
+      Structure.inducedSubgraph(e, Structure.kHopNeighbors(und, seeds, 2))
+    },
+    "q_coarsen" -> q { (s, dir) =>
+      val labels = Tables(s, dir, "supplier")
+        .select(col("s_suppkey").as(ID), col("s_nationkey").cast("long").as("label"))
+      Structure.coarsen(Fixtures.supplierEdges(s, dir), labels)
+    },
+    "q_renumber" -> q { (s, dir) =>
+      // string external ids through the full renumber path, deterministic
+      // sorted id assignment so the oracle can reproduce it with row_number
+      val ext = Fixtures.supplierEdges(s, dir).select(
+        concat(lit("S"), col(SRC).cast("string")).as("es"),
+        concat(lit("S"), col(DST).cast("string")).as("ed"),
+        col(WEIGHT))
+      val g = GraphBuilder.fromEdgesRenumbered(ext, Seq("es"), Seq("ed"),
+        Some(WEIGHT), directed = true, sorted = true)
+      g.edges.select(SRC, DST, WEIGHT)
+    },
+    "q_hypergraph" -> q { (s, dir) =>
+      graft.core.Hypergraph.edges(Fixtures.events(s, dir), "event_id",
+        Seq("event_type", "user_id"))
     },
     // ---- link prediction (§2.6) ----
     "q_jaccard" -> q { (s, dir) =>
@@ -197,6 +263,76 @@ object SparkEntry {
          |)
          |SELECT v.id, coalesce(c.triangle_count, 0) AS triangle_count
          |FROM verts v LEFT JOIN cnt c ON c.id = v.id""".stripMargin,
+    "q_scc" -> OracleSql.sccSupplier,
+    "q_edge_triangles" ->
+      s"""WITH $SUPP_EDGES_SQL,
+         |tri AS MATERIALIZED (
+         |  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+         |  FROM supp_edges e1 JOIN supp_edges e2 ON e1.dst = e2.src
+         |  WHERE EXISTS (SELECT 1 FROM supp_edges e3 WHERE e3.src = e1.src AND e3.dst = e2.dst)
+         |),
+         |sup AS MATERIALIZED (
+         |  SELECT src, dst, count(*) AS s FROM (
+         |    SELECT a AS src, b AS dst FROM tri
+         |    UNION ALL SELECT b, c FROM tri
+         |    UNION ALL SELECT a, c FROM tri
+         |  ) GROUP BY 1, 2
+         |)
+         |SELECT e.src, e.dst, coalesce(s.s, 0) AS support
+         |FROM supp_edges e LEFT JOIN sup s ON s.src = e.src AND s.dst = e.dst""".stripMargin,
+    "q_ktruss" -> OracleSql.ktrussSupplier(k = 4, rounds = 3),
+    "q_modularity" ->
+      s"""WITH $SUPP_EDGES_SQL,
+         |$SUPP_UND_SQL,
+         |lbl AS MATERIALIZED (SELECT s_suppkey AS id, CAST(s_nationkey AS BIGINT) AS c FROM supplier),
+         |m2 AS MATERIALIZED (SELECT sum(weight) AS w FROM und),
+         |j AS MATERIALIZED (
+         |  SELECT u.weight, la.c AS ca, lb.c AS cb
+         |  FROM und u JOIN lbl la ON la.id = u.src JOIN lbl lb ON lb.id = u.dst
+         |),
+         |inc AS MATERIALIZED (SELECT ca, sum(weight) AS in_w FROM j WHERE ca = cb GROUP BY 1),
+         |tot AS MATERIALIZED (SELECT ca, sum(weight) AS tot_w FROM j GROUP BY 1)
+         |SELECT round(sum(coalesce(i.in_w, 0) / (SELECT w FROM m2)
+         |    - pow(t.tot_w / (SELECT w FROM m2), 2)), 6) AS modularity
+         |FROM tot t LEFT JOIN inc i ON i.ca = t.ca""".stripMargin,
+    "q_topo_sort" ->
+      """SELECT CAST(r_regionkey AS BIGINT) AS id, CAST(0 AS BIGINT) AS level FROM region
+        |UNION ALL SELECT n_nationkey + 100, 1 FROM nation
+        |UNION ALL SELECT s_suppkey + 1000, 2 FROM supplier""".stripMargin,
+    "q_ego" ->
+      s"""WITH $SUPP_EDGES_SQL,
+         |$SUPP_UND_SQL,
+         |seed AS MATERIALIZED (SELECT min(src) AS id FROM supp_edges),
+         |h1 AS MATERIALIZED (SELECT DISTINCT u.dst AS id FROM und u JOIN seed s ON u.src = s.id),
+         |reach AS MATERIALIZED (
+         |  SELECT id FROM seed UNION SELECT id FROM h1
+         |  UNION SELECT DISTINCT u.dst FROM und u JOIN h1 ON u.src = h1.id
+         |)
+         |SELECT e.src, e.dst, e.weight FROM supp_edges e
+         |JOIN reach a ON e.src = a.id JOIN reach b ON e.dst = b.id""".stripMargin,
+    "q_coarsen" ->
+      s"""WITH $SUPP_EDGES_SQL,
+         |lbl AS MATERIALIZED (SELECT s_suppkey AS id, CAST(s_nationkey AS BIGINT) AS label FROM supplier)
+         |SELECT la.label AS src, lb.label AS dst, sum(e.weight) AS weight
+         |FROM supp_edges e JOIN lbl la ON la.id = e.src JOIN lbl lb ON lb.id = e.dst
+         |GROUP BY 1, 2""".stripMargin,
+    "q_renumber" ->
+      s"""WITH $SUPP_EDGES_SQL,
+         |ext AS MATERIALIZED (
+         |  SELECT 'S' || CAST(src AS VARCHAR) AS e FROM supp_edges
+         |  UNION SELECT 'S' || CAST(dst AS VARCHAR) FROM supp_edges
+         |),
+         |map AS MATERIALIZED (SELECT e, row_number() OVER (ORDER BY e) - 1 AS int_id FROM ext)
+         |SELECT ms.int_id AS src, md.int_id AS dst, e.weight
+         |FROM supp_edges e
+         |JOIN map ms ON ms.e = 'S' || CAST(e.src AS VARCHAR)
+         |JOIN map md ON md.e = 'S' || CAST(e.dst AS VARCHAR)""".stripMargin,
+    "q_hypergraph" ->
+      """SELECT event_id, 'event_type' AS col_name, 'event_type::' || event_type AS node_key
+        |FROM events WHERE event_type IS NOT NULL
+        |UNION ALL
+        |SELECT event_id, 'user_id', 'user_id::' || CAST(user_id AS VARCHAR)
+        |FROM events WHERE user_id IS NOT NULL""".stripMargin,
     "q_jaccard" -> similaritySql("round(CAST(i.i AS DOUBLE) / (da.d + db.d - i.i), 6)", "jaccard_coeff"),
     "q_overlap" -> similaritySql("round(CAST(i.i AS DOUBLE) / least(da.d, db.d), 6)", "overlap_coeff"),
     "q_cosine" -> similaritySql("round(CAST(i.i AS DOUBLE) / sqrt(CAST(da.d AS DOUBLE) * db.d), 6)", "cosine_coeff"),

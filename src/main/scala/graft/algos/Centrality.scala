@@ -1,5 +1,6 @@
 package graft.algos
 
+import graft.prims.Mat._
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.core.{PropertyGraph, Structure, Gr}
@@ -27,8 +28,8 @@ object Centrality {
   def katz(g: PropertyGraph, alpha: Double, beta: Double = 1.0,
            maxIter: Int = 100, tol: Double = 1e-6,
            normalized: Boolean = true): DataFrame = {
-    val verts = g.vertices.select(ID).localCheckpoint(true)
-    val e = g.edges.select(SRC, DST).localCheckpoint(true)
+    val verts = g.vertices.select(ID).mat
+    val e = g.edges.select(SRC, DST).mat
     val init = verts.withColumn("katz", lit(beta))
     val step = { (c: DataFrame, _: Int) =>
       val in = e.join(c.withColumnRenamed(ID, SRC), SRC)
@@ -51,16 +52,16 @@ object Centrality {
   /** Eigenvector centrality — power iteration with L2 normalization per
     * round (reference `eigenvector_centrality.py:13`, tol on L1 delta). */
   def eigenvector(g: PropertyGraph, maxIter: Int = 100, tol: Double = 1e-6): DataFrame = {
-    val verts = g.vertices.select(ID).localCheckpoint(true)
+    val verts = g.vertices.select(ID).mat
     val nV = verts.count().toDouble
-    val e = g.weightedEdges.select(SRC, DST, WEIGHT).localCheckpoint(true)
+    val e = g.weightedEdges.select(SRC, DST, WEIGHT).mat
     val init = verts.withColumn("ec", lit(1.0 / math.sqrt(nV)))
     val step = { (c: DataFrame, _: Int) =>
       val in = e.join(c.withColumnRenamed(ID, SRC), SRC)
         .groupBy(col(DST).as(ID)).agg(sum(col("ec") * col(WEIGHT)).as("in_sum"))
       val raw = verts.join(in, Seq(ID), "left")
         .select(col(ID), coalesce(col("in_sum"), lit(0.0)).as("ec"))
-        .localCheckpoint(true)
+        .mat
       val norm = raw.agg(sqrt(sum(col("ec") * col("ec")))).first().getDouble(0)
       raw.select(col(ID), (col("ec") / lit(if (norm == 0) 1.0 else norm)).as("ec"))
     }
@@ -75,22 +76,22 @@ object Centrality {
     * (reference `link_analysis/hits.py:11`, `hits_impl.cuh`).
     * @return DataFrame(id, hubs, authorities). */
   def hits(g: PropertyGraph, maxIter: Int = 100, tol: Double = 1e-5): DataFrame = {
-    val verts = g.vertices.select(ID).localCheckpoint(true)
-    val e = g.edges.select(SRC, DST).localCheckpoint(true)
+    val verts = g.vertices.select(ID).mat
+    val e = g.edges.select(SRC, DST).mat
     val init = verts.withColumn("hubs", lit(1.0)).withColumn("authorities", lit(1.0))
     val step = { (hs: DataFrame, _: Int) =>
       // authorities(v) = Σ hubs(u) over u→v, then sum-normalize
       val auth0 = e.join(hs.select(col(ID).as(SRC), col("hubs")), SRC)
         .groupBy(col(DST).as(ID)).agg(sum("hubs").as("a"))
       val authAll = verts.join(auth0, Seq(ID), "left")
-        .select(col(ID), coalesce(col("a"), lit(0.0)).as("a")).localCheckpoint(true)
+        .select(col(ID), coalesce(col("a"), lit(0.0)).as("a")).mat
       val aNorm = authAll.agg(sum("a")).first().getDouble(0)
       val auth = authAll.select(col(ID), (col("a") / lit(if (aNorm == 0) 1.0 else aNorm)).as("authorities"))
       // hubs(u) = Σ authorities(v) over u→v, then sum-normalize
       val hub0 = e.join(auth.select(col(ID).as(DST), col("authorities")), DST)
         .groupBy(col(SRC).as(ID)).agg(sum("authorities").as("h"))
       val hubAll = verts.join(hub0, Seq(ID), "left")
-        .select(col(ID), coalesce(col("h"), lit(0.0)).as("h")).localCheckpoint(true)
+        .select(col(ID), coalesce(col("h"), lit(0.0)).as("h")).mat
       val hNorm = hubAll.agg(sum("h")).first().getDouble(0)
       hubAll.select(col(ID), (col("h") / lit(if (hNorm == 0) 1.0 else hNorm)).as("hubs"))
         .join(auth, ID)
@@ -131,17 +132,17 @@ object Centrality {
                   normalized: Boolean = true, directed: Boolean = false): (DataFrame, Int) = {
     val e0 = if (directed) g.edges.select(SRC, DST)
              else Structure.symmetrize(g.edges.select(SRC, DST))
-    val e = e0.localCheckpoint(true)
-    val verts = g.vertices.select(ID).localCheckpoint(true)
+    val e = e0.mat
+    val verts = g.vertices.select(ID).mat
     val nV = verts.count().toDouble
     val roots = (k match {
       case Some(kk) => verts.orderBy(xxhash64(col(ID), lit(seed))).limit(kk)
       case None => verts
-    }).select(col(ID).as("root")).localCheckpoint(true)
+    }).select(col(ID).as("root")).mat
 
     // forward multi-source BFS: settled(root, id, dist, sigma)
     var settled = roots.select(col("root"), col("root").as(ID),
-      lit(0).as("dist"), lit(1.0).as("sigma")).localCheckpoint(true)
+      lit(0).as("dist"), lit(1.0).as("sigma")).mat
     var frontier = settled
     var level = 0
     var more = true
@@ -156,17 +157,17 @@ object Centrality {
         .groupBy("root", ID).agg(sum("sigma").as("sigma"))
         .withColumn("dist", lit(level))
         .select("root", ID, "dist", "sigma")
-        .localCheckpoint(true)
+        .mat
       if (next.isEmpty) more = false
       else {
-        settled = settled.union(next).localCheckpoint(true)
+        settled = settled.union(next).mat
         frontier = next
         levels += next
       }
     }
     // backward sweep by descending level
     var delta = settled.select(col("root"), col(ID), lit(0.0).as("delta"))
-      .localCheckpoint(true)
+      .mat
     for (l <- level - 1 to 0 by -1) {
       val wState = settled.filter(col("dist") === l + 1)
         .join(delta, Seq("root", ID))
@@ -180,7 +181,7 @@ object Centrality {
         .groupBy("root", ID).agg(sum("c").as("inc"))
       delta = delta.join(contrib, Seq("root", ID), "left")
         .select(col("root"), col(ID), (col("delta") + coalesce(col("inc"), lit(0.0))).as("delta"))
-        .localCheckpoint(true)
+        .mat
     }
     val bc0 = delta.filter(col("root") =!= col(ID))
       .groupBy(ID).agg(sum("delta").as("betweenness_centrality"))

@@ -1,0 +1,204 @@
+package graft.algos
+
+import graft.prims.Mat._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.{PropertyGraph, Structure, Gr}
+
+/** Community detection: Louvain (+ Leiden-style refinement hook, ECG) and
+  * the clustering-quality analyzers (modularity / edge cut / ratio cut).
+  *
+  * Reference: `community/louvain_impl.cuh` (`algorithms.hpp:548` — modularity
+  * `:175`, delta-modularity moves `:194`, contraction via `coarsen_graph`
+  * `:267`), `community/ecg_impl.cuh` (`:784`), spectral clustering quality
+  * metrics (`algorithms.hpp:216,300,384`).
+  *
+  * Spark realization of one Louvain move round: per-vertex
+  * neighbor-community weights = one join + groupBy(vertex, community); best
+  * move = Window top-1 by delta-modularity; community aggregates = one
+  * groupBy(community). Contraction = `Structure.coarsen` (join×2 + agg).
+  */
+object Community {
+  import Gr._
+
+  /** Modularity of a partition: Q = Σ_c (in_c/2m − (tot_c/2m)²) over the
+    * undirected weighted graph. `labels`: (id, <label>). Exact, one pass. */
+  def modularity(und: DataFrame, labels: DataFrame, resolution: Double = 1.0): Double = {
+    val l = labels.select(col(labels.columns(0)).as(ID), col(labels.columns(1)).as("c"))
+    val e = und.select(col(SRC), col(DST), col(WEIGHT))
+    val m2 = e.agg(sum(WEIGHT)).first().getDouble(0) // = 2m (both directions present)
+    val withC = e
+      .join(l.select(col(ID).as(SRC), col("c").as("c_src")), SRC)
+      .join(l.select(col(ID).as(DST), col("c").as("c_dst")), DST)
+    val inC = withC.filter(col("c_src") === col("c_dst"))
+      .groupBy("c_src").agg(sum(WEIGHT).as("in_w"))
+    val totC = withC.groupBy("c_src").agg(sum(WEIGHT).as("tot_w"))
+    val parts = totC.join(inC, Seq("c_src"), "left")
+      .select((coalesce(col("in_w"), lit(0.0)) / m2
+        - lit(resolution) * pow(col("tot_w") / m2, 2)).as("q"))
+    parts.agg(sum("q")).first().getDouble(0)
+  }
+
+  /** Louvain with synchronous move rounds + graph contraction per level.
+    * @return (labels DataFrame(id, louvain), modularity). Deterministic:
+    * ties broken by smallest community id. */
+  def louvain(g: PropertyGraph, maxLevel: Int = 10, maxIter: Int = 20,
+              resolution: Double = 1.0, threshold: Double = 1e-7): (DataFrame, Double) = {
+    val base = Structure.removeSelfLoops(
+      Structure.symmetrize(g.weightedEdges.select(SRC, DST, WEIGHT), sumWeights = false))
+      .mat
+    // labels carried across levels: id -> community in the ORIGINAL graph
+    var flat = Structure.extractVertexList(base)
+      .select(col(ID), col(ID).as("louvain")).mat
+    var lvlEdges = base
+    var prevQ = modularity(base, flat, resolution)
+    var level = 0
+    var improved = true
+    while (level < maxLevel && improved) {
+      level += 1
+      val lvlLabels = oneLevel(lvlEdges, maxIter, resolution)
+      // map original vertices through this level's assignment
+      flat = flat.join(lvlLabels.withColumnRenamed(ID, "louvain_old")
+          .withColumnRenamed("community", "louvain_new"),
+          flat("louvain") === col("louvain_old"))
+        .select(flat(ID), col("louvain_new").as("louvain"))
+        .mat
+      val q = modularity(base, flat, resolution)
+      if (q - prevQ <= threshold) improved = false
+      else {
+        prevQ = q
+        // contract for the next level; self-loops (intra-community weight)
+        // must be KEPT — they carry in_c forward
+        lvlEdges = Structure.coarsen(lvlEdges, lvlLabels).mat
+      }
+    }
+    (flat, prevQ)
+  }
+
+  /** One Louvain level: synchronous best-move rounds until no vertex moves.
+    * @return DataFrame(id, community). */
+  private def oneLevel(und: DataFrame, maxIter: Int, resolution: Double): DataFrame = {
+    val e = und.mat
+    val m2 = e.agg(sum(WEIGHT)).first().getDouble(0)
+    // k_i: weighted degree (self-loops count fully toward k_i here since the
+    // coarsened graph stores c->c weight once per direction pair)
+    val ki = e.groupBy(col(SRC).as(ID)).agg(sum(WEIGHT).as("k")).mat
+    var labels = ki.select(col(ID), col(ID).as("community"))
+      .mat
+    var moved = 1L
+    var it = 0
+    while (moved > 0 && it < maxIter) {
+      it += 1
+      // tot_c = Σ k_i over community members
+      val tot = labels.join(ki, ID).groupBy("community").agg(sum("k").as("tot"))
+      // per-vertex weight to each neighboring community (self-loops excluded
+      // from candidate weights — a vertex always "links" to its own c)
+      val nbrC = e.filter(col(SRC) =!= col(DST))
+        .join(labels.select(col(ID).as(DST), col("community").as("nc")), DST)
+        .groupBy(col(SRC).as(ID), col("nc")).agg(sum(WEIGHT).as("w_in"))
+      val cur = labels.join(ki, ID)
+      // candidate move gain (standard Louvain delta, constant terms dropped):
+      //   gain(v→c) = w_in(v,c) − resolution · k_v · tot_c' / m2
+      // where tot_c' excludes v itself when c is v's current community.
+      val cand = nbrC
+        .join(cur.select(col(ID), col("community").as("c_cur"), col("k")), ID)
+        .join(tot.withColumnRenamed("community", "nc"), "nc")
+        .select(col(ID), col("nc"), col("c_cur"), col("k"),
+          (col("w_in") - lit(resolution) * col("k") *
+            (when(col("nc") === col("c_cur"), col("tot") - col("k")).otherwise(col("tot"))) / lit(m2)).as("gain"))
+      val w = Window.partitionBy(ID).orderBy(desc("gain"), col("nc"))
+      val best = cand.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+        .select(col(ID), col("nc"), col("c_cur"), col("gain"))
+      // move only on strict positive improvement over staying
+      val stayGain = cand.filter(col("nc") === col("c_cur"))
+        .select(col(ID), col("gain").as("stay_gain"))
+      val next = labels.join(best, Seq(ID), "left")
+        .join(stayGain, Seq(ID), "left")
+        .select(col(ID),
+          when(col("nc").isNotNull &&
+               col("gain") > coalesce(col("stay_gain"), lit(0.0)) + lit(1e-12), col("nc"))
+            .otherwise(col("community")).as("community"))
+      val nextC = next.mat
+      moved = nextC.join(labels.withColumnRenamed("community", "old"), ID)
+        .filter(col("community") =!= col("old")).count()
+      labels = nextC
+    }
+    labels
+  }
+
+  /** ECG (ensemble clustering): k randomized one-level Louvain runs re-weight
+    * edges by co-clustering frequency, then a final Louvain
+    * (reference `community/ecg.py:10`). Randomization: seeded per-run vertex
+    * priority perturbation. */
+  def ecg(g: PropertyGraph, ensembleSize: Int = 8, minWeight: Double = 0.05,
+          seed: Long = 42): (DataFrame, Double) = {
+    val und = Structure.removeSelfLoops(
+      Structure.symmetrize(g.weightedEdges.select(SRC, DST, WEIGHT), sumWeights = false))
+      .mat
+    var votes = und.select(SRC, DST).withColumn("votes", lit(0.0))
+    for (i <- 0 until ensembleSize) {
+      // perturb weights deterministically per run to diversify the ensemble
+      val perturbed = und.select(col(SRC), col(DST),
+        (col(WEIGHT) * (lit(1.0) + (pmod(xxhash64(col(SRC), col(DST), lit(seed + i)), lit(1000)) / lit(10000.0)))).as(WEIGHT))
+      val labels = oneLevel(perturbed, maxIter = 5, resolution = 1.0)
+      val co = und.select(SRC, DST)
+        .join(labels.select(col(ID).as(SRC), col("community").as("ca")), SRC)
+        .join(labels.select(col(ID).as(DST), col("community").as("cb")), DST)
+        .select(col(SRC), col(DST), when(col("ca") === col("cb"), 1.0).otherwise(0.0).as("v"))
+      votes = votes.join(co, Seq(SRC, DST))
+        .select(col(SRC), col(DST), (col("votes") + col("v")).as("votes"))
+        .mat
+    }
+    val reweighted = votes.select(col(SRC), col(DST),
+      (lit(minWeight) + (lit(1.0) - lit(minWeight)) * col("votes") / lit(ensembleSize.toDouble)).as(WEIGHT))
+    val g2 = PropertyGraph(Structure.extractVertexList(reweighted), reweighted,
+      g.props.copy(weighted = true, directed = false))
+    louvain(g2)
+  }
+
+  /** Leiden = Louvain + a refinement pass constraining communities to be
+    * internally connected (reference `community/leiden_impl.cuh`,
+    * `detail/refine_impl.cuh`). Refinement here: split each community into
+    * its weakly-connected pieces — guarantees the Leiden connectivity
+    * invariant that plain Louvain lacks. */
+  def leiden(g: PropertyGraph, maxLevel: Int = 10, resolution: Double = 1.0): (DataFrame, Double) = {
+    val (labels, _) = louvain(g, maxLevel, resolution = resolution)
+    val und = Structure.symmetrize(g.edges.select(SRC, DST)).mat
+    // intra-community edges only, then WCC per community piece
+    val intra = und
+      .join(labels.select(col(ID).as(SRC), col("louvain").as("ca")), SRC)
+      .join(labels.select(col(ID).as(DST), col("louvain").as("cb")), DST)
+      .filter(col("ca") === col("cb")).select(SRC, DST)
+    val sub = PropertyGraph(labels.select(ID), intra, g.props.copy(directed = false))
+    val refined = Components.wcc(sub).withColumnRenamed("component", "leiden")
+    val base = Structure.removeSelfLoops(
+      Structure.symmetrize(g.weightedEdges.select(SRC, DST, WEIGHT), sumWeights = false))
+    (refined, modularity(base, refined, resolution))
+  }
+
+  /** Edge cut of a partition: total weight of edges crossing clusters
+    * (reference `analyzeClustering_edge_cut`, `algorithms.hpp:300`). */
+  def edgeCut(g: PropertyGraph, labels: DataFrame): Double = {
+    val und = Structure.symmetrize(g.weightedEdges.select(SRC, DST, WEIGHT), sumWeights = false)
+    val l = labels.select(col(labels.columns(0)).as(ID), col(labels.columns(1)).as("c"))
+    und.join(l.select(col(ID).as(SRC), col("c").as("ca")), SRC)
+      .join(l.select(col(ID).as(DST), col("c").as("cb")), DST)
+      .filter(col("ca") =!= col("cb"))
+      .agg(coalesce(sum(WEIGHT), lit(0.0))).first().getDouble(0) / 2.0
+  }
+
+  /** Ratio cut: Σ_c cut(c) / |c| (reference `algorithms.hpp:384`). */
+  def ratioCut(g: PropertyGraph, labels: DataFrame): Double = {
+    val und = Structure.symmetrize(g.weightedEdges.select(SRC, DST, WEIGHT), sumWeights = false)
+    val l = labels.select(col(labels.columns(0)).as(ID), col(labels.columns(1)).as("c"))
+    val sizes = l.groupBy("c").agg(count(lit(1)).as("n"))
+    val cuts = und.join(l.select(col(ID).as(SRC), col("c").as("ca")), SRC)
+      .join(l.select(col(ID).as(DST), col("c").as("cb")), DST)
+      .filter(col("ca") =!= col("cb"))
+      .groupBy(col("ca").as("c")).agg((sum(WEIGHT) / 2.0).as("cut"))
+    sizes.join(cuts, Seq("c"), "left")
+      .select((coalesce(col("cut"), lit(0.0)) / col("n")).as("rc"))
+      .agg(sum("rc")).first().getDouble(0)
+  }
+}

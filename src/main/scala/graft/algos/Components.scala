@@ -1,5 +1,6 @@
 package graft.algos
 
+import graft.prims.Mat._
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.core.{PropertyGraph, Structure, Gr}
@@ -27,10 +28,10 @@ object Components {
     * queries ASSERT the Spark side converged within the oracle's unrolled
     * budget instead of silently relying on a low-diameter fixture. */
   def wccWithRounds(g: PropertyGraph, maxIter: Int = 50): (DataFrame, Int) = {
-    val und = Structure.symmetrize(g.edges.select(SRC, DST)).localCheckpoint(true)
+    val und = Structure.symmetrize(g.edges.select(SRC, DST)).mat
     val init = g.vertices.select(col(ID), col(ID).as("component"))
     var changed = 1L
-    var labels = init.localCheckpoint(true)
+    var labels = init.mat
     var it = 0
     while (changed > 0 && it < maxIter) {
       it += 1
@@ -38,7 +39,7 @@ object Components {
         .groupBy(col(DST).as(ID)).agg(min("component").as("nbr_min"))
       val next = labels.join(nbrMin, Seq(ID), "left")
         .select(col(ID), least(col("component"), coalesce(col("nbr_min"), col("component"))).as("component"))
-        .localCheckpoint(true)
+        .mat
       changed = next.join(labels.withColumnRenamed("component", "old"), ID)
         .filter(col("component") < col("old")).count()
       labels = next
@@ -58,10 +59,10 @@ object Components {
     import spark.implicits._
     var remaining = Structure.canonicalize(
       Structure.symmetrize(g.edges.select(SRC, DST))).select(SRC, DST)
-      .localCheckpoint(true)
+      .mat
     // track remaining vertices explicitly: a vertex that loses its last edge
     // mid-peel must still receive a core number at the CURRENT stage.
-    var verts = g.vertices.select(ID).localCheckpoint(true)
+    var verts = g.vertices.select(ID).mat
     var result = spark.emptyDataset[(Long, Int)].toDF(ID, "core_number")
     var k = 1
     var nVerts = verts.count()
@@ -72,21 +73,78 @@ object Components {
       while (!stable) {
         val deg = verts.join(undirDegrees(remaining), Seq(ID), "left")
           .select(col(ID), coalesce(col("degree"), lit(0L)).as("degree"))
-        val weak = deg.filter(col("degree") < k).select(ID).localCheckpoint(true)
+        val weak = deg.filter(col("degree") < k).select(ID).mat
         if (weak.count() == 0) stable = true
         else {
-          result = result.union(weak.withColumn("core_number", lit(k - 1))).localCheckpoint(true)
-          verts = verts.join(weak, Seq(ID), "left_anti").localCheckpoint(true)
+          result = result.union(weak.withColumn("core_number", lit(k - 1))).mat
+          verts = verts.join(weak, Seq(ID), "left_anti").mat
           remaining = remaining
             .join(weak.withColumnRenamed(ID, SRC), Seq(SRC), "left_anti")
             .join(weak.withColumnRenamed(ID, DST), Seq(DST), "left_anti")
-            .localCheckpoint(true)
+            .mat
         }
       }
       nVerts = verts.count()
       k += 1
     }
     result
+  }
+
+  /** Strongly connected components — iterative forward/backward min-label
+    * coloring (reference legacy SCC `algorithms.hpp:1767`,
+    * `components/strongly_connected_components_impl.cuh`).
+    *
+    * Each round over the remaining subgraph: propagate min vertex id along
+    * edge direction to fixpoint (fwd) and against it (bwd). Vertices with
+    * fwd(v) == bwd(v) = c form SCC(c) — at minimum the SCC of the globally
+    * smallest remaining vertex is extracted per round, so the loop
+    * terminates. Label = min vertex id of the SCC.
+    * @return DataFrame(id, component). */
+  def scc(g: PropertyGraph, maxRounds: Int = 50): DataFrame = {
+    val spark = g.spark
+    import spark.implicits._
+    var edges = g.edges.select(SRC, DST).distinct().mat
+    var verts = g.vertices.select(ID).mat
+    var result = spark.emptyDataset[(Long, Long)].toDF(ID, "component")
+    var round = 0
+    var n = verts.count()
+    while (n > 0 && round < maxRounds) {
+      round += 1
+      val fwd = minLabelProp(verts, edges, forward = true)
+      val bwd = minLabelProp(verts, edges, forward = false)
+      val done = fwd.join(bwd.withColumnRenamed("ml", "ml_b"), ID)
+        .filter(col("ml") === col("ml_b"))
+        .select(col(ID), col("ml").as("component"))
+        .mat
+      result = result.union(done).mat
+      val doneIds = done.select(ID)
+      verts = verts.join(doneIds, Seq(ID), "left_anti").mat
+      edges = edges
+        .join(doneIds.withColumnRenamed(ID, SRC), Seq(SRC), "left_anti")
+        .join(doneIds.withColumnRenamed(ID, DST), Seq(DST), "left_anti")
+        .mat
+      n = verts.count()
+    }
+    result
+  }
+
+  /** Min-label propagation to fixpoint along (or against) edge direction:
+    * ml(v) = min id u such that u reaches v (forward) / v reaches u (bwd). */
+  private def minLabelProp(verts: DataFrame, edges: DataFrame, forward: Boolean): DataFrame = {
+    val e = if (forward) edges else edges.select(col(DST).as(SRC), col(SRC).as(DST))
+    var labels = verts.select(col(ID), col(ID).as("ml")).mat
+    var changed = 1L
+    while (changed > 0) {
+      val nbrMin = e.join(labels.withColumnRenamed(ID, SRC), SRC)
+        .groupBy(col(DST).as(ID)).agg(min("ml").as("nm"))
+      val next = labels.join(nbrMin, Seq(ID), "left")
+        .select(col(ID), least(col("ml"), coalesce(col("nm"), col("ml"))).as("ml"))
+        .mat
+      changed = next.join(labels.withColumnRenamed("ml", "old"), ID)
+        .filter(col("ml") < col("old")).count()
+      labels = next
+    }
+    labels
   }
 
   /** Degrees over a canonical (src<dst, deduped) undirected edge list. */

@@ -1,5 +1,6 @@
 package graft.algos
 
+import graft.prims.Mat._
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.core.{PropertyGraph, Gr}
@@ -26,17 +27,17 @@ object PageRank {
           maxIter: Int = 100, personalization: Option[DataFrame] = None,
           weighted: Boolean = false): DataFrame = {
     val spark = g.spark
-    val verts = g.vertices.select(ID).localCheckpoint(true)
+    val verts = g.vertices.select(ID).mat
     val nV = verts.count().toDouble
 
     val e = if (weighted) g.weightedEdges.select(SRC, DST, WEIGHT)
             else g.edges.select(SRC, DST).withColumn(WEIGHT, lit(1.0))
     // out-weight per source (reference precomputed_vertex_out_weight)
     val outW = e.groupBy(col(SRC).as(ID)).agg(sum(WEIGHT).as("out_w"))
-      .localCheckpoint(true)
+      .mat
     val edges = e.join(outW.withColumnRenamed(ID, SRC), SRC)
       .select(col(SRC), col(DST), (col(WEIGHT) / col("out_w")).as("norm_w"))
-      .localCheckpoint(true)
+      .mat
 
     // reset vector: uniform 1/V or personalization distribution
     val reset = personalization match {
@@ -45,11 +46,11 @@ object PageRank {
         val total = p.agg(sum(col(cols(1)))).first().getDouble(0)
         verts.join(p.select(col(cols(0)).as(ID), (col(cols(1)) / total).as("reset")), Seq(ID), "left")
           .select(col(ID), coalesce(col("reset"), lit(0.0)).as("reset"))
-          .localCheckpoint(true)
-      case None => verts.withColumn("reset", lit(1.0 / nV)).localCheckpoint(true)
+          .mat
+      case None => verts.withColumn("reset", lit(1.0 / nV)).mat
     }
 
-    val danglingSet = verts.join(outW, Seq(ID), "left_anti").localCheckpoint(true)
+    val danglingSet = verts.join(outW, Seq(ID), "left_anti").mat
     // count ONCE: when the graph has no dangling (sink) vertices — the common
     // case — skip the per-iteration semi-join + scalar job entirely.
     val hasDangling = danglingSet.count() > 0

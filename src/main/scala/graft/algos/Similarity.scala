@@ -1,5 +1,6 @@
 package graft.algos
 
+import graft.prims.Mat._
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.core.{PropertyGraph, Structure, Gr}
@@ -34,7 +35,7 @@ object Similarity {
     * @return DataFrame(src, dst, coeff-named column). */
   def allPairs(g: PropertyGraph, coeff: Coefficient, topK: Option[Int] = None,
                minIntersection: Int = 1): DataFrame = {
-    val und = undirected(g).localCheckpoint(true)
+    val und = undirected(g).mat
     val deg = und.groupBy(col(SRC).as(ID)).agg(count(lit(1)).as("d"))
     // wedges a—m—b with a<b: |N(a) ∩ N(b)| per pair
     val left = und.select(col(DST).as("m"), col(SRC).as("a"))
@@ -54,7 +55,7 @@ object Similarity {
 
   /** Similarity for explicit candidate pairs (reference `vertex_pair` arg). */
   def forPairs(g: PropertyGraph, pairs: DataFrame, coeff: Coefficient): DataFrame = {
-    val und = undirected(g).localCheckpoint(true)
+    val und = undirected(g).mat
     val deg = und.groupBy(col(SRC).as(ID)).agg(count(lit(1)).as("d"))
     val p = pairs.select(col(pairs.columns(0)).as("a"), col(pairs.columns(1)).as("b"))
     val na = p.join(und.select(col(SRC).as("a"), col(DST).as("m")), "a")

@@ -1,5 +1,6 @@
 package graft.algos
 
+import graft.prims.Mat._
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.core.{PropertyGraph, Gr}
@@ -26,9 +27,9 @@ object Traversal {
     * @return DataFrame(id, distance, predecessor); unreached vertices absent
     *         (reference marks them with sentinel; callers outer-join). */
   def bfs(g: PropertyGraph, source: Long, depthLimit: Int = Int.MaxValue): DataFrame = {
-    val e = g.edges.select(SRC, DST).localCheckpoint(true)
+    val e = g.edges.select(SRC, DST).mat
     var settled = g.spark.range(1).select(lit(source).as(ID),
-      lit(0).as("distance"), lit(-1L).as("predecessor")).localCheckpoint(true)
+      lit(0).as("distance"), lit(-1L).as("predecessor")).mat
     var frontier = settled.select(ID)
     var depth = 0
     var frontierCount = 1L
@@ -39,10 +40,10 @@ object Traversal {
         .join(settled.select(ID), Seq(ID), "left_anti")
         .withColumn("distance", lit(depth))
         .select(ID, "distance", "predecessor")
-        .localCheckpoint(true)
+        .mat
       frontierCount = next.count()
       if (frontierCount > 0) {
-        settled = settled.union(next).localCheckpoint(true)
+        settled = settled.union(next).mat
         frontier = next.select(ID)
       }
     }
@@ -62,9 +63,9 @@ object Traversal {
     * round budget. */
   def ssspWithRounds(g: PropertyGraph, source: Long, cutoff: Double = Double.PositiveInfinity,
            maxRounds: Int = 200): (DataFrame, Int) = {
-    val e = g.weightedEdges.select(SRC, DST, WEIGHT).localCheckpoint(true)
+    val e = g.weightedEdges.select(SRC, DST, WEIGHT).mat
     var dist = g.spark.range(1).select(lit(source).as(ID),
-      lit(0.0).as("distance"), lit(-1L).as("predecessor")).localCheckpoint(true)
+      lit(0.0).as("distance"), lit(-1L).as("predecessor")).mat
     // improved = vertices whose distance changed last round (the frontier)
     var improved = dist
     var round = 0
@@ -81,12 +82,12 @@ object Traversal {
       val next = dist.select(ID, "distance", "predecessor").union(best)
         .groupBy(ID).agg(min(struct(col("distance"), col("predecessor"))).as("s"))
         .select(col(ID), col("s.distance").as("distance"), col("s.predecessor").as("predecessor"))
-        .localCheckpoint(true)
+        .mat
       val imp = next.join(dist.withColumnRenamed("distance", "d_old")
           .select(ID, "d_old"), Seq(ID), "left")
         .filter(col("d_old").isNull || col("distance") < col("d_old"))
         .select(ID, "distance", "predecessor")
-        .localCheckpoint(true)
+        .mat
       nImproved = imp.count()
       dist = next
       improved = imp

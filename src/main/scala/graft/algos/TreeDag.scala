@@ -1,0 +1,91 @@
+package graft.algos
+
+import graft.prims.Mat._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.core.{PropertyGraph, Structure, Gr}
+
+/** Minimum spanning tree (Borůvka) and DAG topological sort.
+  *
+  * Reference: `tree/legacy/mst.cu` (Borůvka, decl `algorithms.hpp:817`),
+  * `dag/topological_sort_impl.cuh` (`algorithms.hpp:1132`).
+  */
+object TreeDag {
+  import Gr._
+
+  /** Borůvka MST over the undirected weighted graph. Deterministic: per-
+    * component minimum edge chosen by (weight, src, dst) lexicographic
+    * order, so ties never make the result run-dependent. log₂(V) rounds,
+    * each = one join + one min-by agg + a small WCC to merge components.
+    * @return canonical (src<dst) MST edges with weights (forest if the
+    * graph is disconnected; maximum=true negates weights for max-ST). */
+  def boruvkaMst(g: PropertyGraph, maximum: Boolean = false): DataFrame = {
+    val canon0 = Structure.canonicalize(g.weightedEdges.select(SRC, DST, WEIGHT))
+    val canon = (if (maximum) canon0.withColumn(WEIGHT, -col(WEIGHT)) else canon0)
+      .mat
+    var comp = Structure.extractVertexList(canon)
+      .select(col(ID), col(ID).as("comp")).mat
+    var mst = canon.limit(0)
+    var more = true
+    var round = 0
+    while (more && round < 64) {
+      round += 1
+      val e = canon
+        .join(comp.select(col(ID).as(SRC), col("comp").as("c_src")), SRC)
+        .join(comp.select(col(ID).as(DST), col("comp").as("c_dst")), DST)
+        .filter(col("c_src") =!= col("c_dst"))
+        .mat
+      if (e.isEmpty) more = false
+      else {
+        // per-component min edge, deterministic tie-break
+        val key = struct(col(WEIGHT), col(SRC), col(DST))
+        val fromSrc = e.select(col("c_src").as("comp"), key.as("k"))
+        val fromDst = e.select(col("c_dst").as("comp"), key.as("k"))
+        val chosen = fromSrc.union(fromDst).groupBy("comp").agg(min("k").as("k"))
+          .select(col("k.src").as(SRC), col("k.dst").as(DST), col("k.weight").as(WEIGHT))
+          .distinct()
+          .mat
+        mst = mst.union(chosen).mat
+        // merge components: WCC over the component-contraction graph
+        val cg = chosen
+          .join(comp.select(col(ID).as(SRC), col("comp").as("ca")), SRC)
+          .join(comp.select(col(ID).as(DST), col("comp").as("cb")), DST)
+          .select(col("ca").as(SRC), col("cb").as(DST))
+        val cgVerts = comp.select(col("comp").as(ID)).distinct()
+        val merged = Components.wcc(
+          graft.core.PropertyGraph(cgVerts, cg, g.props.copy(directed = false)))
+        comp = comp.join(merged.withColumnRenamed(ID, "comp"), "comp")
+          .select(col(ID), col("component").as("comp"))
+          .mat
+      }
+    }
+    if (maximum) mst.withColumn(WEIGHT, -col(WEIGHT)) else mst
+  }
+
+  /** Topological levels of a DAG by zero-in-degree peeling: level(v) =
+    * length of the longest path from any source to v. Throws if a cycle
+    * remains after V rounds (not a DAG), mirroring the reference error
+    * contract. @return DataFrame(id, level). */
+  def topologicalLevels(g: PropertyGraph, maxRounds: Int = 100000): DataFrame = {
+    val e = g.edges.select(SRC, DST).mat
+    var remainingV = g.vertices.select(ID).mat
+    var remainingE = e
+    var out = remainingV.limit(0).withColumn("level", lit(0))
+    var lvl = 0
+    var n = remainingV.count()
+    while (n > 0 && lvl < maxRounds) {
+      val withIn = remainingV.join(
+        remainingE.groupBy(col(DST).as(ID)).agg(count(lit(1)).as("ind")), Seq(ID), "left")
+      val zero = withIn.filter(col("ind").isNull).select(ID).mat
+      if (zero.isEmpty)
+        throw new IllegalArgumentException("topological_sort: graph has a cycle")
+      out = out.union(zero.withColumn("level", lit(lvl))).mat
+      remainingV = remainingV.join(zero, Seq(ID), "left_anti").mat
+      remainingE = remainingE.join(zero.withColumnRenamed(ID, SRC), Seq(SRC), "left_anti")
+        .mat
+      n -= zero.count()
+      lvl += 1
+    }
+    out
+  }
+}

@@ -1,5 +1,6 @@
 package graft.algos
 
+import graft.prims.Mat._
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.core.{PropertyGraph, Structure, Gr}
@@ -44,7 +45,7 @@ object Triangles {
 
   /** All triangles as (a,b,c) rows with a<b<c (id orientation). */
   def enumerate(g: PropertyGraph): DataFrame = {
-    val e = oriented(g).localCheckpoint(true)
+    val e = oriented(g).mat
     val ab = e.select(col(SRC).as("a"), col(DST).as("b"))
     val bc = e.select(col(SRC).as("b"), col(DST).as("c"))
     val ac = e.select(col(SRC).as("a"), col(DST).as("c"))
@@ -54,7 +55,7 @@ object Triangles {
   /** Per-vertex triangle count (reference `triangle_count.py:34`).
     * @return DataFrame(id, triangle_count) covering every vertex. */
   def countPerVertex(g: PropertyGraph): DataFrame = {
-    val tri = enumerate(g).localCheckpoint(true)
+    val tri = enumerate(g).mat
     val counts = tri.select(col("a").as(ID))
       .union(tri.select(col("b").as(ID)))
       .union(tri.select(col("c").as(ID)))
@@ -69,7 +70,7 @@ object Triangles {
   /** Per-edge triangle support (edge_triangle_count, `algorithms.hpp:1898`):
     * number of triangles each canonical edge participates in. */
   def edgeSupport(g: PropertyGraph): DataFrame = {
-    val e = oriented(g).localCheckpoint(true)
+    val e = oriented(g).mat
     edgeSupportOf(e)
   }
 
@@ -79,7 +80,7 @@ object Triangles {
       val bc = e.select(col(SRC).as("b"), col(DST).as("c"))
       val ac = e.select(col(SRC).as("a"), col(DST).as("c"))
       ab.join(bc, "b").join(ac, Seq("a", "c"), "left_semi")
-    }.localCheckpoint(true)
+    }.mat
     val sup = tri.select(col("a").as(SRC), col("b").as(DST))
       .union(tri.select(col("b").as(SRC), col("c").as(DST)))
       .union(tri.select(col("a").as(SRC), col("c").as(DST)))
@@ -90,17 +91,22 @@ object Triangles {
 
   /** k-truss subgraph (reference `ktruss_subgraph.py:11`): iteratively drop
     * edges with support < k-2 until fixpoint. Returns canonical edges. */
-  def kTruss(g: PropertyGraph, k: Int, maxIter: Int = 100): DataFrame = {
-    var e = oriented(g).localCheckpoint(true)
+  def kTruss(g: PropertyGraph, k: Int, maxIter: Int = 100): DataFrame =
+    kTrussWithRounds(g, k, maxIter)._1
+
+  /** k-truss also returning the number of peel rounds until fixpoint (for
+    * oracle round-budget assertions). */
+  def kTrussWithRounds(g: PropertyGraph, k: Int, maxIter: Int = 100): (DataFrame, Int) = {
+    var e = oriented(g).mat
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIter) {
       it += 1
       val keep = edgeSupportOf(e).filter(col("support") >= k - 2)
-        .select(SRC, DST).localCheckpoint(true)
+        .select(SRC, DST).mat
       changed = e.count() - keep.count()
       e = keep
     }
-    e
+    (e, it)
   }
 }

@@ -39,9 +39,10 @@ object GraphBuilder {
     * dense Long. Keeps the NumberMap contract: renumber∘unrenumber = id. */
   def fromEdgesRenumbered(df: DataFrame, srcCols: Seq[String], dstCols: Seq[String],
                           weightCol: Option[String] = None,
-                          directed: Boolean = true): PropertyGraph = {
+                          directed: Boolean = true,
+                          sorted: Boolean = false): PropertyGraph = {
     val carry = weightCol.toSeq
-    val (ren, map) = Renumber.renumberEdges(df, srcCols, dstCols, carry)
+    val (ren, map) = Renumber.renumberEdges(df, srcCols, dstCols, carry, sorted)
     val base = weightCol match {
       case Some(w) => ren.select(col(SRC), col(DST), col(w).cast(DoubleType).as(WEIGHT))
       case None => ren.select(SRC, DST)

@@ -59,8 +59,9 @@ object Renumber {
     * `src`/`dst` Long columns. Two hash joins, exactly the reference's plan
     * (`number_map.py:25-37` merge×2). Returns (renumberedEdges, map). */
   def renumberEdges(edges: DataFrame, srcCols: Seq[String], dstCols: Seq[String],
-                    carryCols: Seq[String] = Seq.empty): (DataFrame, DataFrame) = {
-    val map = buildMap(edges, srcCols, dstCols)
+                    carryCols: Seq[String] = Seq.empty,
+                    sorted: Boolean = false): (DataFrame, DataFrame) = {
+    val map = buildMap(edges, srcCols, dstCols, sorted = sorted)
     val extNames = srcCols.indices.map(i => s"ext_$i")
     // Alias the map per join side: joining the SAME DataFrame instance twice
     // is Spark's ambiguous-self-join trap (mis-resolved attributes /

@@ -1,5 +1,6 @@
 package graft.core
 
+import graft.prims.Mat._
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -103,7 +104,7 @@ object Structure {
       val next = frontier.withColumnRenamed(ID, SRC).join(e, SRC)
         .select(col(DST).as(ID)).distinct()
         .join(reached, Seq(ID), "left_anti")
-      frontier = next.localCheckpoint(eager = true)
+      frontier = next.mat
       reached = reached.union(frontier)
     }
     reached.distinct()

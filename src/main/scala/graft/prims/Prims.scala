@@ -48,11 +48,28 @@ object AggregateMessages {
 
 object Iterate {
 
+  /** Materialize a loop-state DataFrame, truncating BOTH lineage and carried
+    * plan statistics.
+    *
+    * `localCheckpoint` keeps the *estimated* Statistics of the plan it cut
+    * (LogicalRDD originStats). Joins multiply children's sizeInBytes, so in a
+    * loop whose step references the state more than once (Louvain reads
+    * `labels` five times per round) the carried estimate is a product of
+    * copies of the previous estimate — its digit count grows geometrically
+    * and within ~10 rounds every stats visit does minutes of BigInteger
+    * multiplication on the driver. Re-basing the checkpointed RDD through
+    * `createDataFrame` resets leaf statistics to the constant
+    * defaultSizeInBytes, keeping planning O(plan size) per round; AQE still
+    * converts joins to broadcast from true runtime shuffle sizes. */
+  def materialize(df: DataFrame): DataFrame = {
+    val ck = df.localCheckpoint(eager = true)
+    ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
+  }
+
   /** Iteration driver for fixed-point DataFrame loops.
     *
     * Each step maps the current state DataFrame to the next; every
-    * `checkpointEvery` rounds the state is `localCheckpoint`ed (eager) to
-    * truncate lineage — the Spark analogue of the reference keeping device
+    * `checkpointEvery` rounds the state is materialized to truncate lineage — the Spark analogue of the reference keeping device
     * buffers across iterations instead of replaying the whole history.
     * `converged` (optional) is evaluated every `checkEvery` rounds; it costs
     * a job, so convergence checks are batched exactly as SURVEY §7.4-1
@@ -63,19 +80,28 @@ object Iterate {
            converged: (DataFrame, DataFrame) => Boolean = null,
            checkEvery: Int = 1,
            checkpointEvery: Int = 3): DataFrame = {
-    var cur = init.localCheckpoint(true)
+    var cur = materialize(init)
     var it = 0
     var done = false
     while (it < maxIter && !done) {
       val nxt0 = step(cur, it)
       val nxt = if ((it + 1) % checkpointEvery == 0 || converged != null)
-        nxt0.localCheckpoint(true) else nxt0
+        materialize(nxt0) else nxt0
       if (converged != null && (it + 1) % checkEvery == 0)
         done = converged(cur, nxt)
       cur = nxt
       it += 1
     }
     cur
+  }
+}
+
+/** Syntax for [[Iterate.materialize]]: `df.mat` — the required checkpoint
+  * form inside every iterative loop (plain localCheckpoint carries
+  * exploding stat estimates; see Iterate.materialize). */
+object Mat {
+  implicit class MatOps(private val df: DataFrame) extends AnyVal {
+    def mat: DataFrame = Iterate.materialize(df)
   }
 }
 
