@@ -1,0 +1,217 @@
+package graft
+
+/** DuckDB oracle SQL for the training-data-pipeline queries (dedup /
+  * similarity / text analysis / multimodal). Mirrors graft.pipeline.*
+  * exactly; the portable 60-bit hash is
+  *   Spark : conv(substring(md5(s),1,15),16,10)::long
+  *   DuckDB: CAST('0x' || substr(md5(s),1,15) AS BIGINT)
+  */
+object PipelineSql {
+
+  /** Distinct word 3-gram shingles per document (matches TextOps.shingles). */
+  val SHINGLES3: String =
+    """w AS MATERIALIZED (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |sh AS MATERIALIZED (
+      |  SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS s
+      |  FROM w, unnest(generate_series(1, len(ws) - 2)) AS t(i)
+      |)""".stripMargin
+
+  private def h60(e: String): String = s"CAST('0x' || substr(md5($e), 1, 15) AS BIGINT)"
+
+  val dedupExact: String =
+    """WITH h AS MATERIALIZED (SELECT doc_id, md5(text) AS grp FROM documents),
+      |g AS MATERIALIZED (SELECT grp, count(*) AS grp_size, min(doc_id) AS canonical
+      |                   FROM h GROUP BY 1)
+      |SELECT h.doc_id, h.grp, g.grp_size, h.doc_id = g.canonical AS is_canonical
+      |FROM h JOIN g USING (grp)""".stripMargin
+
+  def minhashSelect(k: Int): String =
+    (0 until k).map(j => s"min(${h60(s"s || '#$j'")}) AS mh$j").mkString(", ")
+
+  def minhash(k: Int): String =
+    s"""WITH $SHINGLES3
+       |SELECT doc_id, ${minhashSelect(k)} FROM sh GROUP BY doc_id""".stripMargin
+
+  def lshPairs(bands: Int, rowsPerBand: Int, threshold: Double): String = {
+    val k = bands * rowsPerBand
+    val bandKeys = (0 until bands).map { b =>
+      val key = (b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(j => s"CAST(mh$j AS VARCHAR)").mkString(" || '_' || ")
+      s"SELECT doc_id, $b AS band, md5($key) AS bk FROM mh"
+    }.mkString(" UNION ALL ")
+    s"""WITH $SHINGLES3,
+       |mh AS MATERIALIZED (SELECT doc_id, ${minhashSelect(k)} FROM sh GROUP BY doc_id),
+       |bk AS MATERIALIZED ($bandKeys),
+       |cand AS MATERIALIZED (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bk a JOIN bk b ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id
+       |),
+       |cnt AS MATERIALIZED (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+       |inter AS MATERIALIZED (
+       |  SELECT c.id_a, c.id_b, count(*) AS i
+       |  FROM cand c JOIN sh x ON x.doc_id = c.id_a JOIN sh y ON y.doc_id = c.id_b AND y.s = x.s
+       |  GROUP BY 1, 2
+       |)
+       |SELECT c.id_a, c.id_b,
+       |  round(coalesce(i.i, 0) * 1.0 / (ca.n_sh + cb.n_sh - coalesce(i.i, 0)), 6) AS jaccard
+       |FROM cand c
+       |LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+       |JOIN cnt ca ON ca.doc_id = c.id_a JOIN cnt cb ON cb.doc_id = c.id_b
+       |WHERE round(coalesce(i.i, 0) * 1.0 / (ca.n_sh + cb.n_sh - coalesce(i.i, 0)), 6) >= $threshold""".stripMargin
+  }
+
+  def ngramJaccardPairs(threshold: Double): String =
+    s"""WITH $SHINGLES3,
+       |cnt AS MATERIALIZED (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+       |inter AS MATERIALIZED (
+       |  SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS i
+       |  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2
+       |)
+       |SELECT id_a, id_b, round(i * 1.0 / (ca.n_sh + cb.n_sh - i), 6) AS jaccard
+       |FROM inter JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b
+       |WHERE round(i * 1.0 / (ca.n_sh + cb.n_sh - i), 6) >= $threshold""".stripMargin
+
+  def simhash(bits: Int): String =
+    s"""WITH tf AS MATERIALIZED (
+       |  SELECT doc_id, t, count(*) AS tf
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+       |  GROUP BY 1, 2
+       |),
+       |c AS MATERIALIZED (
+       |  SELECT doc_id, bit,
+       |    CASE WHEN (${h60("t")} >> bit) & 1 = 1 THEN tf ELSE -tf END AS c
+       |  FROM tf, unnest(generate_series(0, ${bits - 1})) AS b(bit)
+       |),
+       |s AS MATERIALIZED (SELECT doc_id, bit, sum(c) AS s FROM c GROUP BY 1, 2)
+       |SELECT doc_id,
+       |  CAST(sum(CASE WHEN s > 0 THEN CAST(pow(2, bit) AS BIGINT) ELSE 0 END) AS BIGINT)
+       |    AS simhash
+       |FROM s GROUP BY 1""".stripMargin
+
+  val EMB_NORM: String =
+    """e AS MATERIALIZED (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+      |         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+      |                               CAST(embedding AS DOUBLE[]))) AS nrm
+      |  FROM embeddings
+      |)""".stripMargin
+
+  def embedDup(threshold: Double): String =
+    s"""WITH $EMB_NORM
+       |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |  round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine
+       |FROM e a JOIN e b ON a.vec_id < b.vec_id
+       |WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= $threshold""".stripMargin
+
+  def annTopK(nQueries: Int, k: Int): String =
+    s"""WITH $EMB_NORM,
+       |q AS MATERIALIZED (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM e
+       |                   WHERE vec_id < $nQueries),
+       |scored AS MATERIALIZED (
+       |  SELECT q.query_id, e.vec_id AS neighbor_id,
+       |    round(list_dot_product(e.v, q.qv) / (e.nrm * q.qn), 6) AS cosine
+       |  FROM e JOIN q ON e.vec_id <> q.query_id
+       |),
+       |ranked AS MATERIALIZED (
+       |  SELECT query_id, neighbor_id, cosine,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY cosine DESC, neighbor_id) AS rank
+       |  FROM scored
+       |)
+       |SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
+       |FROM ranked WHERE rank <= $k""".stripMargin
+
+  private val BPE_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+  val tokenCounts: String =
+    s"""SELECT doc_id,
+       |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+       |  CAST(len(regexp_extract_all(text, '$BPE_RE')) AS BIGINT) AS n_bpe_ish
+       |FROM documents""".stripMargin
+
+  private def inList(ws: Seq[String]): String = ws.map(w => s"'$w'").mkString(", ")
+
+  private def hitRatio(lang: String): String = {
+    val sw = graft.pipeline.TextAnalysis.StopWords(lang)
+    s"len(list_filter(ws, w -> w IN (${inList(sw)}))) / CAST(len(ws) AS DOUBLE)"
+  }
+
+  val quality: String =
+    s"""WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
+       |f AS (SELECT doc_id,
+       |  CAST(len(ws) AS DOUBLE) AS n,
+       |  len(list_distinct(ws)) / CAST(len(ws) AS DOUBLE) AS ttr,
+       |  ${hitRatio("en")} AS stopr,
+       |  list_sum(list_transform(ws, w -> len(w))) / CAST(len(ws) AS DOUBLE) AS meanlen,
+       |  len(regexp_extract_all(text, '[.,;:!?]')) / CAST(length(text) AS DOUBLE) AS punctr
+       |  FROM w)
+       |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+       |  round(ttr, 6) AS type_token_ratio,
+       |  round(stopr, 6) AS stopword_ratio,
+       |  round(meanlen, 6) AS mean_token_len,
+       |  round(punctr, 6) AS punct_ratio,
+       |  round(least(n / 200.0, 1.0) * 0.3 + ttr * 0.3 + least(stopr * 4.0, 1.0) * 0.2
+       |        + CASE WHEN meanlen BETWEEN 3.0 AND 8.0 THEN 0.2 ELSE 0.0 END, 6) AS quality
+       |FROM f""".stripMargin
+
+  val langId: String = {
+    val langs = graft.pipeline.TextAnalysis.StopWords.keys.toSeq.sorted
+    val scoreCols = langs.map(l => s"round(${hitRatio(l)}, 6) AS s_$l").mkString(",\n  ")
+    val mx = s"greatest(${langs.map(l => s"s_$l").mkString(", ")})"
+    val pick = langs.map(l => s"WHEN s_$l = $mx THEN '$l'").mkString(" ")
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |sc AS (SELECT doc_id,
+       |  $scoreCols
+       |  FROM w)
+       |SELECT doc_id,
+       |  CASE WHEN $mx <= 0 THEN 'und' $pick END AS lang_pred,
+       |  round($mx, 6) AS lang_score
+       |FROM sc""".stripMargin
+  }
+
+  def fingerprints(n: Int, w: Int): String =
+    s"""WITH wd AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |g AS MATERIALIZED (
+       |  SELECT doc_id, i, ${h60(s"array_to_string(ws[i:i+${n - 1}], ' ')")} AS h
+       |  FROM wd, unnest(generate_series(1, len(ws) - ${n - 1})) AS t(i)
+       |)
+       |SELECT DISTINCT doc_id,
+       |  min(h) OVER (PARTITION BY doc_id ORDER BY i
+       |               ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS fp
+       |FROM g""".stripMargin
+
+  val mediaMeta: String =
+    """SELECT doc_id, 'txt' AS format,
+      |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+      |  md5(text) AS digest
+      |FROM documents""".stripMargin
+
+  /** Byte-histogram "decode" oracle: 16 bins over the utf-8 payload (the
+    * documents are ASCII, so codepoint = byte). */
+  val mediaDecode: String =
+    """WITH ch AS MATERIALIZED (
+      |  SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents
+      |),
+      |b AS MATERIALIZED (
+      |  SELECT doc_id, ascii(c) // 16 AS bin, count(*) AS n FROM ch GROUP BY 1, 2
+      |),
+      |d AS MATERIALIZED (
+      |  SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS DOUBLE) AS nb FROM documents
+      |)
+      |SELECT d.doc_id, t.bin, round(coalesce(b.n, 0) / d.nb, 6) AS ratio
+      |FROM d CROSS JOIN unnest(generate_series(0, 15)) AS t(bin)
+      |LEFT JOIN b ON b.doc_id = d.doc_id AND b.bin = t.bin""".stripMargin
+
+  def frameSample(frameBytes: Int, stride: Int): String = {
+    val step = frameBytes * stride
+    s"""WITH d AS (SELECT doc_id,
+       |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes FROM documents)
+       |SELECT doc_id, t.frame_id, t.frame_id * $step AS offset,
+       |  least($frameBytes, n_bytes - t.frame_id * $step) AS frame_len
+       |FROM d,
+       |  unnest(generate_series(0, greatest(CAST(ceil(n_bytes / $step.0) AS BIGINT) - 1, 0)))
+       |    AS t(frame_id)""".stripMargin
+  }
+}

@@ -181,6 +181,61 @@ object SparkEntry {
       graft.core.Hypergraph.edges(Fixtures.events(s, dir), "event_id",
         Seq("event_type", "user_id"))
     },
+    // ---- training-data pipeline: dedup / similarity / text / multimodal ----
+    "q_dedup_exact" -> q { (s, dir) =>
+      pipeline.Dedup.exact(Fixtures.documents(s, dir))
+    },
+    "q_minhash" -> q { (s, dir) =>
+      pipeline.Dedup.minhash(Fixtures.documents(s, dir), n = 3, k = 8)
+    },
+    "q_lsh_pairs" -> q { (s, dir) =>
+      pipeline.Dedup.minhashLshPairs(Fixtures.documents(s, dir),
+        n = 3, bands = 4, rowsPerBand = 2, threshold = 0.2)
+    },
+    "q_ngram_jaccard" -> q { (s, dir) =>
+      pipeline.Dedup.ngramJaccardPairs(Fixtures.documents(s, dir), n = 3, threshold = 0.2)
+    },
+    "q_simhash" -> q { (s, dir) =>
+      pipeline.Dedup.simhash(Fixtures.documents(s, dir), bits = 32)
+    },
+    "q_embed_dup" -> q { (s, dir) =>
+      pipeline.Dedup.embeddingDupPairs(Fixtures.embeddings(s, dir), threshold = 0.4)
+    },
+    "q_ann_topk" -> q { (s, dir) =>
+      val emb = Fixtures.embeddings(s, dir)
+      pipeline.Ann.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), k = 10)
+    },
+    "q_ann_ivf" -> q { (s, dir) =>
+      // approximate (recall < 1): rows-only check, exactness covered by q_ann_topk
+      val emb = Fixtures.embeddings(s, dir)
+      pipeline.Ann.ivfTopK(emb, emb.filter(col("vec_id") < 5), k = 10)
+    },
+    "q_token_count" -> q { (s, dir) =>
+      pipeline.TextAnalysis.tokenCounts(Fixtures.documents(s, dir))
+    },
+    "q_quality" -> q { (s, dir) =>
+      pipeline.TextAnalysis.qualityScore(Fixtures.documents(s, dir))
+    },
+    "q_langid" -> q { (s, dir) =>
+      pipeline.TextAnalysis.languageId(Fixtures.documents(s, dir))
+    },
+    "q_fingerprint" -> q { (s, dir) =>
+      pipeline.TextAnalysis.fingerprints(Fixtures.documents(s, dir), n = 5, w = 4)
+    },
+    "q_media_meta" -> q { (s, dir) =>
+      pipeline.Multimodal.mediaMeta(pipeline.Multimodal.asMedia(Fixtures.documents(s, dir)))
+    },
+    "q_media_decode" -> q { (s, dir) =>
+      implicit val sp: SparkSession = s
+      pipeline.Multimodal.decodeStub(pipeline.Multimodal.asMedia(Fixtures.documents(s, dir)))
+        .toDF()
+        .select(col("doc_id"), posexplode(col("feat")).as(Seq("bin", "ratio")))
+        .select(col("doc_id"), col("bin").cast("long").as("bin"), round(col("ratio"), 6).as("ratio"))
+    },
+    "q_frame_sample" -> q { (s, dir) =>
+      pipeline.Multimodal.frameSample(
+        pipeline.Multimodal.asMedia(Fixtures.documents(s, dir)), frameBytes = 64, stride = 4)
+    },
     // ---- link prediction (§2.6) ----
     "q_jaccard" -> q { (s, dir) =>
       val r = Similarity.allPairs(Fixtures.supplierGraph(s, dir), Similarity.Jaccard)
@@ -333,6 +388,20 @@ object SparkEntry {
         |UNION ALL
         |SELECT event_id, 'user_id', 'user_id::' || CAST(user_id AS VARCHAR)
         |FROM events WHERE user_id IS NOT NULL""".stripMargin,
+    "q_dedup_exact" -> PipelineSql.dedupExact,
+    "q_minhash" -> PipelineSql.minhash(8),
+    "q_lsh_pairs" -> PipelineSql.lshPairs(bands = 4, rowsPerBand = 2, threshold = 0.2),
+    "q_ngram_jaccard" -> PipelineSql.ngramJaccardPairs(0.2),
+    "q_simhash" -> PipelineSql.simhash(32),
+    "q_embed_dup" -> PipelineSql.embedDup(0.4),
+    "q_ann_topk" -> PipelineSql.annTopK(nQueries = 5, k = 10),
+    "q_token_count" -> PipelineSql.tokenCounts,
+    "q_quality" -> PipelineSql.quality,
+    "q_langid" -> PipelineSql.langId,
+    "q_fingerprint" -> PipelineSql.fingerprints(n = 5, w = 4),
+    "q_media_meta" -> PipelineSql.mediaMeta,
+    "q_media_decode" -> PipelineSql.mediaDecode,
+    "q_frame_sample" -> PipelineSql.frameSample(frameBytes = 64, stride = 4),
     "q_jaccard" -> similaritySql("round(CAST(i.i AS DOUBLE) / (da.d + db.d - i.i), 6)", "jaccard_coeff"),
     "q_overlap" -> similaritySql("round(CAST(i.i AS DOUBLE) / least(da.d, db.d), 6)", "overlap_coeff"),
     "q_cosine" -> similaritySql("round(CAST(i.i AS DOUBLE) / sqrt(CAST(da.d AS DOUBLE) * db.d), 6)", "cosine_coeff"),

@@ -1,0 +1,88 @@
+package graft.algos
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.core.{PropertyGraph, Gr}
+import graft.prims.Mat._
+
+/** Batched traversal surfaces: multi-source BFS, origin-destination
+  * shortest distances, and BFS path extraction.
+  *
+  * Reference: `traversal/ms_bfs.py:97,172` (concurrent/multi-source BFS),
+  * `algorithms.hpp:1244` + `traversal/od_shortest_distances_impl.cuh`,
+  * `algorithms.hpp:1167` + `traversal/extract_bfs_paths_impl.cuh`.
+  *
+  * The batching trick is one extra key column: frontier state is keyed by
+  * (source, vertex) instead of vertex, so B concurrent traversals cost the
+  * same number of shuffles as one (each round's join moves B× rows, which
+  * is exactly the reference's batched-frontier layout — SURVEY §2.3).
+  */
+object MultiTraversal {
+  import Gr._
+
+  /** Multi-source BFS: one BFS per row of `sources` (column `source`),
+    * batched in a single loop. Output (source, id, distance, predecessor);
+    * predecessor tie-break = min, as in Traversal.bfs. */
+  def msBfs(g: PropertyGraph, sources: DataFrame, depthLimit: Int = Int.MaxValue): DataFrame =
+    msBfsWithRounds(g, sources, depthLimit)._1
+
+  def msBfsWithRounds(g: PropertyGraph, sources: DataFrame,
+                      depthLimit: Int = Int.MaxValue): (DataFrame, Int) = {
+    val e = g.edges.select(SRC, DST).mat
+    var settled = sources.select(col("source"), col("source").as(ID),
+      lit(0).as("distance"), lit(-1L).as("predecessor")).mat
+    var frontier = settled.select("source", ID)
+    var depth = 0
+    var n = 1L
+    while (n > 0 && depth < depthLimit) {
+      depth += 1
+      val next = e.join(frontier.withColumnRenamed(ID, SRC), SRC)
+        .groupBy(col("source"), col(DST).as(ID)).agg(min(SRC).as("predecessor"))
+        .join(settled.select("source", ID), Seq("source", ID), "left_anti")
+        .withColumn("distance", lit(depth))
+        .select("source", ID, "distance", "predecessor")
+        .mat
+      n = next.count()
+      if (n > 0) {
+        settled = settled.union(next).mat
+        frontier = next.select("source", ID)
+      }
+    }
+    (settled, depth)
+  }
+
+  /** Origin-destination shortest hop distances: multi-source BFS from the
+    * origins, semi-joined to the destination list.
+    * Output (origin, destination, distance). */
+  def odShortestDistances(g: PropertyGraph, origins: DataFrame, dests: DataFrame,
+                          depthLimit: Int = Int.MaxValue): DataFrame = {
+    val (bfs, _) = msBfsWithRounds(g, origins.select(col(origins.columns.head).as("source")),
+      depthLimit)
+    bfs.join(dests.select(col(dests.columns.head).as(ID)), ID)
+      .select(col("source").as("origin"), col(ID).as("destination"),
+        col("distance").cast("long").as("distance"))
+  }
+
+  /** Reconstruct root-to-destination paths from a BFS predecessor table
+    * (id, distance, predecessor). Output one row per path position:
+    * (destination, pos, vertex) with pos 0 at the destination walking back
+    * to the source — k rounds of self-join on the predecessor column. */
+  def extractBfsPaths(bfs: DataFrame, dests: DataFrame, maxDepth: Int): DataFrame = {
+    val pred = bfs.select(col(ID), col("predecessor")).mat
+    var cur = dests.select(col(dests.columns.head).as("destination"))
+      .join(pred, col("destination") === col(ID))
+      .select(col("destination"), lit(0).as("pos"), col(ID).as("vertex"),
+        col("predecessor"))
+      .mat
+    var out = cur.select("destination", "pos", "vertex")
+    for (p <- 1 to maxDepth) {
+      cur = cur.filter(col("predecessor") =!= -1L)
+        .select(col("destination"), col("predecessor").as("vertex_next"), lit(p).as("pos"))
+        .join(pred, col("vertex_next") === col(ID))
+        .select(col("destination"), col("pos"), col(ID).as("vertex"), col("predecessor"))
+        .mat
+      out = out.union(cur.select("destination", "pos", "vertex"))
+    }
+    out.select(col("destination"), col("pos").cast("long").as("pos"), col("vertex"))
+  }
+}

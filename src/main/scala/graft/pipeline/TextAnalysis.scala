@@ -1,0 +1,89 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Text-analysis operators for training-data curation: token counting,
+  * quality scoring, language identification, and winnowing document
+  * fingerprints. All pure `functions._` expressions (whole-stage codegen,
+  * no UDFs); each has an exact DuckDB-SQL equivalent for the oracle.
+  */
+object TextAnalysis {
+  import TextOps._
+
+  /** Public per-language stopword marker sets for the n-gram/stopword
+    * language-ID heuristic (tiny on purpose — broadcast as literals into
+    * the codegen'd expression, no lookup join needed). */
+  val StopWords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it"),
+    "fr" -> Seq("le", "la", "les", "de", "et", "un", "une", "des"),
+    "es" -> Seq("el", "los", "las", "de", "y", "un", "una", "que"),
+    "de" -> Seq("der", "die", "das", "und", "ein", "eine", "zu", "den"))
+
+  private def inList(ws: Seq[String]): String = ws.map(w => s"'$w'").mkString(", ")
+
+  private def hitRatio(wsCol: String, lang: String): String =
+    s"size(filter($wsCol, w -> w IN (${inList(StopWords(lang))}))) / CAST(size($wsCol) AS DOUBLE)"
+
+  /** Token counts: whitespace tokens, distinct tokens, and a BPE-ish
+    * subword count (runs of letters, runs of digits, single other chars —
+    * the standard pre-tokenizer regex shape). */
+  def tokenCounts(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(col(idCol),
+      size(tokens(col(textCol))).cast("long").as("n_tokens"),
+      size(array_distinct(tokens(col(textCol)))).cast("long").as("n_distinct"),
+      regexp_count(col(textCol), lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]")).cast("long")
+        .as("n_bpe_ish"))
+
+  /** Quality signals + a single blended score in [0,1]: length saturation,
+    * type-token ratio, stopword ratio, mean token length band, punctuation
+    * density. Formula is explicit so the DuckDB oracle reproduces it. */
+  def qualityScore(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val ws = tokens(col(textCol))
+    val nTok = size(ws).cast("double")
+    val ttr = size(array_distinct(ws)) / nTok
+    val stopR = expr(hitRatio("split(text, ' ')", "en"))
+    val meanLen = expr("aggregate(split(text, ' '), 0L, (a, w) -> a + length(w))") / nTok
+    val punctR = regexp_count(col(textCol), lit("[.,;:!?]")) / length(col(textCol)).cast("double")
+    docs.select(col(idCol),
+      nTok.cast("long").as("n_tokens"),
+      round(ttr, 6).as("type_token_ratio"),
+      round(stopR, 6).as("stopword_ratio"),
+      round(meanLen, 6).as("mean_token_len"),
+      round(punctR, 6).as("punct_ratio"),
+      round(
+        least(nTok / 200.0, lit(1.0)) * 0.3
+          + ttr * 0.3
+          + least(stopR * 4.0, lit(1.0)) * 0.2
+          + when(meanLen.between(3.0, 8.0), 0.2).otherwise(0.0), 6).as("quality"))
+  }
+
+  /** Language ID by stopword hit-ratio over the supported marker sets;
+    * deterministic argmax (score desc, language code asc), 'und' when no
+    * marker hits at all. */
+  def languageId(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val langs = StopWords.keys.toSeq.sorted
+    val scored = docs.select(col(idCol) +: langs.map(l =>
+      round(expr(hitRatio("split(text, ' ')", l)), 6).as(s"score_$l")): _*)
+    val best = langs.map(l => struct(col(s"score_$l").as("s"), lit(l).as("l")))
+      .reduce((a, b) => when(b.getField("s") > a.getField("s"), b).otherwise(a))
+    scored.select(col(idCol),
+      when(best.getField("s") > 0, best.getField("l")).otherwise(lit("und")).as("lang_pred"),
+      round(best.getField("s"), 6).as("lang_score"))
+  }
+
+  /** Winnowing fingerprints (Schleimer et al., SIGMOD'03 — public method):
+    * hash every word `n`-gram, slide a window of `w` positions, keep each
+    * window's minimum hash; the distinct kept hashes are the document's
+    * fingerprints. Shuffle-free except the final distinct: the window
+    * min is computed per-document with a bounded ROWS frame. */
+  def fingerprints(docs: DataFrame, n: Int = 5, w: Int = 4,
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val grams = docs.select(col(idCol),
+        posexplode(shingles(tokens(col(textCol)), n)).as(Seq("pos", "g")))
+      .select(col(idCol), col("pos"), hash60(col("g")).as("h"))
+    val win = Window.partitionBy(idCol).orderBy("pos").rowsBetween(0, w - 1)
+    grams.select(col(idCol), min("h").over(win).as("fp")).distinct()
+  }
+}

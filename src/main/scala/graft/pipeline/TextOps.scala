@@ -39,7 +39,7 @@ object TextOps {
   def shingles(ws: Column, n: Int): Column =
     when(size(ws) >= n,
       transform(sequence(lit(0), size(ws) - n),
-        i => array_join(slice(ws, i + 1, n), " ")))
+        i => array_join(slice(ws, i + 1, lit(n)), " ")))
       .otherwise(array())
 
   /** Cosine similarity between two double-array columns.

@@ -1,0 +1,129 @@
+package graft.sampling
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.Gr._
+import graft.prims.Mat._
+import graft.pipeline.TextOps.hash60
+
+/** GNN mini-batch neighbor sampling (reference:
+  * `sampling/homogeneous_neighbor_sample.py:44`,
+  * `heterogeneous_neighbor_sample.py:44`, temporal variants
+  * `sampling_functions.hpp:505-872`, negative sampling `:1417`;
+  * C++ `cpp/src/sampling/neighbor_sampling_impl.cuh`).
+  *
+  * Per hop h with fanout f[h]: frontier ⋈ edges (equi-join on src), then
+  * keep f[h] edges per source via the canonical window row_number pattern
+  * ordered by the deterministic hash race — THE top-k-per-key Spark shape.
+  * Deterministic hash randomness (see Walks) makes every sampler exactly
+  * oracle-checkable; `prior_sources_behavior`/dedup options are the
+  * distinct/anti-join steps noted inline.
+  */
+object NeighborSampling {
+
+  private def sampleHop(frontier: DataFrame, edges: DataFrame, hop: Int, fanout: Int,
+                        seed: Long, partitionExtra: Seq[String] = Nil): DataFrame = {
+    val joined = frontier.join(edges, frontier("vertex") === edges(SRC))
+    val w = Window
+      .partitionBy((Seq("batch_id", SRC) ++ partitionExtra).map(col): _*)
+      .orderBy(hash60(concat_ws("|", col("batch_id"), lit(hop), col(SRC), col(DST), lit(seed))))
+    joined.withColumn("_rn", row_number().over(w)).filter(col("_rn") <= fanout)
+      .select(col("batch_id"), lit(hop).as("hop"), col(SRC), col(DST))
+  }
+
+  /** Homogeneous uniform neighbor sampling. `seeds`: (batch_id, vertex);
+    * output: (batch_id, hop, src, dst). deduplicate_sources = the distinct
+    * on the next frontier (reference's `deduplicate_sources=True`). */
+  def homogeneous(edges: DataFrame, seeds: DataFrame, fanouts: Seq[Int],
+                  seed: Long = 42): DataFrame = {
+    val e = edges.select(SRC, DST).mat
+    var frontier = seeds.select(col("batch_id"), col("vertex")).mat
+    var out: DataFrame = null
+    fanouts.zipWithIndex.foreach { case (f, h) =>
+      val sampled = sampleHop(frontier, e, h, f, seed).mat
+      out = if (out == null) sampled else out.union(sampled)
+      frontier = sampled.select(col("batch_id"), col(DST).as("vertex")).distinct().mat
+    }
+    out.select(col("batch_id"), col("hop").cast("long").as("hop"), col(SRC), col(DST))
+  }
+
+  /** Heterogeneous sampling: per-edge-type fanouts — the window partition
+    * gains the edge-type key, everything else is the same pipeline.
+    * `fanouts`: edgeType -> per-hop fanout list (all same length). */
+  def heterogeneous(edges: DataFrame, seeds: DataFrame, fanouts: Map[Int, Seq[Int]],
+                    seed: Long = 42): DataFrame = {
+    val e = edges.select(col(SRC), col(DST), col("edge_type")).mat
+    val nHops = fanouts.values.head.size
+    var frontier = seeds.select(col("batch_id"), col("vertex")).mat
+    var out: DataFrame = null
+    for (h <- 0 until nHops) {
+      val joined = frontier.join(e, frontier("vertex") === e(SRC))
+      val fanoutCol = fanouts.foldLeft(lit(0)) { case (acc, (t, fs)) =>
+        when(col("edge_type") === t, lit(fs(h))).otherwise(acc)
+      }
+      val w = Window.partitionBy(col("batch_id"), col(SRC), col("edge_type"))
+        .orderBy(hash60(concat_ws("|", col("batch_id"), lit(h), col(SRC), col(DST), lit(seed))))
+      val sampled = joined.withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") <= fanoutCol)
+        .select(col("batch_id"), lit(h).as("hop"), col(SRC), col(DST), col("edge_type"))
+        .mat
+      out = if (out == null) sampled else out.union(sampled)
+      frontier = sampled.select(col("batch_id"), col(DST).as("vertex")).distinct().mat
+    }
+    out.select(col("batch_id"), col("hop").cast("long").as("hop"),
+      col(SRC), col(DST), col("edge_type"))
+  }
+
+  /** Temporal sampling: each sampled edge must be strictly newer than the
+    * edge that reached its source (time-respecting paths). Seeds carry
+    * time 0. `edges` must have a `t` column. */
+  def temporal(edges: DataFrame, seeds: DataFrame, fanouts: Seq[Int],
+               seed: Long = 42): DataFrame = {
+    val e = edges.select(col(SRC), col(DST), col("t")).mat
+    var frontier = seeds.select(col("batch_id"), col("vertex"), lit(-1L).as("t_in")).mat
+    var out: DataFrame = null
+    fanouts.zipWithIndex.foreach { case (f, h) =>
+      val joined = frontier.join(e,
+        frontier("vertex") === e(SRC) && col("t") > col("t_in"))
+      val w = Window.partitionBy(col("batch_id"), col(SRC), col("t_in"))
+        .orderBy(hash60(concat_ws("|", col("batch_id"), lit(h), col(SRC), col(DST), lit(seed))))
+      val sampled = joined.withColumn("_rn", row_number().over(w)).filter(col("_rn") <= f)
+        .select(col("batch_id"), lit(h).as("hop"), col(SRC), col(DST), col("t"))
+        .mat
+      out = if (out == null) sampled else out.union(sampled)
+      frontier = sampled
+        .groupBy(col("batch_id"), col(DST).as("vertex")).agg(min("t").as("t_in")).mat
+    }
+    out.select(col("batch_id"), col("hop").cast("long").as("hop"),
+      col(SRC), col(DST), col("t"))
+  }
+
+  /** Negative sampling: `n` deterministic pseudo-random candidate pairs
+    * drawn from the vertex list (index via dense row_number, picked by the
+    * hash), minus existing edges (anti-join) and self-loops. Output:
+    * (sample_id, src, dst). */
+  def negative(edges: DataFrame, vertices: DataFrame, n: Int, seed: Long = 42): DataFrame = {
+    val idx = vertices.select(col(ID))
+      .withColumn("i", row_number().over(Window.orderBy(ID)) - 1).mat
+    val nV = idx.count()
+    val spark = edges.sparkSession
+    val cand = spark.range(n).select(col("id").as("sample_id"))
+      .withColumn("si", pmod(hash60(concat_ws("|", lit("ns"), col("sample_id"), lit(0), lit(seed))), lit(nV)))
+      .withColumn("di", pmod(hash60(concat_ws("|", lit("ns"), col("sample_id"), lit(1), lit(seed))), lit(nV)))
+      .join(idx.select(col("i").as("si"), col(ID).as(SRC)), "si")
+      .join(idx.select(col("i").as("di"), col(ID).as(DST)), "di")
+      .filter(col(SRC) =!= col(DST))
+      .select(col("sample_id"), col(SRC), col(DST))
+    cand.join(edges.select(SRC, DST), Seq(SRC, DST), "left_anti")
+      .select(col("sample_id"), col(SRC), col(DST))
+  }
+
+  /** Uniform vertex sample without replacement (reference
+    * `select_random_vertices`): the k vertices minimizing the seeded hash. */
+  def selectRandomVertices(vertices: DataFrame, k: Int, seed: Long = 42): DataFrame = {
+    val w = Window.orderBy(hash60(concat_ws("|", lit("srv"), col(ID), lit(seed))), col(ID))
+    vertices.select(col(ID)).withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k).select(ID)
+  }
+}

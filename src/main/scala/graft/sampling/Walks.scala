@@ -1,0 +1,93 @@
+package graft.sampling
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.core.Gr._
+import graft.prims.Mat._
+import graft.pipeline.TextOps.hash60
+
+/** Random walks (reference: `sampling/uniform_random_walks.py:15`,
+  * `biased_random_walks.py:15`, `node2vec_random_walks.py:34`;
+  * C++ `cpp/src/sampling/random_walks_impl.cuh`).
+  *
+  * Randomness contract: all draws come from the deterministic 60-bit
+  * md5-derived hash of (walk id, step, candidate) — a seeded counter-mode
+  * PRNG in expression form. That keeps every sampler (a) reproducible
+  * across runs and cluster layouts (no rand(), no partition-dependence),
+  * and (b) exactly reproducible by the DuckDB oracle. Swapping in true
+  * randomness is a one-line change of the key expression.
+  *
+  * Scale shape: each step is one equi-join frontier⋈edges partitioned by
+  * the current vertex plus a per-walker argmin (min_by aggregation — no
+  * sort), so a k-step walk over any corpus is k bounded shuffles.
+  */
+object Walks {
+
+  /** One uniform step: pick the neighbor minimizing the hash race. */
+  private def pickUniform(cur: DataFrame, edges: DataFrame, step: Int, seed: Long): DataFrame =
+    cur.join(edges, cur("vertex") === edges(SRC))
+      .groupBy("walk_id")
+      .agg(min_by(col(DST),
+        hash60(concat_ws("|", col("walk_id"), lit(step), col(DST), lit(seed)))).as("vertex"))
+
+  /** Uniform random walks: one row per (walk_id, step, vertex); walks stop
+    * early at sinks. `starts`: (walk_id, vertex). */
+  def uniform(edges: DataFrame, starts: DataFrame, maxDepth: Int, seed: Long = 42): DataFrame = {
+    val e = edges.select(SRC, DST).mat
+    var cur = starts.select(col("walk_id"), col("vertex")).mat
+    var out = cur.withColumn("step", lit(0))
+    for (t <- 1 to maxDepth) {
+      cur = pickUniform(cur, e, t, seed).mat
+      out = out.union(cur.withColumn("step", lit(t)))
+    }
+    out.select(col("walk_id"), col("step").cast("long").as("step"), col("vertex"))
+  }
+
+  /** Biased (weight-proportional) walks via the A-ES exponential race:
+    * key = U^(1/w) maximized, U = hash/2^60 ∈ (0,1). */
+  def biased(edges: DataFrame, starts: DataFrame, maxDepth: Int, seed: Long = 42): DataFrame = {
+    val e = edges.select(col(SRC), col(DST), col(WEIGHT)).mat
+    var cur = starts.select(col("walk_id"), col("vertex")).mat
+    var out = cur.withColumn("step", lit(0))
+    for (t <- 1 to maxDepth) {
+      val u = hash60(concat_ws("|", col("walk_id"), lit(t), col(DST), lit(seed)))
+        .cast("double") / lit(math.pow(2, 60))
+      cur = cur.join(e, cur("vertex") === e(SRC))
+        .groupBy("walk_id")
+        .agg(max_by(col(DST), pow(u, lit(1.0) / col(WEIGHT))).as("vertex"))
+        .mat
+      out = out.union(cur.withColumn("step", lit(t)))
+    }
+    out.select(col("walk_id"), col("step").cast("long").as("step"), col("vertex"))
+  }
+
+  /** node2vec second-order walks (p = return, q = in-out): the candidate
+    * weight is w/p when the candidate is the previous vertex, w when the
+    * candidate neighbors the previous vertex (left join on edges), w/q
+    * otherwise; the draw is the same A-ES race as `biased`. */
+  def node2vec(edges: DataFrame, starts: DataFrame, maxDepth: Int,
+               p: Double = 1.0, q: Double = 2.0, seed: Long = 42): DataFrame = {
+    val e = edges.select(col(SRC), col(DST), col(WEIGHT)).mat
+    val adj = edges.select(col(SRC).as("a_src"), col(DST).as("a_dst")).mat
+    // state: (walk_id, prev, vertex); first step is uniform-biased with prev = -1
+    var cur = starts.select(col("walk_id"), lit(-1L).as("prev"), col("vertex")).mat
+    var out = cur.select(col("walk_id"), lit(0).as("step"), col("vertex"))
+    for (t <- 1 to maxDepth) {
+      val cand = cur.join(e, cur("vertex") === e(SRC))
+        .join(adj, col("prev") === col("a_src") && col(DST) === col("a_dst"), "left")
+        .select(col("walk_id"), cur("vertex").as("from_v"),
+          col(DST), col("prev"),
+          (col(WEIGHT) * when(col(DST) === col("prev"), lit(1.0 / p))
+            .when(col("a_dst").isNotNull, lit(1.0))
+            .otherwise(lit(1.0 / q))).as("w2"))
+      val u = hash60(concat_ws("|", col("walk_id"), lit(t), col(DST), lit(seed)))
+        .cast("double") / lit(math.pow(2, 60))
+      cur = cand.groupBy("walk_id")
+        .agg(max_by(struct(col("from_v"), col(DST)), pow(u, lit(1.0) / col("w2"))).as("pick"))
+        .select(col("walk_id"), col("pick.from_v").as("prev"), col(s"pick.$DST").as("vertex"))
+        .mat
+      out = out.union(cur.select(col("walk_id"), lit(t).as("step"), col("vertex")))
+    }
+    out.select(col("walk_id"), col("step").cast("long").as("step"), col("vertex"))
+  }
+}
