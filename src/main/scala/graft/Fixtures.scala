@@ -140,6 +140,12 @@ object Fixtures {
     PropertyGraph(Structure.extractVertexList(e), e, GraphProperties(directed = true))
   }
 
+  /** The k smallest supplier-graph vertex ids — deterministic seeds for
+    * walks / sampling / multi-source traversal queries (oracle: ORDER BY id
+    * LIMIT k over the vertex list). */
+  def seedVertices(spark: SparkSession, dir: String, k: Int): DataFrame =
+    Structure.extractVertexList(supplierEdges(spark, dir)).orderBy(ID).limit(k)
+
   def documents(spark: SparkSession, dir: String): DataFrame = Tables(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = Tables(spark, dir, "embeddings")
 

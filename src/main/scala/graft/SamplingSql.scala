@@ -1,0 +1,291 @@
+package graft
+
+/** DuckDB oracle SQL for the sampling / random-walk / batched-traversal
+  * queries. All "randomness" on the Spark side is the deterministic 60-bit
+  * md5 hash (graft.pipeline.TextOps.hash60), which DuckDB reproduces exactly
+  * as CAST('0x' || substr(md5(s),1,15) AS BIGINT) — so every sampler has an
+  * EXACT oracle, not a rows-only check. Iterative shapes are unrolled
+  * (recursive CTEs cannot carry aggregations/windows).
+  */
+object SamplingSql {
+  import Fixtures._
+
+  private def h60(e: String): String =
+    s"CAST('0x' || substr(md5($e), 1, 15) AS BIGINT)"
+
+  /** u ∈ (0,1) from the hash — matches hash60(...).cast("double")/2^60. */
+  private def u01(e: String): String =
+    s"(CAST(${h60(e)} AS DOUBLE) / 1152921504606846976.0)"
+
+  private val PRELUDE = s"$SUPP_EDGES_SQL,\n$SUPP_UND_SQL,\n$SUPP_VERTS_SQL"
+
+  private def seeds(k: Int): String =
+    s"seeds AS MATERIALIZED (SELECT id FROM verts ORDER BY id LIMIT $k)"
+
+  /** Uniform walks: per step pick the neighbor minimizing the hash race. */
+  def uniformWalks(nWalks: Int, depth: Int, seed: Long): String = {
+    val b = new StringBuilder
+    b ++= s"WITH $PRELUDE,\n${seeds(nWalks)},\n"
+    b ++= "w0 AS MATERIALIZED (SELECT id AS walk_id, id AS vertex FROM seeds),\n"
+    for (t <- 1 to depth) {
+      val key = h60(s"concat_ws('|', walk_id, $t, dst, $seed)")
+      b ++= s"""w$t AS MATERIALIZED (
+        |  SELECT walk_id, min_by(dst, $key) AS vertex
+        |  FROM w${t - 1} JOIN und ON vertex = src GROUP BY walk_id
+        |)""".stripMargin
+      b ++= ",\n"
+    }
+    b ++= "walks AS (" + (0 to depth).map(t =>
+      s"SELECT walk_id, $t AS step, vertex FROM w$t").mkString(" UNION ALL ") + ")\n"
+    b ++= "SELECT walk_id, CAST(step AS BIGINT) AS step, vertex FROM walks"
+    b.toString
+  }
+
+  /** Biased walks: A-ES race — maximize u^(1/w). */
+  def biasedWalks(nWalks: Int, depth: Int, seed: Long): String = {
+    val b = new StringBuilder
+    b ++= s"WITH $PRELUDE,\n${seeds(nWalks)},\n"
+    b ++= "w0 AS MATERIALIZED (SELECT id AS walk_id, id AS vertex FROM seeds),\n"
+    for (t <- 1 to depth) {
+      val key = s"pow(${u01(s"concat_ws('|', walk_id, $t, dst, $seed)")}, 1.0 / weight)"
+      b ++= s"""w$t AS MATERIALIZED (
+        |  SELECT walk_id, max_by(dst, $key) AS vertex
+        |  FROM w${t - 1} JOIN und ON vertex = src GROUP BY walk_id
+        |)""".stripMargin
+      b ++= ",\n"
+    }
+    b ++= "walks AS (" + (0 to depth).map(t =>
+      s"SELECT walk_id, $t AS step, vertex FROM w$t").mkString(" UNION ALL ") + ")\n"
+    b ++= "SELECT walk_id, CAST(step AS BIGINT) AS step, vertex FROM walks"
+    b.toString
+  }
+
+  /** node2vec second-order walks: candidate weight w/p when returning to
+    * prev, w when candidate neighbors prev, w/q otherwise; same A-ES race. */
+  def node2vecWalks(nWalks: Int, depth: Int, p: Double, q: Double, seed: Long): String = {
+    val b = new StringBuilder
+    b ++= s"WITH $PRELUDE,\n${seeds(nWalks)},\n"
+    b ++= "n0 AS MATERIALIZED (SELECT id AS walk_id, CAST(-1 AS BIGINT) AS prev, id AS vertex FROM seeds),\n"
+    for (t <- 1 to depth) {
+      val key = s"pow(${u01(s"concat_ws('|', walk_id, $t, dst, $seed)")}, 1.0 / w2)"
+      b ++= s"""c$t AS MATERIALIZED (
+        |  SELECT s.walk_id, s.vertex AS from_v, e.dst,
+        |    e.weight * (CASE WHEN e.dst = s.prev THEN ${1.0 / p}
+        |                     WHEN a.dst IS NOT NULL THEN 1.0
+        |                     ELSE ${1.0 / q} END) AS w2
+        |  FROM n${t - 1} s JOIN und e ON s.vertex = e.src
+        |  LEFT JOIN und a ON a.src = s.prev AND a.dst = e.dst
+        |),
+        |n$t AS MATERIALIZED (
+        |  SELECT walk_id, arg_max(from_v, $key) AS prev, arg_max(dst, $key) AS vertex
+        |  FROM c$t GROUP BY walk_id
+        |)""".stripMargin
+      b ++= ",\n"
+    }
+    b ++= "walks AS (" + (0 to depth).map(t =>
+      s"SELECT walk_id, $t AS step, vertex FROM n$t").mkString(" UNION ALL ") + ")\n"
+    b ++= "SELECT walk_id, CAST(step AS BIGINT) AS step, vertex FROM walks"
+    b.toString
+  }
+
+  /** Homogeneous neighbor sampling: per hop, top-fanout edges per
+    * (batch, src) by hash order — the window row_number pattern. */
+  def neighborSample(nBatches: Int, fanouts: Seq[Int], seed: Long): String = {
+    val b = new StringBuilder
+    b ++= s"WITH $PRELUDE,\n${seeds(nBatches)},\n"
+    b ++= "f0 AS MATERIALIZED (SELECT id AS batch_id, id AS vertex FROM seeds),\n"
+    fanouts.zipWithIndex.foreach { case (f, h) =>
+      val key = h60(s"concat_ws('|', batch_id, $h, src, dst, $seed)")
+      b ++= s"""h$h AS MATERIALIZED (
+        |  SELECT batch_id, src, dst FROM (
+        |    SELECT s.batch_id, e.src, e.dst,
+        |      row_number() OVER (PARTITION BY s.batch_id, e.src ORDER BY $key) AS rn
+        |    FROM f$h s JOIN und e ON s.vertex = e.src
+        |  ) WHERE rn <= $f
+        |),
+        |f${h + 1} AS MATERIALIZED (SELECT DISTINCT batch_id, dst AS vertex FROM h$h)""".stripMargin
+      b ++= ",\n"
+    }
+    b ++= "sampled AS (" + fanouts.indices.map(h =>
+      s"SELECT batch_id, $h AS hop, src, dst FROM h$h").mkString(" UNION ALL ") + ")\n"
+    b ++= "SELECT batch_id, CAST(hop AS BIGINT) AS hop, src, dst FROM sampled"
+    b.toString
+  }
+
+  /** Heterogeneous sampling: per-edge-type fanouts; edge_type is the
+    * deterministic (src+dst)%2 projection used by the fixture. */
+  def heteroSample(nBatches: Int, fanouts: Map[Int, Seq[Int]], seed: Long): String = {
+    val nHops = fanouts.values.head.size
+    val b = new StringBuilder
+    b ++= s"WITH $PRELUDE,\n${seeds(nBatches)},\n"
+    b ++= "undt AS MATERIALIZED (SELECT src, dst, CAST((src + dst) % 2 AS INT) AS edge_type FROM und),\n"
+    b ++= "f0 AS MATERIALIZED (SELECT id AS batch_id, id AS vertex FROM seeds),\n"
+    for (h <- 0 until nHops) {
+      val key = h60(s"concat_ws('|', batch_id, $h, src, dst, $seed)")
+      val fanoutCase = "CASE " + fanouts.toSeq.sortBy(_._1).map { case (t, fs) =>
+        s"WHEN edge_type = $t THEN ${fs(h)}" }.mkString(" ") + " ELSE 0 END"
+      b ++= s"""h$h AS MATERIALIZED (
+        |  SELECT batch_id, src, dst, edge_type FROM (
+        |    SELECT s.batch_id, e.src, e.dst, e.edge_type,
+        |      row_number() OVER (PARTITION BY s.batch_id, e.src, e.edge_type ORDER BY $key) AS rn
+        |    FROM f$h s JOIN undt e ON s.vertex = e.src
+        |  ) WHERE rn <= $fanoutCase
+        |),
+        |f${h + 1} AS MATERIALIZED (SELECT DISTINCT batch_id, dst AS vertex FROM h$h)""".stripMargin
+      b ++= ",\n"
+    }
+    b ++= "sampled AS (" + (0 until nHops).map(h =>
+      s"SELECT batch_id, $h AS hop, src, dst, edge_type FROM h$h").mkString(" UNION ALL ") + ")\n"
+    b ++= "SELECT batch_id, CAST(hop AS BIGINT) AS hop, src, dst, edge_type FROM sampled"
+    b.toString
+  }
+
+  /** Temporal sampling: sampled edge time must exceed the arrival time of
+    * its source; fixture time t = CAST(weight AS BIGINT). */
+  def temporalSample(nBatches: Int, fanouts: Seq[Int], seed: Long): String = {
+    val b = new StringBuilder
+    b ++= s"WITH $PRELUDE,\n${seeds(nBatches)},\n"
+    b ++= "undt AS MATERIALIZED (SELECT src, dst, CAST(weight AS BIGINT) AS t FROM und),\n"
+    b ++= "f0 AS MATERIALIZED (SELECT id AS batch_id, id AS vertex, CAST(-1 AS BIGINT) AS t_in FROM seeds),\n"
+    fanouts.zipWithIndex.foreach { case (f, h) =>
+      val key = h60(s"concat_ws('|', batch_id, $h, src, dst, $seed)")
+      b ++= s"""h$h AS MATERIALIZED (
+        |  SELECT batch_id, src, dst, t FROM (
+        |    SELECT s.batch_id, e.src, e.dst, e.t,
+        |      row_number() OVER (PARTITION BY s.batch_id, e.src, s.t_in ORDER BY $key) AS rn
+        |    FROM f$h s JOIN undt e ON s.vertex = e.src AND e.t > s.t_in
+        |  ) WHERE rn <= $f
+        |),
+        |f${h + 1} AS MATERIALIZED (
+        |  SELECT batch_id, dst AS vertex, min(t) AS t_in FROM h$h GROUP BY 1, 2
+        |)""".stripMargin
+      b ++= ",\n"
+    }
+    b ++= "sampled AS (" + fanouts.indices.map(h =>
+      s"SELECT batch_id, $h AS hop, src, dst, t FROM h$h").mkString(" UNION ALL ") + ")\n"
+    b ++= "SELECT batch_id, CAST(hop AS BIGINT) AS hop, src, dst, t FROM sampled"
+    b.toString
+  }
+
+  /** Negative sampling over the SPARSE customer→supplier bipartite graph
+    * (the dense supplier fixture would anti-join everything away): hash-
+    * indexed candidate pairs minus existing edges. */
+  def negativeSample(n: Int, seed: Long): String =
+    s"""WITH $CUSTSUPP_EDGES_SQL,
+       |csverts AS MATERIALIZED (SELECT src AS id FROM cs_edges UNION SELECT dst FROM cs_edges),
+       |idx AS MATERIALIZED (SELECT id, row_number() OVER (ORDER BY id) - 1 AS i FROM csverts),
+       |nv AS MATERIALIZED (SELECT count(*) AS n FROM csverts),
+       |cand AS MATERIALIZED (
+       |  SELECT t.sample_id,
+       |    ${h60(s"concat_ws('|', 'ns', t.sample_id, 0, $seed)")} % (SELECT n FROM nv) AS si,
+       |    ${h60(s"concat_ws('|', 'ns', t.sample_id, 1, $seed)")} % (SELECT n FROM nv) AS di
+       |  FROM range(0, $n) t(sample_id)
+       |),
+       |j AS MATERIALIZED (
+       |  SELECT c.sample_id, a.id AS src, b.id AS dst
+       |  FROM cand c JOIN idx a ON a.i = c.si JOIN idx b ON b.i = c.di
+       |  WHERE a.id <> b.id
+       |)
+       |SELECT sample_id, src, dst FROM j
+       |WHERE NOT EXISTS (SELECT 1 FROM cs_edges e WHERE e.src = j.src AND e.dst = j.dst)""".stripMargin
+
+  /** Uniform vertex sample without replacement: k min-hash vertices. */
+  def selectRandomVertices(k: Int, seed: Long): String =
+    s"""WITH $PRELUDE
+       |SELECT id FROM (
+       |  SELECT id, row_number() OVER (ORDER BY ${h60(s"concat_ws('|', 'srv', id, $seed)")}, id) AS rn
+       |  FROM verts
+       |) WHERE rn <= $k""".stripMargin
+
+  /** Multi-source BFS (batched by source), unrolled `rounds` levels.
+    * Predecessor tie-break = min source endpoint, as in MultiTraversal. */
+  def msBfs(nSources: Int, rounds: Int): String = {
+    val b = new StringBuilder
+    b ++= s"WITH $PRELUDE,\n${seeds(nSources)},\n"
+    b ++= "m0 AS MATERIALIZED (SELECT id AS source, id, 0 AS dist, CAST(-1 AS BIGINT) AS predecessor FROM seeds),\n"
+    b ++= "st0 AS MATERIALIZED (SELECT source, id FROM m0),\n"
+    for (t <- 1 to rounds) {
+      b ++= s"""m$t AS MATERIALIZED (
+        |  SELECT f.source, u.dst AS id, $t AS dist, min(u.src) AS predecessor
+        |  FROM m${t - 1} f JOIN und u ON u.src = f.id
+        |  WHERE NOT EXISTS (SELECT 1 FROM st${t - 1} s WHERE s.source = f.source AND s.id = u.dst)
+        |  GROUP BY 1, 2
+        |),
+        |st$t AS MATERIALIZED (SELECT source, id FROM st${t - 1} UNION ALL SELECT source, id FROM m$t)""".stripMargin
+      b ++= ",\n"
+    }
+    b ++= "settled AS (" + (0 to rounds).map(t =>
+      s"SELECT source, id, dist, predecessor FROM m$t").mkString(" UNION ALL ") + ")\n"
+    b ++= "SELECT source, id, CAST(dist AS BIGINT) AS distance, predecessor FROM settled"
+    b.toString
+  }
+
+  /** Origin-destination hop distances: the msBfs chain semi-joined to the
+    * destination list. */
+  def odDistances(nOrigins: Int, nDests: Int, rounds: Int): String = {
+    val base = msBfs(nOrigins, rounds)
+    // swap the final SELECT for the OD projection (settled is the last CTE)
+    val body = base.substring(0, base.lastIndexOf("SELECT source,"))
+    body + ",\n" +
+      s"""dests AS MATERIALIZED (SELECT id FROM verts ORDER BY id LIMIT $nDests)
+         |SELECT s.source AS origin, s.id AS destination, CAST(s.dist AS BIGINT) AS distance
+         |FROM settled s JOIN dests d ON d.id = s.id""".stripMargin
+  }
+
+  /** BFS predecessor-path extraction: single-source BFS unrolled, then walk
+    * the predecessor chain from each destination (pos 0 = destination). */
+  def bfsPaths(nDests: Int, rounds: Int): String = {
+    val b = new StringBuilder
+    b ++= s"WITH $PRELUDE,\n"
+    b ++= "m0 AS MATERIALIZED (SELECT (SELECT min(src) FROM supp_edges) AS id, CAST(-1 AS BIGINT) AS predecessor),\n"
+    b ++= "st0 AS MATERIALIZED (SELECT id FROM m0),\n"
+    for (t <- 1 to rounds) {
+      b ++= s"""m$t AS MATERIALIZED (
+        |  SELECT u.dst AS id, min(u.src) AS predecessor
+        |  FROM m${t - 1} f JOIN und u ON u.src = f.id
+        |  WHERE NOT EXISTS (SELECT 1 FROM st${t - 1} s WHERE s.id = u.dst)
+        |  GROUP BY 1
+        |),
+        |st$t AS MATERIALIZED (SELECT id FROM st${t - 1} UNION ALL SELECT id FROM m$t)""".stripMargin
+      b ++= ",\n"
+    }
+    b ++= "pred AS MATERIALIZED (" + (0 to rounds).map(t =>
+      s"SELECT id, predecessor FROM m$t").mkString(" UNION ALL ") + "),\n"
+    b ++= s"dests AS MATERIALIZED (SELECT id FROM verts ORDER BY id DESC LIMIT $nDests),\n"
+    b ++= "p0 AS MATERIALIZED (SELECT d.id AS destination, 0 AS pos, p.id AS vertex, p.predecessor FROM dests d JOIN pred p ON p.id = d.id),\n"
+    for (k <- 1 to rounds) {
+      b ++= s"""p$k AS MATERIALIZED (
+        |  SELECT c.destination, $k AS pos, p.id AS vertex, p.predecessor
+        |  FROM p${k - 1} c JOIN pred p ON p.id = c.predecessor
+        |  WHERE c.predecessor <> -1
+        |)""".stripMargin
+      b ++= ",\n"
+    }
+    b ++= "paths AS (" + (0 to rounds).map(k =>
+      s"SELECT destination, pos, vertex FROM p$k").mkString(" UNION ALL ") + ")\n"
+    b ++= "SELECT destination, CAST(pos AS BIGINT) AS pos, vertex FROM paths"
+    b.toString
+  }
+
+  /** Edge cut of the supplier-nation partition (scalar). */
+  def edgeCut: String =
+    s"""WITH $SUPP_EDGES_SQL,
+       |$SUPP_UND_SQL,
+       |lbl AS MATERIALIZED (SELECT s_suppkey AS id, CAST(s_nationkey AS BIGINT) AS c FROM supplier)
+       |SELECT round(coalesce(sum(CASE WHEN la.c <> lb.c THEN u.weight END), 0) / 2.0, 6) AS edge_cut
+       |FROM und u JOIN lbl la ON la.id = u.src JOIN lbl lb ON lb.id = u.dst""".stripMargin
+
+  /** Ratio cut Σ_c cut(c)/|c| of the supplier-nation partition (scalar). */
+  def ratioCut: String =
+    s"""WITH $SUPP_EDGES_SQL,
+       |$SUPP_UND_SQL,
+       |lbl AS MATERIALIZED (SELECT s_suppkey AS id, CAST(s_nationkey AS BIGINT) AS c FROM supplier),
+       |sizes AS MATERIALIZED (SELECT c, count(*) AS n FROM lbl GROUP BY 1),
+       |cuts AS MATERIALIZED (
+       |  SELECT la.c AS c, sum(u.weight) / 2.0 AS cut
+       |  FROM und u JOIN lbl la ON la.id = u.src JOIN lbl lb ON lb.id = u.dst
+       |  WHERE la.c <> lb.c GROUP BY 1
+       |)
+       |SELECT round(sum(coalesce(cuts.cut, 0) / sizes.n), 6) AS ratio_cut
+       |FROM sizes LEFT JOIN cuts ON cuts.c = sizes.c""".stripMargin
+}

@@ -236,6 +236,109 @@ object SparkEntry {
       pipeline.Multimodal.frameSample(
         pipeline.Multimodal.asMedia(Fixtures.documents(s, dir)), frameBytes = 64, stride = 4)
     },
+    // ---- sampling & random walks (§2.7) ----
+    "q_uniform_walks" -> q { (s, dir) =>
+      val und = Fixtures.supplierGraphUnd(s, dir).edges
+      val starts = Fixtures.seedVertices(s, dir, 5)
+        .select(col(ID).as("walk_id"), col(ID).as("vertex"))
+      sampling.Walks.uniform(und, starts, maxDepth = 4)
+    },
+    "q_biased_walks" -> q { (s, dir) =>
+      val und = Fixtures.supplierGraphUnd(s, dir).edges
+      val starts = Fixtures.seedVertices(s, dir, 5)
+        .select(col(ID).as("walk_id"), col(ID).as("vertex"))
+      sampling.Walks.biased(und, starts, maxDepth = 4)
+    },
+    "q_node2vec" -> q { (s, dir) =>
+      val und = Fixtures.supplierGraphUnd(s, dir).edges
+      val starts = Fixtures.seedVertices(s, dir, 5)
+        .select(col(ID).as("walk_id"), col(ID).as("vertex"))
+      sampling.Walks.node2vec(und, starts, maxDepth = 3, p = 1.0, q = 2.0)
+    },
+    "q_neighbor_sample" -> q { (s, dir) =>
+      val und = Fixtures.supplierGraphUnd(s, dir).edges
+      val seeds = Fixtures.seedVertices(s, dir, 3)
+        .select(col(ID).as("batch_id"), col(ID).as("vertex"))
+      sampling.NeighborSampling.homogeneous(und, seeds, fanouts = Seq(2, 2))
+    },
+    "q_hetero_sample" -> q { (s, dir) =>
+      val und = Fixtures.supplierGraphUnd(s, dir).edges
+        .withColumn("edge_type", ((col(SRC) + col(DST)) % 2).cast("int"))
+      val seeds = Fixtures.seedVertices(s, dir, 3)
+        .select(col(ID).as("batch_id"), col(ID).as("vertex"))
+      sampling.NeighborSampling.heterogeneous(und, seeds,
+        fanouts = Map(0 -> Seq(2, 2), 1 -> Seq(1, 1)))
+    },
+    "q_temporal_sample" -> q { (s, dir) =>
+      val und = Fixtures.supplierGraphUnd(s, dir).edges
+        .withColumn("t", col(WEIGHT).cast("long"))
+      val seeds = Fixtures.seedVertices(s, dir, 3)
+        .select(col(ID).as("batch_id"), col(ID).as("vertex"))
+      sampling.NeighborSampling.temporal(und, seeds, fanouts = Seq(2, 2))
+    },
+    "q_negative_sample" -> q { (s, dir) =>
+      // sparse bipartite graph — the dense supplier fixture would anti-join
+      // every candidate away (vacuous rows=0 check)
+      val e = Fixtures.custSuppEdges(s, dir)
+      val verts = Structure.extractVertexList(e)
+      sampling.NeighborSampling.negative(e, verts, n = 200)
+    },
+    "q_select_random_vertices" -> q { (s, dir) =>
+      val verts = Structure.extractVertexList(Fixtures.supplierEdges(s, dir))
+      sampling.NeighborSampling.selectRandomVertices(verts, k = 10)
+    },
+    // ---- batched traversal (§2.3) ----
+    "q_msbfs" -> q { (s, dir) =>
+      val g = Fixtures.supplierGraphUnd(s, dir)
+      val sources = Fixtures.seedVertices(s, dir, 3).select(col(ID).as("source"))
+      val res = MultiTraversal.msBfs(g, sources)
+        .select(col("source"), col(ID), col("distance").cast("long").as("distance"),
+          col("predecessor")).mat
+      val maxDepth = res.agg(max("distance")).first().getLong(0)
+      require(maxDepth <= 12, s"msBFS depth $maxDepth exceeds oracle budget 12")
+      res
+    },
+    "q_od_distances" -> q { (s, dir) =>
+      val g = Fixtures.supplierGraphUnd(s, dir)
+      val origins = Fixtures.seedVertices(s, dir, 3)
+      val dests = Fixtures.seedVertices(s, dir, 5)
+      val res = MultiTraversal.odShortestDistances(g, origins, dests).mat
+      val maxDepth = res.agg(max("distance")).first().getLong(0)
+      require(maxDepth <= 12, s"OD depth $maxDepth exceeds oracle budget 12")
+      res
+    },
+    "q_bfs_paths" -> q { (s, dir) =>
+      val g = Fixtures.supplierGraphUnd(s, dir)
+      val src = g.vertices.agg(min(ID)).first().getLong(0)
+      val bfs = Traversal.bfs(g, src).mat
+      val maxDepth = bfs.agg(max("distance")).first().getInt(0)
+      require(maxDepth <= 12, s"BFS depth $maxDepth exceeds oracle budget 12")
+      val dests = g.vertices.orderBy(desc(ID)).limit(3)
+      MultiTraversal.extractBfsPaths(bfs, dests, maxDepth = 12)
+    },
+    // ---- community extras (§2.5) ----
+    "q_leiden" -> q { (s, dir) =>
+      val (labels, modQ) = Community.leiden(Fixtures.supplierGraph(s, dir), maxLevel = 2)
+      require(!modQ.isNaN, "leiden modularity is NaN")
+      labels
+    },
+    "q_ecg" -> q { (s, dir) =>
+      val (labels, modQ) = Community.ecg(Fixtures.supplierGraph(s, dir), ensembleSize = 4)
+      require(!modQ.isNaN, "ecg modularity is NaN")
+      labels
+    },
+    "q_edge_cut" -> q { (s, dir) =>
+      val labels = Tables(s, dir, "supplier")
+        .select(col("s_suppkey").as(ID), col("s_nationkey").cast("long").as("c"))
+      val v = Community.edgeCut(Fixtures.supplierGraph(s, dir), labels)
+      s.range(1).select(round(lit(v), 6).as("edge_cut"))
+    },
+    "q_ratio_cut" -> q { (s, dir) =>
+      val labels = Tables(s, dir, "supplier")
+        .select(col("s_suppkey").as(ID), col("s_nationkey").cast("long").as("c"))
+      val v = Community.ratioCut(Fixtures.supplierGraph(s, dir), labels)
+      s.range(1).select(round(lit(v), 6).as("ratio_cut"))
+    },
     // ---- link prediction (§2.6) ----
     "q_jaccard" -> q { (s, dir) =>
       val r = Similarity.allPairs(Fixtures.supplierGraph(s, dir), Similarity.Jaccard)
@@ -402,6 +505,20 @@ object SparkEntry {
     "q_media_meta" -> PipelineSql.mediaMeta,
     "q_media_decode" -> PipelineSql.mediaDecode,
     "q_frame_sample" -> PipelineSql.frameSample(frameBytes = 64, stride = 4),
+    "q_uniform_walks" -> SamplingSql.uniformWalks(nWalks = 5, depth = 4, seed = 42),
+    "q_biased_walks" -> SamplingSql.biasedWalks(nWalks = 5, depth = 4, seed = 42),
+    "q_node2vec" -> SamplingSql.node2vecWalks(nWalks = 5, depth = 3, p = 1.0, q = 2.0, seed = 42),
+    "q_neighbor_sample" -> SamplingSql.neighborSample(nBatches = 3, fanouts = Seq(2, 2), seed = 42),
+    "q_hetero_sample" -> SamplingSql.heteroSample(nBatches = 3,
+      fanouts = Map(0 -> Seq(2, 2), 1 -> Seq(1, 1)), seed = 42),
+    "q_temporal_sample" -> SamplingSql.temporalSample(nBatches = 3, fanouts = Seq(2, 2), seed = 42),
+    "q_negative_sample" -> SamplingSql.negativeSample(n = 200, seed = 42),
+    "q_select_random_vertices" -> SamplingSql.selectRandomVertices(k = 10, seed = 42),
+    "q_msbfs" -> SamplingSql.msBfs(nSources = 3, rounds = 12),
+    "q_od_distances" -> SamplingSql.odDistances(nOrigins = 3, nDests = 5, rounds = 12),
+    "q_bfs_paths" -> SamplingSql.bfsPaths(nDests = 3, rounds = 12),
+    "q_edge_cut" -> SamplingSql.edgeCut,
+    "q_ratio_cut" -> SamplingSql.ratioCut,
     "q_jaccard" -> similaritySql("round(CAST(i.i AS DOUBLE) / (da.d + db.d - i.i), 6)", "jaccard_coeff"),
     "q_overlap" -> similaritySql("round(CAST(i.i AS DOUBLE) / least(da.d, db.d), 6)", "overlap_coeff"),
     "q_cosine" -> similaritySql("round(CAST(i.i AS DOUBLE) / sqrt(CAST(da.d AS DOUBLE) * db.d), 6)", "cosine_coeff"),
