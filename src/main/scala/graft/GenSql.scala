@@ -1,0 +1,50 @@
+package graft
+
+/** DuckDB oracle SQL for the generators — same hash60 draws, same
+  * thresholds (interpolated from the identical Scala doubles, so both
+  * engines compare against bit-identical constants). Generators read no
+  * tables: the oracle is pure `range()` arithmetic.
+  */
+object GenSql {
+
+  private def u01(e: String): String =
+    s"(CAST(CAST('0x' || substr(md5($e), 1, 15) AS BIGINT) AS DOUBLE) / 1152921504606846976.0)"
+
+  def rmat(scale: Int, numEdges: Long, a: Double = 0.57, b: Double = 0.19,
+           c: Double = 0.19, seed: Long = 42): String = {
+    val ab = a + b
+    val abc = a + b + c
+    s"""WITH u AS MATERIALIZED (
+       |  SELECT e.i AS edge_id, l.l AS l,
+       |         ${u01(s"concat_ws('|', 'rmat', e.i, l.l, $seed)")} AS u
+       |  FROM range(0, $numEdges) e(i) CROSS JOIN range(0, $scale) l(l)
+       |)
+       |SELECT edge_id,
+       |  CAST(coalesce(sum(CASE WHEN u >= $ab THEN (CAST(1 AS BIGINT) << l) ELSE 0 END), 0) AS BIGINT) AS src,
+       |  CAST(coalesce(sum(CASE WHEN (u >= $a AND u < $ab) OR u >= $abc THEN (CAST(1 AS BIGINT) << l) ELSE 0 END), 0) AS BIGINT) AS dst
+       |FROM u GROUP BY edge_id""".stripMargin
+  }
+
+  def rmatScrambled(scale: Int, numEdges: Long, seed: Long = 42): String =
+    s"""WITH base AS MATERIALIZED (${rmat(scale, numEdges).replace("\n", "\n  ")})
+       |SELECT edge_id,
+       |  (src * ${gen.Generators.ScrambleK} + $seed) % ${1L << scale} AS src,
+       |  (dst * ${gen.Generators.ScrambleK} + $seed) % ${1L << scale} AS dst
+       |FROM base""".stripMargin
+
+  def erdosRenyi(n: Long, p: Double, seed: Long = 42): String =
+    s"""SELECT i.i AS src, j.j AS dst
+       |FROM range(0, $n) i(i) CROSS JOIN range(0, $n) j(j)
+       |WHERE i.i < j.j AND ${u01(s"concat_ws('|', 'er', i.i, j.j, $seed)")} < $p""".stripMargin
+
+  def pathGraph(n: Long): String =
+    s"SELECT i AS src, i + 1 AS dst FROM range(0, ${n - 1}) t(i)"
+
+  def grid2d(rows: Long, cols: Long): String =
+    s"""SELECT i AS src, i + 1 AS dst FROM range(0, ${rows * cols}) t(i) WHERE i % $cols <> ${cols - 1}
+       |UNION ALL
+       |SELECT i, i + $cols FROM range(0, ${rows * cols}) t(i) WHERE i < ${(rows - 1) * cols}""".stripMargin
+
+  def complete(n: Long): String =
+    s"SELECT i.i AS src, j.j AS dst FROM range(0, $n) i(i) CROSS JOIN range(0, $n) j(j) WHERE i.i < j.j"
+}

@@ -236,6 +236,20 @@ object SparkEntry {
       pipeline.Multimodal.frameSample(
         pipeline.Multimodal.asMedia(Fixtures.documents(s, dir)), frameBytes = 64, stride = 4)
     },
+    // ---- generators (§2.8) ----
+    "q_rmat" -> q { (s, _) =>
+      gen.Generators.rmat(s, scale = 8, numEdges = 1024)
+    },
+    "q_rmat_scrambled" -> q { (s, _) =>
+      gen.Generators.scrambleVertexIds(
+        gen.Generators.rmat(s, scale = 8, numEdges = 1024), scale = 8)
+    },
+    "q_erdos_renyi" -> q { (s, _) =>
+      gen.Generators.erdosRenyi(s, n = 100, p = 0.05)
+    },
+    "q_gen_path" -> q { (s, _) => gen.Generators.pathGraph(s, 100) },
+    "q_gen_grid" -> q { (s, _) => gen.Generators.grid2d(s, 10, 10) },
+    "q_gen_complete" -> q { (s, _) => gen.Generators.complete(s, 30) },
     // ---- sampling & random walks (§2.7) ----
     "q_uniform_walks" -> q { (s, dir) =>
       val und = Fixtures.supplierGraphUnd(s, dir).edges
@@ -505,6 +519,12 @@ object SparkEntry {
     "q_media_meta" -> PipelineSql.mediaMeta,
     "q_media_decode" -> PipelineSql.mediaDecode,
     "q_frame_sample" -> PipelineSql.frameSample(frameBytes = 64, stride = 4),
+    "q_rmat" -> GenSql.rmat(scale = 8, numEdges = 1024),
+    "q_rmat_scrambled" -> GenSql.rmatScrambled(scale = 8, numEdges = 1024),
+    "q_erdos_renyi" -> GenSql.erdosRenyi(n = 100, p = 0.05),
+    "q_gen_path" -> GenSql.pathGraph(100),
+    "q_gen_grid" -> GenSql.grid2d(10, 10),
+    "q_gen_complete" -> GenSql.complete(30),
     "q_uniform_walks" -> SamplingSql.uniformWalks(nWalks = 5, depth = 4, seed = 42),
     "q_biased_walks" -> SamplingSql.biasedWalks(nWalks = 5, depth = 4, seed = 42),
     "q_node2vec" -> SamplingSql.node2vecWalks(nWalks = 5, depth = 3, p = 1.0, q = 2.0, seed = 42),

@@ -1,0 +1,88 @@
+package graft.gen
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Gr._
+import graft.pipeline.TextOps.hash60
+
+/** Graph generators (reference: `cpp/src/generators/` —
+  * `generate_rmat_edgelist.cuh`, `erdos_renyi_generator.cuh`,
+  * `simple_generators.cuh`; python surface `generators/rmat.py:407`,
+  * C++ decls `graph_generators.hpp:69,205-337`).
+  *
+  * Scale shape: every generator is `spark.range(n)` + pure projections —
+  * embarrassingly parallel, zero shuffles, so a scale-30 RMAT (17B edges)
+  * is just a bigger range with more partitions. Randomness is the
+  * deterministic md5-derived hash60 (counter-mode PRNG in expression form),
+  * reproducible under any partitioning AND by the DuckDB oracle; for
+  * maximum throughput swap hash60 for the codegen'd xxhash64 (same shape,
+  * no longer oracle-portable).
+  */
+object Generators {
+
+  /** RMAT edge list (Graph500 recursive-matrix): per edge i and bit level l
+    * one uniform draw picks the quadrant — src bit 1 iff u ≥ a+b, dst bit 1
+    * iff u ∈ [a, a+b) ∪ [a+b+c, 1). Defaults a=.57, b=.19, c=.19, seed=42
+    * (reference `rmat.py:407-452`). Output (edge_id, src, dst); multi-edges
+    * and self-loops are kept, as in the reference (clip_and_flip off). */
+  def rmat(spark: SparkSession, scale: Int, numEdges: Long,
+           a: Double = 0.57, b: Double = 0.19, c: Double = 0.19,
+           seed: Long = 42): DataFrame = {
+    val ab = a + b
+    val abc = a + b + c
+    val base = spark.range(numEdges).select(col("id").as("edge_id"))
+    val (srcExpr, dstExpr) = (0 until scale).foldLeft((lit(0L), lit(0L))) {
+      case ((s, d), l) =>
+        val u = hash60(concat_ws("|", lit("rmat"), col("edge_id"), lit(l), lit(seed)))
+          .cast("double") / lit(math.pow(2, 60))
+        (s + when(u >= ab, lit(1L << l)).otherwise(lit(0L)),
+         d + when((u >= a && u < ab) || u >= abc, lit(1L << l)).otherwise(lit(0L)))
+    }
+    base.select(col("edge_id"), srcExpr.as(SRC), dstExpr.as(DST))
+  }
+
+  /** Erdős–Rényi G(n,p): each ordered pair i<j kept iff its hash draw < p.
+    * For huge n, generate from `range(n·(n−1)/2)` and invert the pair index
+    * instead of the cross join (same draws, no quadratic intermediate). */
+  def erdosRenyi(spark: SparkSession, n: Long, p: Double, seed: Long = 42): DataFrame = {
+    val i = spark.range(n).select(col("id").as(SRC))
+    val j = spark.range(n).select(col("id").as(DST))
+    val u = hash60(concat_ws("|", lit("er"), col(SRC), col(DST), lit(seed)))
+      .cast("double") / lit(math.pow(2, 60))
+    i.crossJoin(j).filter(col(SRC) < col(DST)).filter(u < p)
+  }
+
+  /** Path graph 0−1−…−(n−1) (reference `graph_generators.hpp:205`). */
+  def pathGraph(spark: SparkSession, n: Long): DataFrame =
+    spark.range(n - 1).select(col("id").as(SRC), (col("id") + 1L).as(DST))
+
+  /** 2D mesh rows×cols with right + down edges (`graph_generators.hpp:231`). */
+  def grid2d(spark: SparkSession, rows: Long, cols: Long): DataFrame = {
+    val cells = spark.range(rows * cols)
+    val right = cells.filter(col("id") % cols =!= cols - 1)
+      .select(col("id").as(SRC), (col("id") + 1L).as(DST))
+    val down = cells.filter(col("id") < (rows - 1) * cols)
+      .select(col("id").as(SRC), (col("id") + cols).as(DST))
+    right.union(down)
+  }
+
+  /** Complete graph K_n, canonical i<j (`graph_generators.hpp:283`). */
+  def complete(spark: SparkSession, n: Long): DataFrame = {
+    val i = spark.range(n).select(col("id").as(SRC))
+    val j = spark.range(n).select(col("id").as(DST))
+    i.crossJoin(j).filter(col(SRC) < col(DST))
+  }
+
+  /** Scramble vertex ids within [0, 2^scale) — the reference's
+    * `scramble.cuh` id-decorrelation step. A permutation is required (ids
+    * must stay distinct), so this is the affine map x → (x·K + seed) mod
+    * 2^scale with K odd (bijective mod a power of two). Supports scale ≤ 30
+    * (product stays inside Long under ANSI arithmetic). */
+  val ScrambleK = 2654435761L
+  def scrambleVertexIds(edges: DataFrame, scale: Int, seed: Long = 42): DataFrame = {
+    require(scale <= 30, "scramble supports scale <= 30")
+    def mix(c: org.apache.spark.sql.Column) =
+      pmod(c * lit(ScrambleK) + lit(seed), lit(1L << scale))
+    edges.withColumn(SRC, mix(col(SRC))).withColumn(DST, mix(col(DST)))
+  }
+}
