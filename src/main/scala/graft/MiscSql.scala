@@ -1,0 +1,101 @@
+package graft
+
+/** DuckDB oracles for the Luby-round algorithms (MIS, matching) and the
+  * lookup/summary structure queries. Same hash60 priorities as the Spark
+  * side, rounds unrolled. */
+object MiscSql {
+  import Fixtures._
+
+  private def h60(e: String): String =
+    s"CAST('0x' || substr(md5($e), 1, 15) AS BIGINT)"
+
+  /** Tree fixture (hierarchyDag, symmetrized) shared prelude. */
+  private val DAG_PRELUDE =
+    """dagu AS MATERIALIZED (
+      |  SELECT CAST(n_regionkey AS BIGINT) AS src, CAST(n_nationkey + 100 AS BIGINT) AS dst FROM nation
+      |  UNION ALL
+      |  SELECT CAST(s_nationkey + 100 AS BIGINT), CAST(s_suppkey + 1000 AS BIGINT) FROM supplier
+      |),
+      |dund AS MATERIALIZED (SELECT src, dst FROM dagu UNION ALL SELECT dst, src FROM dagu),
+      |dverts AS MATERIALIZED (SELECT src AS id FROM dagu UNION SELECT dst FROM dagu)""".stripMargin
+
+  /** Luby MIS on the tree fixture, `rounds` unrolled rounds: a vertex wins
+    * when no remaining neighbor has smaller (priority, id). */
+  def misTree(rounds: Int, seed: Long): String = {
+    val b = new StringBuilder
+    b ++= s"WITH $DAG_PRELUDE,\n"
+    b ++= s"pri AS MATERIALIZED (SELECT id, ${h60(s"concat_ws('|', 'mis', id, $seed)")} AS p FROM dverts),\n"
+    b ++= "rem1 AS MATERIALIZED (SELECT id FROM dverts),\n"
+    for (r <- 1 to rounds) {
+      b ++= s"""mis$r AS MATERIALIZED (
+        |  SELECT v.id FROM rem$r v JOIN pri pv ON pv.id = v.id
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM dund e JOIN rem$r u ON u.id = e.dst JOIN pri pu ON pu.id = u.id
+        |    WHERE e.src = v.id AND (pu.p < pv.p OR (pu.p = pv.p AND u.id < v.id))
+        |  )
+        |),
+        |kill$r AS MATERIALIZED (
+        |  SELECT id FROM mis$r
+        |  UNION SELECT e.dst FROM dund e JOIN mis$r m ON m.id = e.src
+        |),
+        |rem${r + 1} AS MATERIALIZED (
+        |  SELECT id FROM rem$r WHERE NOT EXISTS (SELECT 1 FROM kill$r k WHERE k.id = rem$r.id)
+        |)""".stripMargin
+      b ++= ",\n"
+    }
+    b ++= "allmis AS (" + (1 to rounds).map(r => s"SELECT id FROM mis$r").mkString(" UNION ALL ") + ")\n"
+    b ++= "SELECT id FROM allmis"
+    b.toString
+  }
+
+  /** Handshake weighted matching on the supplier graph, `rounds` unrolled:
+    * per round each vertex points at arg_max(weight·1e6 − dst); mutual
+    * pairs retire. */
+  def matchingSupplier(rounds: Int): String = {
+    val b = new StringBuilder
+    b ++= s"WITH $SUPP_EDGES_SQL,\n$SUPP_UND_SQL,\n"
+    b ++= "re0 AS MATERIALIZED (SELECT src, dst, weight FROM und WHERE src <> dst),\n"
+    for (r <- 1 to rounds) {
+      b ++= s"""b$r AS MATERIALIZED (
+        |  SELECT src, arg_max(dst, weight * 1000000.0 - dst) AS m FROM re${r - 1} GROUP BY src
+        |),
+        |p$r AS MATERIALIZED (
+        |  SELECT a.src, a.m AS dst FROM b$r a JOIN b$r b ON b.src = a.m AND b.m = a.src
+        |  WHERE a.src < a.m
+        |),
+        |pall$r AS MATERIALIZED (${(1 to r).map(i => s"SELECT src, dst FROM p$i").mkString(" UNION ALL ")}),
+        |mv$r AS MATERIALIZED (SELECT src AS id FROM pall$r UNION SELECT dst FROM pall$r),
+        |re$r AS MATERIALIZED (
+        |  SELECT e.src, e.dst, e.weight FROM re${r - 1} e
+        |  WHERE NOT EXISTS (SELECT 1 FROM mv$r k WHERE k.id = e.src)
+        |    AND NOT EXISTS (SELECT 1 FROM mv$r k WHERE k.id = e.dst)
+        |)""".stripMargin
+      b ++= (if (r < rounds) ",\n" else "\n")
+    }
+    b ++= s"SELECT src, dst FROM pall$rounds"
+    b.toString
+  }
+
+  /** Edge-id lookup: dense canonical ids, probe every 7th id. */
+  def edgeLookup: String =
+    s"""WITH $SUPP_EDGES_SQL,
+       |etab AS MATERIALIZED (
+       |  SELECT src, dst,
+       |         CAST(row_number() OVER (ORDER BY src, dst) AS BIGINT) AS edge_id,
+       |         CAST((src + dst) % 3 AS INT) AS edge_type
+       |  FROM supp_edges
+       |)
+       |SELECT edge_id, edge_type, src, dst FROM etab WHERE edge_id % 7 = 0""".stripMargin
+
+  /** One-row structural summary of the supplier graph. */
+  def graphSummary: String =
+    s"""WITH $SUPP_EDGES_SQL,
+       |$SUPP_VERTS_SQL,
+       |nv AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS v FROM verts),
+       |ne AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS e FROM supp_edges)
+       |SELECT (SELECT v FROM nv) AS num_vertices,
+       |       (SELECT e FROM ne) AS num_edges,
+       |       CAST((SELECT count(*) FROM supp_edges WHERE src = dst) AS BIGINT) AS self_loops,
+       |       (SELECT e FROM ne) - CAST((SELECT count(*) FROM (SELECT DISTINCT src, dst FROM supp_edges)) AS BIGINT) AS multi_edges,
+       |       round(CAST((SELECT e FROM ne) AS DOUBLE) / ((SELECT v FROM nv) * ((SELECT v FROM nv) - 1)), 6) AS density""".stripMargin
+}

@@ -236,6 +236,59 @@ object SparkEntry {
       pipeline.Multimodal.frameSample(
         pipeline.Multimodal.asMedia(Fixtures.documents(s, dir)), frameBytes = 64, stride = 4)
     },
+    // ---- MIS / coloring / matching / LAP / layout / spectral / lookup ----
+    "q_mis" -> q { (s, dir) =>
+      val (m, rounds) = Misc.misWithRounds(Fixtures.hierarchyDag(s, dir))
+      require(rounds <= 6, s"MIS took $rounds rounds, oracle budget is 6")
+      m
+    },
+    "q_coloring" -> q { (s, dir) =>
+      val g = Fixtures.hierarchyDag(s, dir)
+      val colors = Misc.vertexColoring(g).mat
+      // self-checking: a proper coloring has no monochromatic edge
+      val und = Structure.symmetrize(g.edges.select(SRC, DST))
+      val bad = und
+        .join(colors.select(col(ID).as(SRC), col("color").as("ca")), SRC)
+        .join(colors.select(col(ID).as(DST), col("color").as("cb")), DST)
+        .filter(col("ca") === col("cb")).count()
+      require(bad == 0, s"improper coloring: $bad monochromatic edges")
+      colors
+    },
+    "q_matching" -> q { (s, dir) =>
+      Misc.weightedMatching(Fixtures.supplierGraph(s, dir), rounds = 3)
+    },
+    "q_assignment" -> q { (s, dir) =>
+      val e = Fixtures.custSuppEdges(s, dir)
+      val custs = e.select(SRC).distinct().orderBy(SRC).limit(8).collect().map(_.getLong(0))
+      val supps = e.select(DST).distinct().orderBy(DST).limit(8).collect().map(_.getLong(0))
+      val wmap = e.filter(col(SRC).isin(custs: _*) && col(DST).isin(supps: _*))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      // maximize matched weight = minimize negated costs (driver-side LAP)
+      val cost = custs.map(c => supps.map(p => -wmap.getOrElse((c, p), 0.0)))
+      val asg = Misc.assignment(cost)
+      import s.implicits._
+      asg.zipWithIndex.map { case (j, i) => (custs(i), supps(j)) }
+        .toSeq.toDF("customer", "supplier")
+    },
+    "q_fa2_layout" -> q { (s, dir) =>
+      val pos = Misc.forceAtlas2(Fixtures.supplierGraph(s, dir), iters = 3).mat
+      val bad = pos.filter(isnan(col("x")) || isnan(col("y"))).count()
+      require(bad == 0, s"FA2 produced $bad NaN positions")
+      pos.select(col(ID), round(col("x"), 6).as("x"), round(col("y"), 6).as("y"))
+    },
+    "q_spectral" -> q { (s, dir) =>
+      val res = Spectral.balancedCut(Fixtures.supplierGraph(s, dir), k = 4).mat
+      require(res.select("cluster").distinct().count() <= 4, "spectral: too many clusters")
+      res
+    },
+    "q_edge_lookup" -> q { (s, dir) =>
+      val table = graft.core.Lookup.edgeIdTable(Fixtures.supplierEdges(s, dir)).mat
+      val ids = table.filter(col(EDGE_ID) % 7 === 0).select(EDGE_ID, EDGE_TYPE)
+      graft.core.Lookup.lookupEdges(table, ids)
+    },
+    "q_graph_summary" -> q { (s, dir) =>
+      graft.core.Lookup.graphSummary(Fixtures.supplierEdges(s, dir))
+    },
     // ---- generators (§2.8) ----
     "q_rmat" -> q { (s, _) =>
       gen.Generators.rmat(s, scale = 8, numEdges = 1024)
@@ -519,6 +572,10 @@ object SparkEntry {
     "q_media_meta" -> PipelineSql.mediaMeta,
     "q_media_decode" -> PipelineSql.mediaDecode,
     "q_frame_sample" -> PipelineSql.frameSample(frameBytes = 64, stride = 4),
+    "q_mis" -> MiscSql.misTree(rounds = 6, seed = 42),
+    "q_matching" -> MiscSql.matchingSupplier(rounds = 3),
+    "q_edge_lookup" -> MiscSql.edgeLookup,
+    "q_graph_summary" -> MiscSql.graphSummary,
     "q_rmat" -> GenSql.rmat(scale = 8, numEdges = 1024),
     "q_rmat_scrambled" -> GenSql.rmatScrambled(scale = 8, numEdges = 1024),
     "q_erdos_renyi" -> GenSql.erdosRenyi(n = 100, p = 0.05),

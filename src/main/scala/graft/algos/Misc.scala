@@ -1,0 +1,184 @@
+package graft.algos
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.core.{PropertyGraph, Structure, Gr}
+import graft.prims.Mat._
+import graft.pipeline.TextOps.hash60
+
+/** Luby-style randomized-rounds algorithms (MIS / coloring / matching),
+  * driver-side LAP, and the ForceAtlas2-shaped layout.
+  *
+  * Reference: MIS `cpp/src/components/mis_impl.cuh` (`algorithms.hpp:2332`),
+  * vertex coloring `components/vertex_coloring_impl.cuh` (`:2360`),
+  * approximate weighted matching `community/approx_weighted_matching_impl.cuh`
+  * (`:2388`), Hungarian `linear_assignment/legacy/hungarian.cu`
+  * (`algorithms.hpp:463`), ForceAtlas2 `layout/legacy/barnes_hut.cuh`
+  * (`:234`).
+  *
+  * Randomness = the deterministic hash60 race (see sampling.Walks), so MIS
+  * and matching have EXACT DuckDB oracles; rounds are level-synchronous
+  * joins + aggregations — Luby's O(log n) round bound keeps the job count
+  * logarithmic at any scale.
+  */
+object Misc {
+  import Gr._
+
+  private def priority(c: org.apache.spark.sql.Column, seed: Long) =
+    hash60(concat_ws("|", lit("mis"), c, lit(seed)))
+
+  /** Maximal independent set, Luby's algorithm: a vertex enters the MIS when
+    * its (hash, id) priority beats every remaining neighbor; winners'
+    * neighborhoods leave the arena. Returns (mis DataFrame(id), rounds). */
+  def misWithRounds(g: PropertyGraph, seed: Long = 42, maxRounds: Int = 50): (DataFrame, Int) = {
+    val und = Structure.removeSelfLoops(Structure.symmetrize(g.edges.select(SRC, DST))).mat
+    // seed from the VERTEX set (isolated vertices belong in every MIS;
+    // edge-derived vertex lists would also NPE on edgeless subgraphs)
+    var rem = g.vertices.select(col(ID), priority(col(ID), seed).as("p")).mat
+    var mis: DataFrame = rem.select(ID).limit(0)
+    var rounds = 0
+    var nRem = rem.count()
+    while (nRem > 0 && rounds < maxRounds) {
+      rounds += 1
+      // smallest neighbor priority among remaining vertices, per vertex
+      val nbrBest = und
+        .join(rem.select(col(ID).as(SRC)), SRC)
+        .join(rem.select(col(ID).as(DST), col("p").as("np")), DST)
+        .groupBy(col(SRC).as(ID))
+        .agg(min(struct(col("np"), col(DST))).as("nb"))
+      val winners = rem.join(nbrBest, Seq(ID), "left")
+        .filter(col("nb").isNull ||
+          struct(col("p"), col(ID)) < col("nb"))
+        .select(ID).mat
+      mis = mis.union(winners).mat
+      // drop winners and their neighbors from the arena
+      val killed = winners.union(
+        und.join(winners.withColumnRenamed(ID, SRC), SRC).select(col(DST).as(ID)))
+        .distinct()
+      rem = rem.join(killed, Seq(ID), "left_anti").mat
+      nRem = rem.count()
+    }
+    (mis.select(ID), rounds)
+  }
+
+  def mis(g: PropertyGraph, seed: Long = 42): DataFrame = misWithRounds(g, seed)._1
+
+  /** Greedy distributed coloring by repeated MIS: the r-th MIS over the
+    * still-uncolored subgraph gets color r (reference
+    * `vertex_coloring_impl.cuh` does exactly this). Returns (id, color). */
+  def vertexColoring(g: PropertyGraph, seed: Long = 42, maxColors: Int = 100): DataFrame = {
+    val und = Structure.removeSelfLoops(Structure.symmetrize(g.edges.select(SRC, DST))).mat
+    var remV = Structure.extractVertexList(g.edges).mat
+    var colored: DataFrame = null
+    var color = 0
+    var nRem = remV.count()
+    while (nRem > 0 && color < maxColors) {
+      val subE = und
+        .join(remV.withColumnRenamed(ID, SRC), SRC)
+        .join(remV.withColumnRenamed(ID, DST), DST)
+        .select(SRC, DST)
+      val sub = PropertyGraph(remV, subE, g.props.copy(directed = false))
+      val m = mis(sub, seed + color).withColumn("color", lit(color.toLong))
+      colored = if (colored == null) m else colored.union(m).mat
+      remV = remV.join(m.select(ID), Seq(ID), "left_anti").mat
+      color += 1
+      nRem = remV.count()
+    }
+    colored
+  }
+
+  /** Approximate weighted matching, fixed handshake rounds: every vertex
+    * points at its heaviest remaining neighbor (key = weight·1e6 − dst,
+    * deterministic tie-break), mutual pairs match and retire. Canonical
+    * output (src < dst). Reference `approx_weighted_matching_impl.cuh`. */
+  def weightedMatching(g: PropertyGraph, rounds: Int = 3): DataFrame = {
+    val und = Structure.removeSelfLoops(
+      Structure.symmetrize(g.weightedEdges.select(SRC, DST, WEIGHT), sumWeights = false)).mat
+    var remE = und
+    var pairs: DataFrame = null
+    for (_ <- 1 to rounds) {
+      val best = remE.groupBy(SRC)
+        .agg(max_by(col(DST), col(WEIGHT) * lit(1e6) - col(DST)).as("m"))
+      val b2 = best.select(col(SRC).as("b_src"), col("m").as("b_m"))
+      val matched = best.join(b2, col("m") === col("b_src") && col("b_m") === col(SRC))
+        .filter(col(SRC) < col("m"))
+        .select(col(SRC), col("m").as(DST)).mat
+      pairs = if (pairs == null) matched else pairs.union(matched).mat
+      val mv = pairs.select(col(SRC).as(ID)).union(pairs.select(col(DST).as(ID))).distinct()
+      remE = remE
+        .join(mv.withColumnRenamed(ID, SRC), Seq(SRC), "left_anti")
+        .join(mv.withColumnRenamed(ID, DST), Seq(DST), "left_anti")
+        .mat
+    }
+    pairs
+  }
+
+  /** Exact linear assignment for SMALL square cost matrices — driver-side
+    * subset DP (O(n²·2ⁿ), n ≤ 20), deterministic lexicographic tie-break.
+    * The reference's Hungarian is likewise a dense single-GPU legacy path;
+    * a 100 TB engine only ever calls this on collected small problems. */
+  def assignment(cost: Array[Array[Double]]): Array[Int] = {
+    val n = cost.length
+    require(n <= 20, "driver-side LAP supports n <= 20")
+    val full = (1 << n) - 1
+    val dp = Array.fill(1 << n)(Double.MaxValue)
+    val choice = Array.fill(1 << n)(-1)
+    dp(0) = 0.0
+    for (mask <- 0 until full) if (dp(mask) != Double.MaxValue) {
+      val row = Integer.bitCount(mask)
+      for (j <- 0 until n if (mask & (1 << j)) == 0) {
+        val nm = mask | (1 << j)
+        val v = dp(mask) + cost(row)(j)
+        if (v < dp(nm)) { dp(nm) = v; choice(nm) = j }
+      }
+    }
+    val res = Array.fill(n)(-1)
+    var mask = full
+    while (mask != 0) {
+      val j = choice(mask)
+      res(Integer.bitCount(mask) - 1) = j
+      mask &= ~(1 << j)
+    }
+    res
+  }
+
+  /** ForceAtlas2-shaped layout: attraction along edges + grid-binned
+    * repulsion (the Barnes-Hut cell approximation as a groupBy(cell) —
+    * SURVEY §2.4). Deterministic hash init; `iters` bounded force rounds.
+    * Output (id, x, y) in [0,1]². */
+  def forceAtlas2(g: PropertyGraph, iters: Int = 5, gridSize: Int = 8,
+                  step: Double = 0.05, seed: Long = 42): DataFrame = {
+    val und = Structure.symmetrize(g.edges.select(SRC, DST)).mat
+    val u01x = hash60(concat_ws("|", lit("fa2x"), col(ID), lit(seed))).cast("double") / lit(math.pow(2, 60))
+    val u01y = hash60(concat_ws("|", lit("fa2y"), col(ID), lit(seed))).cast("double") / lit(math.pow(2, 60))
+    var pos = Structure.extractVertexList(g.edges)
+      .select(col(ID), u01x.as("x"), u01y.as("y")).mat
+    for (_ <- 1 to iters) {
+      // attraction: pull toward neighbor positions (sum of deltas)
+      val att = und
+        .join(pos.select(col(ID).as(SRC), col("x").as("sx"), col("y").as("sy")), SRC)
+        .join(pos.select(col(ID).as(DST), col("x").as("dx_"), col("y").as("dy_")), DST)
+        .groupBy(col(SRC).as(ID))
+        .agg(sum(col("dx_") - col("sx")).as("ax"), sum(col("dy_") - col("sy")).as("ay"))
+      // repulsion: grid cells push vertices away from cell centroids
+      val cells = pos.select(floor(col("x") * gridSize).as("cx"),
+          floor(col("y") * gridSize).as("cy"), col("x"), col("y"))
+        .groupBy("cx", "cy")
+        .agg(count(lit(1)).as("cnt"), avg("x").as("mx"), avg("y").as("my"))
+      val rep = pos.crossJoin(broadcast(cells))
+        .select(col(ID), col("x"), col("y"),
+          ((col("x") - col("mx")) * col("cnt") /
+            (pow(col("x") - col("mx"), 2) + pow(col("y") - col("my"), 2) + lit(1e-4))).as("rx"),
+          ((col("y") - col("my")) * col("cnt") /
+            (pow(col("x") - col("mx"), 2) + pow(col("y") - col("my"), 2) + lit(1e-4))).as("ry"))
+        .groupBy(ID).agg(first("x").as("x"), first("y").as("y"),
+          sum("rx").as("rx"), sum("ry").as("ry"))
+      pos = rep.join(att, Seq(ID), "left")
+        .select(col(ID),
+          least(greatest(col("x") + lit(step) * (coalesce(col("ax"), lit(0.0)) * 0.1 + col("rx") * 0.01), lit(0.0)), lit(1.0)).as("x"),
+          least(greatest(col("y") + lit(step) * (coalesce(col("ay"), lit(0.0)) * 0.1 + col("ry") * 0.01), lit(0.0)), lit(1.0)).as("y"))
+        .mat
+    }
+    pos
+  }
+}
