@@ -62,18 +62,20 @@ final case class PropertyGraph(
   /** Map internal dense ids in `col` back to external ids.
     * Reference: `NumberMap.unrenumber` (`structure/number_map.py:599`) —
     * a single hash join on the renumber map. */
-  def unrenumber(df: DataFrame, col: String): DataFrame = renumberMap match {
+  def unrenumber(df: DataFrame, idCol: String): DataFrame = renumberMap match {
     case None => df
     case Some(m) =>
+      // edges/vertices typically DERIVE from the map (renumberEdges joins
+      // it), so joining the raw map again is the ambiguous-self-join trap
+      // (ADVICE r1) — alias both sides and resolve by qualifier.
       val extCols = m.columns.filterNot(_ == Gr.INT_ID)
-      val joined = df.join(broadcastIfSmall(m), df(col) === m(Gr.INT_ID), "left")
+      val joined = df.as("_b").join(broadcast(m.as("_rm")),
+        col(s"_b.$idCol") === col(s"_rm.${Gr.INT_ID}"), "left")
       // replace the internal id column with the external one(s)
-      val keep = df.columns.filterNot(_ == col).map(df(_)) ++
-        extCols.map(c => m(c).as(if (extCols.length == 1) col else s"${col}_$c"))
+      val keep = df.columns.filterNot(_ == idCol).map(c => col(s"_b.$c")) ++
+        extCols.map(c => col(s"_rm.$c").as(if (extCols.length == 1) idCol else s"${idCol}_$c"))
       joined.select(keep.toIndexedSeq: _*)
   }
-
-  private def broadcastIfSmall(df: DataFrame): DataFrame = df
 }
 
 /** Column-name constants (reference pins these at `simpleGraph.py:36-40`). */

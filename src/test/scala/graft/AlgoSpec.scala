@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core._
+import graft.core.Gr._
+import graft.algos._
+
+/** Algorithm correctness on small known graphs — the ScalaTest tier of the
+  * SURVEY §5 test plan (golden values computed by hand / reference
+  * semantics). */
+class AlgoSpec extends SparkSpec {
+
+  // two triangles (1,2,3) and (4,5,6) bridged by 3—4
+  private val bridged = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L), (4L, 6L), (5L, 6L))
+
+  test("BFS distances and reachability on the bridged triangles") {
+    val und = Structure.symmetrize(edgeDF(bridged))
+    val g = PropertyGraph(Structure.extractVertexList(und), und,
+      GraphProperties(directed = false))
+    val d = Traversal.bfs(g, 1L).collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(d == Map(1L -> 0, 2L -> 1, 3L -> 1, 4L -> 2, 5L -> 3, 6L -> 3))
+  }
+
+  test("SSSP picks the lighter two-hop path over the heavy direct edge") {
+    val g = wGraphOf(Seq((1L, 2L, 10.0), (1L, 3L, 1.0), (3L, 2L, 2.0)))
+    val d = Traversal.sssp(g, 1L).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(d(2L) == 3.0 && d(3L) == 1.0)
+  }
+
+  test("PageRank sums to 1 and ranks the bridge vertices highest") {
+    val und = Structure.symmetrize(edgeDF(bridged))
+    val g = PropertyGraph(Structure.extractVertexList(und), und,
+      GraphProperties(directed = false))
+    val pr = PageRank.runFixed(g, iters = 30).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(pr.values.sum - 1.0) < 1e-6)
+    // 3 and 4 have degree 3, everything else degree 2
+    val top2 = pr.toSeq.sortBy(-_._2).take(2).map(_._1).toSet
+    assert(top2 == Set(3L, 4L))
+  }
+
+  test("WCC finds the two components of a disconnected graph") {
+    val und = Structure.symmetrize(edgeDF(Seq((1L, 2L), (2L, 3L), (10L, 11L))))
+    val g = PropertyGraph(Structure.extractVertexList(und), und,
+      GraphProperties(directed = false))
+    val comp = Components.wcc(g).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp(1L) == comp(3L) && comp(10L) == comp(11L) && comp(1L) != comp(10L))
+  }
+
+  test("triangle count per vertex on the bridged triangles") {
+    val g = graphOf(bridged)
+    val t = Triangles.countPerVertex(g).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(t == Map(1L -> 1, 2L -> 1, 3L -> 1, 4L -> 1, 5L -> 1, 6L -> 1))
+  }
+
+  test("SCC separates the cycle from the tail") {
+    // 1→2→3→1 is an SCC; 4 hangs off it
+    val g = graphOf(Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)))
+    val c = Components.scc(g).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(c(1L) == c(2L) && c(2L) == c(3L) && c(4L) != c(1L))
+  }
+
+  test("Boruvka MST total weight on a known weighted graph") {
+    // square 1-2-3-4 with diagonal: MST = {1-2:1, 2-3:1, 3-4:1} weight 3
+    val g = wGraphOf(Seq((1L, 2L, 1.0), (2L, 3L, 1.0), (3L, 4L, 1.0),
+      (4L, 1L, 5.0), (1L, 3L, 4.0)), directed = false)
+    val mst = TreeDag.boruvkaMst(g)
+    assert(mst.count() == 3)
+    assert(mst.agg(sum(WEIGHT)).first().getDouble(0) == 3.0)
+  }
+
+  test("core number: the 3-clique core survives the tail") {
+    val g = graphOf(Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)))
+    val core = Components.coreNumber(g).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(core(1L) == 2 && core(2L) == 2 && core(3L) == 2 && core(4L) == 1)
+  }
+
+  test("topological levels respect the DAG order") {
+    val g = graphOf(Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L)))
+    val lvl = TreeDag.topologicalLevels(g).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(lvl == Map(1L -> 0, 2L -> 1, 3L -> 1, 4L -> 2))
+  }
+
+  test("Jaccard on a known pair") {
+    // nbrs(1) = {2,3,4}; nbrs(5) = {3,4,6}; intersection 2, union 4
+    val g = graphOf(Seq((1L, 2L), (1L, 3L), (1L, 4L), (5L, 3L), (5L, 4L), (5L, 6L)),
+      directed = false)
+    val j = Similarity.allPairs(g, Similarity.Jaccard).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(math.abs(j((1L, 5L)) - 0.5) < 1e-9)
+  }
+
+  test("Louvain recovers the two dense blocks") {
+    // two 4-cliques joined by one edge
+    val k4a = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val k4b = k4a.map { case (a, b) => (a + 10L, b + 10L) }
+    val g = wGraphOf((k4a ++ k4b :+ ((4L, 11L))).map { case (a, b) => (a, b, 1.0) },
+      directed = false)
+    val (labels, q) = Community.louvain(g)
+    val m = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(1L) == m(2L) && m(2L) == m(3L) && m(3L) == m(4L))
+    assert(m(11L) == m(12L) && m(12L) == m(13L) && m(13L) == m(14L))
+    assert(m(1L) != m(11L))
+    assert(q > 0.3)
+  }
+
+  test("betweenness: the bridge endpoints dominate") {
+    val g = graphOf(bridged)
+    val bc = Centrality.betweenness(g).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val top2 = bc.toSeq.sortBy(-_._2).take(2).map(_._1).toSet
+    assert(top2 == Set(3L, 4L))
+  }
+}

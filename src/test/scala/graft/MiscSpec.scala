@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core._
+import graft.core.Gr._
+import graft.algos.Misc
+import graft.gen.Generators
+
+/** MIS/coloring/matching validity properties, LAP optimality vs brute
+  * force, generator shape checks. */
+class MiscSpec extends SparkSpec {
+
+  private val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 1L),
+    (1L, 6L), (2L, 7L), (3L, 8L))
+
+  test("MIS is independent and maximal") {
+    val g = graphOf(edges)
+    val misSet = Misc.mis(g).collect().map(_.getLong(0)).toSet
+    val und = Structure.symmetrize(edgeDF(edges)).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // independent: no edge inside the set
+    assert(!und.exists { case (a, b) => misSet(a) && misSet(b) })
+    // maximal: every non-member has a neighbor in the set
+    val all = und.flatMap(e => Seq(e._1, e._2)).toSet
+    val nbrs = und.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert((all -- misSet).forall(v => nbrs.getOrElse(v, Set.empty).exists(misSet)))
+  }
+
+  test("vertex coloring is proper") {
+    val g = graphOf(edges)
+    val colors = Misc.vertexColoring(g).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val und = Structure.symmetrize(edgeDF(edges)).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(und.forall { case (a, b) => colors(a) != colors(b) })
+  }
+
+  test("weighted matching is a valid matching over existing edges") {
+    val g = wGraphOf(Seq((1L, 2L, 3.0), (2L, 3L, 1.0), (3L, 4L, 5.0), (4L, 1L, 2.0)),
+      directed = false)
+    val m = Misc.weightedMatching(g).collect().map(r => (r.getLong(0), r.getLong(1)))
+    val touched = m.flatMap(p => Seq(p._1, p._2))
+    assert(touched.distinct.length == touched.length) // vertex-disjoint
+    val es = Set((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L))
+    assert(m.forall(p => es(p) || es(p.swap)))
+    // greedy handshake takes the heaviest edge 3-4 first
+    assert(m.contains((3L, 4L)))
+  }
+
+  test("assignment DP matches brute force on a 5x5 instance") {
+    val rnd = new scala.util.Random(7)
+    val cost = Array.fill(5, 5)(rnd.nextInt(100).toDouble)
+    val got = Misc.assignment(cost)
+    val best = (0 until 5).permutations
+      .map(p => p.zipWithIndex.map { case (j, i) => cost(i)(j) }.sum).min
+    assert(got.zipWithIndex.map { case (j, i) => cost(i)(j) }.sum == best)
+    assert(got.distinct.length == 5)
+  }
+
+  test("generators: path/grid/complete shapes") {
+    assert(Generators.pathGraph(spark, 10).count() == 9)
+    assert(Generators.grid2d(spark, 3, 4).count() == (3 * 3 + 2 * 4))
+    assert(Generators.complete(spark, 7).count() == 21)
+  }
+
+  test("RMAT ids stay in [0, 2^scale) and scramble is a permutation") {
+    val e = Generators.rmat(spark, scale = 6, numEdges = 200)
+    assert(e.count() == 200)
+    val mx = e.agg(greatest(max(SRC), max(DST))).first().getLong(0)
+    assert(mx < 64)
+    val ids = spark.range(64).select(col("id").as(SRC), col("id").as(DST))
+    val scrambled = Generators.scrambleVertexIds(ids, scale = 6)
+    assert(scrambled.select(SRC).distinct().count() == 64)
+  }
+
+  test("erdos-renyi density is near p") {
+    val e = Generators.erdosRenyi(spark, n = 200, p = 0.1)
+    val frac = e.count().toDouble / (200.0 * 199 / 2)
+    assert(frac > 0.07 && frac < 0.13)
+  }
+}

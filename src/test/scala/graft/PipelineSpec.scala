@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.pipeline._
+
+/** Training-data pipeline unit checks: dedup, LSH, text analysis, ANN. */
+class PipelineSpec extends SparkSpec {
+
+  private def docs = {
+    import spark.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (3L, "the quick brown fox jumps over the lazy dog near the river today"),
+      (4L, "completely different text about spark catalyst optimizer internals here")
+    ).toDF("doc_id", "text")
+  }
+
+  test("exact dedup groups identical docs and marks the min id canonical") {
+    val d = Dedup.exact(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(3))).toMap
+    assert(d(1L) == (2L, true))   // group of {1,2}, 1 canonical
+    assert(d(2L) == (2L, false))
+    assert(d(4L) == (1L, true))
+  }
+
+  test("LSH pairs surface the near-duplicate, not the unrelated doc") {
+    val pairs = Dedup.minhashLshPairs(docs, n = 3, bands = 4, rowsPerBand = 2,
+      threshold = 0.2).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))   // identical
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("simhash of identical docs is identical") {
+    val sh = Dedup.simhash(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) == sh(2L))
+    assert(sh(1L) != sh(4L))
+  }
+
+  test("token counts") {
+    val t = TextAnalysis.tokenCounts(docs).filter(col("doc_id") === 1L).first()
+    assert(t.getLong(1) == 13) // n_tokens
+    assert(t.getLong(2) == 11) // n_distinct ("the" x3)
+  }
+
+  test("brute-force ANN top-k returns self as nearest neighbor") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(0.0f, 0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val res = Ann.bruteForceTopK(emb, emb.filter(col("vec_id") === 0L), k = 2)
+    val got = res.orderBy("rank").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == 2)
+    assert(got.head == (0L, 1L)) // nearest neighbor of 0 is 1 (self excluded)
+  }
+}
