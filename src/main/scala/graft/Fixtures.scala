@@ -140,6 +140,19 @@ object Fixtures {
     PropertyGraph(Structure.extractVertexList(e), e, GraphProperties(directed = true))
   }
 
+  /** Shared similarity kernel over the supplier graph: per-pair
+    * neighborhood-intersection counts + per-vertex degrees, materialized
+    * once per session. All four coefficient queries are scalar math over
+    * this (the reference shares `detail/similarity_impl.cuh` the same way);
+    * recomputing the Σ deg² wedge join per coefficient would quadruple the
+    * dominant cost. */
+  def supplierSimInter(spark: SparkSession, dir: String): DataFrame =
+    cached(spark, s"sim_inter:$dir")(
+      graft.algos.Similarity.interAndDeg(supplierGraph(spark, dir))._1)
+  def supplierSimDeg(spark: SparkSession, dir: String): DataFrame =
+    cached(spark, s"sim_deg:$dir")(
+      graft.algos.Similarity.interAndDeg(supplierGraph(spark, dir))._2)
+
   /** The k smallest supplier-graph vertex ids — deterministic seeds for
     * walks / sampling / multi-source traversal queries (oracle: ORDER BY id
     * LIMIT k over the vertex list). */

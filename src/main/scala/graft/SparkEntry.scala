@@ -406,21 +406,25 @@ object SparkEntry {
       val v = Community.ratioCut(Fixtures.supplierGraph(s, dir), labels)
       s.range(1).select(round(lit(v), 6).as("ratio_cut"))
     },
-    // ---- link prediction (§2.6) ----
+    // ---- link prediction (§2.6): one shared kernel, four scorings ----
     "q_jaccard" -> q { (s, dir) =>
-      val r = Similarity.allPairs(Fixtures.supplierGraph(s, dir), Similarity.Jaccard)
+      val r = Similarity.scoreFrom(Fixtures.supplierSimInter(s, dir),
+        Fixtures.supplierSimDeg(s, dir), Similarity.Jaccard)
       r.select(col(SRC), col(DST), round(col("jaccard_coeff"), 6).as("jaccard_coeff"))
     },
     "q_overlap" -> q { (s, dir) =>
-      val r = Similarity.allPairs(Fixtures.supplierGraph(s, dir), Similarity.Overlap)
+      val r = Similarity.scoreFrom(Fixtures.supplierSimInter(s, dir),
+        Fixtures.supplierSimDeg(s, dir), Similarity.Overlap)
       r.select(col(SRC), col(DST), round(col("overlap_coeff"), 6).as("overlap_coeff"))
     },
     "q_cosine" -> q { (s, dir) =>
-      val r = Similarity.allPairs(Fixtures.supplierGraph(s, dir), Similarity.Cosine)
+      val r = Similarity.scoreFrom(Fixtures.supplierSimInter(s, dir),
+        Fixtures.supplierSimDeg(s, dir), Similarity.Cosine)
       r.select(col(SRC), col(DST), round(col("cosine_coeff"), 6).as("cosine_coeff"))
     },
     "q_sorensen" -> q { (s, dir) =>
-      val r = Similarity.allPairs(Fixtures.supplierGraph(s, dir), Similarity.Sorensen)
+      val r = Similarity.scoreFrom(Fixtures.supplierSimInter(s, dir),
+        Fixtures.supplierSimDeg(s, dir), Similarity.Sorensen)
       r.select(col(SRC), col(DST), round(col("sorensen_coeff"), 6).as("sorensen_coeff"))
     },
   )

@@ -4,7 +4,7 @@ import graft.prims.Mat._
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.core.{PropertyGraph, Structure, Gr}
-import graft.prims.Iterate
+import graft.prims.{Iterate, Hint}
 
 /** Katz / eigenvector / HITS / degree centrality — the PageRank-shaped
   * dense-iteration family, plus Brandes betweenness.
@@ -29,10 +29,11 @@ object Centrality {
            maxIter: Int = 100, tol: Double = 1e-6,
            normalized: Boolean = true): DataFrame = {
     val verts = g.vertices.select(ID).mat
+    val nV = verts.count()
     val e = g.edges.select(SRC, DST).mat
     val init = verts.withColumn("katz", lit(beta))
     val step = { (c: DataFrame, _: Int) =>
-      val in = e.join(c.withColumnRenamed(ID, SRC), SRC)
+      val in = e.join(Hint.state(c.withColumnRenamed(ID, SRC), nV), SRC)
         .groupBy(col(DST).as(ID)).agg(sum("katz").as("in_sum"))
       verts.join(in, Seq(ID), "left")
         .select(col(ID), (lit(alpha) * coalesce(col("in_sum"), lit(0.0)) + lit(beta)).as("katz"))
@@ -57,7 +58,7 @@ object Centrality {
     val e = g.weightedEdges.select(SRC, DST, WEIGHT).mat
     val init = verts.withColumn("ec", lit(1.0 / math.sqrt(nV)))
     val step = { (c: DataFrame, _: Int) =>
-      val in = e.join(c.withColumnRenamed(ID, SRC), SRC)
+      val in = e.join(Hint.state(c.withColumnRenamed(ID, SRC), nV.toLong), SRC)
         .groupBy(col(DST).as(ID)).agg(sum(col("ec") * col(WEIGHT)).as("in_sum"))
       val raw = verts.join(in, Seq(ID), "left")
         .select(col(ID), coalesce(col("in_sum"), lit(0.0)).as("ec"))
@@ -77,18 +78,19 @@ object Centrality {
     * @return DataFrame(id, hubs, authorities). */
   def hits(g: PropertyGraph, maxIter: Int = 100, tol: Double = 1e-5): DataFrame = {
     val verts = g.vertices.select(ID).mat
+    val nV = verts.count()
     val e = g.edges.select(SRC, DST).mat
     val init = verts.withColumn("hubs", lit(1.0)).withColumn("authorities", lit(1.0))
     val step = { (hs: DataFrame, _: Int) =>
       // authorities(v) = Σ hubs(u) over u→v, then sum-normalize
-      val auth0 = e.join(hs.select(col(ID).as(SRC), col("hubs")), SRC)
+      val auth0 = e.join(Hint.state(hs.select(col(ID).as(SRC), col("hubs")), nV), SRC)
         .groupBy(col(DST).as(ID)).agg(sum("hubs").as("a"))
       val authAll = verts.join(auth0, Seq(ID), "left")
         .select(col(ID), coalesce(col("a"), lit(0.0)).as("a")).mat
       val aNorm = authAll.agg(sum("a")).first().getDouble(0)
       val auth = authAll.select(col(ID), (col("a") / lit(if (aNorm == 0) 1.0 else aNorm)).as("authorities"))
       // hubs(u) = Σ authorities(v) over u→v, then sum-normalize
-      val hub0 = e.join(auth.select(col(ID).as(DST), col("authorities")), DST)
+      val hub0 = e.join(Hint.state(auth.select(col(ID).as(DST), col("authorities")), nV), DST)
         .groupBy(col(SRC).as(ID)).agg(sum("authorities").as("h"))
       val hubAll = verts.join(hub0, Seq(ID), "left")
         .select(col(ID), coalesce(col("h"), lit(0.0)).as("h")).mat

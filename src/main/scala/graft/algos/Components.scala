@@ -30,12 +30,13 @@ object Components {
   def wccWithRounds(g: PropertyGraph, maxIter: Int = 50): (DataFrame, Int) = {
     val und = Structure.symmetrize(g.edges.select(SRC, DST)).mat
     val init = g.vertices.select(col(ID), col(ID).as("component"))
+    val nV = g.vertices.count()
     var changed = 1L
     var labels = init.mat
     var it = 0
     while (changed > 0 && it < maxIter) {
       it += 1
-      val nbrMin = und.join(labels.withColumnRenamed(ID, SRC), SRC)
+      val nbrMin = und.join(graft.prims.Hint.state(labels.withColumnRenamed(ID, SRC), nV), SRC)
         .groupBy(col(DST).as(ID)).agg(min("component").as("nbr_min"))
       val next = labels.join(nbrMin, Seq(ID), "left")
         .select(col(ID), least(col("component"), coalesce(col("nbr_min"), col("component"))).as("component"))

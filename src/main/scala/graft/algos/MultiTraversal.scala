@@ -36,7 +36,7 @@ object MultiTraversal {
     var n = 1L
     while (n > 0 && depth < depthLimit) {
       depth += 1
-      val next = e.join(frontier.withColumnRenamed(ID, SRC), SRC)
+      val next = e.join(graft.prims.Hint.state(frontier.withColumnRenamed(ID, SRC), n), SRC)
         .groupBy(col("source"), col(DST).as(ID)).agg(min(SRC).as("predecessor"))
         .join(settled.select("source", ID), Seq("source", ID), "left_anti")
         .withColumn("distance", lit(depth))

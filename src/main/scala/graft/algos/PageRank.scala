@@ -4,7 +4,7 @@ import graft.prims.Mat._
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.core.{PropertyGraph, Gr}
-import graft.prims.Iterate
+import graft.prims.{Iterate, Hint}
 
 /** PageRank / personalized PageRank — power iteration with dangling-mass
   * redistribution and L1 convergence, matching the reference contract
@@ -61,7 +61,7 @@ object PageRank {
       val dangling = if (!hasDangling) 0.0
         else ranks.join(danglingSet, Seq(ID), "left_semi")
         .agg(coalesce(sum("pagerank"), lit(0.0))).first().getDouble(0)
-      val contribs = edges.join(ranks.withColumnRenamed(ID, SRC), SRC)
+      val contribs = edges.join(Hint.state(ranks.withColumnRenamed(ID, SRC), nV.toLong), SRC)
         .select(col(DST).as(ID), (col("pagerank") * col("norm_w")).as("c"))
         .groupBy(ID).agg(sum("c").as("in_sum"))
       reset.join(contribs, Seq(ID), "left")

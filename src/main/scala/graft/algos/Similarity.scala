@@ -31,10 +31,13 @@ object Similarity {
   private def undirected(g: PropertyGraph): DataFrame =
     Structure.removeSelfLoops(Structure.symmetrize(g.edges.select(SRC, DST)))
 
-  /** Similarity for all 2-hop candidate pairs (a<b).
-    * @return DataFrame(src, dst, coeff-named column). */
-  def allPairs(g: PropertyGraph, coeff: Coefficient, topK: Option[Int] = None,
-               minIntersection: Int = 1): DataFrame = {
+  /** The shared kernel: per-pair intersection sizes + per-vertex degrees.
+    * All four coefficients are scalar math over this one result (the
+    * reference likewise shares `detail/similarity_impl.cuh`), so callers
+    * computing several coefficients should materialize it ONCE and call
+    * [[scoreFrom]] per coefficient — the wedge count is Σ deg², by far the
+    * dominant cost. */
+  def interAndDeg(g: PropertyGraph, minIntersection: Int = 1): (DataFrame, DataFrame) = {
     val und = undirected(g).mat
     val deg = und.groupBy(col(SRC).as(ID)).agg(count(lit(1)).as("d"))
     // wedges a—m—b with a<b: |N(a) ∩ N(b)| per pair
@@ -43,10 +46,27 @@ object Similarity {
     val inter = left.join(right, "m").filter(col("a") < col("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("i"))
       .filter(col("i") >= minIntersection)
-    val scored = inter
-      .join(deg.select(col(ID).as("a"), col("d").as("da")), "a")
-      .join(deg.select(col(ID).as("b"), col("d").as("db")), "b")
+    (inter, deg)
+  }
+
+  /** Score candidate pairs from a precomputed (inter, deg) kernel. The
+    * degree table is O(V) — broadcast when small so the O(pairs)
+    * intersection stream never reshuffles. */
+  def scoreFrom(inter: DataFrame, deg: DataFrame, coeff: Coefficient,
+                nV: Long = -1L): DataFrame = {
+    val d = graft.prims.Hint.state(deg, if (nV >= 0) nV else deg.count())
+    inter
+      .join(d.select(col(ID).as("a"), col("d").as("da")), "a")
+      .join(d.select(col(ID).as("b"), col("d").as("db")), "b")
       .select(col("a").as(SRC), col("b").as(DST), scoreCol(coeff).as(coeff.name))
+  }
+
+  /** Similarity for all 2-hop candidate pairs (a<b).
+    * @return DataFrame(src, dst, coeff-named column). */
+  def allPairs(g: PropertyGraph, coeff: Coefficient, topK: Option[Int] = None,
+               minIntersection: Int = 1): DataFrame = {
+    val (inter, deg) = interAndDeg(g, minIntersection)
+    val scored = scoreFrom(inter, deg, coeff)
     topK match {
       case Some(k) => scored.orderBy(desc(coeff.name), col(SRC), col(DST)).limit(k)
       case None => scored

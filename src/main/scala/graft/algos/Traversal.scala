@@ -4,6 +4,7 @@ import graft.prims.Mat._
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.core.{PropertyGraph, Gr}
+import graft.prims.Hint
 
 /** BFS / SSSP / k-hop — level-synchronous frontier expansion.
   *
@@ -35,7 +36,7 @@ object Traversal {
     var frontierCount = 1L
     while (frontierCount > 0 && depth < depthLimit) {
       depth += 1
-      val next = e.join(frontier.withColumnRenamed(ID, SRC), SRC)
+      val next = e.join(Hint.state(frontier.withColumnRenamed(ID, SRC), frontierCount), SRC)
         .groupBy(col(DST).as(ID)).agg(min(SRC).as("predecessor"))
         .join(settled.select(ID), Seq(ID), "left_anti")
         .withColumn("distance", lit(depth))
@@ -72,7 +73,7 @@ object Traversal {
     var nImproved = 1L
     while (nImproved > 0 && round < maxRounds) {
       round += 1
-      val cand = e.join(improved.select(col(ID).as(SRC), col("distance").as("d_src")), SRC)
+      val cand = e.join(Hint.state(improved.select(col(ID).as(SRC), col("distance").as("d_src")), nImproved), SRC)
         .select(col(DST).as(ID), (col("d_src") + col(WEIGHT)).as("distance"), col(SRC).as("predecessor"))
         .filter(col("distance") <= cutoff)
       // min per dst, deterministic predecessor tie-break via struct ordering

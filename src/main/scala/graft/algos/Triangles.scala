@@ -43,13 +43,20 @@ object Triangles {
     }
   }
 
-  /** All triangles as (a,b,c) rows with a<b<c (id orientation). */
+  /** All triangles as (a,b,c) rows with a<b<c (id orientation). The closing
+    * semi-join broadcasts the edge list when it is small enough — the wedge
+    * stream (Σ deg², the dominant intermediate) then never shuffles. */
   def enumerate(g: PropertyGraph): DataFrame = {
     val e = oriented(g).mat
+    enumerateOf(e, e.count())
+  }
+
+  private def enumerateOf(e: DataFrame, nE: Long): DataFrame = {
     val ab = e.select(col(SRC).as("a"), col(DST).as("b"))
     val bc = e.select(col(SRC).as("b"), col(DST).as("c"))
     val ac = e.select(col(SRC).as("a"), col(DST).as("c"))
-    ab.join(bc, "b").join(ac, Seq("a", "c"), "left_semi").select("a", "b", "c")
+    ab.join(bc, "b").join(graft.prims.Hint.state(ac, nE), Seq("a", "c"), "left_semi")
+      .select("a", "b", "c")
   }
 
   /** Per-vertex triangle count (reference `triangle_count.py:34`).
@@ -75,12 +82,7 @@ object Triangles {
   }
 
   private def edgeSupportOf(e: DataFrame): DataFrame = {
-    val tri = {
-      val ab = e.select(col(SRC).as("a"), col(DST).as("b"))
-      val bc = e.select(col(SRC).as("b"), col(DST).as("c"))
-      val ac = e.select(col(SRC).as("a"), col(DST).as("c"))
-      ab.join(bc, "b").join(ac, Seq("a", "c"), "left_semi")
-    }.mat
+    val tri = enumerateOf(e, e.count()).mat
     val sup = tri.select(col("a").as(SRC), col("b").as(DST))
       .union(tri.select(col("b").as(SRC), col("c").as(DST)))
       .union(tri.select(col("a").as(SRC), col("c").as(DST)))

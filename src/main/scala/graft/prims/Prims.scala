@@ -105,6 +105,22 @@ object Mat {
   }
 }
 
+/** Size-aware broadcast of per-vertex state into edge joins.
+  *
+  * Every iterative algorithm's hot join is `edges ⋈ state-on-vertex`; when
+  * the state side is known-small, broadcasting it turns the per-round
+  * shuffle of the (billions-of-rows) edge table into a map-side hash join —
+  * the single biggest lever for iterative cost at scale. At huge vertex
+  * counts the state no longer fits in an executor and the hint degrades to
+  * a plain join (AQE then picks the strategy from runtime shuffle sizes).
+  * Callers pass the row count they already track (frontier size, |V|), so
+  * the decision costs no extra job.
+  */
+object Hint {
+  def state(df: DataFrame, nRows: Long, maxRows: Long = 5000000L): DataFrame =
+    if (nRows >= 0 && nRows <= maxRows) broadcast(df) else df
+}
+
 object TopK {
 
   /** Top-k rows per key — THE canonical Spark pattern for per-source fanout
