@@ -236,6 +236,19 @@ object SparkEntry {
       pipeline.Multimodal.frameSample(
         pipeline.Multimodal.asMedia(Fixtures.documents(s, dir)), frameBytes = 64, stride = 4)
     },
+    // ---- sources / interop (§2.1) ----
+    "q_from_adjlist" -> q { (s, dir) =>
+      // adjacency-list round trip: COO → per-vertex neighbor lists → COO
+      val e = Fixtures.supplierEdges(s, dir)
+      val adj = sources.Convert.toAdjList(e)
+        .select(col(ID), col("nbrs.dst").as("ns"), col("nbrs.weight").as("ws"))
+      sources.Convert.fromAdjList(adj, idCol = ID, nbrsCol = "ns", wCol = Some("ws"))
+    },
+    "q_karate_triangles" -> q { (s, _) =>
+      // curated-dataset registry + triangle kernel on the classic fixture
+      val g = sources.Datasets.getGraph(s, "karate")
+      Triangles.countPerVertex(g)
+    },
     // ---- MIS / coloring / matching / LAP / layout / spectral / lookup ----
     "q_mis" -> q { (s, dir) =>
       val (m, rounds) = Misc.misWithRounds(Fixtures.hierarchyDag(s, dir))
@@ -576,6 +589,26 @@ object SparkEntry {
     "q_media_meta" -> PipelineSql.mediaMeta,
     "q_media_decode" -> PipelineSql.mediaDecode,
     "q_frame_sample" -> PipelineSql.frameSample(frameBytes = 64, stride = 4),
+    "q_from_adjlist" ->
+      s"WITH $SUPP_EDGES_SQL SELECT src, dst, weight FROM supp_edges",
+    "q_karate_triangles" -> {
+      val vals = sources.Datasets.karateEdges.map { case (a, b) => s"($a, $b)" }.mkString(", ")
+      s"""WITH k0(s0, d0) AS (VALUES $vals),
+         |k AS MATERIALIZED (SELECT CAST(s0 AS BIGINT) AS src, CAST(d0 AS BIGINT) AS dst FROM k0),
+         |kverts AS MATERIALIZED (SELECT src AS id FROM k UNION SELECT dst FROM k),
+         |tri AS MATERIALIZED (
+         |  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+         |  FROM k e1 JOIN k e2 ON e1.dst = e2.src
+         |  WHERE EXISTS (SELECT 1 FROM k e3 WHERE e3.src = e1.src AND e3.dst = e2.dst)
+         |),
+         |cnt AS MATERIALIZED (
+         |  SELECT id, count(*) AS triangle_count FROM (
+         |    SELECT a AS id FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri
+         |  ) GROUP BY id
+         |)
+         |SELECT v.id, coalesce(c.triangle_count, 0) AS triangle_count
+         |FROM kverts v LEFT JOIN cnt c ON c.id = v.id""".stripMargin
+    },
     "q_mis" -> MiscSql.misTree(rounds = 6, seed = 42),
     "q_matching" -> MiscSql.matchingSupplier(rounds = 3),
     "q_edge_lookup" -> MiscSql.edgeLookup,

@@ -1,0 +1,86 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Gr._
+
+/** Input-format conversions (reference `structure/convert_matrix.py`:
+  * `from_adjlist:111`, `from_pandas_adjacency:382`, `from_numpy_array:435`;
+  * CSR construction `pylibcugraph/graphs.pyx:305`; export
+  * `to_pandas_adjacency:421`).
+  *
+  * All conversions are single projections/explodes — no shuffles beyond
+  * what the data layout demands — so they scale to arbitrarily wide
+  * inputs.
+  */
+object Convert {
+
+  /** CSR adjacency (per-vertex offsets + flat indices) → COO edge list.
+    * Input: one row per vertex (id, neighbors array[, weights array]).
+    * `posexplode` keeps per-row order, matching CSR index semantics. */
+  def fromAdjList(adj: DataFrame, idCol: String = "id",
+                  nbrsCol: String = "nbrs", wCol: Option[String] = None): DataFrame =
+    wCol match {
+      case Some(w) =>
+        adj.select(col(idCol).as(SRC),
+            posexplode(arrays_zip(col(nbrsCol), col(w))).as(Seq("pos", "z")))
+          .select(col(SRC), col(s"z.$nbrsCol").as(DST), col(s"z.$w").as(WEIGHT))
+      case None =>
+        adj.select(col(idCol).as(SRC), explode(col(nbrsCol)).as(DST))
+    }
+
+  /** Offsets/indices CSR arrays (as DataFrames of (vertex, offset) rows and
+    * flat (pos, dst) rows) → COO: a range join replaced by a running-offset
+    * join — the exact `cugraph_graph_create_sg_from_csr` semantics. */
+  def fromCsr(offsets: DataFrame, indices: DataFrame): DataFrame = {
+    // offsets: (id, start, end); indices: (pos, dst)
+    offsets.join(indices,
+        indices("pos") >= offsets("start") && indices("pos") < offsets("end"))
+      .select(offsets("id").as(SRC), indices("dst").as(DST))
+  }
+
+  /** Dense adjacency matrix (one row per source: (id, row array)) → COO,
+    * keeping non-zero cells — the `from_numpy_array` melt. */
+  def fromDense(matrix: DataFrame, idCol: String = "id",
+                rowCol: String = "row"): DataFrame =
+    matrix.select(col(idCol).as(SRC), posexplode(col(rowCol)).as(Seq(DST, WEIGHT)))
+      .filter(col(WEIGHT) =!= 0.0)
+      .select(col(SRC), col(DST).cast("long").as(DST), col(WEIGHT))
+
+  /** COO → dense adjacency rows (to_pandas_adjacency): pivot-free —
+    * per-source sorted (dst, weight) structs; callers needing a true dense
+    * row expand against the vertex dimension. */
+  def toAdjList(edges: DataFrame): DataFrame =
+    edges.select(col(SRC), col(DST),
+        (if (edges.columns.contains(WEIGHT)) col(WEIGHT) else lit(1.0)).as(WEIGHT))
+      .groupBy(col(SRC).as("id"))
+      .agg(sort_array(collect_list(struct(col(DST), col(WEIGHT)))).as("nbrs"))
+
+  /** MatrixMarket (.mtx) coordinate file → COO edge list. Header `%` lines
+    * and the size line are dropped; 1-based ids are shifted to 0-based as
+    * the reference's MTX reader does. */
+  def readMtx(spark: SparkSession, path: String): DataFrame = {
+    val raw = spark.read.text(path)
+      .filter(!col("value").startsWith("%"))
+    val parts = split(trim(col("value")), "\\s+")
+    val parsed = raw.select(parts.getItem(0).cast("long").as(SRC),
+        parts.getItem(1).cast("long").as(DST),
+        when(size(parts) > 2, parts.getItem(2).cast("double")).otherwise(1.0).as(WEIGHT))
+    // drop the size line: it is the row where src = max row-count marker —
+    // identified as the FIRST data line; MTX guarantees it precedes entries.
+    val first = parsed.limit(1)
+    parsed.exceptAll(first)
+      .select((col(SRC) - 1).as(SRC), (col(DST) - 1).as(DST), col(WEIGHT))
+  }
+
+  /** Space/comma-delimited edge-list CSV with schema (src, dst[, weight]). */
+  def readEdgeCsv(spark: SparkSession, path: String, delimiter: String = " "): DataFrame =
+    spark.read.option("delimiter", delimiter).option("comment", "%")
+      .schema("src LONG, dst LONG, weight DOUBLE").csv(path)
+      .na.fill(1.0, Seq(WEIGHT))
+
+  /** Replicate a small DataFrame to every task (reference
+    * `replicate_edgelist.py`) — in Spark simply the broadcast hint; the
+    * runtime ships one copy per executor. */
+  def replicate(df: DataFrame): DataFrame = broadcast(df)
+}
