@@ -367,6 +367,28 @@ object SparkEntry {
       val verts = Structure.extractVertexList(Fixtures.supplierEdges(s, dir))
       sampling.NeighborSampling.selectRandomVertices(verts, k = 10)
     },
+    "q_sample_renumber" -> q { (s, dir) =>
+      val und = Fixtures.supplierGraphUnd(s, dir).edges
+      val seeds = Fixtures.seedVertices(s, dir, 3)
+        .select(col(ID).as("batch_id"), col(ID).as("vertex"))
+      sampling.NeighborSampling.renumberSampled(
+        sampling.NeighborSampling.homogeneous(und, seeds, fanouts = Seq(2, 2)))
+    },
+    "q_jaccard_topk" -> q { (s, dir) =>
+      // per-vertex top-3 most similar (the reference's all-pairs topk)
+      val scored = Similarity.scoreFrom(Fixtures.supplierSimInter(s, dir),
+        Fixtures.supplierSimDeg(s, dir), Similarity.Jaccard)
+      graft.prims.TopK.perKey(scored, Seq(SRC),
+          Seq(desc("jaccard_coeff"), col(DST)), 3)
+        .select(col(SRC), col(DST), round(col("jaccard_coeff"), 6).as("jaccard_coeff"))
+    },
+    "q_relabel" -> q { (s, dir) =>
+      // relabel vertices through an explicit old→new map (id → id + 5000)
+      val e = Fixtures.supplierEdges(s, dir)
+      val mapping = Structure.extractVertexList(e)
+        .select(col(ID).as("old"), (col(ID) + 5000L).as("new"))
+      Structure.relabel(e, mapping)
+    },
     // ---- batched traversal (§2.3) ----
     "q_msbfs" -> q { (s, dir) =>
       val g = Fixtures.supplierGraphUnd(s, dir)
@@ -623,6 +645,39 @@ object SparkEntry {
     "q_biased_walks" -> SamplingSql.biasedWalks(nWalks = 5, depth = 4, seed = 42),
     "q_node2vec" -> SamplingSql.node2vecWalks(nWalks = 5, depth = 3, p = 1.0, q = 2.0, seed = 42),
     "q_neighbor_sample" -> SamplingSql.neighborSample(nBatches = 3, fanouts = Seq(2, 2), seed = 42),
+    "q_sample_renumber" -> {
+      val base = SamplingSql.neighborSample(nBatches = 3, fanouts = Seq(2, 2), seed = 42)
+      // wrap the sample CTE chain: per-batch dense_rank renumbering
+      val body = base.substring(0, base.lastIndexOf("SELECT batch_id,"))
+      body + ",\n" +
+        """sfinal AS MATERIALIZED (SELECT batch_id, CAST(hop AS BIGINT) AS hop, src, dst FROM sampled),
+          |sverts AS MATERIALIZED (
+          |  SELECT DISTINCT batch_id, v FROM (
+          |    SELECT batch_id, src AS v FROM sfinal UNION ALL SELECT batch_id, dst FROM sfinal
+          |  )
+          |),
+          |ranked AS MATERIALIZED (
+          |  SELECT batch_id, v, CAST(dense_rank() OVER (PARTITION BY batch_id ORDER BY v) - 1 AS BIGINT) AS r
+          |  FROM sverts
+          |)
+          |SELECT s.batch_id, s.hop, s.src, s.dst, a.r AS src_r, b.r AS dst_r
+          |FROM sfinal s
+          |JOIN ranked a ON a.batch_id = s.batch_id AND a.v = s.src
+          |JOIN ranked b ON b.batch_id = s.batch_id AND b.v = s.dst""".stripMargin
+    },
+    "q_jaccard_topk" -> {
+      // rank by the UNROUNDED coefficient (as the Spark side does), round
+      // only the reported value — rounding-induced rank ties would diverge
+      val inner = similaritySql("CAST(i.i AS DOUBLE) / (da.d + db.d - i.i)", "jc_raw")
+      s"""WITH scored AS MATERIALIZED ($inner)
+         |SELECT src, dst, round(jc_raw, 6) AS jaccard_coeff FROM (
+         |  SELECT src, dst, jc_raw,
+         |    row_number() OVER (PARTITION BY src ORDER BY jc_raw DESC, dst) AS rn
+         |  FROM scored
+         |) WHERE rn <= 3""".stripMargin
+    },
+    "q_relabel" ->
+      s"WITH $SUPP_EDGES_SQL SELECT src + 5000 AS src, dst + 5000 AS dst, weight FROM supp_edges",
     "q_hetero_sample" -> SamplingSql.heteroSample(nBatches = 3,
       fanouts = Map(0 -> Seq(2, 2), 1 -> Seq(1, 1)), seed = 42),
     "q_temporal_sample" -> SamplingSql.temporalSample(nBatches = 3, fanouts = Seq(2, 2), seed = 42),

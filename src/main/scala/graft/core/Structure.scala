@@ -127,11 +127,13 @@ object Structure {
   /** Apply an old→new vertex id map to an edge list
     * (`graph_functions.hpp:653`) — join ×2. */
   def relabel(edges: DataFrame, mapping: DataFrame): DataFrame = {
+    // alias the map per join side (same-instance double join is the
+    // ambiguous-self-join trap — see Renumber.renumberEdges)
     val m = mapping.select(col(mapping.columns(0)).as("_old"), col(mapping.columns(1)).as("_new"))
     val carry = edges.columns.filterNot(c => c == SRC || c == DST).map(col)
-    edges.join(m, edges(SRC) === m("_old"))
-      .select((Seq(col("_new").as(SRC), col(DST)) ++ carry.toIndexedSeq): _*)
-      .join(m, col(DST) === m("_old"))
-      .select((Seq(col(SRC), col("_new").as(DST)) ++ carry.toIndexedSeq): _*)
+    edges.join(m.as("_m1"), edges(SRC) === col("_m1._old"))
+      .select((Seq(col("_m1._new").as(SRC), col(DST)) ++ carry.toIndexedSeq): _*)
+      .join(m.as("_m2"), col(DST) === col("_m2._old"))
+      .select((Seq(col(SRC), col("_m2._new").as(DST)) ++ carry.toIndexedSeq): _*)
   }
 }

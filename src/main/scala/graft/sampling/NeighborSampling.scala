@@ -119,6 +119,26 @@ object NeighborSampling {
       .select(col("sample_id"), col(SRC), col(DST))
   }
 
+  /** Sampled-output post-processing (reference `sampling_functions.hpp:992`
+    * renumber_and_compress_sampled_edgelist; py `sampling_utilities.py:8`):
+    * per-batch dense renumbering of the sampled edge list — each batch's
+    * distinct vertices get ids [0, n_batch) in sorted order via a
+    * per-batch dense_rank, and the edges are rewritten onto them. */
+  def renumberSampled(sampled: DataFrame): DataFrame = {
+    val verts = sampled.select(col("batch_id"), col(SRC).as("v"))
+      .union(sampled.select(col("batch_id"), col(DST).as("v")))
+      .distinct()
+    val ranked = verts.withColumn("r",
+      dense_rank().over(Window.partitionBy("batch_id").orderBy("v")) - 1)
+    sampled
+      .join(ranked.select(col("batch_id"), col("v").as(SRC), col("r").as("src_r")),
+        Seq("batch_id", SRC))
+      .join(ranked.select(col("batch_id"), col("v").as(DST), col("r").as("dst_r")),
+        Seq("batch_id", DST))
+      .select(col("batch_id"), col("hop"), col(SRC), col(DST),
+        col("src_r").cast("long").as("src_r"), col("dst_r").cast("long").as("dst_r"))
+  }
+
   /** Uniform vertex sample without replacement (reference
     * `select_random_vertices`): the k vertices minimizing the seeded hash. */
   def selectRandomVertices(vertices: DataFrame, k: Int, seed: Long = 42): DataFrame = {
