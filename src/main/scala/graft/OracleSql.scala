@@ -187,11 +187,22 @@ object OracleSql {
     * delta(v) = sigma_v · Σ_{w∈succ} (1+delta_w)/sigma_w. Undirected ⇒
     * halve; normalized by (n-1)(n-2)/2. `levels` must be ≥ the graph's
     * eccentricity — the Spark query asserts that. */
-  def betweennessSupplier(levels: Int): String = {
+  def betweennessSupplier(levels: Int, k: Option[Int] = None, seed: Long = 42): String = {
     val b = new StringBuilder
     b ++= s"WITH $SUPP_EDGES_SQL,\n$SUPP_UND_SQL,\n$SUPP_VERTS_SQL,\n"
     b ++= "nv AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts),\n"
-    b ++= "f0 AS MATERIALIZED (SELECT id AS root, id, 1.0 AS sigma FROM verts),\n"
+    val rootsSrc = k match {
+      case Some(kk) =>
+        b ++= s"""roots AS MATERIALIZED (
+          |  SELECT id FROM verts
+          |  ORDER BY CAST('0x' || substr(md5(concat_ws('|', 'bc', id, $seed)), 1, 15) AS BIGINT), id
+          |  LIMIT $kk
+          |),
+          |""".stripMargin
+        "roots"
+      case None => "verts"
+    }
+    b ++= s"f0 AS MATERIALIZED (SELECT id AS root, id, 1.0 AS sigma FROM $rootsSrc),\n"
     b ++= "s0 AS MATERIALIZED (SELECT root, id FROM f0),\n"
     for (l <- 1 to levels) {
       b ++= s"""f$l AS MATERIALIZED (
@@ -217,13 +228,72 @@ object OracleSql {
     }
     b ++= "alldelta AS MATERIALIZED (" +
       (0 to levels).map(l => s"SELECT root, id, delta FROM d$l").mkString(" UNION ALL ") + "),\n"
-    b ++= """bc AS MATERIALIZED (
+    val kScale = k.map(kk => s" * $kk / (SELECT n FROM nv)").getOrElse("")
+    b ++= s"""bc AS MATERIALIZED (
       |  SELECT id, sum(delta) / 2.0 AS raw FROM alldelta WHERE root <> id GROUP BY id
       |)
       |SELECT v.id,
-      |  round(coalesce(bc.raw, 0) / (((SELECT n FROM nv) - 1) * ((SELECT n FROM nv) - 2) / 2.0), 6)
+      |  round(coalesce(bc.raw, 0) / (((SELECT n FROM nv) - 1) * ((SELECT n FROM nv) - 2) / 2.0$kScale), 6)
       |    AS betweenness_centrality
       |FROM verts v LEFT JOIN bc ON bc.id = v.id""".stripMargin
+    b.toString
+  }
+
+  /** Edge betweenness, k md5-race-sampled roots, unrolled by BFS level:
+    * per shortest-path-DAG edge (u,v), σ_u/σ_v·(1+δ_v) summed over roots,
+    * canonical+halved, normalized by n(n−1)/2·k/n (sample rescaling). */
+  def edgeBetweennessSupplier(levels: Int, k: Int, seed: Long = 42): String = {
+    val b = new StringBuilder
+    b ++= s"WITH $SUPP_EDGES_SQL,\n$SUPP_UND_SQL,\n$SUPP_VERTS_SQL,\n"
+    b ++= "nv AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts),\n"
+    b ++= s"""roots AS MATERIALIZED (
+      |  SELECT id FROM verts
+      |  ORDER BY CAST('0x' || substr(md5(concat_ws('|', 'bc', id, $seed)), 1, 15) AS BIGINT), id
+      |  LIMIT $k
+      |),
+      |""".stripMargin
+    b ++= "f0 AS MATERIALIZED (SELECT id AS root, id, 1.0 AS sigma FROM roots),\n"
+    b ++= "s0 AS MATERIALIZED (SELECT root, id FROM f0),\n"
+    for (l <- 1 to levels) {
+      b ++= s"""f$l AS MATERIALIZED (
+        |  SELECT p.root, u.dst AS id, sum(p.sigma) AS sigma
+        |  FROM f${l - 1} p JOIN und u ON u.src = p.id
+        |  WHERE NOT EXISTS (SELECT 1 FROM s${l - 1} s WHERE s.root = p.root AND s.id = u.dst)
+        |  GROUP BY 1, 2
+        |),
+        |s$l AS MATERIALIZED (SELECT root, id FROM s${l - 1} UNION ALL SELECT root, id FROM f$l),
+        |""".stripMargin
+    }
+    b ++= s"d$levels AS MATERIALIZED (SELECT root, id, sigma, 0.0 AS delta FROM f$levels),\n"
+    for (l <- levels - 1 to 0 by -1) {
+      b ++= s"""c$l AS MATERIALIZED (
+        |  SELECT w.root, u.src AS id, sum((1 + w.delta) / w.sigma) AS xw
+        |  FROM und u JOIN d${l + 1} w ON w.id = u.dst GROUP BY 1, 2
+        |),
+        |d$l AS MATERIALIZED (
+        |  SELECT f.root, f.id, f.sigma, f.sigma * coalesce(c.xw, 0) AS delta
+        |  FROM f$l f LEFT JOIN c$l c ON c.root = f.root AND c.id = f.id
+        |),
+        |""".stripMargin
+    }
+    b ++= "alldelta AS MATERIALIZED (" +
+      (0 to levels).map(l => s"SELECT root, id, delta FROM d$l").mkString(" UNION ALL ") + "),\n"
+    b ++= "allf AS MATERIALIZED (" +
+      (0 to levels).map(l => s"SELECT root, id, sigma, $l AS dist FROM f$l").mkString(" UNION ALL ") + "),\n"
+    b ++= s"""eb AS MATERIALIZED (
+      |  SELECT least(u.src, u.dst) AS src, greatest(u.src, u.dst) AS dst,
+      |         sum(a.sigma / b.sigma * (1 + ad.delta)) / 2.0 AS raw
+      |  FROM und u
+      |  JOIN allf a ON a.id = u.src
+      |  JOIN allf b ON b.root = a.root AND b.id = u.dst AND b.dist = a.dist + 1
+      |  JOIN alldelta ad ON ad.root = a.root AND ad.id = u.dst
+      |  GROUP BY 1, 2
+      |)
+      |SELECT e.src, e.dst,
+      |  round(coalesce(eb.raw, 0) /
+      |        ((SELECT n FROM nv) * ((SELECT n FROM nv) - 1) / 2.0 * $k / (SELECT n FROM nv)), 6)
+      |    AS betweenness_centrality
+      |FROM supp_edges e LEFT JOIN eb ON eb.src = e.src AND eb.dst = e.dst""".stripMargin
     b.toString
   }
 

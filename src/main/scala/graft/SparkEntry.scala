@@ -101,10 +101,19 @@ object SparkEntry {
         .select(col(ID), round(col("degree_centrality"), 6).as("degree_centrality"))
     },
     "q_betweenness" -> q { (s, dir) =>
+      // k-sampled roots (reference `k` param): all-source Brandes on the
+      // sf0.1 graph is 30x the work for the same oracle coverage
       val g = Fixtures.supplierGraph(s, dir)
-      val (res, levels) = Centrality.betweennessWithLevels(g)
+      val (res, levels) = Centrality.betweennessWithLevels(g, k = Some(32))
       require(levels <= 4, s"BFS eccentricity $levels exceeds oracle level budget 4")
       res.select(col(ID), round(col("betweenness_centrality"), 6).as("betweenness_centrality"))
+    },
+    "q_edge_betweenness" -> q { (s, dir) =>
+      val g = Fixtures.supplierGraph(s, dir)
+      val (res, levels) = Centrality.edgeBetweennessWithLevels(g, k = Some(16))
+      require(levels <= 4, s"BFS eccentricity $levels exceeds oracle level budget 4")
+      res.select(col(SRC), col(DST),
+        round(col("betweenness_centrality"), 6).as("betweenness_centrality"))
     },
     // ---- components (§2.5) ----
     "q_wcc" -> q { (s, dir) =>
@@ -509,7 +518,8 @@ object SparkEntry {
          |SELECT v.id,
          |  round((coalesce(i.d, 0) + coalesce(o.d, 0)) / ((SELECT n FROM nv) - 1), 6) AS degree_centrality
          |FROM verts v LEFT JOIN outd o ON o.id = v.id LEFT JOIN ind i ON i.id = v.id""".stripMargin,
-    "q_betweenness" -> OracleSql.betweennessSupplier(levels = 4),
+    "q_betweenness" -> OracleSql.betweennessSupplier(levels = 4, k = Some(32)),
+    "q_edge_betweenness" -> OracleSql.edgeBetweennessSupplier(levels = 4, k = 16),
     "q_pagerank" -> OracleSql.pagerankSupplier(iters = 10),
     "q_wcc" -> OracleSql.wccSupplier(rounds = 10),
     "q_triangles" ->

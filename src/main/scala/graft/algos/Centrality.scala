@@ -137,8 +137,11 @@ object Centrality {
     val e = e0.mat
     val verts = g.vertices.select(ID).mat
     val nV = verts.count().toDouble
+    // k-sampled roots use the portable md5 hash race (oracle-reproducible,
+    // unlike xxhash64 which DuckDB lacks); tie-break by id.
     val roots = (k match {
-      case Some(kk) => verts.orderBy(xxhash64(col(ID), lit(seed))).limit(kk)
+      case Some(kk) => verts.orderBy(
+        graft.pipeline.TextOps.hash60(concat_ws("|", lit("bc"), col(ID), lit(seed))), col(ID)).limit(kk)
       case None => verts
     }).select(col(ID).as("root")).mat
 
@@ -201,6 +204,84 @@ object Centrality {
       }
       halved.select(col(ID),
         (col("betweenness_centrality") / lit(if (scale == 0) 1.0 else scale)).as("betweenness_centrality"))
+    }
+    (res, level)
+  }
+
+  /** Edge betweenness centrality (reference `betweenness_centrality.py:178`,
+    * C++ `algorithms.hpp:342`): per-edge dependency accumulation over the
+    * same Brandes forward/backward states — for each shortest-path-DAG edge
+    * (u,v) (dist v = dist u + 1), contribution σ_u/σ_v·(1+δ_v) summed over
+    * roots. Undirected output is canonical (src<dst), halved, normalized by
+    * n(n−1)/2 (k-sampling rescales as the vertex variant does).
+    * @return (DataFrame(src, dst, betweenness_centrality), levels). */
+  def edgeBetweennessWithLevels(g: PropertyGraph, k: Option[Int] = None, seed: Long = 42,
+                                normalized: Boolean = true): (DataFrame, Int) = {
+    val e = Structure.symmetrize(g.edges.select(SRC, DST)).mat
+    val verts = g.vertices.select(ID).mat
+    val nV = verts.count().toDouble
+    val roots = (k match {
+      case Some(kk) => verts.orderBy(
+        graft.pipeline.TextOps.hash60(concat_ws("|", lit("bc"), col(ID), lit(seed))), col(ID)).limit(kk)
+      case None => verts
+    }).select(col(ID).as("root")).mat
+
+    var settled = roots.select(col("root"), col("root").as(ID),
+      lit(0).as("dist"), lit(1.0).as("sigma")).mat
+    var frontier = settled
+    var level = 0
+    var more = true
+    while (more) {
+      level += 1
+      val next = frontier.withColumnRenamed(ID, SRC).join(e, SRC)
+        .select(col("root"), col(DST).as(ID), col("sigma"))
+        .join(settled.select(col("root"), col(ID)), Seq("root", ID), "left_anti")
+        .groupBy("root", ID).agg(sum("sigma").as("sigma"))
+        .withColumn("dist", lit(level))
+        .select("root", ID, "dist", "sigma")
+        .mat
+      if (next.isEmpty) more = false
+      else { settled = settled.union(next).mat; frontier = next }
+    }
+    var delta = settled.select(col("root"), col(ID), lit(0.0).as("delta")).mat
+    for (l <- level - 1 to 0 by -1) {
+      val wState = settled.filter(col("dist") === l + 1)
+        .join(delta, Seq("root", ID))
+        .select(col("root"), col(ID).as(DST), col("sigma").as("sigma_w"), col("delta").as("delta_w"))
+      val contrib = e.join(wState, DST)
+        .select(col("root"), col(SRC).as(ID), col("sigma_w"), col("delta_w"))
+        .join(settled.filter(col("dist") === l).select(col("root"), col(ID), col("sigma")),
+          Seq("root", ID))
+        .select(col("root"), col(ID),
+          (col("sigma") / col("sigma_w") * (lit(1.0) + col("delta_w"))).as("c"))
+        .groupBy("root", ID).agg(sum("c").as("inc"))
+      delta = delta.join(contrib, Seq("root", ID), "left")
+        .select(col("root"), col(ID), (col("delta") + coalesce(col("inc"), lit(0.0))).as("delta"))
+        .mat
+    }
+    // per-edge contributions over the shortest-path DAG edges
+    val stateU = settled.select(col("root"), col(ID).as(SRC),
+      col("dist").as("du"), col("sigma").as("su"))
+    val stateV = settled.join(delta, Seq("root", ID))
+      .select(col("root"), col(ID).as(DST), col("dist").as("dv"),
+        col("sigma").as("sv"), col("delta").as("deltav"))
+    val contribE = e.join(stateU, SRC).join(stateV, Seq("root", DST))
+      .filter(col("dv") === col("du") + 1)
+      .select(least(col(SRC), col(DST)).as(SRC), greatest(col(SRC), col(DST)).as(DST),
+        (col("su") / col("sv") * (lit(1.0) + col("deltav"))).as("c"))
+      .groupBy(SRC, DST).agg((sum("c") / 2.0).as("raw"))
+    val canon = Structure.canonicalize(g.edges.select(SRC, DST))
+    val full = canon.join(contribE, Seq(SRC, DST), "left")
+      .select(col(SRC), col(DST), coalesce(col("raw"), lit(0.0)).as("raw"))
+    val res = if (!normalized) full.withColumnRenamed("raw", "betweenness_centrality")
+    else {
+      val denom0 = nV * (nV - 1.0) / 2.0
+      val denom = k match {
+        case Some(kk) => denom0 * kk / nV
+        case None => denom0
+      }
+      full.select(col(SRC), col(DST),
+        (col("raw") / lit(if (denom == 0) 1.0 else denom)).as("betweenness_centrality"))
     }
     (res, level)
   }
