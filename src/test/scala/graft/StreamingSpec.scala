@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.GraphStream
+import graft.streaming.GraphStream.EdgeEvent
+
+/** Structured-Streaming shapes driven end-to-end with MemoryStream. */
+class StreamingSpec extends SparkSpec {
+
+  test("running vertex summary accumulates across micro-batches") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+    val input = MemoryStream[EdgeEvent]
+    val result = GraphStream.runningVertexSummary(input.toDF())
+    val q = result.writeStream.format("memory").queryName("vsum")
+      .outputMode("update").start()
+    try {
+      input.addData(EdgeEvent(1L, 2L, 1.0), EdgeEvent(1L, 3L, 2.0))
+      q.processAllAvailable()
+      input.addData(EdgeEvent(1L, 9L, 4.0), EdgeEvent(2L, 1L, 1.0))
+      q.processAllAvailable()
+      val rows = sp.sql("select * from vsum").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3), r.getLong(4)))
+      // latest update for vertex 1: degree 3, weight 7, nbrs [2,9]
+      val v1 = rows.filter(_._1 == 1L).maxBy(_._2)
+      assert(v1 == ((1L, 3L, 7.0, 2L, 9L)))
+      val v2 = rows.filter(_._1 == 2L).maxBy(_._2)
+      assert(v2._2 == 1L && v2._3 == 1.0)
+    } finally q.stop()
+  }
+
+  test("windowed degrees respect the event-time window") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+    val input = MemoryStream[(Long, Long, Double, java.sql.Timestamp)]
+    val edges = input.toDF().toDF("src", "dst", "weight", "event_time")
+    val result = GraphStream.windowedDegrees(edges,
+      windowDur = "10 minutes", slideDur = "10 minutes", watermark = "1 hour")
+    val q = result.writeStream.format("memory").queryName("wdeg")
+      .outputMode("append").start()
+    try {
+      val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:01:00")
+      val t1 = java.sql.Timestamp.valueOf("2026-01-01 00:02:00")
+      input.addData((1L, 2L, 1.0, t0), (1L, 3L, 1.0, t1))
+      q.processAllAvailable()
+      // force watermark far past the window so append-mode emits it
+      input.addData((7L, 8L, 1.0, java.sql.Timestamp.valueOf("2026-01-01 09:00:00")))
+      q.processAllAvailable()
+      input.addData((7L, 9L, 1.0, java.sql.Timestamp.valueOf("2026-01-01 12:00:00")))
+      q.processAllAvailable()
+      val rows = sp.sql("select * from wdeg").collect()
+        .map(r => r.getLong(1) -> r.getLong(2)).toMap
+      assert(rows(1L) == 2L) // vertex 1 has degree 2 in the first window
+    } finally q.stop()
+  }
+}
