@@ -34,6 +34,34 @@ object OracleSql {
     b.toString
   }
 
+  /** Personalized PageRank: reset mass uniform over the k smallest vertices
+    * (q_ppr fixture), no dangling on the symmetrized graph, unrolled. */
+  def pprSupplier(iters: Int, k: Int, alpha: Double = 0.85): String = {
+    val b = new StringBuilder
+    b ++= s"WITH $SUPP_EDGES_SQL,\n$SUPP_UND_SQL,\n$SUPP_VERTS_SQL,\n"
+    b ++= s"seeds AS MATERIALIZED (SELECT id FROM verts ORDER BY id LIMIT $k),\n"
+    b ++= s"""rst AS MATERIALIZED (
+      |  SELECT v.id, CASE WHEN s.id IS NOT NULL THEN 1.0 / $k ELSE 0.0 END AS r
+      |  FROM verts v LEFT JOIN seeds s ON s.id = v.id
+      |),
+      |""".stripMargin
+    b ++= "outdeg AS MATERIALIZED (SELECT src AS id, CAST(count(*) AS DOUBLE) AS d FROM und GROUP BY 1),\n"
+    b ++= "pr0 AS MATERIALIZED (SELECT id, r AS pr FROM rst),\n"
+    for (i <- 1 to iters) {
+      b ++= s"""pr$i AS MATERIALIZED (
+        |  SELECT v.id, $alpha * coalesce(s.in_sum, 0) + ${1.0 - alpha} * v.r AS pr
+        |  FROM rst v LEFT JOIN (
+        |    SELECT u.dst AS id, sum(p.pr / o.d) AS in_sum
+        |    FROM und u JOIN pr${i - 1} p ON p.id = u.src JOIN outdeg o ON o.id = u.src
+        |    GROUP BY 1
+        |  ) s ON s.id = v.id
+        |)""".stripMargin
+      b ++= (if (i < iters) ",\n" else "\n")
+    }
+    b ++= s"SELECT id, round(pr, 6) AS pagerank FROM pr$iters"
+    b.toString
+  }
+
   /** Min-label propagation WCC on the supplier graph, unrolled. */
   def wccSupplier(rounds: Int): String = {
     val b = new StringBuilder

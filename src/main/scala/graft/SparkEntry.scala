@@ -96,6 +96,13 @@ object SparkEntry {
       PageRank.run(g, tol = -1.0, maxIter = 10, weighted = true)
         .select(col(ID), round(col("pagerank"), 6).as("pagerank"))
     },
+    "q_ppr" -> q { (s, dir) =>
+      // personalized PageRank: restart mass uniform over 5 seed vertices
+      val g = Fixtures.supplierGraphUnd(s, dir)
+      val seeds = Fixtures.seedVertices(s, dir, 5).withColumn("value", lit(1.0))
+      PageRank.run(g, tol = -1.0, maxIter = 10, personalization = Some(seeds))
+        .select(col(ID), round(col("pagerank"), 6).as("pagerank"))
+    },
     "q_degree_centrality" -> q { (s, dir) =>
       Centrality.degreeCentrality(Fixtures.custSuppGraph(s, dir))
         .select(col(ID), round(col("degree_centrality"), 6).as("degree_centrality"))
@@ -521,6 +528,7 @@ object SparkEntry {
     "q_betweenness" -> OracleSql.betweennessSupplier(levels = 4, k = Some(32)),
     "q_edge_betweenness" -> OracleSql.edgeBetweennessSupplier(levels = 4, k = 16),
     "q_pagerank" -> OracleSql.pagerankSupplier(iters = 10),
+    "q_ppr" -> OracleSql.pprSupplier(iters = 10, k = 5),
     "q_wcc" -> OracleSql.wccSupplier(rounds = 10),
     "q_triangles" ->
       s"""WITH $SUPP_EDGES_SQL,

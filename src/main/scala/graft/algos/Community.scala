@@ -132,7 +132,7 @@ object Community {
     * (reference `community/ecg.py:10`). Randomization: seeded per-run vertex
     * priority perturbation. */
   def ecg(g: PropertyGraph, ensembleSize: Int = 8, minWeight: Double = 0.05,
-          seed: Long = 42): (DataFrame, Double) = {
+          seed: Long = 42, finalMaxLevel: Int = 2): (DataFrame, Double) = {
     val und = Structure.removeSelfLoops(
       Structure.symmetrize(g.weightedEdges.select(SRC, DST, WEIGHT), sumWeights = false))
       .mat
@@ -154,7 +154,7 @@ object Community {
       (lit(minWeight) + (lit(1.0) - lit(minWeight)) * col("votes") / lit(ensembleSize.toDouble)).as(WEIGHT))
     val g2 = PropertyGraph(Structure.extractVertexList(reweighted), reweighted,
       g.props.copy(weighted = true, directed = false))
-    louvain(g2)
+    louvain(g2, maxLevel = finalMaxLevel)
   }
 
   /** Leiden = Louvain + a refinement pass constraining communities to be
