@@ -12,8 +12,15 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val n = try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val dt = (System.nanoTime() - t0) / 1e9
+      // progress line per query (stderr — the stdout contract is one JSON
+      // line), and a GC nudge so the ContextCleaner unpersists the
+      // now-unreferenced per-query localCheckpoint RDDs; without it 80+
+      // queries accumulate cached blocks until heavy queries spill.
+      System.err.println(f"[bench] $name rows=$n t=$dt%.1fs")
+      System.gc()
+      name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -68,24 +68,39 @@ object Components {
     var k = 1
     var nVerts = verts.count()
     while (nVerts > 0 && k <= maxK) {
-      // Standard peeling: at stage k, repeatedly delete vertices with
-      // degree < k; vertices deleted at stage k have core number k-1.
-      var stable = false
-      while (!stable) {
-        val deg = verts.join(undirDegrees(remaining), Seq(ID), "left")
-          .select(col(ID), coalesce(col("degree"), lit(0L)).as("degree"))
-        val weak = deg.filter(col("degree") < k).select(ID).mat
-        if (weak.count() == 0) stable = true
-        else {
-          result = result.union(weak.withColumn("core_number", lit(k - 1))).mat
-          verts = verts.join(weak, Seq(ID), "left_anti").mat
-          remaining = remaining
-            .join(weak.withColumnRenamed(ID, SRC), Seq(SRC), "left_anti")
-            .join(weak.withColumnRenamed(ID, DST), Seq(DST), "left_anti")
-            .mat
+      // Bucket-jump peeling: if every remaining vertex has degree ≥ k,
+      // no stage between k and the current minimum degree deletes anything —
+      // jump straight to minDeg+1 (one job instead of minDeg−k empty
+      // rounds; on dense graphs this is the difference between O(#distinct
+      // core values) and O(max degree) Spark jobs). Values are unchanged:
+      // a vertex of minimum degree d peels at stage d with core number d.
+      val deg0 = verts.join(undirDegrees(remaining), Seq(ID), "left")
+        .select(col(ID), coalesce(col("degree"), lit(0L)).as("degree")).mat
+      val minDeg = deg0.agg(min("degree")).first().getLong(0).toInt
+      k = math.max(k, minDeg + 1)
+      if (k <= maxK) {
+        // cascade at stage k: repeatedly delete vertices with degree < k;
+        // vertices deleted at stage k have core number k-1.
+        var stable = false
+        var first = true
+        while (!stable) {
+          val deg = if (first) deg0
+            else verts.join(undirDegrees(remaining), Seq(ID), "left")
+              .select(col(ID), coalesce(col("degree"), lit(0L)).as("degree"))
+          first = false
+          val weak = deg.filter(col("degree") < k).select(ID).mat
+          if (weak.count() == 0) stable = true
+          else {
+            result = result.union(weak.withColumn("core_number", lit(k - 1))).mat
+            verts = verts.join(weak, Seq(ID), "left_anti").mat
+            remaining = remaining
+              .join(weak.withColumnRenamed(ID, SRC), Seq(SRC), "left_anti")
+              .join(weak.withColumnRenamed(ID, DST), Seq(DST), "left_anti")
+              .mat
+          }
         }
+        nVerts = verts.count()
       }
-      nVerts = verts.count()
       k += 1
     }
     result
@@ -153,12 +168,29 @@ object Components {
     canonEdges.select(col(SRC).as(ID)).union(canonEdges.select(col(DST).as(ID)))
       .groupBy(ID).agg(count(lit(1)).as("degree"))
 
-  /** k-core subgraph: edges whose BOTH endpoints have core_number ≥ k
-    * (reference `cores/k_core.py:28`). */
+  /** k-core subgraph (reference `cores/k_core.py:28`). Without precomputed
+    * core numbers, peel DIRECTLY at level k — repeatedly delete vertices of
+    * degree < k until stable (a handful of cascade rounds) instead of
+    * computing every core value first. */
   def kCore(g: PropertyGraph, k: Int, coreNumbers: Option[DataFrame] = None): DataFrame = {
-    val cores = coreNumbers.getOrElse(coreNumber(g))
-    val keep = cores.filter(col("core_number") >= k).select(ID)
-    Structure.inducedSubgraph(
-      Structure.canonicalize(Structure.symmetrize(g.edges.select(SRC, DST))), keep)
+    val canon = Structure.canonicalize(Structure.symmetrize(g.edges.select(SRC, DST)))
+    coreNumbers match {
+      case Some(cores) =>
+        val keep = cores.filter(col("core_number") >= k).select(ID)
+        Structure.inducedSubgraph(canon, keep)
+      case None =>
+        var e = canon.mat
+        var changed = 1L
+        while (changed > 0) {
+          val weak = undirDegrees(e).filter(col("degree") < k).select(ID).mat
+          changed = weak.count()
+          if (changed > 0) {
+            e = e.join(weak.withColumnRenamed(ID, SRC), Seq(SRC), "left_anti")
+              .join(weak.withColumnRenamed(ID, DST), Seq(DST), "left_anti")
+              .mat
+          }
+        }
+        e
+    }
   }
 }

@@ -60,12 +60,12 @@ object Triangles {
   }
 
   /** Per-vertex triangle count (reference `triangle_count.py:34`).
-    * @return DataFrame(id, triangle_count) covering every vertex. */
+    * One streaming pass: each triangle explodes into its three corners
+    * feeding the hash agg directly — the O(#triangles) stream is never
+    * checkpointed or rescanned. @return DataFrame(id, triangle_count). */
   def countPerVertex(g: PropertyGraph): DataFrame = {
-    val tri = enumerate(g).mat
-    val counts = tri.select(col("a").as(ID))
-      .union(tri.select(col("b").as(ID)))
-      .union(tri.select(col("c").as(ID)))
+    val counts = enumerate(g)
+      .select(explode(array(col("a"), col("b"), col("c"))).as(ID))
       .groupBy(ID).agg(count(lit(1)).as("triangle_count"))
     g.vertices.select(ID).join(counts, Seq(ID), "left")
       .select(col(ID), coalesce(col("triangle_count"), lit(0L)).as("triangle_count"))
@@ -82,10 +82,14 @@ object Triangles {
   }
 
   private def edgeSupportOf(e: DataFrame): DataFrame = {
-    val tri = enumerateOf(e, e.count()).mat
-    val sup = tri.select(col("a").as(SRC), col("b").as(DST))
-      .union(tri.select(col("b").as(SRC), col("c").as(DST)))
-      .union(tri.select(col("a").as(SRC), col("c").as(DST)))
+    // one streaming pass: triangle → its three edges → hash agg (see
+    // countPerVertex)
+    val sup = enumerateOf(e, e.count())
+      .select(explode(array(
+        struct(col("a").as(SRC), col("b").as(DST)),
+        struct(col("b").as(SRC), col("c").as(DST)),
+        struct(col("a").as(SRC), col("c").as(DST)))).as("t"))
+      .select(col(s"t.$SRC"), col(s"t.$DST"))
       .groupBy(SRC, DST).agg(count(lit(1)).as("support"))
     e.join(sup, Seq(SRC, DST), "left")
       .select(col(SRC), col(DST), coalesce(col("support"), lit(0L)).as("support"))
