@@ -45,8 +45,10 @@ object TextOps {
   /** Cosine similarity between two double-array columns.
     * DuckDB: list_dot_product(a, b) / (sqrt(list_dot_product(a,a)) * ...).
     * Accumulates left-to-right in doubles in both engines. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+  /** Dense dot product — the native codegen'd Catalyst expression
+    * (graft.functions.VecDot); see its scaladoc for why the
+    * aggregate∘zip_with formulation loses. */
+  def dot(a: Column, b: Column): Column = graft.functions.VecDot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
