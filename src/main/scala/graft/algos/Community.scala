@@ -78,49 +78,63 @@ object Community {
 
   /** One Louvain level: synchronous best-move rounds until no vertex moves.
     * @return DataFrame(id, community). */
-  private def oneLevel(und: DataFrame, maxIter: Int, resolution: Double): DataFrame = {
-    val e = und.mat
-    val m2 = e.agg(sum(WEIGHT)).first().getDouble(0)
+  private def oneLevel(und: DataFrame, maxIter: Int, resolution: Double): DataFrame =
+    oneLevelKeyed(und.withColumn("run", lit(0L)), maxIter, resolution)
+      .drop("run")
+
+  /** Batched one-level Louvain over MANY graphs at once: every state table
+    * carries a `run` key, so an ensemble of R randomized runs (ECG) costs
+    * one set of per-round jobs instead of R — the same batching trick as
+    * multi-source BFS and k-sampled Brandes (SURVEY §7.4-2). The per-run
+    * 2m normalizer is a broadcast-joined table instead of a driver scalar.
+    * Converged runs simply stop changing while the stragglers finish.
+    * Input: (run, src, dst, weight); output (run, id, community). */
+  private def oneLevelKeyed(undK: DataFrame, maxIter: Int, resolution: Double): DataFrame = {
+    val e = undK.mat
+    val m2 = e.groupBy("run").agg(sum(WEIGHT).as("m2")).mat
     // k_i: weighted degree (self-loops count fully toward k_i here since the
     // coarsened graph stores c->c weight once per direction pair)
-    val ki = e.groupBy(col(SRC).as(ID)).agg(sum(WEIGHT).as("k")).mat
-    var labels = ki.select(col(ID), col(ID).as("community"))
-      .mat
+    val ki = e.groupBy(col("run"), col(SRC).as(ID)).agg(sum(WEIGHT).as("k")).mat
+    var labels = ki.select(col("run"), col(ID), col(ID).as("community")).mat
     var moved = 1L
     var it = 0
     while (moved > 0 && it < maxIter) {
       it += 1
       // tot_c = Σ k_i over community members
-      val tot = labels.join(ki, ID).groupBy("community").agg(sum("k").as("tot"))
+      val tot = labels.join(ki, Seq("run", ID))
+        .groupBy("run", "community").agg(sum("k").as("tot"))
       // per-vertex weight to each neighboring community (self-loops excluded
       // from candidate weights — a vertex always "links" to its own c)
       val nbrC = e.filter(col(SRC) =!= col(DST))
-        .join(labels.select(col(ID).as(DST), col("community").as("nc")), DST)
-        .groupBy(col(SRC).as(ID), col("nc")).agg(sum(WEIGHT).as("w_in"))
-      val cur = labels.join(ki, ID)
+        .join(labels.select(col("run"), col(ID).as(DST), col("community").as("nc")),
+          Seq("run", DST))
+        .groupBy(col("run"), col(SRC).as(ID), col("nc")).agg(sum(WEIGHT).as("w_in"))
+      val cur = labels.join(ki, Seq("run", ID))
       // candidate move gain (standard Louvain delta, constant terms dropped):
       //   gain(v→c) = w_in(v,c) − resolution · k_v · tot_c' / m2
       // where tot_c' excludes v itself when c is v's current community.
       val cand = nbrC
-        .join(cur.select(col(ID), col("community").as("c_cur"), col("k")), ID)
-        .join(tot.withColumnRenamed("community", "nc"), "nc")
-        .select(col(ID), col("nc"), col("c_cur"), col("k"),
+        .join(cur.select(col("run"), col(ID), col("community").as("c_cur"), col("k")),
+          Seq("run", ID))
+        .join(tot.withColumnRenamed("community", "nc"), Seq("run", "nc"))
+        .join(broadcast(m2), "run")
+        .select(col("run"), col(ID), col("nc"), col("c_cur"), col("k"),
           (col("w_in") - lit(resolution) * col("k") *
-            (when(col("nc") === col("c_cur"), col("tot") - col("k")).otherwise(col("tot"))) / lit(m2)).as("gain"))
-      val w = Window.partitionBy(ID).orderBy(desc("gain"), col("nc"))
+            (when(col("nc") === col("c_cur"), col("tot") - col("k")).otherwise(col("tot"))) / col("m2")).as("gain"))
+      val w = Window.partitionBy(col("run"), col(ID)).orderBy(desc("gain"), col("nc"))
       val best = cand.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
-        .select(col(ID), col("nc"), col("c_cur"), col("gain"))
+        .select(col("run"), col(ID), col("nc"), col("c_cur"), col("gain"))
       // move only on strict positive improvement over staying
       val stayGain = cand.filter(col("nc") === col("c_cur"))
-        .select(col(ID), col("gain").as("stay_gain"))
-      val next = labels.join(best, Seq(ID), "left")
-        .join(stayGain, Seq(ID), "left")
-        .select(col(ID),
+        .select(col("run"), col(ID), col("gain").as("stay_gain"))
+      val next = labels.join(best, Seq("run", ID), "left")
+        .join(stayGain, Seq("run", ID), "left")
+        .select(col("run"), col(ID),
           when(col("nc").isNotNull &&
                col("gain") > coalesce(col("stay_gain"), lit(0.0)) + lit(1e-12), col("nc"))
             .otherwise(col("community")).as("community"))
       val nextC = next.mat
-      moved = nextC.join(labels.withColumnRenamed("community", "old"), ID)
+      moved = nextC.join(labels.withColumnRenamed("community", "old"), Seq("run", ID))
         .filter(col("community") =!= col("old")).count()
       labels = nextC
     }
@@ -136,20 +150,23 @@ object Community {
     val und = Structure.removeSelfLoops(
       Structure.symmetrize(g.weightedEdges.select(SRC, DST, WEIGHT), sumWeights = false))
       .mat
-    var votes = und.select(SRC, DST).withColumn("votes", lit(0.0))
-    for (i <- 0 until ensembleSize) {
-      // perturb weights deterministically per run to diversify the ensemble
-      val perturbed = und.select(col(SRC), col(DST),
-        (col(WEIGHT) * (lit(1.0) + (pmod(xxhash64(col(SRC), col(DST), lit(seed + i)), lit(1000)) / lit(10000.0)))).as(WEIGHT))
-      val labels = oneLevel(perturbed, maxIter = 5, resolution = 1.0)
-      val co = und.select(SRC, DST)
-        .join(labels.select(col(ID).as(SRC), col("community").as("ca")), SRC)
-        .join(labels.select(col(ID).as(DST), col("community").as("cb")), DST)
-        .select(col(SRC), col(DST), when(col("ca") === col("cb"), 1.0).otherwise(0.0).as("v"))
-      votes = votes.join(co, Seq(SRC, DST))
-        .select(col(SRC), col(DST), (col("votes") + col("v")).as("votes"))
-        .mat
-    }
+    // ALL ensemble members run in one batched level keyed by `run`
+    // (oneLevelKeyed): R runs cost one set of per-round jobs, not R.
+    // Per-run weight perturbation diversifies the ensemble deterministically.
+    val undR = und
+      .select(explode(sequence(lit(0L), lit(ensembleSize - 1L))).as("run"),
+        col(SRC), col(DST), col(WEIGHT))
+      .select(col("run"), col(SRC), col(DST),
+        (col(WEIGHT) * (lit(1.0) +
+          (pmod(xxhash64(col(SRC), col(DST), lit(seed) + col("run")), lit(1000)) / lit(10000.0)))).as(WEIGHT))
+    val labels = oneLevelKeyed(undR, maxIter = 5, resolution = 1.0).mat
+    // co-clustering votes per edge: one pass over (run × edges)
+    val votes = und.select(SRC, DST)
+      .select(explode(sequence(lit(0L), lit(ensembleSize - 1L))).as("run"), col(SRC), col(DST))
+      .join(labels.select(col("run"), col(ID).as(SRC), col("community").as("ca")), Seq("run", SRC))
+      .join(labels.select(col("run"), col(ID).as(DST), col("community").as("cb")), Seq("run", DST))
+      .groupBy(SRC, DST)
+      .agg(sum(when(col("ca") === col("cb"), 1.0).otherwise(0.0)).as("votes"))
     val reweighted = votes.select(col(SRC), col(DST),
       (lit(minWeight) + (lit(1.0) - lit(minWeight)) * col("votes") / lit(ensembleSize.toDouble)).as(WEIGHT))
     val g2 = PropertyGraph(Structure.extractVertexList(reweighted), reweighted,
