@@ -197,6 +197,14 @@ object SparkEntry {
       graft.core.Hypergraph.edges(Fixtures.events(s, dir), "event_id",
         Seq("event_type", "user_id"))
     },
+    "q_hypergraph_nodes" -> q { (s, dir) =>
+      graft.core.Hypergraph.nodes(Fixtures.events(s, dir), "event_id",
+        Seq("event_type", "user_id"))
+    },
+    "q_hypergraph_direct" -> q { (s, dir) =>
+      graft.core.Hypergraph.directEdges(Fixtures.events(s, dir), "event_id",
+        Seq("event_type", "user_id"))
+    },
     // ---- training-data pipeline: dedup / similarity / text / multimodal ----
     "q_dedup_exact" -> q { (s, dir) =>
       pipeline.Dedup.exact(Fixtures.documents(s, dir))
@@ -615,6 +623,27 @@ object SparkEntry {
         |UNION ALL
         |SELECT event_id, 'user_id', 'user_id::' || CAST(user_id AS VARCHAR)
         |FROM events WHERE user_id IS NOT NULL""".stripMargin,
+    "q_hypergraph_nodes" ->
+      """WITH he AS MATERIALIZED (
+        |  SELECT event_id, 'event_type' AS col_name, 'event_type::' || event_type AS node_key
+        |  FROM events WHERE event_type IS NOT NULL
+        |  UNION ALL
+        |  SELECT event_id, 'user_id', 'user_id::' || CAST(user_id AS VARCHAR)
+        |  FROM events WHERE user_id IS NOT NULL
+        |)
+        |SELECT col_name, node_key, count(*) AS n_rows FROM he GROUP BY 1, 2""".stripMargin,
+    "q_hypergraph_direct" ->
+      """WITH he AS MATERIALIZED (
+        |  SELECT event_id, 'event_type::' || event_type AS node_key
+        |  FROM events WHERE event_type IS NOT NULL
+        |  UNION ALL
+        |  SELECT event_id, 'user_id::' || CAST(user_id AS VARCHAR)
+        |  FROM events WHERE user_id IS NOT NULL
+        |)
+        |SELECT a.node_key AS src_key, b.node_key AS dst_key, count(*) AS weight
+        |FROM he a JOIN he b ON a.event_id = b.event_id
+        |WHERE a.node_key < b.node_key
+        |GROUP BY 1, 2""".stripMargin,
     "q_dedup_exact" -> PipelineSql.dedupExact,
     "q_minhash" -> PipelineSql.minhash(8),
     "q_lsh_pairs" -> PipelineSql.lshPairs(bands = 4, rowsPerBand = 2, threshold = 0.2),
