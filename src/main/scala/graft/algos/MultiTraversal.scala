@@ -75,13 +75,17 @@ object MultiTraversal {
         col("predecessor"))
       .mat
     var out = cur.select("destination", "pos", "vertex")
-    for (p <- 1 to maxDepth) {
+    var p = 0
+    var n = cur.count()
+    while (p < maxDepth && n > 0) {
+      p += 1
       cur = cur.filter(col("predecessor") =!= -1L)
         .select(col("destination"), col("predecessor").as("vertex_next"), lit(p).as("pos"))
         .join(pred, col("vertex_next") === col(ID))
         .select(col("destination"), col("pos"), col(ID).as("vertex"), col("predecessor"))
         .mat
-      out = out.union(cur.select("destination", "pos", "vertex"))
+      n = cur.count()
+      if (n > 0) out = out.union(cur.select("destination", "pos", "vertex"))
     }
     out.select(col("destination"), col("pos").cast("long").as("pos"), col("vertex"))
   }

@@ -99,4 +99,27 @@ object Traversal {
   /** Keep only reachable rows (`traversal/sssp.py:233 filter_unreachable`). */
   def filterUnreachable(df: DataFrame): DataFrame =
     df.filter(!col("distance").isNull && !col("distance").isNaN)
+
+  /** BFS tree edges (reference `bfs_edges` `traversal/bfs.py:199`):
+    * (predecessor → vertex) rows of the BFS forest, root rows dropped. */
+  def bfsEdges(g: PropertyGraph, source: Long, depthLimit: Int = Int.MaxValue): DataFrame =
+    bfs(g, source, depthLimit)
+      .filter(col("predecessor") =!= -1L)
+      .select(col("predecessor").as(SRC), col(ID).as(DST))
+
+  /** `shortest_path_length` (reference `sssp.py:289`): distance to one
+    * target, or all distances when target < 0. */
+  def shortestPathLength(g: PropertyGraph, source: Long, target: Long = -1L): DataFrame = {
+    val d = sssp(g, source).select(ID, "distance")
+    if (target < 0) d else d.filter(col(ID) === target)
+  }
+
+  /** `shortest_path` (reference `sssp.py:263`): the vertex sequence from
+    * source to target, one row per hop position, by predecessor walk-back. */
+  def shortestPath(g: PropertyGraph, source: Long, target: Long): DataFrame = {
+    val res = sssp(g, source).mat
+    graft.algos.MultiTraversal.extractBfsPaths(
+      res, res.filter(col(ID) === target).select(ID),
+      maxDepth = res.count().toInt.max(1))
+  }
 }

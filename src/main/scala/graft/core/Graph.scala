@@ -43,6 +43,19 @@ final case class PropertyGraph(
   def numVertices: Long = vertices.count()
   def numEdges: Long = edges.count()
 
+  /** Predicate surface (reference `simpleGraph.py:1456,1463,1504,1536`):
+    * membership checks compile to `filter().limit(1)` — one partial scan,
+    * no full count. */
+  def hasNode(id: Long): Boolean =
+    !vertices.filter(col(Gr.ID) === id).limit(1).isEmpty
+  def hasEdge(src: Long, dst: Long): Boolean =
+    !edges.filter(col(Gr.SRC) === src && col(Gr.DST) === dst).limit(1).isEmpty
+  def hasSelfLoop: Boolean =
+    !edges.filter(col(Gr.SRC) === col(Gr.DST)).limit(1).isEmpty
+  /** Out-neighbors of a vertex (reference `neighbors(n)`). */
+  def neighbors(id: Long): DataFrame =
+    edges.filter(col(Gr.SRC) === id).select(col(Gr.DST).as(Gr.ID))
+
   /** Undirected view: union of edges with their reversals, deduplicated.
     * Reference: `structure/symmetrize.py:167`. */
   def symmetrized: PropertyGraph =
