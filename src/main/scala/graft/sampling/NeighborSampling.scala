@@ -34,18 +34,51 @@ object NeighborSampling {
 
   /** Homogeneous uniform neighbor sampling. `seeds`: (batch_id, vertex);
     * output: (batch_id, hop, src, dst). deduplicate_sources = the distinct
-    * on the next frontier (reference's `deduplicate_sources=True`). */
+    * on the next frontier (reference's `deduplicate_sources=True`);
+    * `priorSourcesBehavior="exclude"` anti-joins vertices already used as
+    * sources out of later frontiers (reference's `prior_sources_behavior`;
+    * the default "carryover" keeps them). */
   def homogeneous(edges: DataFrame, seeds: DataFrame, fanouts: Seq[Int],
-                  seed: Long = 42): DataFrame = {
+                  seed: Long = 42, priorSourcesBehavior: String = "carryover"): DataFrame = {
     val e = edges.select(SRC, DST).mat
     var frontier = seeds.select(col("batch_id"), col("vertex")).mat
+    var prior = frontier
     var out: DataFrame = null
     fanouts.zipWithIndex.foreach { case (f, h) =>
       val sampled = sampleHop(frontier, e, h, f, seed).mat
       out = if (out == null) sampled else out.union(sampled)
-      frontier = sampled.select(col("batch_id"), col(DST).as("vertex")).distinct().mat
+      val next0 = sampled.select(col("batch_id"), col(DST).as("vertex")).distinct()
+      if (priorSourcesBehavior == "exclude") {
+        frontier = next0.join(prior, Seq("batch_id", "vertex"), "left_anti").mat
+        prior = prior.union(frontier).mat
+      } else frontier = next0.mat
     }
     out.select(col("batch_id"), col("hop").cast("long").as("hop"), col(SRC), col(DST))
+  }
+
+  /** With-replacement fanout sampling: slot s of vertex v draws neighbor
+    * arg-min over the hash keyed by (batch, hop, src, slot, dst) — f
+    * independent draws per source, duplicates allowed (reference
+    * `with_replacement=True`). */
+  def homogeneousWithReplacement(edges: DataFrame, seeds: DataFrame, fanouts: Seq[Int],
+                                 seed: Long = 42): DataFrame = {
+    val e = edges.select(SRC, DST).mat
+    var frontier = seeds.select(col("batch_id"), col("vertex")).mat
+    var out: DataFrame = null
+    fanouts.zipWithIndex.foreach { case (f, h) =>
+      val slots = frontier.select(col("batch_id"), col("vertex"),
+        explode(sequence(lit(0), lit(f - 1))).as("slot"))
+      val sampled = slots.join(e, slots("vertex") === e(SRC))
+        .groupBy(col("batch_id"), col(SRC), col("slot"))
+        .agg(min_by(col(DST),
+          hash60(concat_ws("|", col("batch_id"), lit(h), col(SRC), col("slot"), col(DST), lit(seed)))).as(DST))
+        .select(col("batch_id"), lit(h).as("hop"), col(SRC), col("slot"), col(DST))
+        .mat
+      out = if (out == null) sampled else out.union(sampled)
+      frontier = sampled.select(col("batch_id"), col(DST).as("vertex")).distinct().mat
+    }
+    out.select(col("batch_id"), col("hop").cast("long").as("hop"),
+      col(SRC), col("slot").cast("long").as("slot"), col(DST))
   }
 
   /** Heterogeneous sampling: per-edge-type fanouts — the window partition

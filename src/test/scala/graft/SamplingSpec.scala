@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.{Structure, Gr}
+import graft.sampling.{NeighborSampling, Walks}
+
+/** Sampling semantics: fanout bounds, option behaviors, walk shapes. */
+class SamplingSpec extends SparkSpec {
+
+  private def und = Structure.symmetrize(edgeDF(Seq(
+    (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))))
+
+  private def seeds = {
+    import spark.implicits._
+    Seq((1L, 1L)).toDF("batch_id", "vertex")
+  }
+
+  test("homogeneous sampling respects the per-hop fanout") {
+    val s = NeighborSampling.homogeneous(und, seeds, Seq(2, 2))
+    val perSrc = s.filter(col("hop") === 0).groupBy("src").count().collect()
+    assert(perSrc.forall(_.getLong(1) <= 2))
+    // sampled edges exist in the graph
+    val es = und.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(s.collect().forall(r => es((r.getLong(2), r.getLong(3)))))
+  }
+
+  test("prior_sources_behavior=exclude never re-expands a previous source") {
+    val s = NeighborSampling.homogeneous(und, seeds, Seq(3, 3, 3),
+      priorSourcesBehavior = "exclude")
+    val srcByHop = s.collect().groupBy(_.getLong(1)).view
+      .mapValues(_.map(_.getLong(2)).toSet).toMap
+    // hop-1 sources exclude the seed; hop-2 sources exclude hops 0-1 sources
+    assert(!srcByHop.getOrElse(1L, Set.empty).contains(1L))
+    val reused = srcByHop.getOrElse(2L, Set.empty)
+      .intersect(srcByHop.getOrElse(0L, Set.empty) ++ srcByHop.getOrElse(1L, Set.empty))
+    assert(reused.isEmpty)
+  }
+
+  test("with-replacement sampling draws exactly fanout slots per source") {
+    val s = NeighborSampling.homogeneousWithReplacement(und, seeds, Seq(5))
+    val rows = s.filter(col("hop") === 0 && col("src") === 1L).collect()
+    assert(rows.length == 5) // 5 slots even though vertex 1 has 3 neighbors
+    assert(rows.map(_.getLong(4)).toSet.subsetOf(Set(2L, 3L, 4L)))
+  }
+
+  test("walks have one vertex per step and follow edges") {
+    import spark.implicits._
+    val starts = Seq((7L, 1L)).toDF("walk_id", "vertex")
+    val w = Walks.uniform(und, starts, maxDepth = 3).collect()
+      .sortBy(_.getLong(1))
+    assert(w.length == 4) // steps 0..3, no sinks in the symmetrized graph
+    val es = und.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    w.sliding(2).foreach { case Array(a, b) =>
+      assert(es((a.getLong(2), b.getLong(2))))
+    }
+  }
+}
