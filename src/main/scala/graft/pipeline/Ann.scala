@@ -47,6 +47,9 @@ object Ann {
   def kmeansCentroids(emb: DataFrame, nlist: Int, iters: Int = 5,
                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val e = withNorm(emb, idCol, vecCol).select(col(idCol), col("v")).mat
+    // dimension from the data, not an assumed width (ANSI element_at
+    // throws past the array end)
+    val dim = e.select(size(col("v"))).first().getInt(0)
     var cents = e.orderBy(idCol).limit(nlist)
       .select((row_number().over(org.apache.spark.sql.expressions.Window.orderBy(idCol)) - 1)
         .as("cid"), col("v").as("cv")).mat
@@ -55,7 +58,7 @@ object Ann {
       cents = assigned.join(e, idCol)
         .select(col("cid"), col("v"))
         .groupBy("cid")
-        .agg(array((0 until 64).map(i => avg(element_at(col("v"), i + 1))): _*).as("cv"))
+        .agg(array((0 until dim).map(i => avg(element_at(col("v"), i + 1))): _*).as("cv"))
         .mat
     }
     cents

@@ -43,6 +43,26 @@ class PipelineSpec extends SparkSpec {
     assert(t.getLong(2) == 11) // n_distinct ("the" x3)
   }
 
+  test("IVF ANN recall vs brute force is high on clustered vectors") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // 4 well-separated clusters of 25 vectors each
+    val centers = Seq(Array(10f, 0f, 0f), Array(0f, 10f, 0f),
+      Array(0f, 0f, 10f), Array(7f, 7f, 0f))
+    val vecs = (0 until 100).map { i =>
+      val c = centers(i % 4)
+      (i.toLong, c.map(x => x + rnd.nextFloat()))
+    }
+    val emb = vecs.toDF("vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") < 4)
+    val exact = Ann.bruteForceTopK(emb, queries, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Ann.ivfTopK(emb, queries, k = 5, nlist = 8, nprobe = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = ivf.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.8, s"IVF recall $recall too low")
+  }
+
   test("brute-force ANN top-k returns self as nearest neighbor") {
     import spark.implicits._
     val emb = Seq(
