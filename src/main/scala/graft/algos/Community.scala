@@ -95,6 +95,9 @@ object Community {
     // k_i: weighted degree (self-loops count fully toward k_i here since the
     // coarsened graph stores c->c weight once per direction pair)
     val ki = e.groupBy(col("run"), col(SRC).as(ID)).agg(sum(WEIGHT).as("k")).mat
+    // per-(run,vertex) state size — broadcast it into the edge join when
+    // small (prims.Hint.state) so each round scans edges in place
+    val nState = ki.count()
     var labels = ki.select(col("run"), col(ID), col(ID).as("community")).mat
     var moved = 1L
     var it = 0
@@ -106,7 +109,8 @@ object Community {
       // per-vertex weight to each neighboring community (self-loops excluded
       // from candidate weights — a vertex always "links" to its own c)
       val nbrC = e.filter(col(SRC) =!= col(DST))
-        .join(labels.select(col("run"), col(ID).as(DST), col("community").as("nc")),
+        .join(graft.prims.Hint.state(
+          labels.select(col("run"), col(ID).as(DST), col("community").as("nc")), nState),
           Seq("run", DST))
         .groupBy(col("run"), col(SRC).as(ID), col("nc")).agg(sum(WEIGHT).as("w_in"))
       val cur = labels.join(ki, Seq("run", ID))
@@ -171,7 +175,8 @@ object Community {
       (lit(minWeight) + (lit(1.0) - lit(minWeight)) * col("votes") / lit(ensembleSize.toDouble)).as(WEIGHT))
     val g2 = PropertyGraph(Structure.extractVertexList(reweighted), reweighted,
       g.props.copy(weighted = true, directed = false))
-    louvain(g2, maxLevel = finalMaxLevel)
+    // bounded final pass: the ensemble already did the exploration
+    louvain(g2, maxLevel = finalMaxLevel, maxIter = 8)
   }
 
   /** Leiden = Louvain + a refinement pass constraining communities to be
