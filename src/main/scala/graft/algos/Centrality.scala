@@ -27,11 +27,18 @@ object Centrality {
     * Reference defaults (`katz_centrality.py:10`): beta=1.0, tol=1e-6. */
   def katz(g: PropertyGraph, alpha: Double, beta: Double = 1.0,
            maxIter: Int = 100, tol: Double = 1e-6,
-           normalized: Boolean = true): DataFrame = {
+           normalized: Boolean = true, nstart: Option[DataFrame] = None): DataFrame = {
     val verts = g.vertices.select(ID).mat
     val nV = verts.count()
     val e = g.edges.select(SRC, DST).mat
-    val init = verts.withColumn("katz", lit(beta))
+    // warm start (reference `nstart`); default beta everywhere
+    val init = nstart match {
+      case Some(n0) =>
+        val cols = n0.columns
+        verts.join(n0.select(col(cols(0)).as(ID), col(cols(1)).as("katz")), Seq(ID), "left")
+          .select(col(ID), coalesce(col("katz"), lit(beta)).as("katz"))
+      case None => verts.withColumn("katz", lit(beta))
+    }
     val step = { (c: DataFrame, _: Int) =>
       val in = e.join(Hint.state(c.withColumnRenamed(ID, SRC), nV), SRC)
         .groupBy(col(DST).as(ID)).agg(sum("katz").as("in_sum"))

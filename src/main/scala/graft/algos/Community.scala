@@ -125,9 +125,14 @@ object Community {
         .select(col("run"), col(ID), col("nc"), col("c_cur"), col("k"),
           (col("w_in") - lit(resolution) * col("k") *
             (when(col("nc") === col("c_cur"), col("tot") - col("k")).otherwise(col("tot"))) / col("m2")).as("gain"))
-      val w = Window.partitionBy(col("run"), col(ID)).orderBy(desc("gain"), col("nc"))
-      val best = cand.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
-        .select(col("run"), col(ID), col("nc"), col("c_cur"), col("gain"))
+      // per-vertex best move via hash-agg max_by (tie-break: max gain, then
+      // min community id via negation) — a partial+final aggregation instead
+      // of the window sort
+      val best = cand.groupBy(col("run"), col(ID))
+        .agg(max_by(struct(col("nc"), col("c_cur"), col("gain")),
+          struct(col("gain"), -col("nc"))).as("b"))
+        .select(col("run"), col(ID), col("b.nc").as("nc"),
+          col("b.c_cur").as("c_cur"), col("b.gain").as("gain"))
       // move only on strict positive improvement over staying
       val stayGain = cand.filter(col("nc") === col("c_cur"))
         .select(col("run"), col(ID), col("gain").as("stay_gain"))

@@ -25,7 +25,7 @@ object PageRank {
   /** @return DataFrame(id, pagerank) summing to 1 (within fp error). */
   def run(g: PropertyGraph, alpha: Double = 0.85, tol: Double = 1e-5,
           maxIter: Int = 100, personalization: Option[DataFrame] = None,
-          weighted: Boolean = false): DataFrame = {
+          weighted: Boolean = false, nstart: Option[DataFrame] = None): DataFrame = {
     val spark = g.spark
     val verts = g.vertices.select(ID).mat
     val nV = verts.count().toDouble
@@ -54,7 +54,17 @@ object PageRank {
     // count ONCE: when the graph has no dangling (sink) vertices — the common
     // case — skip the per-iteration semi-join + scalar job entirely.
     val hasDangling = danglingSet.count() > 0
-    val init = reset.select(col(ID), col("reset").as("pagerank"))
+    // warm start (reference `nstart`): caller-provided initial ranks,
+    // sum-normalized; default = the reset distribution
+    val init = nstart match {
+      case Some(n0) =>
+        val cols = n0.columns
+        val total = n0.agg(sum(col(cols(1)))).first().getDouble(0)
+        verts.join(n0.select(col(cols(0)).as(ID), (col(cols(1)) / total).as("pagerank")),
+          Seq(ID), "left")
+          .select(col(ID), coalesce(col("pagerank"), lit(0.0)).as("pagerank"))
+      case None => reset.select(col(ID), col("reset").as("pagerank"))
+    }
 
     val step = { (ranks: DataFrame, _: Int) =>
       // dangling mass: rank stuck on sink vertices, redistributed via reset

@@ -106,6 +106,17 @@ class AlgoSpec extends SparkSpec {
     assert(q > 0.3)
   }
 
+  test("PageRank nstart at the fixpoint converges immediately to itself") {
+    val und = Structure.symmetrize(edgeDF(bridged))
+    val g = PropertyGraph(Structure.extractVertexList(und), und,
+      GraphProperties(directed = false))
+    val fix = graft.prims.Iterate.materialize(PageRank.run(g, tol = 1e-8, maxIter = 100))
+    val warm = PageRank.run(g, tol = 1e-8, maxIter = 100, nstart = Some(fix))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val cold = fix.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    cold.foreach { case (k, v) => assert(math.abs(warm(k) - v) < 1e-6) }
+  }
+
   test("betweenness: the bridge endpoints dominate") {
     val g = graphOf(bridged)
     val bc = Centrality.betweenness(g).collect()
