@@ -298,7 +298,8 @@ object SparkEntry {
       val e = Fixtures.custSuppEdges(s, dir)
       val custs = e.select(SRC).distinct().orderBy(SRC).limit(8).collect().map(_.getLong(0))
       val supps = e.select(DST).distinct().orderBy(DST).limit(8).collect().map(_.getLong(0))
-      val wmap = e.filter(col(SRC).isin(custs: _*) && col(DST).isin(supps: _*))
+      val wmap = e.filter(col(SRC).isin(custs.toIndexedSeq: _*) &&
+          col(DST).isin(supps.toIndexedSeq: _*))
         .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
       // maximize matched weight = minimize negated costs (driver-side LAP)
       val cost = custs.map(c => supps.map(p => -wmap.getOrElse((c, p), 0.0)))

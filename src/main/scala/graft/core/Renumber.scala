@@ -46,7 +46,7 @@ object Renumber {
   def assignIds(distinctRows: DataFrame, contiguous: Boolean = true): DataFrame = {
     if (contiguous) {
       val schema = distinctRows.schema.add(Gr.INT_ID, LongType, nullable = false)
-      val indexed = distinctRows.rdd.zipWithIndex.map { case (row, idx) =>
+      val indexed = distinctRows.rdd.zipWithIndex().map { case (row, idx) =>
         org.apache.spark.sql.Row.fromSeq(row.toSeq :+ idx)
       }
       distinctRows.sparkSession.createDataFrame(indexed, schema)
