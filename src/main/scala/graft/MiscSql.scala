@@ -76,6 +76,50 @@ object MiscSql {
     b.toString
   }
 
+  /** Borůvka MST on the supplier graph, `rounds` unrolled merge rounds:
+    * per round each component picks its min cross-component edge by the
+    * scalar key weight·1e10 + src·1e5 + dst (exact in double for integral
+    * weights and ids < 1e5 — same total order as the Spark side's
+    * struct(weight, src, dst) min), then components merge by min-label
+    * closure (recursive CTE). Extra rounds past convergence are no-ops. */
+  def mstSupplier(rounds: Int): String = {
+    val b = new StringBuilder
+    b ++= s"WITH RECURSIVE $SUPP_EDGES_SQL,\n$SUPP_VERTS_SQL,\n"
+    b ++= "ek AS MATERIALIZED (SELECT src, dst, weight, weight * 1e10 + src * 1e5 + dst AS k FROM supp_edges),\n"
+    b ++= "comp0 AS MATERIALIZED (SELECT id, id AS comp FROM verts),\n"
+    for (r <- 1 to rounds) {
+      b ++= s"""cr$r AS MATERIALIZED (
+        |  SELECT e.src, e.dst, e.weight, e.k, ca.comp AS c1, cb.comp AS c2
+        |  FROM ek e JOIN comp${r - 1} ca ON ca.id = e.src JOIN comp${r - 1} cb ON cb.id = e.dst
+        |  WHERE ca.comp <> cb.comp
+        |),
+        |mk$r AS MATERIALIZED (
+        |  SELECT comp, min(k) AS k FROM (
+        |    SELECT c1 AS comp, k FROM cr$r UNION ALL SELECT c2, k FROM cr$r
+        |  ) GROUP BY comp
+        |),
+        |ch$r AS MATERIALIZED (
+        |  SELECT DISTINCT c.src, c.dst, c.weight, c.c1, c.c2 FROM cr$r c
+        |  JOIN mk$r m ON c.k = m.k AND (m.comp = c.c1 OR m.comp = c.c2)
+        |),
+        |cg$r AS MATERIALIZED (SELECT c1 AS a, c2 AS b FROM ch$r UNION SELECT c2, c1 FROM ch$r),
+        |reach$r(a, b) AS (
+        |  SELECT comp, comp FROM (SELECT DISTINCT comp FROM comp${r - 1})
+        |  UNION
+        |  SELECT rr.a, g.b FROM reach$r rr JOIN cg$r g ON g.a = rr.b
+        |),
+        |newl$r AS MATERIALIZED (SELECT a AS comp, min(b) AS newc FROM reach$r GROUP BY a),
+        |comp$r AS MATERIALIZED (
+        |  SELECT c.id, n.newc AS comp FROM comp${r - 1} c JOIN newl$r n ON n.comp = c.comp
+        |)""".stripMargin
+      b ++= ",\n"
+    }
+    b ++= "mst AS (" + (1 to rounds).map(r =>
+      s"SELECT src, dst, weight FROM ch$r").mkString(" UNION ALL ") + ")\n"
+    b ++= "SELECT DISTINCT src, dst, weight FROM mst"
+    b.toString
+  }
+
   /** Edge-id lookup: dense canonical ids, probe every 7th id. */
   def edgeLookup: String =
     s"""WITH $SUPP_EDGES_SQL,

@@ -164,7 +164,9 @@ object SparkEntry {
       s.range(1).select(round(lit(m), 6).as("modularity"))
     },
     "q_mst" -> q { (s, dir) =>
-      TreeDag.boruvkaMst(Fixtures.supplierGraphUnd(s, dir))
+      val (mst, rounds) = TreeDag.boruvkaMstWithRounds(Fixtures.supplierGraphUnd(s, dir))
+      require(rounds <= 8, s"Boruvka took $rounds rounds, oracle budget is 7")
+      mst
     },
     "q_topo_sort" -> q { (s, dir) =>
       TreeDag.topologicalLevels(Fixtures.hierarchyDag(s, dir))
@@ -679,6 +681,7 @@ object SparkEntry {
          |SELECT v.id, coalesce(c.triangle_count, 0) AS triangle_count
          |FROM kverts v LEFT JOIN cnt c ON c.id = v.id""".stripMargin
     },
+    "q_mst" -> MiscSql.mstSupplier(rounds = 7),
     "q_mis" -> MiscSql.misTree(rounds = 6, seed = 42),
     "q_matching" -> MiscSql.matchingSupplier(rounds = 3),
     "q_edge_lookup" -> MiscSql.edgeLookup,

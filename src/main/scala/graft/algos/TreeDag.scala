@@ -19,7 +19,12 @@ object TreeDag {
     * each = one join + one min-by agg + a small WCC to merge components.
     * @return canonical (src<dst) MST edges with weights (forest if the
     * graph is disconnected; maximum=true negates weights for max-ST). */
-  def boruvkaMst(g: PropertyGraph, maximum: Boolean = false): DataFrame = {
+  def boruvkaMst(g: PropertyGraph, maximum: Boolean = false): DataFrame =
+    boruvkaMstWithRounds(g, maximum)._1
+
+  /** Borůvka also returning the merge-round count, for oracle round-budget
+    * assertions (rounds ≤ ⌈log2 V⌉: components at least halve per round). */
+  def boruvkaMstWithRounds(g: PropertyGraph, maximum: Boolean = false): (DataFrame, Int) = {
     val canon0 = Structure.canonicalize(g.weightedEdges.select(SRC, DST, WEIGHT))
     val canon = (if (maximum) canon0.withColumn(WEIGHT, -col(WEIGHT)) else canon0)
       .mat
@@ -59,7 +64,7 @@ object TreeDag {
           .mat
       }
     }
-    if (maximum) mst.withColumn(WEIGHT, -col(WEIGHT)) else mst
+    (if (maximum) mst.withColumn(WEIGHT, -col(WEIGHT)) else mst, round)
   }
 
   /** Topological levels of a DAG by zero-in-degree peeling: level(v) =
