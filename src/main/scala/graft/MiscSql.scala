@@ -48,6 +48,69 @@ object MiscSql {
     b.toString
   }
 
+  /** Greedy repeated-MIS coloring on the tree fixture, nested unroll:
+    * color c = Luby MIS (seed+c priorities) over the still-uncolored
+    * vertices, `misRounds` unrolled per color, `colors` colors. Extra
+    * colors/rounds past convergence are no-ops (empty CTEs). */
+  def coloringTree(colors: Int, misRounds: Int, seed: Long): String = {
+    val b = new StringBuilder
+    b ++= s"WITH $DAG_PRELUDE,\n"
+    b ++= "remc0 AS MATERIALIZED (SELECT id FROM dverts),\n"
+    for (c <- 0 until colors) {
+      b ++= s"pri$c AS MATERIALIZED (SELECT id, ${h60(s"concat_ws('|', 'mis', id, ${seed + c})")} AS p FROM dverts),\n"
+      b ++= s"rem${c}_1 AS MATERIALIZED (SELECT id FROM remc$c),\n"
+      for (r <- 1 to misRounds) {
+        b ++= s"""mis${c}_$r AS MATERIALIZED (
+          |  SELECT v.id FROM rem${c}_$r v JOIN pri$c pv ON pv.id = v.id
+          |  WHERE NOT EXISTS (
+          |    SELECT 1 FROM dund e JOIN rem${c}_$r u ON u.id = e.dst JOIN pri$c pu ON pu.id = u.id
+          |    WHERE e.src = v.id AND (pu.p < pv.p OR (pu.p = pv.p AND u.id < v.id))
+          |  )
+          |),
+          |kill${c}_$r AS MATERIALIZED (
+          |  SELECT id FROM mis${c}_$r
+          |  UNION SELECT e.dst FROM dund e JOIN mis${c}_$r m ON m.id = e.src
+          |),
+          |rem${c}_${r + 1} AS MATERIALIZED (
+          |  SELECT id FROM rem${c}_$r WHERE NOT EXISTS (SELECT 1 FROM kill${c}_$r k WHERE k.id = rem${c}_$r.id)
+          |)""".stripMargin
+        b ++= ",\n"
+      }
+      b ++= s"col$c AS MATERIALIZED (" + (1 to misRounds).map(r =>
+        s"SELECT id FROM mis${c}_$r").mkString(" UNION ALL ") + "),\n"
+      b ++= s"""remc${c + 1} AS MATERIALIZED (
+        |  SELECT id FROM remc$c WHERE NOT EXISTS (SELECT 1 FROM col$c k WHERE k.id = remc$c.id)
+        |)""".stripMargin
+      b ++= (if (c < colors - 1) ",\n" else "\n")
+    }
+    b ++= "SELECT id, CAST(color AS BIGINT) AS color FROM (" +
+      (0 until colors).map(c => s"SELECT id, $c AS color FROM col$c").mkString(" UNION ALL ") + ")"
+    b.toString
+  }
+
+  /** k-core of the supplier graph: cascade peel at level k, unrolled. */
+  def kcoreSupplier(k: Int, rounds: Int): String = {
+    val b = new StringBuilder
+    b ++= s"WITH $SUPP_EDGES_SQL,\n"
+    b ++= "t0 AS MATERIALIZED (SELECT src, dst FROM supp_edges),\n"
+    for (r <- 1 to rounds) {
+      b ++= s"""dg$r AS MATERIALIZED (
+        |  SELECT id, count(*) AS d FROM (
+        |    SELECT src AS id FROM t${r - 1} UNION ALL SELECT dst FROM t${r - 1}
+        |  ) GROUP BY id
+        |),
+        |wk$r AS MATERIALIZED (SELECT id FROM dg$r WHERE d < $k),
+        |t$r AS MATERIALIZED (
+        |  SELECT e.src, e.dst FROM t${r - 1} e
+        |  WHERE NOT EXISTS (SELECT 1 FROM wk$r w WHERE w.id = e.src)
+        |    AND NOT EXISTS (SELECT 1 FROM wk$r w WHERE w.id = e.dst)
+        |)""".stripMargin
+      b ++= (if (r < rounds) ",\n" else "\n")
+    }
+    b ++= s"SELECT src, dst FROM t$rounds"
+    b.toString
+  }
+
   /** Handshake weighted matching on the supplier graph, `rounds` unrolled:
     * per round each vertex points at arg_max(weight·1e6 − dst); mutual
     * pairs retire. */

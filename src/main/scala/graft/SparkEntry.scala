@@ -148,7 +148,9 @@ object SparkEntry {
         .select(col(ID), col("core_number").cast("long").as("core_number"))
     },
     "q_kcore" -> q { (s, dir) =>
-      Components.kCore(Fixtures.supplierGraph(s, dir), k = 50)
+      val (core, rounds) = Components.kCoreWithRounds(Fixtures.supplierGraph(s, dir), k = 50)
+      require(rounds <= 4, s"k-core cascade took $rounds rounds, oracle budget is 4")
+      core
     },
     "q_louvain" -> q { (s, dir) =>
       val (labels, q) = Community.louvain(Fixtures.partGraph(s, dir), maxLevel = 2, maxIter = 5)
@@ -283,7 +285,10 @@ object SparkEntry {
     },
     "q_coloring" -> q { (s, dir) =>
       val g = Fixtures.hierarchyDag(s, dir)
-      val colors = Misc.vertexColoring(g).mat
+      val (colors0, nColors, misRounds) = Misc.vertexColoringWithStats(g)
+      require(nColors <= 5, s"coloring used $nColors colors, oracle budget is 5")
+      require(misRounds <= 6, s"MIS took $misRounds rounds, oracle budget is 6")
+      val colors = colors0.mat
       // self-checking: a proper coloring has no monochromatic edge
       val und = Structure.symmetrize(g.edges.select(SRC, DST))
       val bad = und
@@ -682,6 +687,8 @@ object SparkEntry {
          |FROM kverts v LEFT JOIN cnt c ON c.id = v.id""".stripMargin
     },
     "q_mst" -> MiscSql.mstSupplier(rounds = 7),
+    "q_kcore" -> MiscSql.kcoreSupplier(k = 50, rounds = 4),
+    "q_coloring" -> MiscSql.coloringTree(colors = 5, misRounds = 6, seed = 42),
     "q_mis" -> MiscSql.misTree(rounds = 6, seed = 42),
     "q_matching" -> MiscSql.matchingSupplier(rounds = 3),
     "q_edge_lookup" -> MiscSql.edgeLookup,

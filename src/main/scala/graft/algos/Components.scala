@@ -172,16 +172,23 @@ object Components {
     * core numbers, peel DIRECTLY at level k — repeatedly delete vertices of
     * degree < k until stable (a handful of cascade rounds) instead of
     * computing every core value first. */
-  def kCore(g: PropertyGraph, k: Int, coreNumbers: Option[DataFrame] = None): DataFrame = {
+  def kCore(g: PropertyGraph, k: Int, coreNumbers: Option[DataFrame] = None): DataFrame =
+    kCoreWithRounds(g, k, coreNumbers)._1
+
+  /** k-core also returning the cascade round count (for oracle budgets). */
+  def kCoreWithRounds(g: PropertyGraph, k: Int,
+                      coreNumbers: Option[DataFrame] = None): (DataFrame, Int) = {
     val canon = Structure.canonicalize(Structure.symmetrize(g.edges.select(SRC, DST)))
     coreNumbers match {
       case Some(cores) =>
         val keep = cores.filter(col("core_number") >= k).select(ID)
-        Structure.inducedSubgraph(canon, keep)
+        (Structure.inducedSubgraph(canon, keep), 0)
       case None =>
         var e = canon.mat
         var changed = 1L
+        var rounds = 0
         while (changed > 0) {
+          rounds += 1
           val weak = undirDegrees(e).filter(col("degree") < k).select(ID).mat
           changed = weak.count()
           if (changed > 0) {
@@ -190,7 +197,7 @@ object Components {
               .mat
           }
         }
-        e
+        (e, rounds)
     }
   }
 }

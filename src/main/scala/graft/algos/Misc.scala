@@ -66,11 +66,18 @@ object Misc {
   /** Greedy distributed coloring by repeated MIS: the r-th MIS over the
     * still-uncolored subgraph gets color r (reference
     * `vertex_coloring_impl.cuh` does exactly this). Returns (id, color). */
-  def vertexColoring(g: PropertyGraph, seed: Long = 42, maxColors: Int = 100): DataFrame = {
+  def vertexColoring(g: PropertyGraph, seed: Long = 42, maxColors: Int = 100): DataFrame =
+    vertexColoringWithStats(g, seed, maxColors)._1
+
+  /** Coloring also returning (colors used, max MIS rounds) so oracle
+    * queries can assert the unrolled color×round budget was sufficient. */
+  def vertexColoringWithStats(g: PropertyGraph, seed: Long = 42,
+                              maxColors: Int = 100): (DataFrame, Int, Int) = {
     val und = Structure.removeSelfLoops(Structure.symmetrize(g.edges.select(SRC, DST))).mat
     var remV = Structure.extractVertexList(g.edges).mat
     var colored: DataFrame = null
     var color = 0
+    var maxRounds = 0
     var nRem = remV.count()
     while (nRem > 0 && color < maxColors) {
       val subE = und
@@ -78,13 +85,15 @@ object Misc {
         .join(remV.withColumnRenamed(ID, DST), DST)
         .select(SRC, DST)
       val sub = PropertyGraph(remV, subE, g.props.copy(directed = false))
-      val m = mis(sub, seed + color).withColumn("color", lit(color.toLong))
+      val (m0, rounds) = misWithRounds(sub, seed + color)
+      maxRounds = math.max(maxRounds, rounds)
+      val m = m0.withColumn("color", lit(color.toLong))
       colored = if (colored == null) m else colored.union(m).mat
       remV = remV.join(m.select(ID), Seq(ID), "left_anti").mat
       color += 1
       nRem = remV.count()
     }
-    colored
+    (colored, color, maxRounds)
   }
 
   /** Approximate weighted matching, fixed handshake rounds: every vertex
