@@ -27,14 +27,21 @@ object Generators {
     * and self-loops are kept, as in the reference (clip_and_flip off). */
   def rmat(spark: SparkSession, scale: Int, numEdges: Long,
            a: Double = 0.57, b: Double = 0.19, c: Double = 0.19,
-           seed: Long = 42): DataFrame = {
+           seed: Long = 42, fastHash: Boolean = false): DataFrame = {
     val ab = a + b
     val abc = a + b + c
     val base = spark.range(numEdges).select(col("id").as("edge_id"))
     val (srcExpr, dstExpr) = (0 until scale).foldLeft((lit(0L), lit(0L))) {
       case ((s, d), l) =>
-        val u = hash60(concat_ws("|", lit("rmat"), col("edge_id"), lit(l), lit(seed)))
-          .cast("double") / lit(math.pow(2, 60))
+        // draw per (edge, level): md5-derived by default (DuckDB-portable
+        // oracle); xxhash64 when benchmarking — ~20x cheaper per draw and
+        // codegen'd, same distribution, not oracle-reproducible.
+        val u = if (fastHash)
+          pmod(xxhash64(col("edge_id"), lit(l), lit(seed)), lit(1L << 60))
+            .cast("double") / lit(math.pow(2, 60))
+        else
+          hash60(concat_ws("|", lit("rmat"), col("edge_id"), lit(l), lit(seed)))
+            .cast("double") / lit(math.pow(2, 60))
         (s + when(u >= ab, lit(1L << l)).otherwise(lit(0L)),
          d + when((u >= a && u < ab) || u >= abc, lit(1L << l)).otherwise(lit(0L)))
     }
