@@ -63,6 +63,24 @@ class PipelineSpec extends SparkSpec {
     assert(recall >= 0.8, s"IVF recall $recall too low")
   }
 
+  test("LSH-bucketed embedding dedup recovers most brute-force pairs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    // 10 groups of 5 near-identical vectors → 100 true near-dup pairs
+    val vecs = (0 until 50).map { i =>
+      val base = Array.tabulate(8)(d => if (d == i / 5 % 8) 5f else 0f)
+      (i.toLong, base.map(x => x + 0.05f * rnd.nextFloat()))
+    }
+    val emb = vecs.toDF("vec_id", "embedding")
+    val exact = Dedup.embeddingDupPairs(emb, threshold = 0.95).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.embeddingDupPairs(emb, threshold = 0.95, planes = 6).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact)) // bucketing never invents pairs
+    val recall = lsh.size.toDouble / exact.size
+    assert(recall >= 0.6, s"LSH recall $recall too low (${lsh.size}/${exact.size})")
+  }
+
   test("brute-force ANN top-k returns self as nearest neighbor") {
     import spark.implicits._
     val emb = Seq(
