@@ -56,6 +56,31 @@ final case class PropertyGraph(
   def neighbors(id: Long): DataFrame =
     edges.filter(col(Gr.SRC) === id).select(col(Gr.DST).as(Gr.ID))
 
+  /** Graph-class predicates (reference `is_directed/is_weighted/
+    * is_multigraph/is_bipartite`, `graph_classes.py`). */
+  def isDirected: Boolean = props.directed
+  def isWeighted: Boolean = props.weighted && hasWeights
+  def isMultigraph: Boolean =
+    edges.count() > edges.select(Gr.SRC, Gr.DST).distinct().count()
+
+  /** Bipartiteness via 2-coloring: multi-source BFS from each component's
+    * minimum vertex, color = distance parity; bipartite iff no edge joins
+    * two same-colored endpoints. One WCC + one batched BFS + one join. */
+  def isBipartite: Boolean = {
+    val und = Structure.symmetrize(edges.select(Gr.SRC, Gr.DST))
+    val g0 = PropertyGraph(vertices.select(Gr.ID), und, props.copy(directed = false))
+    val roots = graft.algos.Components.wcc(g0)
+      .groupBy("component").agg(org.apache.spark.sql.functions.min(Gr.ID).as("source"))
+      .select("source")
+    val colors = graft.algos.MultiTraversal.msBfs(g0, roots)
+      .select(col(Gr.ID), (col("distance") % 2).as("parity"))
+    val bad = und
+      .join(colors.select(col(Gr.ID).as(Gr.SRC), col("parity").as("pa")), Gr.SRC)
+      .join(colors.select(col(Gr.ID).as(Gr.DST), col("parity").as("pb")), Gr.DST)
+      .filter(col("pa") === col("pb")).limit(1)
+    bad.isEmpty
+  }
+
   /** Undirected view: union of edges with their reversals, deduplicated.
     * Reference: `structure/symmetrize.py:167`. */
   def symmetrized: PropertyGraph =

@@ -36,6 +36,25 @@ class ApiSpec extends SparkSpec {
     assert(len == 2.0)
   }
 
+  test("is_bipartite: even cycle yes, odd cycle no, bipartite fixture yes") {
+    val even = graphOf(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)), directed = false)
+    assert(even.isBipartite)
+    val odd = graphOf(Seq((1L, 2L), (2L, 3L), (3L, 1L)), directed = false)
+    assert(!odd.isBipartite)
+    // disconnected: even cycle + path is still bipartite
+    val mixed = graphOf(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (10L, 11L)),
+      directed = false)
+    assert(mixed.isBipartite)
+  }
+
+  test("is_multigraph and is_weighted predicates") {
+    val multi = graphOf(Seq((1L, 2L), (1L, 2L), (2L, 3L)))
+    assert(multi.isMultigraph)
+    assert(!graphOf(Seq((1L, 2L))).isMultigraph)
+    assert(wGraphOf(Seq((1L, 2L, 3.0))).isWeighted)
+    assert(!graphOf(Seq((1L, 2L))).isWeighted)
+  }
+
   test("connected_components dispatcher") {
     val c = Components.wcc(g).collect().map(_.getLong(1)).distinct
     assert(c.length == 1)
