@@ -232,6 +232,29 @@ object SamplingSql {
          |FROM settled s JOIN dests d ON d.id = s.id""".stripMargin
   }
 
+  /** WEIGHTED OD distances: Bellman-Ford keyed by origin, unrolled, then
+    * the destination semi-join. */
+  def odWeighted(nOrigins: Int, nDests: Int, rounds: Int): String = {
+    val b = new StringBuilder
+    b ++= s"WITH $PRELUDE,\n${seeds(nOrigins)},\n"
+    b ++= "d0 AS MATERIALIZED (SELECT id AS source, id, 0.0 AS d FROM seeds),\n"
+    for (i <- 1 to rounds) {
+      b ++= s"""d$i AS MATERIALIZED (
+        |  SELECT source, id, min(d) AS d FROM (
+        |    SELECT source, id, d FROM d${i - 1}
+        |    UNION ALL
+        |    SELECT p.source, u.dst AS id, p.d + u.weight AS d
+        |    FROM und u JOIN d${i - 1} p ON p.id = u.src
+        |  ) GROUP BY source, id
+        |)""".stripMargin
+      b ++= ",\n"
+    }
+    b ++= s"dst_set AS MATERIALIZED (SELECT id FROM verts ORDER BY id LIMIT $nDests)\n"
+    b ++= s"""SELECT d.source AS origin, d.id AS destination, round(d.d, 6) AS distance
+       |FROM d$rounds d JOIN dst_set t ON t.id = d.id""".stripMargin
+    b.toString
+  }
+
   /** BFS predecessor-path extraction: single-source BFS unrolled, then walk
     * the predecessor chain from each destination (pos 0 = destination). */
   def bfsPaths(nDests: Int, rounds: Int): String = {

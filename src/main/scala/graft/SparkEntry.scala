@@ -441,6 +441,14 @@ object SparkEntry {
       require(maxDepth <= 12, s"OD depth $maxDepth exceeds oracle budget 12")
       res
     },
+    "q_od_weighted" -> q { (s, dir) =>
+      val g = Fixtures.supplierGraphUnd(s, dir)
+      val origins = Fixtures.seedVertices(s, dir, 3)
+      val dests = Fixtures.seedVertices(s, dir, 5)
+      val (res, rounds) = MultiTraversal.odShortestDistancesWeighted(g, origins, dests)
+      require(rounds <= 10, s"weighted OD took $rounds rounds, oracle budget is 10")
+      res.select(col("origin"), col("destination"), round(col("distance"), 6).as("distance"))
+    },
     "q_bfs_paths" -> q { (s, dir) =>
       val g = Fixtures.supplierGraphUnd(s, dir)
       val src = g.vertices.agg(min(ID)).first().getLong(0)
@@ -743,6 +751,7 @@ object SparkEntry {
     "q_select_random_vertices" -> SamplingSql.selectRandomVertices(k = 10, seed = 42),
     "q_msbfs" -> SamplingSql.msBfs(nSources = 3, rounds = 12),
     "q_od_distances" -> SamplingSql.odDistances(nOrigins = 3, nDests = 5, rounds = 12),
+    "q_od_weighted" -> SamplingSql.odWeighted(nOrigins = 3, nDests = 5, rounds = 10),
     "q_bfs_paths" -> SamplingSql.bfsPaths(nDests = 3, rounds = 12),
     "q_edge_cut" -> SamplingSql.edgeCut,
     "q_ratio_cut" -> SamplingSql.ratioCut,

@@ -63,6 +63,42 @@ object MultiTraversal {
         col("distance").cast("long").as("distance"))
   }
 
+  /** WEIGHTED origin-destination shortest distances — the reference's
+    * `od_shortest_distances` semantics (`algorithms.hpp:1244`): a batched
+    * Bellman-Ford keyed by origin (state (source, id, distance)), then a
+    * semi-join onto the destination list. Returns also the round count for
+    * oracle budget asserts. */
+  def odShortestDistancesWeighted(g: PropertyGraph, origins: DataFrame, dests: DataFrame,
+                                  maxRounds: Int = 200): (DataFrame, Int) = {
+    val e = g.weightedEdges.select(SRC, DST, WEIGHT).mat
+    var dist = origins.select(col(origins.columns.head).as("source"))
+      .select(col("source"), col("source").as(ID), lit(0.0).as("distance")).mat
+    var improved = dist
+    var nImp = 1L
+    var round = 0
+    while (nImp > 0 && round < maxRounds) {
+      round += 1
+      val cand = e.join(graft.prims.Hint.state(
+          improved.select(col("source"), col(ID).as(SRC), col("distance").as("d_src")), nImp), SRC)
+        .select(col("source"), col(DST).as(ID), (col("d_src") + col(WEIGHT)).as("distance"))
+      val best = cand.groupBy("source", ID).agg(min("distance").as("distance"))
+      val next = dist.union(best)
+        .groupBy("source", ID).agg(min("distance").as("distance")).mat
+      val imp = next.join(
+          dist.select(col("source"), col(ID), col("distance").as("d_old")),
+          Seq("source", ID), "left")
+        .filter(col("d_old").isNull || col("distance") < col("d_old"))
+        .select("source", ID, "distance").mat
+      nImp = imp.count()
+      dist = next
+      improved = imp
+    }
+    val res = dist.join(dests.select(col(dests.columns.head).as(ID)), ID)
+      .select(col("source").as("origin"), col(ID).as("destination"),
+        col("distance"))
+    (res, round)
+  }
+
   /** Reconstruct root-to-destination paths from a BFS predecessor table
     * (id, distance, predecessor). Output one row per path position:
     * (destination, pos, vertex) with pos 0 at the destination walking back
