@@ -121,6 +121,22 @@ object Hint {
     if (nRows >= 0 && nRows <= maxRows) broadcast(df) else df
 }
 
+/** Skew-join salting for power-law graphs (SURVEY §7.4-5) — the explicit
+  * fallback when AQE's runtime skew split doesn't apply (e.g. the skewed
+  * side is a materialized loop state, or the join is inside a stage AQE
+  * cannot re-plan). The big side gets a deterministic per-row salt, the
+  * small side is replicated across all salt values, and the join key grows
+  * by the salt column — a hub key's rows now spread over `salt` tasks. */
+object Skew {
+  def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
+                 salt: Int = 16, joinType: String = "inner"): DataFrame = {
+    val bigS = big.withColumn("_salt",
+      pmod(xxhash64(big.columns.map(col).toIndexedSeq: _*), lit(salt)).cast("int"))
+    val smallS = small.withColumn("_salt", explode(sequence(lit(0), lit(salt - 1))))
+    bigS.join(smallS, (keys :+ "_salt").toIndexedSeq, joinType).drop("_salt")
+  }
+}
+
 object TopK {
 
   /** Top-k rows per key — THE canonical Spark pattern for per-source fanout
