@@ -238,6 +238,19 @@ object SparkEntry {
       val emb = Fixtures.embeddings(s, dir)
       pipeline.Ann.ivfTopK(emb, emb.filter(col("vec_id") < 5), k = 10)
     },
+    "q_dedup_clusters" -> q { (s, dir) =>
+      // near-dup pairs → duplicate clusters via WCC over the pair graph
+      val docs = Fixtures.documents(s, dir)
+      val pairs = pipeline.Dedup.minhashLshPairs(docs,
+        n = 3, bands = 4, rowsPerBand = 2, threshold = 0.2)
+      pipeline.Dedup.resolveClusters(docs, pairs.select("id_a", "id_b"))
+    },
+    "q_scrub" -> q { (s, dir) =>
+      pipeline.TextAnalysis.scrubPii(Fixtures.documents(s, dir))
+    },
+    "q_split" -> q { (s, dir) =>
+      pipeline.TextAnalysis.trainValSplit(Fixtures.documents(s, dir), valPct = 5)
+    },
     "q_token_count" -> q { (s, dir) =>
       pipeline.TextAnalysis.tokenCounts(Fixtures.documents(s, dir))
     },
@@ -667,6 +680,26 @@ object SparkEntry {
     "q_simhash" -> PipelineSql.simhash(32),
     "q_embed_dup" -> PipelineSql.embedDup(0.4),
     "q_ann_topk" -> PipelineSql.annTopK(nQueries = 5, k = 10),
+    "q_dedup_clusters" ->
+      s"""WITH RECURSIVE pr AS MATERIALIZED (${PipelineSql.lshPairs(bands = 4, rowsPerBand = 2, threshold = 0.2)}),
+         |sym AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM pr UNION SELECT id_b, id_a FROM pr),
+         |reach(a, b) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT r.a, s.b FROM reach r JOIN sym s ON s.a = r.b
+         |)
+         |SELECT a AS doc_id, min(b) AS cluster, a = min(b) AS is_canonical
+         |FROM reach GROUP BY a""".stripMargin,
+    "q_scrub" ->
+      """SELECT doc_id,
+        |  regexp_replace(regexp_replace(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+', '<EMAIL>', 'g'),
+        |                 '[0-9]{7,}', '<NUM>', 'g') AS scrubbed
+        |FROM documents""".stripMargin,
+    "q_split" ->
+      """SELECT doc_id,
+        |  CASE WHEN CAST('0x' || substr(md5(concat_ws('|', 'split', doc_id, 42)), 1, 15) AS BIGINT) % 100 < 95
+        |       THEN 'train' ELSE 'val' END AS split
+        |FROM documents""".stripMargin,
     "q_token_count" -> PipelineSql.tokenCounts,
     "q_quality" -> PipelineSql.quality,
     "q_langid" -> PipelineSql.langId,

@@ -119,6 +119,26 @@ object Dedup {
     * aggregated map-side; the per-doc fingerprint is a single long.
     * Hamming-near pairs can then be found by joining on rotated bit-bands
     * (same LSH shape as minhashLshPairs). */
+  /** Resolve near-duplicate PAIRS into duplicate CLUSTERS: weakly-connected
+    * components over the pair graph (the graph engine eating its own dog
+    * food), canonical survivor = min doc id per cluster; docs in no pair
+    * are their own singleton cluster. Output (doc_id, cluster, is_canonical).
+    * This is the step that turns pair mining into an actual dedup decision
+    * at corpus scale. */
+  def resolveClusters(docs: DataFrame, pairs: DataFrame,
+                      idCol: String = "doc_id"): DataFrame = {
+    import graft.core.{PropertyGraph, Structure, GraphProperties}
+    val e = pairs.select(col(pairs.columns(0)).as(graft.core.Gr.SRC),
+      col(pairs.columns(1)).as(graft.core.Gr.DST))
+    val verts = docs.select(col(idCol).as(graft.core.Gr.ID))
+    val g = PropertyGraph(verts, e, GraphProperties(directed = false))
+    val wcc = graft.algos.Components.wcc(g)
+    docs.select(col(idCol))
+      .join(wcc.withColumnRenamed(graft.core.Gr.ID, idCol), Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("component"), col(idCol)).as("cluster"))
+      .withColumn("is_canonical", col(idCol) === col("cluster"))
+  }
+
   def simhash(docs: DataFrame, bits: Int = 32,
               idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val tf = docs.select(col(idCol), explode(tokens(col(textCol))).as("t"))

@@ -78,6 +78,24 @@ object TextAnalysis {
     * window's minimum hash; the distinct kept hashes are the document's
     * fingerprints. Shuffle-free except the final distinct: the window
     * min is computed per-document with a bounded ROWS frame. */
+  /** PII scrubbing: emails → <EMAIL>, long digit runs → <NUM>. Patterns
+    * kept inside the RE2 ∩ Java-regex common subset so the DuckDB oracle
+    * applies the identical rewrite. */
+  def scrubPii(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(col(idCol),
+      regexp_replace(
+        regexp_replace(col(textCol), "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+", "<EMAIL>"),
+        "[0-9]{7,}", "<NUM>").as("scrubbed"))
+
+  /** Deterministic train/validation split by document-id hash — stable
+    * under repartitioning and re-runs (no rand()), the property a 100 TB
+    * pipeline needs for resumable splits. */
+  def trainValSplit(docs: DataFrame, valPct: Int = 5,
+                    idCol: String = "doc_id", seed: Long = 42): DataFrame =
+    docs.select(col(idCol),
+      when(pmod(TextOps.hash60(concat_ws("|", lit("split"), col(idCol), lit(seed))),
+        lit(100L)) < (100L - valPct), "train").otherwise("val").as("split"))
+
   def fingerprints(docs: DataFrame, n: Int = 5, w: Int = 4,
                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val grams = docs.select(col(idCol),
