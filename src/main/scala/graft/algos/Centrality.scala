@@ -131,14 +131,16 @@ object Centrality {
     * level — each level is one join+agg keyed on (root, vertex).
     */
   def betweenness(g: PropertyGraph, k: Option[Int] = None, seed: Long = 42,
-                  normalized: Boolean = true, directed: Boolean = false): DataFrame =
-    betweennessWithLevels(g, k, seed, normalized, directed)._1
+                  normalized: Boolean = true, directed: Boolean = false,
+                  endpoints: Boolean = false): DataFrame =
+    betweennessWithLevels(g, k, seed, normalized, directed, endpoints)._1
 
   /** Betweenness also returning the BFS level count (longest shortest path
     * from any root) so oracle queries can assert the unrolled SQL's level
     * budget was sufficient. */
   def betweennessWithLevels(g: PropertyGraph, k: Option[Int] = None, seed: Long = 42,
-                  normalized: Boolean = true, directed: Boolean = false): (DataFrame, Int) = {
+                  normalized: Boolean = true, directed: Boolean = false,
+                  endpoints: Boolean = false): (DataFrame, Int) = {
     val e0 = if (directed) g.edges.select(SRC, DST)
              else Structure.symmetrize(g.edges.select(SRC, DST))
     val e = e0.mat
@@ -197,14 +199,28 @@ object Centrality {
     }
     val bc0 = delta.filter(col("root") =!= col(ID))
       .groupBy(ID).agg(sum("delta").as("betweenness_centrality"))
-    val full = verts.join(bc0, Seq(ID), "left")
+    val full0 = verts.join(bc0, Seq(ID), "left")
       .select(col(ID), coalesce(col("betweenness_centrality"), lit(0.0)).as("betweenness_centrality"))
+    // endpoints=True (reference betweenness_centrality.py:16): each (s,t)
+    // path also counts its endpoints — per vertex add (ordered sum / 2):
+    // roots add (reached−1), every vertex adds #roots reaching it.
+    val full = if (!endpoints) full0 else {
+      val rootReach = settled.groupBy(col("root").as(ID))
+        .agg((count(lit(1)) - 1).cast("double").as("rr"))
+      val srcReach = settled.filter(col("root") =!= col(ID))
+        .groupBy(ID).agg(count(lit(1)).cast("double").as("sr"))
+      full0.join(rootReach, Seq(ID), "left").join(srcReach, Seq(ID), "left")
+        .select(col(ID), (col("betweenness_centrality") +
+          coalesce(col("rr"), lit(0.0)) + coalesce(col("sr"), lit(0.0)))
+          .as("betweenness_centrality"))
+    }
     // undirected graphs count each path twice; normalization per reference
     val halved = if (directed) full
       else full.select(col(ID), (col("betweenness_centrality") / 2.0).as("betweenness_centrality"))
     val res = if (!normalized) halved
     else {
-      val denom = if (directed) (nV - 1.0) * (nV - 2.0) else (nV - 1.0) * (nV - 2.0) / 2.0
+      val denom0 = if (endpoints) nV * (nV - 1.0) else (nV - 1.0) * (nV - 2.0)
+      val denom = if (directed) denom0 else denom0 / 2.0
       val scale = k match {
         case Some(kk) => denom * kk / nV   // sample scaling
         case None => denom

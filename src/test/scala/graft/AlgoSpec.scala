@@ -106,6 +106,17 @@ class AlgoSpec extends SparkSpec {
     assert(q > 0.3)
   }
 
+  test("betweenness endpoints=True matches hand-computed P3 values") {
+    // path 0-1-2: paths {0-1},{0-1-2},{1-2}; endpoint counting gives
+    // bc = (2, 3, 2), normalized by n(n-1)/2 = 3 → (2/3, 1, 2/3)
+    val g = graphOf(Seq((0L, 1L), (1L, 2L)), directed = false)
+    val bc = Centrality.betweenness(g, endpoints = true).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(bc(0L) - 2.0 / 3) < 1e-9)
+    assert(math.abs(bc(1L) - 1.0) < 1e-9)
+    assert(math.abs(bc(2L) - 2.0 / 3) < 1e-9)
+  }
+
   test("PageRank nstart at the fixpoint converges immediately to itself") {
     val und = Structure.symmetrize(edgeDF(bridged))
     val g = PropertyGraph(Structure.extractVertexList(und), und,
