@@ -20,10 +20,13 @@ object GraphBuilder {
   import Gr._
 
   /** Build from a DataFrame whose src/dst are ALREADY integral ids.
-    * No renumber join needed — just cast + canonical column names. */
+    * No renumber join needed — just cast + canonical column names.
+    * `vertices` (reference `from_cudf_edgelist(vertices=…)`) supplies an
+    * explicit vertex list so ISOLATED vertices survive construction. */
   def fromEdges(df: DataFrame, srcCol: String, dstCol: String,
                 weightCol: Option[String] = None,
-                directed: Boolean = true): PropertyGraph = {
+                directed: Boolean = true,
+                vertices: Option[DataFrame] = None): PropertyGraph = {
     val base = weightCol match {
       case Some(w) => df.select(col(srcCol).cast(LongType).as(SRC),
         col(dstCol).cast(LongType).as(DST), col(w).cast(DoubleType).as(WEIGHT))
@@ -31,8 +34,12 @@ object GraphBuilder {
         col(dstCol).cast(LongType).as(DST))
     }
     val edges = if (directed) base else Structure.symmetrize(base)
-    val vertices = Structure.extractVertexList(edges)
-    PropertyGraph(vertices, edges, GraphProperties(directed, weightCol.isDefined))
+    val vs = vertices match {
+      case Some(v) => v.select(col(v.columns.head).cast(LongType).as(ID))
+        .union(Structure.extractVertexList(edges)).distinct()
+      case None => Structure.extractVertexList(edges)
+    }
+    PropertyGraph(vs, edges, GraphProperties(directed, weightCol.isDefined))
   }
 
   /** Build with renumbering: external (possibly string / multi-column) ids →

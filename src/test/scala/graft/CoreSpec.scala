@@ -69,6 +69,19 @@ class CoreSpec extends SparkSpec {
     assert(row.getAs[Long]("multi_edges") == 1)
   }
 
+  test("explicit vertex list keeps isolated vertices through construction") {
+    import spark.implicits._
+    val e = edgeDF(Seq((1L, 2L)))
+    val verts = Seq(1L, 2L, 99L).toDF(ID)
+    val g = GraphBuilder.fromEdges(e, SRC, DST, None, directed = false,
+      vertices = Some(verts))
+    assert(g.numVertices == 3)
+    val comp = algos.Components.wcc(g).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp(99L) == 99L) // isolated vertex is its own component
+    val deg = Structure.degrees(g).filter(col(ID) === 99L).first()
+    assert(deg.getLong(1) == 0L && deg.getLong(2) == 0L)
+  }
+
   test("partition invariance: PageRank identical on 1 vs 32 partitions") {
     val edges = (0L until 40L).map(i => (i, (i * i + 1) % 40)).filter(p => p._1 != p._2)
     def ranks(parts: Int): Map[Long, Double] = {
