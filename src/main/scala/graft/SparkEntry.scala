@@ -494,6 +494,10 @@ object SparkEntry {
       val v = Community.ratioCut(Fixtures.supplierGraph(s, dir), labels)
       s.range(1).select(round(lit(v), 6).as("ratio_cut"))
     },
+    "q_jaccard_weighted" -> q { (s, dir) =>
+      val r = Similarity.allPairsWeighted(Fixtures.supplierGraph(s, dir), Similarity.Jaccard)
+      r.select(col(SRC), col(DST), round(col("jaccard_coeff"), 6).as("jaccard_coeff"))
+    },
     // ---- link prediction (§2.6): one shared kernel, four scorings ----
     "q_jaccard" -> q { (s, dir) =>
       val r = Similarity.scoreFrom(Fixtures.supplierSimInter(s, dir),
@@ -788,6 +792,19 @@ object SparkEntry {
     "q_bfs_paths" -> SamplingSql.bfsPaths(nDests = 3, rounds = 12),
     "q_edge_cut" -> SamplingSql.edgeCut,
     "q_ratio_cut" -> SamplingSql.ratioCut,
+    "q_jaccard_weighted" ->
+      s"""WITH $SUPP_EDGES_SQL,
+         |$SUPP_UND_SQL,
+         |wdeg AS MATERIALIZED (SELECT src AS id, sum(weight) AS d FROM und GROUP BY 1),
+         |inter AS MATERIALIZED (
+         |  SELECT l.src AS a, r.dst AS b, sum(least(l.weight, r.weight)) AS i
+         |  FROM und l JOIN und r ON l.dst = r.src
+         |  WHERE l.src < r.dst
+         |  GROUP BY 1, 2
+         |)
+         |SELECT i.a AS src, i.b AS dst,
+         |       round(i.i / (da.d + db.d - i.i), 6) AS jaccard_coeff
+         |FROM inter i JOIN wdeg da ON da.id = i.a JOIN wdeg db ON db.id = i.b""".stripMargin,
     "q_jaccard" -> similaritySql("round(CAST(i.i AS DOUBLE) / (da.d + db.d - i.i), 6)", "jaccard_coeff"),
     "q_overlap" -> similaritySql("round(CAST(i.i AS DOUBLE) / least(da.d, db.d), 6)", "overlap_coeff"),
     "q_cosine" -> similaritySql("round(CAST(i.i AS DOUBLE) / sqrt(CAST(da.d AS DOUBLE) * db.d), 6)", "cosine_coeff"),

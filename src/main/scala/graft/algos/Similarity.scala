@@ -97,6 +97,28 @@ object Similarity {
     case Cosine   => col("i").cast("double") / sqrt(col("da").cast("double") * col("db"))
   }
 
+  /** WEIGHTED similarity (reference `use_weight=True`,
+    * `jaccard.py:20` / `similarity_impl.cuh` weighted path): intersection
+    * weight Σ_m min(w_am, w_bm); per-vertex mass Σ w over the
+    * neighborhood. Same one-kernel shape as the unweighted family. */
+  def allPairsWeighted(g: PropertyGraph, coeff: Coefficient,
+                       minIntersection: Int = 1): DataFrame = {
+    val und = Structure.removeSelfLoops(
+      Structure.symmetrize(g.weightedEdges.select(SRC, DST, WEIGHT), sumWeights = false)).mat
+    val wdeg = und.groupBy(col(SRC).as(ID)).agg(sum(WEIGHT).as("d"))
+    val left = und.select(col(DST).as("m"), col(SRC).as("a"), col(WEIGHT).as("wa"))
+    val right = und.select(col(SRC).as("m"), col(DST).as("b"), col(WEIGHT).as("wb"))
+    val inter = left.join(right, "m").filter(col("a") < col("b"))
+      .groupBy("a", "b")
+      .agg(sum(least(col("wa"), col("wb"))).as("i"), count(lit(1)).as("n"))
+      .filter(col("n") >= minIntersection)
+    val d = graft.prims.Hint.state(wdeg, wdeg.count())
+    inter
+      .join(d.select(col(ID).as("a"), col("d").as("da")), "a")
+      .join(d.select(col(ID).as("b"), col("d").as("db")), "b")
+      .select(col("a").as(SRC), col("b").as(DST), scoreCol(coeff).as(coeff.name))
+  }
+
   /** Per-source top-k most similar vertices (window pattern, SURVEY §2.9). */
   def topKPerVertex(g: PropertyGraph, coeff: Coefficient, k: Int): DataFrame =
     TopK.perKey(allPairs(g, coeff), Seq(SRC), Seq(desc(coeff.name), col(DST)), k)
