@@ -153,6 +153,23 @@ object Fixtures {
     cached(spark, s"sim_deg:$dir")(
       graft.algos.Similarity.interAndDeg(supplierGraph(spark, dir))._2)
 
+  /** Weighted similarity kernel (use_weight=True family), shared the same
+    * way; nV is cached so scoreFrom never re-counts the degree table. */
+  def supplierSimInterW(spark: SparkSession, dir: String): DataFrame =
+    cached(spark, s"sim_inter_w:$dir")(
+      graft.algos.Similarity.interAndDegWeighted(supplierGraph(spark, dir))._1)
+  def supplierSimDegW(spark: SparkSession, dir: String): DataFrame =
+    cached(spark, s"sim_deg_w:$dir")(
+      graft.algos.Similarity.interAndDegWeighted(supplierGraph(spark, dir))._2)
+
+  private val countCache = scala.collection.concurrent.TrieMap[(Int, String), Long]()
+  def supplierSimNV(spark: SparkSession, dir: String): Long =
+    countCache.getOrElseUpdate((System.identityHashCode(spark), s"sim_nv:$dir"),
+      supplierSimDeg(spark, dir).count())
+  def supplierSimNVW(spark: SparkSession, dir: String): Long =
+    countCache.getOrElseUpdate((System.identityHashCode(spark), s"sim_nv_w:$dir"),
+      supplierSimDegW(spark, dir).count())
+
   /** The k smallest supplier-graph vertex ids — deterministic seeds for
     * walks / sampling / multi-source traversal queries (oracle: ORDER BY id
     * LIMIT k over the vertex list). */

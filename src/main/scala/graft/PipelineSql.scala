@@ -104,6 +104,24 @@ object PipelineSql {
        |FROM e a JOIN e b ON a.vec_id < b.vec_id
        |WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= $threshold""".stripMargin
 
+  /** LSH-bucketed embedding dedup: the hyperplane p's component at 0-based
+    * index i is hash60('p{p}:' || i) % 2001 - 1000 (identical to the Spark
+    * side's plane construction); docs sharing the full sign signature are
+    * the only pairs compared. */
+  def embedDupLsh(threshold: Double, planes: Int): String = {
+    val sigExpr = (0 until planes).map { p =>
+      val plane = s"list_transform(generate_series(0, len(v) - 1), " +
+        s"i -> CAST(${h60(s"'p$p:' || CAST(i AS VARCHAR)")} % 2001 - 1000 AS DOUBLE))"
+      s"(CASE WHEN list_dot_product(v, $plane) >= 0 THEN '1' ELSE '0' END)"
+    }.mkString(" || ")
+    s"""WITH $EMB_NORM,
+       |sg AS MATERIALIZED (SELECT vec_id, v, nrm, $sigExpr AS sig FROM e)
+       |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |  round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine
+       |FROM sg a JOIN sg b ON a.sig = b.sig AND a.vec_id < b.vec_id
+       |WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= $threshold""".stripMargin
+  }
+
   def annTopK(nQueries: Int, k: Int): String =
     s"""WITH $EMB_NORM,
        |q AS MATERIALIZED (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM e

@@ -227,7 +227,12 @@ object SparkEntry {
       pipeline.Dedup.simhash(Fixtures.documents(s, dir), bits = 32)
     },
     "q_embed_dup" -> q { (s, dir) =>
-      pipeline.Dedup.embeddingDupPairs(Fixtures.embeddings(s, dir), threshold = 0.4)
+      // planes = 0: exact all-pairs — the oracle path (quadratic, fixture only)
+      pipeline.Dedup.embeddingDupPairs(Fixtures.embeddings(s, dir), threshold = 0.4, planes = 0)
+    },
+    "q_embed_dup_lsh" -> q { (s, dir) =>
+      // the API-default scale path: hyperplane-LSH bucketing, exact within bucket
+      pipeline.Dedup.embeddingDupPairs(Fixtures.embeddings(s, dir), threshold = 0.4, planes = 4)
     },
     "q_ann_topk" -> q { (s, dir) =>
       val emb = Fixtures.embeddings(s, dir)
@@ -422,7 +427,7 @@ object SparkEntry {
     "q_jaccard_topk" -> q { (s, dir) =>
       // per-vertex top-3 most similar (the reference's all-pairs topk)
       val scored = Similarity.scoreFrom(Fixtures.supplierSimInter(s, dir),
-        Fixtures.supplierSimDeg(s, dir), Similarity.Jaccard)
+        Fixtures.supplierSimDeg(s, dir), Similarity.Jaccard, Fixtures.supplierSimNV(s, dir))
       graft.prims.TopK.perKey(scored, Seq(SRC),
           Seq(desc("jaccard_coeff"), col(DST)), 3)
         .select(col(SRC), col(DST), round(col("jaccard_coeff"), 6).as("jaccard_coeff"))
@@ -495,28 +500,29 @@ object SparkEntry {
       s.range(1).select(round(lit(v), 6).as("ratio_cut"))
     },
     "q_jaccard_weighted" -> q { (s, dir) =>
-      val r = Similarity.allPairsWeighted(Fixtures.supplierGraph(s, dir), Similarity.Jaccard)
+      val r = Similarity.scoreFrom(Fixtures.supplierSimInterW(s, dir),
+        Fixtures.supplierSimDegW(s, dir), Similarity.Jaccard, Fixtures.supplierSimNVW(s, dir))
       r.select(col(SRC), col(DST), round(col("jaccard_coeff"), 6).as("jaccard_coeff"))
     },
     // ---- link prediction (§2.6): one shared kernel, four scorings ----
     "q_jaccard" -> q { (s, dir) =>
       val r = Similarity.scoreFrom(Fixtures.supplierSimInter(s, dir),
-        Fixtures.supplierSimDeg(s, dir), Similarity.Jaccard)
+        Fixtures.supplierSimDeg(s, dir), Similarity.Jaccard, Fixtures.supplierSimNV(s, dir))
       r.select(col(SRC), col(DST), round(col("jaccard_coeff"), 6).as("jaccard_coeff"))
     },
     "q_overlap" -> q { (s, dir) =>
       val r = Similarity.scoreFrom(Fixtures.supplierSimInter(s, dir),
-        Fixtures.supplierSimDeg(s, dir), Similarity.Overlap)
+        Fixtures.supplierSimDeg(s, dir), Similarity.Overlap, Fixtures.supplierSimNV(s, dir))
       r.select(col(SRC), col(DST), round(col("overlap_coeff"), 6).as("overlap_coeff"))
     },
     "q_cosine" -> q { (s, dir) =>
       val r = Similarity.scoreFrom(Fixtures.supplierSimInter(s, dir),
-        Fixtures.supplierSimDeg(s, dir), Similarity.Cosine)
+        Fixtures.supplierSimDeg(s, dir), Similarity.Cosine, Fixtures.supplierSimNV(s, dir))
       r.select(col(SRC), col(DST), round(col("cosine_coeff"), 6).as("cosine_coeff"))
     },
     "q_sorensen" -> q { (s, dir) =>
       val r = Similarity.scoreFrom(Fixtures.supplierSimInter(s, dir),
-        Fixtures.supplierSimDeg(s, dir), Similarity.Sorensen)
+        Fixtures.supplierSimDeg(s, dir), Similarity.Sorensen, Fixtures.supplierSimNV(s, dir))
       r.select(col(SRC), col(DST), round(col("sorensen_coeff"), 6).as("sorensen_coeff"))
     },
   )
@@ -683,6 +689,7 @@ object SparkEntry {
     "q_ngram_jaccard" -> PipelineSql.ngramJaccardPairs(0.2),
     "q_simhash" -> PipelineSql.simhash(32),
     "q_embed_dup" -> PipelineSql.embedDup(0.4),
+    "q_embed_dup_lsh" -> PipelineSql.embedDupLsh(0.4, planes = 4),
     "q_ann_topk" -> PipelineSql.annTopK(nQueries = 5, k = 10),
     "q_dedup_clusters" ->
       s"""WITH RECURSIVE pr AS MATERIALIZED (${PipelineSql.lshPairs(bands = 4, rowsPerBand = 2, threshold = 0.2)}),

@@ -74,7 +74,9 @@ object Misc {
   def vertexColoringWithStats(g: PropertyGraph, seed: Long = 42,
                               maxColors: Int = 100): (DataFrame, Int, Int) = {
     val und = Structure.removeSelfLoops(Structure.symmetrize(g.edges.select(SRC, DST))).mat
-    var remV = Structure.extractVertexList(g.edges).mat
+    // seed from the VERTEX set, like misWithRounds above: isolated vertices
+    // must be colored too (they trivially join the color-0 MIS)
+    var remV = g.vertices.select(ID).mat
     var colored: DataFrame = null
     var color = 0
     var maxRounds = 0

@@ -97,12 +97,13 @@ object Similarity {
     case Cosine   => col("i").cast("double") / sqrt(col("da").cast("double") * col("db"))
   }
 
-  /** WEIGHTED similarity (reference `use_weight=True`,
+  /** WEIGHTED similarity kernel (reference `use_weight=True`,
     * `jaccard.py:20` / `similarity_impl.cuh` weighted path): intersection
-    * weight Σ_m min(w_am, w_bm); per-vertex mass Σ w over the
-    * neighborhood. Same one-kernel shape as the unweighted family. */
-  def allPairsWeighted(g: PropertyGraph, coeff: Coefficient,
-                       minIntersection: Int = 1): DataFrame = {
+    * weight Σ_m min(w_am, w_bm); per-vertex mass Σ w over the neighborhood.
+    * Same one-kernel shape as [[interAndDeg]] — callers computing several
+    * coefficients materialize this ONCE and call [[scoreFrom]] per
+    * coefficient, exactly like the unweighted family. */
+  def interAndDegWeighted(g: PropertyGraph, minIntersection: Int = 1): (DataFrame, DataFrame) = {
     val und = Structure.removeSelfLoops(
       Structure.symmetrize(g.weightedEdges.select(SRC, DST, WEIGHT), sumWeights = false)).mat
     val wdeg = und.groupBy(col(SRC).as(ID)).agg(sum(WEIGHT).as("d"))
@@ -112,11 +113,14 @@ object Similarity {
       .groupBy("a", "b")
       .agg(sum(least(col("wa"), col("wb"))).as("i"), count(lit(1)).as("n"))
       .filter(col("n") >= minIntersection)
-    val d = graft.prims.Hint.state(wdeg, wdeg.count())
-    inter
-      .join(d.select(col(ID).as("a"), col("d").as("da")), "a")
-      .join(d.select(col(ID).as("b"), col("d").as("db")), "b")
-      .select(col("a").as(SRC), col("b").as(DST), scoreCol(coeff).as(coeff.name))
+      .drop("n")
+    (inter, wdeg)
+  }
+
+  def allPairsWeighted(g: PropertyGraph, coeff: Coefficient,
+                       minIntersection: Int = 1): DataFrame = {
+    val (inter, wdeg) = interAndDegWeighted(g, minIntersection)
+    scoreFrom(inter, wdeg, coeff)
   }
 
   /** Per-source top-k most similar vertices (window pattern, SURVEY §2.9). */

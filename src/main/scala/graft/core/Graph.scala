@@ -107,7 +107,11 @@ final case class PropertyGraph(
       // it), so joining the raw map again is the ambiguous-self-join trap
       // (ADVICE r1) — alias both sides and resolve by qualifier.
       val extCols = m.columns.filterNot(_ == Gr.INT_ID)
-      val joined = df.as("_b").join(broadcast(m.as("_rm")),
+      // the map is O(V) with full external-id columns — broadcast only while
+      // it is genuinely small (Hint.state gate), else a plain shuffle join;
+      // an unconditional broadcast hits the driver/broadcast limit at scale
+      val rm = graft.prims.Hint.state(m.as("_rm"), m.count())
+      val joined = df.as("_b").join(rm,
         col(s"_b.$idCol") === col(s"_rm.${Gr.INT_ID}"), "left")
       // replace the internal id column with the external one(s)
       val keep = df.columns.filterNot(_ == idCol).map(c => col(s"_b.$c")) ++

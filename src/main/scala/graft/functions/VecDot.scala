@@ -44,13 +44,20 @@ case class VecDot(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      // freshName per instance: several VecDots can land in one codegen
+      // scope (e.g. cosine builds three in a single projection), and with
+      // non-nullable children nullSafeCodeGen emits no brace scope around
+      // this block — fixed identifiers would redeclare and break janino.
+      val n = ctx.freshName("vecDotN")
+      val s = ctx.freshName("vecDotS")
+      val i = ctx.freshName("vecDotI")
       s"""
-         |int graft_n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double graft_s = 0.0;
-         |for (int graft_i = 0; graft_i < graft_n; graft_i++) {
-         |  graft_s += $a.getDouble(graft_i) * $b.getDouble(graft_i);
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += $a.getDouble($i) * $b.getDouble($i);
          |}
-         |${ev.value} = graft_s;
+         |${ev.value} = $s;
        """.stripMargin
     })
 

@@ -49,14 +49,27 @@ object Generators {
   }
 
   /** Erdős–Rényi G(n,p): each ordered pair i<j kept iff its hash draw < p.
-    * For huge n, generate from `range(n·(n−1)/2)` and invert the pair index
-    * instead of the cross join (same draws, no quadratic intermediate). */
+    * The pair stream is `range(n·(n−1)/2)` with the pair index INVERTED back
+    * to (i, j) — pure projection, no join, no quadratic shuffle/broadcast
+    * (a crossJoin would plan as a BroadcastNestedLoopJoin). Pairs are
+    * enumerated column-major (k=0→(0,1), 1→(0,2), 2→(1,2), …): j is the
+    * triangular-number root of k, i the remainder. The float sqrt seed is
+    * corrected with exact integer comparisons, valid while 8k+1 < 2^53
+    * (n ≤ ~67M — beyond that the Θ(n²) pair space itself is the limit). */
   def erdosRenyi(spark: SparkSession, n: Long, p: Double, seed: Long = 42): DataFrame = {
-    val i = spark.range(n).select(col("id").as(SRC))
-    val j = spark.range(n).select(col("id").as(DST))
+    val k = col("id")
+    val jGuess = floor((sqrt(k.cast("double") * 8.0 + 1.0) + 1.0) / 2.0).cast("long")
+    // triangular numbers are products of consecutive ints — always even, so
+    // the /2 is exact in double well past the 2^53 guard above
+    def tri(c: org.apache.spark.sql.Column) = ((c * (c - 1L)).cast("double") / 2.0).cast("long")
+    val j = when(k < tri(jGuess), jGuess - 1L)
+      .when(k >= tri(jGuess + 1L), jGuess + 1L)
+      .otherwise(jGuess)
+    val pairs = spark.range(n * (n - 1L) / 2L)
+      .select((k - tri(j)).as(SRC), j.as(DST))
     val u = hash60(concat_ws("|", lit("er"), col(SRC), col(DST), lit(seed)))
       .cast("double") / lit(math.pow(2, 60))
-    i.crossJoin(j).filter(col(SRC) < col(DST)).filter(u < p)
+    pairs.filter(u < p)
   }
 
   /** Path graph 0−1−…−(n−1) (reference `graph_generators.hpp:205`). */

@@ -54,8 +54,7 @@ object Ann {
       .select((row_number().over(org.apache.spark.sql.expressions.Window.orderBy(idCol)) - 1)
         .as("cid"), col("v").as("cv")).mat
     for (_ <- 0 until iters) {
-      val assigned = assign(e, cents)
-      cents = assigned.join(e, idCol)
+      cents = assignFused(e, cents, idCol, Seq("v"))
         .select(col("cid"), col("v"))
         .groupBy("cid")
         .agg(array((0 until dim).map(i => avg(element_at(col("v"), i + 1))): _*).as("cv"))
@@ -64,14 +63,20 @@ object Ann {
     cents
   }
 
-  /** Nearest-centroid assignment (broadcast the centroid table — it is tiny
-    * by construction — so the corpus never shuffles). */
-  private def assign(e: DataFrame, cents: DataFrame): DataFrame = {
+  /** Nearest-centroid assignment FUSED onto the corpus scan: the tiny
+    * centroid table is broadcast, every (vector, centroid) dot is scored
+    * map-side, and the arg-max centroid (ties → lowest cid) is taken with a
+    * map-side-combined hash agg that carries the listed vector columns
+    * through. ONE corpus-sized shuffle — never a corpus-sized broadcast or a
+    * join back onto the corpus. */
+  private def assignFused(e: DataFrame, cents: DataFrame, idCol: String,
+                          carry: Seq[String]): DataFrame = {
     val scored = e.join(broadcast(cents))
-      .select(col(e.columns.head).as("_id"), col("cid"),
-        dot(col("v"), col("cv")).as("d"))
-    TopK.perKey(scored, Seq("_id"), Seq(desc("d"), col("cid")), 1)
-      .select(col("_id").as(e.columns.head), col("cid"))
+      .select((col(idCol) +: carry.map(col)) :+ col("cid") :+
+        dot(col("v"), col("cv")).as("d"): _*)
+    scored.groupBy(col(idCol))
+      .agg(min_by(col("cid"), struct((col("d") * -1).as("nd"), col("cid"))).as("cid"),
+        carry.map(c => first(col(c)).as(c)): _*)
   }
 
   /** IVF top-k: probe the `nprobe` nearest centroid buckets per query and
@@ -81,7 +86,7 @@ object Ann {
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val e = withNorm(emb, idCol, vecCol).mat
     val cents = kmeansCentroids(emb, nlist, iters = 3, idCol, vecCol).mat
-    val bucketed = e.join(broadcast(assign(e.select(col(idCol), col("v")), cents)), idCol)
+    val bucketed = assignFused(e, cents, idCol, Seq("v", "nrm"))
     val q = withNorm(queries, idCol, vecCol)
       .select(col(idCol).as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
     val qProbes = TopK.perKey(

@@ -159,10 +159,10 @@ object Dedup {
   /** Embedding near-duplicates: pairs with cosine ≥ threshold.
     * Candidate generation buckets vectors by random-hyperplane LSH signature
     * (`planes` hash-derived hyperplanes); exact cosine is computed only
-    * within buckets + neighboring buckets via the band join. With
-    * `planes = 0` the comparison is exact all-pairs (fixture-scale only —
-    * the oracle path). */
-  def embeddingDupPairs(emb: DataFrame, threshold: Double, planes: Int = 0,
+    * within a bucket (equi-join on the signature — the scale path, and the
+    * DEFAULT). `planes = 0` switches to exact all-pairs via a cartesian
+    * self-join: recall 1, but quadratic — fixture-scale/oracle use only. */
+  def embeddingDupPairs(emb: DataFrame, threshold: Double, planes: Int = 8,
                         idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val e = emb.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
       .withColumn("nrm", TextOps.norm(col("v"))).mat

@@ -133,12 +133,15 @@ object NeighborSampling {
   }
 
   /** Negative sampling: `n` deterministic pseudo-random candidate pairs
-    * drawn from the vertex list (index via dense row_number, picked by the
-    * hash), minus existing edges (anti-join) and self-loops. Output:
-    * (sample_id, src, dst). */
+    * drawn from the vertex list (dense index = rank in sorted id order,
+    * picked by the hash), minus existing edges (anti-join) and self-loops.
+    * Output: (sample_id, src, dst). The index is assigned with
+    * zipWithIndex over the SORTED vertex set (range-partitioned sort →
+    * global sorted rank) — same mapping as a global-window row_number but
+    * distributed instead of funneling all vertices through one partition. */
   def negative(edges: DataFrame, vertices: DataFrame, n: Int, seed: Long = 42): DataFrame = {
-    val idx = vertices.select(col(ID))
-      .withColumn("i", row_number().over(Window.orderBy(ID)) - 1).mat
+    val idx = graft.core.Renumber.assignIds(vertices.select(col(ID)).orderBy(ID))
+      .withColumnRenamed(INT_ID, "i").mat
     val nV = idx.count()
     val spark = edges.sparkSession
     val cand = spark.range(n).select(col("id").as("sample_id"))
@@ -173,10 +176,12 @@ object NeighborSampling {
   }
 
   /** Uniform vertex sample without replacement (reference
-    * `select_random_vertices`): the k vertices minimizing the seeded hash. */
-  def selectRandomVertices(vertices: DataFrame, k: Int, seed: Long = 42): DataFrame = {
-    val w = Window.orderBy(hash60(concat_ws("|", lit("srv"), col(ID), lit(seed))), col(ID))
-    vertices.select(col(ID)).withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") <= k).select(ID)
-  }
+    * `select_random_vertices`): the k vertices minimizing the seeded hash.
+    * orderBy+limit plans as TakeOrderedAndProject — per-partition top-k then
+    * a k-row driver merge, never a single-partition global sort/window. */
+  def selectRandomVertices(vertices: DataFrame, k: Int, seed: Long = 42): DataFrame =
+    vertices.select(col(ID))
+      .orderBy(hash60(concat_ws("|", lit("srv"), col(ID), lit(seed))), col(ID))
+      .limit(k)
+      .select(ID)
 }

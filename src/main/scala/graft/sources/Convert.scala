@@ -60,16 +60,19 @@ object Convert {
     * and the size line are dropped; 1-based ids are shifted to 0-based as
     * the reference's MTX reader does. */
   def readMtx(spark: SparkSession, path: String): DataFrame = {
-    val raw = spark.read.text(path)
+    import spark.implicits._
+    // zipWithIndex over textFile preserves file order, so the size line is
+    // identified POSITIONALLY (min line number among non-comment lines) —
+    // a value-based drop (limit(1)+exceptAll) could delete a real edge that
+    // happens to equal the (rows, cols, nnz) triple on multi-partition input.
+    val lines = spark.sparkContext.textFile(path).zipWithIndex().toDF("value", "_ln")
       .filter(!col("value").startsWith("%"))
+    val hdrLn = lines.agg(min("_ln")).first().getLong(0)
     val parts = split(trim(col("value")), "\\s+")
-    val parsed = raw.select(parts.getItem(0).cast("long").as(SRC),
+    lines.filter(col("_ln") =!= hdrLn)
+      .select(parts.getItem(0).cast("long").as(SRC),
         parts.getItem(1).cast("long").as(DST),
         when(size(parts) > 2, parts.getItem(2).cast("double")).otherwise(1.0).as(WEIGHT))
-    // drop the size line: it is the row where src = max row-count marker —
-    // identified as the FIRST data line; MTX guarantees it precedes entries.
-    val first = parsed.limit(1)
-    parsed.exceptAll(first)
       .select((col(SRC) - 1).as(SRC), (col(DST) - 1).as(DST), col(WEIGHT))
   }
 
