@@ -13,7 +13,12 @@ object Bench {
     // deterministic name order: cross-round per-query comparisons would
     // otherwise shift with Map iteration order (the first query touching a
     // shared fixture pays its build)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional arg: comma-separated query subset (iteration aid; the
+    // driver's per-round bench passes no args and runs everything)
+    val subset = if (args.nonEmpty) Some(args(0).split(",").toSet) else None
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => subset.forall(_.contains(n)) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       val n = try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9

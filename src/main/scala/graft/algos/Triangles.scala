@@ -101,18 +101,60 @@ object Triangles {
     kTrussWithRounds(g, k, maxIter)._1
 
   /** k-truss also returning the number of peel rounds until fixpoint (for
-    * oracle round-budget assertions). */
+    * oracle round-budget assertions).
+    *
+    * INCREMENTAL support maintenance (the reference's `k_truss_impl.cuh`
+    * shape): the full Σ deg² wedge stream is paid ONCE for the initial
+    * per-edge support (streamed straight into the hash agg — the triangle
+    * set itself is never materialized, which matters on dense graphs where
+    * #triangles ≫ E). Each peel round then enumerates only the triangles
+    * that contain a deleted edge — wedges seeded FROM the deleted set, one
+    * pattern per triangle-edge position, O(|del|·deg) not O(Σ deg²) — and
+    * subtracts their contribution from the survivors' support. A triangle
+    * with 2+ deleted edges is found by several patterns and deduplicated so
+    * it decrements exactly once. */
   def kTrussWithRounds(g: PropertyGraph, k: Int, maxIter: Int = 100): (DataFrame, Int) = {
-    var e = oriented(g).mat
-    var changed = 1L
+    val e0 = oriented(g).mat
+    var alive = edgeSupportOf(e0).mat // (src, dst, support)
+    def tri(d: DataFrame, p1: String, p2: String): DataFrame =
+      d.select(col(SRC).as(p1), col(DST).as(p2))
     var it = 0
-    while (changed > 0 && it < maxIter) {
+    var done = false
+    while (!done && it < maxIter) {
       it += 1
-      val keep = edgeSupportOf(e).filter(col("support") >= k - 2)
-        .select(SRC, DST).mat
-      changed = e.count() - keep.count()
-      e = keep
+      val del = alive.filter(col("support") < k - 2).select(SRC, DST).mat
+      if (del.isEmpty) done = true
+      else {
+        val e = alive.select(SRC, DST) // edge set at the start of the round
+        // each pattern SEEDS from del — |del| ⋈ E on one vertex key, then a
+        // closing semi-join — so no pattern replays the full wedge stream
+        val asAB = tri(del, "a", "b") // deleted edge sits at position (a,b)
+          .join(e.select(col(SRC).as("b"), col(DST).as("c")), "b")
+          .join(e.select(col(SRC).as("a"), col(DST).as("c")), Seq("a", "c"), "left_semi")
+        val asBC = tri(del, "b", "c") // position (b,c)
+          .join(e.select(col(SRC).as("a"), col(DST).as("b")), "b")
+          .join(e.select(col(SRC).as("a"), col(DST).as("c")), Seq("a", "c"), "left_semi")
+        val asAC = tri(del, "a", "c") // position (a,c)
+          .join(e.select(col(SRC).as("a"), col(DST).as("b")), "a")
+          .join(e.select(col(SRC).as("b"), col(DST).as("c")), Seq("b", "c"), "left_semi")
+        val dead = asAB.select("a", "b", "c")
+          .union(asBC.select("a", "b", "c"))
+          .union(asAC.select("a", "b", "c"))
+          .distinct()
+        val dec = dead
+          .select(explode(array(
+            struct(col("a").as(SRC), col("b").as(DST)),
+            struct(col("b").as(SRC), col("c").as(DST)),
+            struct(col("a").as(SRC), col("c").as(DST)))).as("t"))
+          .select(col(s"t.$SRC"), col(s"t.$DST"))
+          .groupBy(SRC, DST).agg(count(lit(1)).as("dec"))
+        alive = alive.join(del, Seq(SRC, DST), "left_anti")
+          .join(dec, Seq(SRC, DST), "left")
+          .select(col(SRC), col(DST),
+            (col("support") - coalesce(col("dec"), lit(0L))).as("support"))
+          .mat
+      }
     }
-    (e, it)
+    (alive.select(SRC, DST), it)
   }
 }
