@@ -170,6 +170,16 @@ object Fixtures {
     countCache.getOrElseUpdate((System.identityHashCode(spark), s"sim_nv_w:$dir"),
       supplierSimDegW(spark, dir).count())
 
+  /** Deterministic RMAT(scale 8, 1024 edges, seed 42) graph — SF-independent,
+    * with a rich core structure (core values 1..9). The fixture for queries
+    * whose oracle must unroll to a data-dependent depth that would not be
+    * bounded on the near-complete supplier graph at every scale factor. */
+  def rmatGraph(spark: SparkSession): PropertyGraph = {
+    val e = cached(spark, "rmat:8:1024")(
+      graft.gen.Generators.rmat(spark, scale = 8, numEdges = 1024).select(SRC, DST))
+    PropertyGraph(Structure.extractVertexList(e), e, GraphProperties(directed = true))
+  }
+
   /** The k smallest supplier-graph vertex ids — deterministic seeds for
     * walks / sampling / multi-source traversal queries (oracle: ORDER BY id
     * LIMIT k over the vertex list). */

@@ -111,6 +111,48 @@ object MiscSql {
     b.toString
   }
 
+  /** Core numbers of the deterministic RMAT(scale 8, 1024 edges) fixture —
+    * SF-independent, so the Spark-side budget asserts hold at every scale
+    * factor. core(v) = max k such that v survives the k-core cascade peel;
+    * each k-level is unrolled `rounds` delete-rounds starting from the
+    * (k-1)-core (monotone), vertices with only self-loops get core 0.
+    * Matches `Components.coreNumber` over `canonicalize(symmetrize(e))`. */
+  def coreNumberRmat(maxK: Int, rounds: Int): String = {
+    val b = new StringBuilder
+    b ++= s"WITH raw AS MATERIALIZED (\n  ${GenSql.rmat(scale = 8, numEdges = 1024).replace("\n", "\n  ")}\n),\n"
+    b ++= "allv AS MATERIALIZED (SELECT src AS id FROM raw UNION SELECT dst FROM raw),\n"
+    // canonical undirected simple graph = the 1-core start state (t1):
+    // every endpoint has degree >= 1, so peel at k=1 deletes nothing.
+    b ++= "c1_f AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS src, greatest(src, dst) AS dst FROM raw WHERE src <> dst),\n"
+    var prev = "c1_f"
+    for (k <- 2 to maxK) {
+      for (r <- 1 to rounds) {
+        val cur = s"c${k}_$r"
+        b ++= s"""dg${k}_$r AS MATERIALIZED (
+          |  SELECT id, count(*) AS d FROM (
+          |    SELECT src AS id FROM $prev UNION ALL SELECT dst FROM $prev
+          |  ) GROUP BY id
+          |),
+          |wk${k}_$r AS MATERIALIZED (SELECT id FROM dg${k}_$r WHERE d < $k),
+          |$cur AS MATERIALIZED (
+          |  SELECT e.src, e.dst FROM $prev e
+          |  WHERE NOT EXISTS (SELECT 1 FROM wk${k}_$r w WHERE w.id = e.src)
+          |    AND NOT EXISTS (SELECT 1 FROM wk${k}_$r w WHERE w.id = e.dst)
+          |)""".stripMargin
+        b ++= ",\n"
+        prev = cur
+      }
+      b ++= s"c${k}_f AS MATERIALIZED (SELECT src, dst FROM $prev),\n"
+      prev = s"c${k}_f"
+    }
+    b ++= "pres AS MATERIALIZED (\n  " + (1 to maxK).map { k =>
+      s"SELECT src AS id, $k AS k FROM c${k}_f UNION ALL SELECT dst, $k FROM c${k}_f"
+    }.mkString("\n  UNION ALL ") + "\n)\n"
+    b ++= """SELECT v.id, CAST(coalesce(max(p.k), 0) AS BIGINT) AS core_number
+      |FROM allv v LEFT JOIN pres p ON p.id = v.id GROUP BY v.id""".stripMargin
+    b.toString
+  }
+
   /** Handshake weighted matching on the supplier graph, `rounds` unrolled:
     * per round each vertex points at arg_max(weight·1e6 − dst); mutual
     * pairs retire. */
@@ -181,6 +223,94 @@ object MiscSql {
       s"SELECT src, dst, weight FROM ch$r").mkString(" UNION ALL ") + ")\n"
     b ++= "SELECT DISTINCT src, dst, weight FROM mst"
     b.toString
+  }
+
+  /** ForceAtlas2 layout on the supplier graph, `iters` unrolled force
+    * rounds. Same hash60 init, same grid-binned repulsion, same force
+    * expression shapes, and the same per-round 1e-8 position snap as
+    * `Misc.forceAtlas2` — the snap is what makes the float iteration
+    * reproducible across engines. */
+  def fa2Supplier(iters: Int, gridSize: Int = 8, step: Double = 0.05,
+                  seed: Long = 42): String = {
+    val b = new StringBuilder
+    b ++= s"WITH $SUPP_EDGES_SQL,\n$SUPP_VERTS_SQL,\n"
+    b ++= "u2 AS MATERIALIZED (SELECT src, dst FROM supp_edges UNION ALL SELECT dst, src FROM supp_edges),\n"
+    b ++= s"""pos0 AS MATERIALIZED (
+      |  SELECT id,
+      |    CAST(${h60(s"concat_ws('|', 'fa2x', id, $seed)")} AS DOUBLE) / 1152921504606846976.0 AS x,
+      |    CAST(${h60(s"concat_ws('|', 'fa2y', id, $seed)")} AS DOUBLE) / 1152921504606846976.0 AS y
+      |  FROM verts
+      |)""".stripMargin
+    b ++= ",\n"
+    for (i <- 1 to iters) {
+      val p = s"pos${i - 1}"
+      b ++= s"""att$i AS MATERIALIZED (
+        |  SELECT e.src AS id, sum(pd.x - ps.x) AS ax, sum(pd.y - ps.y) AS ay
+        |  FROM u2 e JOIN $p ps ON ps.id = e.src JOIN $p pd ON pd.id = e.dst
+        |  GROUP BY e.src
+        |),
+        |cells$i AS MATERIALIZED (
+        |  SELECT floor(x * $gridSize) AS cx, floor(y * $gridSize) AS cy,
+        |         count(*) AS cnt, avg(x) AS mx, avg(y) AS my
+        |  FROM $p GROUP BY 1, 2
+        |),
+        |rep$i AS MATERIALIZED (
+        |  SELECT p.id, p.x, p.y,
+        |    sum((p.x - c.mx) * c.cnt / (pow(p.x - c.mx, 2) + pow(p.y - c.my, 2) + 1e-4)) AS rx,
+        |    sum((p.y - c.my) * c.cnt / (pow(p.x - c.mx, 2) + pow(p.y - c.my, 2) + 1e-4)) AS ry
+        |  FROM $p p CROSS JOIN cells$i c GROUP BY p.id, p.x, p.y
+        |),
+        |pos$i AS MATERIALIZED (
+        |  SELECT r.id,
+        |    round(least(greatest(r.x + $step * (coalesce(a.ax, 0) * 0.1 + r.rx * 0.01), 0), 1), 8) AS x,
+        |    round(least(greatest(r.y + $step * (coalesce(a.ay, 0) * 0.1 + r.ry * 0.01), 0), 1), 8) AS y
+        |  FROM rep$i r LEFT JOIN att$i a ON a.id = r.id
+        |)""".stripMargin
+      b ++= (if (i < iters) ",\n" else "\n")
+    }
+    b ++= s"SELECT id, round(x, 6) AS x, round(y, 6) AS y FROM pos$iters"
+    b.toString
+  }
+
+  /** 8×8 linear assignment on the customer→supplier bipartite graph:
+    * enumerate all 8! permutations via an 8-way join over a dense
+    * rank-indexed cost table (integer cents — exact arithmetic), maximize
+    * total matched weight, tie-break by lexicographically smallest supplier
+    * sequence. Mirrors the Spark side's enumerated optimum exactly. */
+  def assignmentCustSupp: String = {
+    val n = 8
+    val joins = (2 to n).map { i =>
+      val neq = (1 until i).map(k => s"a$i.j <> a$k.j").mkString(" AND ")
+      s"JOIN wm a$i ON a$i.i = $i AND $neq"
+    }.mkString("\n  ")
+    val tot = (1 to n).map(i => s"a$i.cents").mkString(" + ")
+    val scols = (1 to n).map(i => s"a$i.supp AS s$i").mkString(", ")
+    val sorder = (1 to n).map(i => s"s$i").mkString(", ")
+    val unpivot = (1 to n).map(i =>
+      s"SELECT (SELECT cust FROM custs WHERE i = $i) AS customer, s$i AS supplier FROM best").mkString("\nUNION ALL ")
+    s"""WITH $CUSTSUPP_EDGES_SQL,
+       |custs AS MATERIALIZED (
+       |  SELECT cust, row_number() OVER (ORDER BY cust) AS i
+       |  FROM (SELECT DISTINCT src AS cust FROM cs_edges ORDER BY 1 LIMIT $n)
+       |),
+       |supps AS MATERIALIZED (
+       |  SELECT supp, row_number() OVER (ORDER BY supp) AS j
+       |  FROM (SELECT DISTINCT dst AS supp FROM cs_edges ORDER BY 1 LIMIT $n)
+       |),
+       |wm AS MATERIALIZED (
+       |  SELECT c.i, s.j, c.cust, s.supp,
+       |         coalesce(CAST(round(e.weight * 100) AS BIGINT), 0) AS cents
+       |  FROM custs c CROSS JOIN supps s
+       |  LEFT JOIN cs_edges e ON e.src = c.cust AND e.dst = s.supp
+       |),
+       |best AS MATERIALIZED (
+       |  SELECT $scols, $tot AS tot
+       |  FROM (SELECT * FROM wm WHERE i = 1) a1
+       |  $joins
+       |  ORDER BY tot DESC, $sorder
+       |  LIMIT 1
+       |)
+       |$unpivot""".stripMargin
   }
 
   /** Edge-id lookup: dense canonical ids, probe every 7th id. */

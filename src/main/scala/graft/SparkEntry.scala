@@ -143,9 +143,14 @@ object SparkEntry {
       require(rounds <= 3, s"k-truss took $rounds rounds, oracle budget is 3")
       res
     },
-    "q_core_number" -> q { (s, dir) =>
-      Components.coreNumber(Fixtures.supplierGraph(s, dir))
-        .select(col(ID), col("core_number").cast("long").as("core_number"))
+    "q_core_number" -> q { (s, _) =>
+      // RMAT fixture: SF-independent core values 1..9, so the DuckDB per-k
+      // cascade unroll (maxK=10, 9 rounds) is provably sufficient — the
+      // stats asserts fail loudly if the fixture ever stops fitting.
+      val (res, maxCore, cascade) = Components.coreNumberWithStats(Fixtures.rmatGraph(s))
+      require(maxCore <= 9, s"max core $maxCore exceeds oracle unroll budget 9")
+      require(cascade <= 9, s"peel cascade depth $cascade exceeds oracle round budget 9")
+      res.select(col(ID), col("core_number").cast("long").as("core_number"))
     },
     "q_kcore" -> q { (s, dir) =>
       val (core, rounds) = Components.kCoreWithRounds(Fixtures.supplierGraph(s, dir), k = 50)
@@ -323,14 +328,28 @@ object SparkEntry {
       val e = Fixtures.custSuppEdges(s, dir)
       val custs = e.select(SRC).distinct().orderBy(SRC).limit(8).collect().map(_.getLong(0))
       val supps = e.select(DST).distinct().orderBy(DST).limit(8).collect().map(_.getLong(0))
+      // integer cents: exact in double, so cost sums and comparisons are
+      // bit-identical across engines (no float-sum order sensitivity)
       val wmap = e.filter(col(SRC).isin(custs.toIndexedSeq: _*) &&
           col(DST).isin(supps.toIndexedSeq: _*))
-        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+        .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+          math.round(r.getDouble(2) * 100).toDouble).toMap
       // maximize matched weight = minimize negated costs (driver-side LAP)
       val cost = custs.map(c => supps.map(p => -wmap.getOrElse((c, p), 0.0)))
       val asg = Misc.assignment(cost)
+      val total = (p: IndexedSeq[Int]) => p.zipWithIndex.map { case (j, i) => cost(i)(j) }.sum
+      // oracle-deterministic optimum: among all 8! permutations take min by
+      // (cost, lexicographic supplier sequence), and assert the DP agrees on
+      // the optimal value — the gate then gates both paths.
+      val best = {
+        import scala.math.Ordering.Implicits._
+        (0 until 8).permutations.map(_.toIndexedSeq).minBy(p =>
+          (total(p), p.map(supps).toList))
+      }
+      require(total(asg.toIndexedSeq) == total(best),
+        s"DP LAP cost ${total(asg.toIndexedSeq)} != enumerated optimum ${total(best)}")
       import s.implicits._
-      asg.zipWithIndex.map { case (j, i) => (custs(i), supps(j)) }
+      best.zipWithIndex.map { case (j, i) => (custs(i), supps(j)) }
         .toSeq.toDF("customer", "supplier")
     },
     "q_fa2_layout" -> q { (s, dir) =>
@@ -740,6 +759,9 @@ object SparkEntry {
     },
     "q_mst" -> MiscSql.mstSupplier(rounds = 7),
     "q_kcore" -> MiscSql.kcoreSupplier(k = 50, rounds = 4),
+    "q_core_number" -> MiscSql.coreNumberRmat(maxK = 10, rounds = 9),
+    "q_assignment" -> MiscSql.assignmentCustSupp,
+    "q_fa2_layout" -> MiscSql.fa2Supplier(iters = 3),
     "q_coloring" -> MiscSql.coloringTree(colors = 5, misRounds = 6, seed = 42),
     "q_mis" -> MiscSql.misTree(rounds = 6, seed = 42),
     "q_matching" -> MiscSql.matchingSupplier(rounds = 3),

@@ -55,7 +55,14 @@ object Components {
     * peeling: repeatedly remove all vertices with degree < k, incrementing k
     * when the graph is k-stable. Each round is a degree agg + semi-join.
     * @return DataFrame(id, core_number). */
-  def coreNumber(g: PropertyGraph, maxK: Int = Int.MaxValue): DataFrame = {
+  def coreNumber(g: PropertyGraph, maxK: Int = Int.MaxValue): DataFrame =
+    coreNumberWithStats(g, maxK)._1
+
+  /** Core numbers plus peel statistics: (labels, max core value assigned,
+    * max cascade delete-rounds within any stage). The stats let oracle
+    * queries ASSERT the DuckDB unroll (per-k cascade) covered the real
+    * peel instead of silently relying on fixture shape. */
+  def coreNumberWithStats(g: PropertyGraph, maxK: Int = Int.MaxValue): (DataFrame, Int, Int) = {
     val spark = g.spark
     import spark.implicits._
     var remaining = Structure.canonicalize(
@@ -66,6 +73,8 @@ object Components {
     var verts = g.vertices.select(ID).mat
     var result = spark.emptyDataset[(Long, Int)].toDF(ID, "core_number")
     var k = 1
+    var maxCore = 0
+    var maxCascade = 0
     var nVerts = verts.count()
     while (nVerts > 0 && k <= maxK) {
       // Bucket-jump peeling: if every remaining vertex has degree ≥ k,
@@ -83,6 +92,7 @@ object Components {
         // vertices deleted at stage k have core number k-1.
         var stable = false
         var first = true
+        var cascade = 0
         while (!stable) {
           val deg = if (first) deg0
             else verts.join(undirDegrees(remaining), Seq(ID), "left")
@@ -91,6 +101,8 @@ object Components {
           val weak = deg.filter(col("degree") < k).select(ID).mat
           if (weak.count() == 0) stable = true
           else {
+            cascade += 1
+            maxCore = math.max(maxCore, k - 1)
             result = result.union(weak.withColumn("core_number", lit(k - 1))).mat
             verts = verts.join(weak, Seq(ID), "left_anti").mat
             remaining = remaining
@@ -99,11 +111,12 @@ object Components {
               .mat
           }
         }
+        maxCascade = math.max(maxCascade, cascade)
         nVerts = verts.count()
       }
       k += 1
     }
-    result
+    (result, maxCore, maxCascade)
   }
 
   /** Strongly connected components — iterative forward/backward min-label

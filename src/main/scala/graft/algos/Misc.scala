@@ -184,10 +184,13 @@ object Misc {
             (pow(col("x") - col("mx"), 2) + pow(col("y") - col("my"), 2) + lit(1e-4))).as("ry"))
         .groupBy(ID).agg(first("x").as("x"), first("y").as("y"),
           sum("rx").as("rx"), sum("ry").as("ry"))
+      // snap to a 1e-8 grid each round: float-sum association differs across
+      // partitionings (and engines), and without the snap an ulp of drift
+      // compounds through floor(x*grid) cell binning into divergent layouts
       pos = rep.join(att, Seq(ID), "left")
         .select(col(ID),
-          least(greatest(col("x") + lit(step) * (coalesce(col("ax"), lit(0.0)) * 0.1 + col("rx") * 0.01), lit(0.0)), lit(1.0)).as("x"),
-          least(greatest(col("y") + lit(step) * (coalesce(col("ay"), lit(0.0)) * 0.1 + col("ry") * 0.01), lit(0.0)), lit(1.0)).as("y"))
+          round(least(greatest(col("x") + lit(step) * (coalesce(col("ax"), lit(0.0)) * 0.1 + col("rx") * 0.01), lit(0.0)), lit(1.0)), 8).as("x"),
+          round(least(greatest(col("y") + lit(step) * (coalesce(col("ay"), lit(0.0)) * 0.1 + col("ry") * 0.01), lit(0.0)), lit(1.0)), 8).as("y"))
         .mat
     }
     pos
