@@ -38,12 +38,14 @@ object Components {
       it += 1
       val nbrMin = und.join(graft.prims.Hint.state(labels.withColumnRenamed(ID, SRC), nV), SRC)
         .groupBy(col(DST).as(ID)).agg(min("component").as("nbr_min"))
-      val next = labels.join(nbrMin, Seq(ID), "left")
-        .select(col(ID), least(col("component"), coalesce(col("nbr_min"), col("component"))).as("component"))
+      // one materialization carries both the new label and the old one, so
+      // the convergence count is a scan of the cached frame, not a re-join
+      val joined = labels.join(nbrMin, Seq(ID), "left")
+        .select(col(ID), col("component").as("old"),
+          least(col("component"), coalesce(col("nbr_min"), col("component"))).as("component"))
         .mat
-      changed = next.join(labels.withColumnRenamed("component", "old"), ID)
-        .filter(col("component") < col("old")).count()
-      labels = next
+      changed = joined.filter(col("component") < col("old")).count()
+      labels = joined.select(col(ID), col("component"))
     }
     // `it` counts rounds including the final no-change confirmation round
     (labels, it)
@@ -119,61 +121,107 @@ object Components {
     (result, maxCore, maxCascade)
   }
 
-  /** Strongly connected components — iterative forward/backward min-label
+  /** Strongly connected components — trim + forward/backward min-label
     * coloring (reference legacy SCC `algorithms.hpp:1767`,
-    * `components/strongly_connected_components_impl.cuh`).
+    * `components/strongly_connected_components_impl.cuh`, which likewise
+    * interleaves trim with FW-BW rounds).
     *
-    * Each round over the remaining subgraph: propagate min vertex id along
-    * edge direction to fixpoint (fwd) and against it (bwd). Vertices with
-    * fwd(v) == bwd(v) = c form SCC(c) — at minimum the SCC of the globally
-    * smallest remaining vertex is extracted per round, so the loop
-    * terminates. Label = min vertex id of the SCC.
+    * Each outer round over the remaining subgraph:
+    *  1. TRIM — iteratively extract vertices with zero remaining in- or
+    *     out-degree as singleton SCCs (nothing with no inbound/outbound
+    *     edge can sit on a cycle; removing whole SCCs preserves the SCCs
+    *     of the remainder). This peels the DAG-like tail that would
+    *     otherwise cost one label-prop ROUND each.
+    *  2. Propagate min vertex id along edge direction (fwd) and against it
+    *     (bwd), both CAPPED at a sweep budget. Extraction of
+    *     fwd(v) == bwd(v) = c vertices is only sound on CONVERGED labels
+    *     (a hop-bounded run can agree on part of a long cycle and rip a
+    *     partial SCC out), so if either direction hits the cap without
+    *     converging, nothing is extracted and the budget doubles for the
+    *     next round — total sweeps stay O(diameter) without any unbounded
+    *     inner fixpoint. On converged labels the smallest remaining vertex
+    *     is always extracted, so every converged round makes progress.
+    * Label = min vertex id of the SCC.
     * @return DataFrame(id, component). */
-  def scc(g: PropertyGraph, maxRounds: Int = 50): DataFrame = {
+  def scc(g: PropertyGraph, maxRounds: Int = 50, propCap: Int = 20,
+          trimCap: Int = 20): DataFrame = {
     val spark = g.spark
     import spark.implicits._
     var edges = g.edges.select(SRC, DST).distinct().mat
     var verts = g.vertices.select(ID).mat
     var result = spark.emptyDataset[(Long, Long)].toDF(ID, "component")
     var round = 0
+    var cap = propCap
     var n = verts.count()
     while (n > 0 && round < maxRounds) {
       round += 1
-      val fwd = minLabelProp(verts, edges, forward = true)
-      val bwd = minLabelProp(verts, edges, forward = false)
-      val done = fwd.join(bwd.withColumnRenamed("ml", "ml_b"), ID)
-        .filter(col("ml") === col("ml_b"))
-        .select(col(ID), col("ml").as("component"))
-        .mat
-      result = result.union(done).mat
-      val doneIds = done.select(ID)
-      verts = verts.join(doneIds, Seq(ID), "left_anti").mat
-      edges = edges
-        .join(doneIds.withColumnRenamed(ID, SRC), Seq(SRC), "left_anti")
-        .join(doneIds.withColumnRenamed(ID, DST), Seq(DST), "left_anti")
-        .mat
+      // 1. trim: zero-in/out vertices are singleton SCCs (component = own id)
+      var trimmed = 1L
+      var t = 0
+      while (trimmed > 0 && t < trimCap) {
+        t += 1
+        val hasOut = edges.select(col(SRC).as(ID)).distinct()
+        val hasIn = edges.select(col(DST).as(ID)).distinct()
+        val dead = verts.join(hasOut, Seq(ID), "left_anti")
+          .union(verts.join(hasIn, Seq(ID), "left_anti")).distinct().mat
+        trimmed = dead.count()
+        if (trimmed > 0) {
+          result = result.union(dead.select(col(ID), col(ID).as("component"))).mat
+          verts = verts.join(dead, Seq(ID), "left_anti").mat
+          edges = edges
+            .join(dead.withColumnRenamed(ID, SRC), Seq(SRC), "left_anti")
+            .join(dead.withColumnRenamed(ID, DST), Seq(DST), "left_anti")
+            .mat
+        }
+      }
       n = verts.count()
+      if (n > 0) {
+        // 2. capped fwd/bwd coloring over the trimmed remainder
+        val (fwd, fConv) = minLabelProp(verts, edges, forward = true, cap)
+        val (bwd, bConv) = minLabelProp(verts, edges, forward = false, cap)
+        if (fConv && bConv) {
+          val done = fwd.join(bwd.withColumnRenamed("ml", "ml_b"), ID)
+            .filter(col("ml") === col("ml_b"))
+            .select(col(ID), col("ml").as("component"))
+            .mat
+          result = result.union(done).mat
+          val doneIds = done.select(ID)
+          verts = verts.join(doneIds, Seq(ID), "left_anti").mat
+          edges = edges
+            .join(doneIds.withColumnRenamed(ID, SRC), Seq(SRC), "left_anti")
+            .join(doneIds.withColumnRenamed(ID, DST), Seq(DST), "left_anti")
+            .mat
+          n = verts.count()
+        } else {
+          cap *= 2 // unconverged labels are unsafe to extract from; retry bigger
+        }
+      }
     }
     result
   }
 
-  /** Min-label propagation to fixpoint along (or against) edge direction:
-    * ml(v) = min id u such that u reaches v (forward) / v reaches u (bwd). */
-  private def minLabelProp(verts: DataFrame, edges: DataFrame, forward: Boolean): DataFrame = {
+  /** Min-label propagation along (or against) edge direction, capped at
+    * `maxSweeps` sweeps; returns (labels, converged). One cached frame per
+    * sweep carries old + new labels, so convergence detection is a scan,
+    * not a second join. */
+  private def minLabelProp(verts: DataFrame, edges: DataFrame, forward: Boolean,
+                           maxSweeps: Int): (DataFrame, Boolean) = {
     val e = if (forward) edges else edges.select(col(DST).as(SRC), col(SRC).as(DST))
     var labels = verts.select(col(ID), col(ID).as("ml")).mat
     var changed = 1L
-    while (changed > 0) {
+    var sweep = 0
+    while (changed > 0 && sweep < maxSweeps) {
+      sweep += 1
       val nbrMin = e.join(labels.withColumnRenamed(ID, SRC), SRC)
         .groupBy(col(DST).as(ID)).agg(min("ml").as("nm"))
-      val next = labels.join(nbrMin, Seq(ID), "left")
-        .select(col(ID), least(col("ml"), coalesce(col("nm"), col("ml"))).as("ml"))
+      val joined = labels.join(nbrMin, Seq(ID), "left")
+        .select(col(ID), col("ml").as("old"),
+          least(col("ml"), coalesce(col("nm"), col("ml"))).as("ml"))
         .mat
-      changed = next.join(labels.withColumnRenamed("ml", "old"), ID)
-        .filter(col("ml") < col("old")).count()
-      labels = next
+      changed = joined.filter(col("ml") < col("old")).count()
+      labels = joined.select(col(ID), col("ml"))
     }
-    labels
+    (labels, changed == 0)
   }
 
   /** Degrees over a canonical (src<dst, deduped) undirected edge list. */

@@ -60,6 +60,19 @@ class AlgoSpec extends SparkSpec {
     assert(c(1L) == c(2L) && c(2L) == c(3L) && c(4L) != c(1L))
   }
 
+  test("SCC cap escalation keeps a long cycle whole") {
+    // 30-cycle with a DAG tail; propCap=4 < cycle length forces the
+    // unconverged-retry path — extraction must still assign every cycle
+    // vertex the single min label, and the tail must trim to singletons
+    val cyc = (0L until 30L).map(i => (i, (i + 1) % 30))
+    val tail = Seq((5L, 100L), (100L, 101L))
+    val g = graphOf(cyc ++ tail)
+    val c = Components.scc(g, propCap = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L until 30L).forall(c(_) == 0L), s"cycle split: $c")
+    assert(c(100L) == 100L && c(101L) == 101L)
+  }
+
   test("Boruvka MST total weight on a known weighted graph") {
     // square 1-2-3-4 with diagonal: MST = {1-2:1, 2-3:1, 3-4:1} weight 3
     val g = wGraphOf(Seq((1L, 2L, 1.0), (2L, 3L, 1.0), (3L, 4L, 1.0),
