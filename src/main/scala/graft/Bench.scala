@@ -20,8 +20,20 @@ object Bench {
       .filter { case (n, _) => subset.forall(_.contains(n)) }
       .map { case (name, fn) =>
       val t0 = System.nanoTime()
-      val n = try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // noop sink: forces full computation of every output column. A bare
+      // count() lets Catalyst eliminate a final left join against unique
+      // keys — the triangle-family queries then "benchmark" a plan whose
+      // expensive aggregation never runs (caught in round 4; see
+      // BASELINE.md). count() afterwards only feeds the progress line.
+      val dfOpt = try {
+        val df = fn(spark, sfDir)
+        df.write.format("noop").mode("overwrite").save()
+        Some(df)
+      } catch { case _: Throwable => None }
       val dt = (System.nanoTime() - t0) / 1e9
+      // rows are reported outside the timed window (count may replay a
+      // purely-declarative plan; the timing contract is the noop write)
+      val n = dfOpt.map(df => try df.count() catch { case _: Throwable => -1L }).getOrElse(-1L)
       // progress line per query (stderr — the stdout contract is one JSON
       // line), and a GC nudge so the ContextCleaner unpersists the
       // now-unreferenced per-query localCheckpoint RDDs; without it 80+

@@ -170,6 +170,16 @@ object Fixtures {
     countCache.getOrElseUpdate((System.identityHashCode(spark), s"sim_nv_w:$dir"),
       supplierSimDegW(spark, dir).count())
 
+  /** Shared per-edge triangle-support kernel over the supplier graph. The
+    * Σ deg² wedge stream is the whole triangle family's dominant cost;
+    * per-vertex counts derive from it as Σ(incident supports)/2 (each
+    * triangle containing v covers exactly two of v's incident edges), so
+    * one materialized kernel serves q_triangles and q_edge_triangles the
+    * same way the similarity kernel serves the four coefficients. */
+  def supplierEdgeSupport(spark: SparkSession, dir: String): DataFrame =
+    cached(spark, s"tri_support:$dir")(
+      graft.algos.Triangles.edgeSupport(supplierGraph(spark, dir)))
+
   /** Deterministic RMAT(scale 8, 1024 edges, seed 42) graph — SF-independent,
     * with a rich core structure (core values 1..9). The fixture for queries
     * whose oracle must unroll to a data-dependent depth that would not be

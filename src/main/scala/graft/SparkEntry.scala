@@ -130,13 +130,21 @@ object SparkEntry {
       labels
     },
     "q_triangles" -> q { (s, dir) =>
-      Triangles.countPerVertex(Fixtures.supplierGraph(s, dir))
+      // per-vertex counts from the shared edge-support kernel:
+      // tri(v) = Σ supports of v's incident edges / 2
+      val sup = Fixtures.supplierEdgeSupport(s, dir)
+      val per = sup.select(col(SRC).as(ID), col("support"))
+        .union(sup.select(col(DST).as(ID), col("support")))
+        .groupBy(ID).agg((sum("support") / 2).cast("long").as("triangle_count"))
+      Fixtures.supplierGraph(s, dir).vertices.select(ID)
+        .join(per, Seq(ID), "left")
+        .select(col(ID), coalesce(col("triangle_count"), lit(0L)).as("triangle_count"))
     },
     "q_scc" -> q { (s, dir) =>
       Components.scc(Fixtures.cyclicSupplierGraph(s, dir))
     },
     "q_edge_triangles" -> q { (s, dir) =>
-      Triangles.edgeSupport(Fixtures.supplierGraph(s, dir))
+      Fixtures.supplierEdgeSupport(s, dir)
     },
     "q_ktruss" -> q { (s, dir) =>
       val (res, rounds) = Triangles.kTrussWithRounds(Fixtures.supplierGraph(s, dir), k = 4)
