@@ -167,7 +167,10 @@ object SparkEntry {
     },
     "q_louvain" -> q { (s, dir) =>
       val (labels, q) = Community.louvain(Fixtures.partGraph(s, dir), maxLevel = 2, maxIter = 5)
-      require(!q.isNaN, "louvain modularity is NaN")
+      // quality floor: recorded 0.0515 (sf0.01) / 0.0493 (sf0.1) — a
+      // degraded move phase (e.g. broken gain formula or oscillation
+      // re-appearing) lands well below it
+      require(!q.isNaN && q >= 0.04, s"louvain modularity $q below recorded floor 0.04")
       labels
     },
     "q_modularity" -> q { (s, dir) =>
@@ -506,12 +509,16 @@ object SparkEntry {
     // ---- community extras (§2.5) ----
     "q_leiden" -> q { (s, dir) =>
       val (labels, modQ) = Community.leiden(Fixtures.supplierGraph(s, dir), maxLevel = 2)
-      require(!modQ.isNaN, "leiden modularity is NaN")
+      // near-complete graph: Q is legitimately tiny; recorded 0.0039
+      // (sf0.01) / 0.0126 (sf0.1) — the floor still rejects a sign flip or
+      // a collapsed all-in-one partition (Q = 0 exactly)
+      require(!modQ.isNaN && modQ >= 0.002, s"leiden modularity $modQ below recorded floor 0.002")
       labels
     },
     "q_ecg" -> q { (s, dir) =>
       val (labels, modQ) = Community.ecg(Fixtures.supplierGraph(s, dir), ensembleSize = 4)
-      require(!modQ.isNaN, "ecg modularity is NaN")
+      // recorded 0.201 (sf0.01) / 0.140 (sf0.1)
+      require(!modQ.isNaN && modQ >= 0.12, s"ecg modularity $modQ below recorded floor 0.12")
       labels
     },
     "q_edge_cut" -> q { (s, dir) =>

@@ -73,6 +73,21 @@ class AlgoSpec extends SparkSpec {
     assert(c(100L) == 100L && c(101L) == 101L)
   }
 
+  test("Louvain labels are invariant under input partitioning (1 vs 64)") {
+    // SURVEY §5c: hash-race determinism — the result must not depend on how
+    // the edge list happens to be partitioned
+    val es = Seq((1L, 2L, 3.0), (1L, 3L, 3.0), (2L, 3L, 3.0), (3L, 4L, 1.0),
+      (4L, 5L, 3.0), (4L, 6L, 3.0), (5L, 6L, 3.0), (6L, 7L, 1.0), (7L, 8L, 2.0))
+    def run(parts: Int) = {
+      val e = wGraphOf(es, directed = false)
+      val g = graft.core.PropertyGraph(e.vertices,
+        e.edges.repartition(parts), e.props)
+      Community.louvain(g, maxLevel = 2)._1.collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    assert(run(1) == run(64))
+  }
+
   test("Boruvka MST total weight on a known weighted graph") {
     // square 1-2-3-4 with diagonal: MST = {1-2:1, 2-3:1, 3-4:1} weight 3
     val g = wGraphOf(Seq((1L, 2L, 1.0), (2L, 3L, 1.0), (3L, 4L, 1.0),
