@@ -189,6 +189,76 @@ object SamplingSql {
        |SELECT sample_id, src, dst FROM j
        |WHERE NOT EXISTS (SELECT 1 FROM cs_edges e WHERE e.src = j.src AND e.dst = j.dst)""".stripMargin
 
+  /** Shared tail: renumber CTEs (sfinal/sverts/ranked) appended onto the
+    * neighbor-sample chain, ready for a caller-specific final SELECT. */
+  private def renumberChain(nBatches: Int, fanouts: Seq[Int], seed: Long): String = {
+    val base = neighborSample(nBatches, fanouts, seed)
+    base.substring(0, base.lastIndexOf("SELECT batch_id,")) + ",\n" +
+      """sfinal AS MATERIALIZED (SELECT batch_id, CAST(hop AS BIGINT) AS hop, src, dst FROM sampled),
+        |sverts AS MATERIALIZED (
+        |  SELECT DISTINCT batch_id, v FROM (
+        |    SELECT batch_id, src AS v FROM sfinal UNION ALL SELECT batch_id, dst FROM sfinal
+        |  )
+        |),
+        |ranked AS MATERIALIZED (
+        |  SELECT batch_id, v, CAST(dense_rank() OVER (PARTITION BY batch_id ORDER BY v) - 1 AS BIGINT) AS r
+        |  FROM sverts
+        |)""".stripMargin
+  }
+
+  /** CSR compression of the renumbered sample: per-batch dense positions
+    * over (hop, src_r, dst_r) order. */
+  def sampleCsr(nBatches: Int, fanouts: Seq[Int], seed: Long): String =
+    renumberChain(nBatches, fanouts, seed) + ",\n" +
+      """csr AS MATERIALIZED (
+        |  SELECT s.batch_id, s.hop, a.r AS src_r, b.r AS dst_r
+        |  FROM sfinal s
+        |  JOIN ranked a ON a.batch_id = s.batch_id AND a.v = s.src
+        |  JOIN ranked b ON b.batch_id = s.batch_id AND b.v = s.dst
+        |)
+        |SELECT batch_id, hop, src_r, dst_r,
+        |  CAST(row_number() OVER (PARTITION BY batch_id ORDER BY hop, src_r, dst_r) - 1 AS BIGINT) AS pos
+        |FROM csr""".stripMargin
+
+  /** retain_seeds renumber map: seeds always present and ranked FIRST. */
+  def sampleRenumberSeeds(nBatches: Int, fanouts: Seq[Int], seed: Long): String =
+    renumberChain(nBatches, fanouts, seed) + ",\n" +
+      """seedv AS MATERIALIZED (SELECT id AS batch_id, id AS v FROM seeds),
+        |tagged AS MATERIALIZED (
+        |  SELECT batch_id, v, TRUE AS is_seed FROM seedv
+        |  UNION ALL
+        |  SELECT s.batch_id, s.v, FALSE FROM sverts s
+        |  WHERE NOT EXISTS (SELECT 1 FROM seedv d WHERE d.batch_id = s.batch_id AND d.v = s.v)
+        |)
+        |SELECT batch_id, v,
+        |  CAST(dense_rank() OVER (PARTITION BY batch_id ORDER BY is_seed DESC, v) - 1 AS BIGINT) AS r,
+        |  is_seed
+        |FROM tagged""".stripMargin
+
+  /** Degree-biased negative sampling: a uniform random edge-index draw is
+    * endpoint-degree-proportional — same edge index + hash draws as the
+    * Spark side. */
+  def negativeBiasedSample(n: Int, seed: Long): String =
+    s"""WITH $CUSTSUPP_EDGES_SQL,
+       |eidx AS MATERIALIZED (
+       |  SELECT src, dst, row_number() OVER (ORDER BY src, dst) - 1 AS i
+       |  FROM (SELECT DISTINCT src, dst FROM cs_edges)
+       |),
+       |ne AS MATERIALIZED (SELECT count(*) AS n FROM eidx),
+       |cand AS MATERIALIZED (
+       |  SELECT t.sample_id,
+       |    ${h60(s"concat_ws('|', 'nb', t.sample_id, 0, $seed)")} % (SELECT n FROM ne) AS si,
+       |    ${h60(s"concat_ws('|', 'nb', t.sample_id, 1, $seed)")} % (SELECT n FROM ne) AS di
+       |  FROM range(0, $n) t(sample_id)
+       |),
+       |j AS MATERIALIZED (
+       |  SELECT c.sample_id, a.src, b.dst
+       |  FROM cand c JOIN eidx a ON a.i = c.si JOIN eidx b ON b.i = c.di
+       |  WHERE a.src <> b.dst
+       |)
+       |SELECT sample_id, src, dst FROM j
+       |WHERE NOT EXISTS (SELECT 1 FROM cs_edges e WHERE e.src = j.src AND e.dst = j.dst)""".stripMargin
+
   /** Uniform vertex sample without replacement: k min-hash vertices. */
   def selectRandomVertices(k: Int, seed: Long): String =
     s"""WITH $PRELUDE

@@ -454,6 +454,24 @@ object SparkEntry {
       sampling.NeighborSampling.renumberSampled(
         sampling.NeighborSampling.homogeneous(und, seeds, fanouts = Seq(2, 2)))
     },
+    "q_sample_csr" -> q { (s, dir) =>
+      val und = Fixtures.supplierGraphUnd(s, dir).edges
+      val seeds = Fixtures.seedVertices(s, dir, 3)
+        .select(col(ID).as("batch_id"), col(ID).as("vertex"))
+      sampling.NeighborSampling.compressSampled(
+        sampling.NeighborSampling.renumberSampled(
+          sampling.NeighborSampling.homogeneous(und, seeds, fanouts = Seq(2, 2))))
+    },
+    "q_sample_renumber_seeds" -> q { (s, dir) =>
+      val und = Fixtures.supplierGraphUnd(s, dir).edges
+      val seeds = Fixtures.seedVertices(s, dir, 3)
+        .select(col(ID).as("batch_id"), col(ID).as("vertex"))
+      sampling.NeighborSampling.renumberMapRetainSeeds(
+        sampling.NeighborSampling.homogeneous(und, seeds, fanouts = Seq(2, 2)), seeds)
+    },
+    "q_negative_biased" -> q { (s, dir) =>
+      sampling.NeighborSampling.negativeBiased(Fixtures.custSuppEdges(s, dir), n = 200)
+    },
     "q_jaccard_topk" -> q { (s, dir) =>
       // per-vertex top-3 most similar (the reference's all-pairs topk)
       val scored = Similarity.scoreFrom(Fixtures.supplierSimInter(s, dir),
@@ -829,6 +847,9 @@ object SparkEntry {
       fanouts = Map(0 -> Seq(2, 2), 1 -> Seq(1, 1)), seed = 42),
     "q_temporal_sample" -> SamplingSql.temporalSample(nBatches = 3, fanouts = Seq(2, 2), seed = 42),
     "q_negative_sample" -> SamplingSql.negativeSample(n = 200, seed = 42),
+    "q_sample_csr" -> SamplingSql.sampleCsr(nBatches = 3, fanouts = Seq(2, 2), seed = 42),
+    "q_sample_renumber_seeds" -> SamplingSql.sampleRenumberSeeds(nBatches = 3, fanouts = Seq(2, 2), seed = 42),
+    "q_negative_biased" -> SamplingSql.negativeBiasedSample(n = 200, seed = 42),
     "q_select_random_vertices" -> SamplingSql.selectRandomVertices(k = 10, seed = 42),
     "q_msbfs" -> SamplingSql.msBfs(nSources = 3, rounds = 12),
     "q_od_distances" -> SamplingSql.odDistances(nOrigins = 3, nDests = 5, rounds = 12),

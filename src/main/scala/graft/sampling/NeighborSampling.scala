@@ -175,6 +175,66 @@ object NeighborSampling {
         col("src_r").cast("long").as("src_r"), col("dst_r").cast("long").as("dst_r"))
   }
 
+  /** CSR compression of a renumbered sampled edge list (reference
+    * `renumber_and_compress_sampled_edgelist`,
+    * `sampling_functions.hpp:992`, `compression=CSR`): per batch, edges
+    * sorted by (hop, src_r, dst_r) receive their dense CSR position; the
+    * per-source offset array is the running count, recoverable as
+    * min(pos) per (batch, hop, src_r). Output: (batch_id, hop, src_r,
+    * dst_r, pos). */
+  def compressSampled(renumbered: DataFrame): DataFrame =
+    renumbered
+      .withColumn("pos",
+        row_number().over(Window.partitionBy("batch_id")
+          .orderBy(col("hop"), col("src_r"), col("dst_r"))) - 1)
+      .select(col("batch_id"), col("hop"), col("src_r"), col("dst_r"),
+        col("pos").cast("long").as("pos"))
+
+  /** Per-batch renumber MAP with the reference's `retain_seeds` semantics
+    * (`homogeneous_neighbor_sample.py:44-120`): every seed of the batch is
+    * kept in the map even if it sampled no edges, and seeds occupy the
+    * FIRST dense ids (sorted), followed by the remaining sampled vertices
+    * (sorted) — the vertex order GNN dataloaders rely on.
+    * `seeds`: (batch_id, vertex). Output: (batch_id, v, r, is_seed). */
+  def renumberMapRetainSeeds(sampled: DataFrame, seeds: DataFrame): DataFrame = {
+    val sampledVerts = sampled.select(col("batch_id"), col(SRC).as("v"))
+      .union(sampled.select(col("batch_id"), col(DST).as("v")))
+      .distinct()
+    val seedVerts = seeds.select(col("batch_id"), col("vertex").as("v"))
+    val tagged = seedVerts.withColumn("is_seed", lit(true))
+      .union(sampledVerts.join(seedVerts, Seq("batch_id", "v"), "left_anti")
+        .withColumn("is_seed", lit(false)))
+    tagged.withColumn("r",
+        (dense_rank().over(Window.partitionBy("batch_id")
+          .orderBy(col("is_seed").desc, col("v"))) - 1).cast("long"))
+      .select(col("batch_id"), col("v"), col("r"), col("is_seed"))
+  }
+
+  /** Degree-biased negative sampling (reference `sampling_functions.hpp:1417`
+    * src_bias/dst_bias): drawing a uniform random EDGE index and keeping its
+    * endpoint is exactly endpoint-degree-proportional sampling — so both
+    * draws reuse the distributed zipWithIndex edge index instead of a
+    * vertex-weight prefix-sum + range join. src ∝ out-degree via a source
+    * draw, dst ∝ in-degree via an independent destination draw; existing
+    * edges and self-loops are rejected. Output: (sample_id, src, dst). */
+  def negativeBiased(edges: DataFrame, n: Int, seed: Long = 42): DataFrame = {
+    val eIdx = graft.core.Renumber.assignIds(
+        edges.select(SRC, DST).distinct().orderBy(SRC, DST))
+      .withColumnRenamed(INT_ID, "i").mat
+    val nE = eIdx.count()
+    val spark = edges.sparkSession
+    val cand = spark.range(n).select(col("id").as("sample_id"))
+      .withColumn("si", pmod(hash60(concat_ws("|", lit("nb"), col("sample_id"), lit(0), lit(seed))), lit(nE)))
+      .withColumn("di", pmod(hash60(concat_ws("|", lit("nb"), col("sample_id"), lit(1), lit(seed))), lit(nE)))
+    cand
+      .join(eIdx.select(col("i").as("si"), col(SRC)), "si")
+      .join(eIdx.select(col("i").as("di"), col(DST).as("_d")), "di")
+      .select(col("sample_id"), col(SRC), col("_d").as(DST))
+      .filter(col(SRC) =!= col(DST))
+      .join(edges.select(SRC, DST).distinct(), Seq(SRC, DST), "left_anti")
+      .select(col("sample_id"), col(SRC), col(DST))
+  }
+
   /** Uniform vertex sample without replacement (reference
     * `select_random_vertices`): the k vertices minimizing the seeded hash.
     * orderBy+limit plans as TakeOrderedAndProject — per-partition top-k then
