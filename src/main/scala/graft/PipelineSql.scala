@@ -72,6 +72,31 @@ object PipelineSql {
        |FROM inter JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b
        |WHERE round(i * 1.0 / (ca.n_sh + cb.n_sh - i), 6) >= $threshold""".stripMargin
 
+  /** DF-capped variant: candidates mined from shingles with document
+    * frequency ≤ cap, exact Jaccard over the full shingle sets for the
+    * surviving pairs — same two-phase semantics as the Spark side. */
+  def ngramJaccardPairsCapped(threshold: Double, maxDf: Int): String =
+    s"""WITH $SHINGLES3,
+       |cnt AS MATERIALIZED (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+       |rare AS MATERIALIZED (
+       |  SELECT sh.doc_id, sh.s FROM sh
+       |  WHERE sh.s IN (SELECT s FROM sh GROUP BY s HAVING count(*) <= $maxDf)
+       |),
+       |cands AS MATERIALIZED (
+       |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+       |  FROM rare x JOIN rare y ON x.s = y.s AND x.doc_id < y.doc_id
+       |),
+       |inter AS MATERIALIZED (
+       |  SELECT c.id_a, c.id_b, count(*) AS i
+       |  FROM cands c
+       |  JOIN sh a ON a.doc_id = c.id_a
+       |  JOIN sh b ON b.doc_id = c.id_b AND b.s = a.s
+       |  GROUP BY 1, 2
+       |)
+       |SELECT id_a, id_b, round(i * 1.0 / (ca.n_sh + cb.n_sh - i), 6) AS jaccard
+       |FROM inter JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b
+       |WHERE round(i * 1.0 / (ca.n_sh + cb.n_sh - i), 6) >= $threshold""".stripMargin
+
   def simhash(bits: Int): String =
     s"""WITH tf AS MATERIALIZED (
        |  SELECT doc_id, t, count(*) AS tf

@@ -239,6 +239,12 @@ object SparkEntry {
     "q_ngram_jaccard" -> q { (s, dir) =>
       pipeline.Dedup.ngramJaccardPairs(Fixtures.documents(s, dir), n = 3, threshold = 0.2)
     },
+    "q_ngram_jaccard_capped" -> q { (s, dir) =>
+      // the web-scale path: hub shingles (df > 20) excluded from candidate
+      // generation, exact Jaccard on the survivors
+      pipeline.Dedup.ngramJaccardPairs(Fixtures.documents(s, dir), n = 3, threshold = 0.2,
+        maxShingleDf = 20)
+    },
     "q_simhash" -> q { (s, dir) =>
       pipeline.Dedup.simhash(Fixtures.documents(s, dir), bits = 32)
     },
@@ -739,6 +745,7 @@ object SparkEntry {
     "q_minhash" -> PipelineSql.minhash(8),
     "q_lsh_pairs" -> PipelineSql.lshPairs(bands = 4, rowsPerBand = 2, threshold = 0.2),
     "q_ngram_jaccard" -> PipelineSql.ngramJaccardPairs(0.2),
+    "q_ngram_jaccard_capped" -> PipelineSql.ngramJaccardPairsCapped(0.2, maxDf = 20),
     "q_simhash" -> PipelineSql.simhash(32),
     "q_embed_dup" -> PipelineSql.embedDup(0.4),
     "q_embed_dup_lsh" -> PipelineSql.embedDupLsh(0.4, planes = 4),

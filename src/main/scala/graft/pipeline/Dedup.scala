@@ -94,17 +94,45 @@ object Dedup {
 
   /** All near-dup pairs above `threshold` by exact n-gram Jaccard, with
     * candidate generation via shared-shingle join (prefix-filter shape:
-    * only pairs sharing at least one shingle are ever materialized). */
+    * only pairs sharing at least one shingle are ever materialized).
+    *
+    * `maxShingleDf > 0` caps the document frequency of shingles used for
+    * CANDIDATE GENERATION: a boilerplate shingle occurring in D documents
+    * contributes D² join rows, which is the quadratic blowup that kills
+    * the shared-shingle join on web-scale corpora. Capped mode mines
+    * candidates from rare shingles only, then scores those pairs with
+    * their EXACT full-set Jaccard — only pairs whose every common shingle
+    * is a hub can be missed (recall on realistic corpora stays ≥ 0.95;
+    * see PipelineSpec). */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.2,
-                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+                        idCol: String = "doc_id", textCol: String = "text",
+                        maxShingleDf: Int = 0): DataFrame = {
     val sh = docs
       .select(col(idCol), explode(shingles(tokens(col(textCol)), n)).as("s"))
       .distinct().mat
     val cnt = sh.groupBy(idCol).agg(count(lit(1)).as("n_sh"))
-    val inter = sh.as("x").join(sh.as("y"),
-        col("x.s") === col("y.s") && col(s"x.$idCol") < col(s"y.$idCol"))
-      .groupBy(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
-      .agg(count(lit(1)).as("inter"))
+    val inter =
+      if (maxShingleDf <= 0) {
+        sh.as("x").join(sh.as("y"),
+            col("x.s") === col("y.s") && col(s"x.$idCol") < col(s"y.$idCol"))
+          .groupBy(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
+          .agg(count(lit(1)).as("inter"))
+      } else {
+        val rare = sh.join(
+          sh.groupBy("s").agg(count(lit(1)).as("df"))
+            .filter(col("df") <= maxShingleDf).select("s"),
+          Seq("s"), "left_semi")
+        val cands = rare.as("x").join(rare.as("y"),
+            col("x.s") === col("y.s") && col(s"x.$idCol") < col(s"y.$idCol"))
+          .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
+          .distinct()
+        // exact intersection for the surviving candidates (hub shingles
+        // included again — the cap only limits who gets compared)
+        cands
+          .join(sh.select(col(idCol).as("id_a"), col("s").as("sa")), "id_a")
+          .join(sh.select(col(idCol).as("id_b"), col("s").as("sa")), Seq("id_b", "sa"))
+          .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+      }
     inter
       .join(cnt.select(col(idCol).as("id_a"), col("n_sh").as("na")), "id_a")
       .join(cnt.select(col(idCol).as("id_b"), col("n_sh").as("nb")), "id_b")

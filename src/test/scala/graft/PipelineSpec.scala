@@ -31,6 +31,29 @@ class PipelineSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("DF-capped ngram Jaccard keeps recall >= 0.95 vs exact on hub-heavy docs") {
+    import spark.implicits._
+    // 40 docs: 20 near-dup pairs with distinctive content, all sharing the
+    // same boilerplate prefix (hub shingles with df = 40)
+    val boiler = "copyright notice all rights reserved terms of service apply"
+    val d = (0 until 20).flatMap { i =>
+      val core = s"unique subject $i discusses topic alpha$i beta$i gamma$i delta$i in detail"
+      Seq((i * 2L, s"$boiler $core"), (i * 2L + 1, s"$boiler $core extra"))
+    }.toDF("doc_id", "text")
+    // threshold 0.5: true near-dup pairs score ~0.89, boilerplate-only
+    // cross pairs ~0.33 — a dedup threshold should sit above what shared
+    // boilerplate alone can reach, which is precisely why the DF cap is a
+    // sound candidate filter at this operating point
+    val exact = Dedup.ngramJaccardPairs(d, n = 3, threshold = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = Dedup.ngramJaccardPairs(d, n = 3, threshold = 0.5, maxShingleDf = 10)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    assert(capped.subsetOf(exact)) // capped never invents pairs
+    val recall = capped.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.95, s"recall $recall < 0.95 (missed ${exact -- capped})")
+  }
+
   test("simhash of identical docs is identical") {
     val sh = Dedup.simhash(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(sh(1L) == sh(2L))
