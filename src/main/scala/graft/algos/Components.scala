@@ -26,15 +26,22 @@ object Components {
 
   /** WCC returning (labels, roundsUntilFixpoint). The round count lets oracle
     * queries ASSERT the Spark side converged within the oracle's unrolled
-    * budget instead of silently relying on a low-diameter fixture. */
-  def wccWithRounds(g: PropertyGraph, maxIter: Int = 50): (DataFrame, Int) = {
+    * budget instead of silently relying on a low-diameter fixture.
+    *
+    * Label propagation costs one shuffle per round but needs O(diameter)
+    * rounds — ideal for the power-law graphs this engine mostly sees. If
+    * the diameter exceeds `starSwitch`, the loop abandons propagation and
+    * restarts with [[wccStar]], whose round count is O(log² V) regardless
+    * of diameter (pathological chains, lattices). */
+  def wccWithRounds(g: PropertyGraph, maxIter: Int = 50,
+                    starSwitch: Int = 12): (DataFrame, Int) = {
     val und = Structure.symmetrize(g.edges.select(SRC, DST)).mat
     val init = g.vertices.select(col(ID), col(ID).as("component"))
     val nV = g.vertices.count()
     var changed = 1L
     var labels = init.mat
     var it = 0
-    while (changed > 0 && it < maxIter) {
+    while (changed > 0 && it < math.min(maxIter, starSwitch)) {
       it += 1
       val nbrMin = und.join(graft.prims.Hint.state(labels.withColumnRenamed(ID, SRC), nV), SRC)
         .groupBy(col(DST).as(ID)).agg(min("component").as("nbr_min"))
@@ -47,7 +54,64 @@ object Components {
       changed = joined.filter(col("component") < col("old")).count()
       labels = joined.select(col(ID), col("component"))
     }
+    if (changed > 0) {
+      // still moving after `starSwitch` sweeps — the diameter is large;
+      // switch to the star-contraction algorithm
+      val (starLabels, starRounds) = wccStar(g, maxIter)
+      return (starLabels, it + starRounds)
+    }
     // `it` counts rounds including the final no-change confirmation round
+    (labels, it)
+  }
+
+  /** Large-star/small-star WCC (Kiveris, Lattanzi, Mirrokni, Rastogi,
+    * Vassilvitskii — "Connected Components in MapReduce and Beyond",
+    * SoCC'14): alternately hang every large neighbor of a vertex under its
+    * minimum neighbor (large-star) and fold the small side into it
+    * (small-star) until the edge set is a star forest — O(log² V) rounds
+    * on ANY topology, each round two groupBy+join shuffles over the pair
+    * set, which shrinks monotonically toward one edge per non-root vertex.
+    * @return (DataFrame(id, component), rounds). */
+  def wccStar(g: PropertyGraph, maxIter: Int = 50): (DataFrame, Int) = {
+    var pairs = Structure.canonicalize(
+      Structure.symmetrize(g.edges.select(SRC, DST))).select(SRC, DST).mat
+    var nPairs = pairs.count()
+    var it = 0
+    var done = nPairs == 0
+    while (!done && it < maxIter) {
+      it += 1
+      // large-star: per vertex u, m = min(u, N(u)); every neighbor v > u
+      // re-hangs onto m
+      val adj = pairs.select(SRC, DST)
+        .union(pairs.select(col(DST).as(SRC), col(SRC).as(DST)))
+      val mMap = adj.groupBy(SRC).agg(min(DST).as("mn"))
+        .select(col(SRC), least(col("mn"), col(SRC)).as("m"))
+      val ls = adj.filter(col(DST) > col(SRC)).join(mMap, SRC)
+        .filter(col(DST) =!= col("m"))
+        .select(least(col(DST), col("m")).as(SRC), greatest(col(DST), col("m")).as(DST))
+        .distinct()
+      // small-star: per vertex hi over its smaller neighbors, everything
+      // (including hi) folds onto the minimum
+      val hiAdj = ls.select(col(DST).as("hi"), col(SRC).as("lo"))
+      val sMin = hiAdj.groupBy("hi").agg(min("lo").as("m"))
+      val ss = hiAdj.join(sMin, "hi")
+        .select(col("lo").as(SRC), col("m").as(DST))
+        .filter(col(SRC) =!= col(DST))
+        .select(least(col(SRC), col(DST)).as(SRC), greatest(col(SRC), col(DST)).as(DST))
+        .union(sMin.select(col("m").as(SRC), col("hi").as(DST)))
+        .distinct().mat
+      val nNew = ss.count()
+      // fixpoint: the pair set reproduces itself (star forest)
+      done = nNew == nPairs && ss.exceptAll(pairs).isEmpty
+      pairs = ss
+      nPairs = nNew
+    }
+    // star forest: each edge is (root, v) with root = component minimum
+    val comp = pairs.select(col(DST).as(ID), col(SRC).as("component"))
+      .union(pairs.select(col(SRC).as(ID), col(SRC).as("component")))
+      .groupBy(ID).agg(min("component").as("component"))
+    val labels = g.vertices.select(ID).join(comp, Seq(ID), "left")
+      .select(col(ID), coalesce(col("component"), col(ID)).as("component"))
     (labels, it)
   }
 

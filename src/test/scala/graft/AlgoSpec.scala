@@ -60,6 +60,20 @@ class AlgoSpec extends SparkSpec {
     assert(c(1L) == c(2L) && c(2L) == c(3L) && c(4L) != c(1L))
   }
 
+  test("WCC star-contraction converges in O(log V) rounds on a path graph") {
+    // a 300-vertex path has diameter 299: label propagation would need 300
+    // sweeps; the star algorithm must finish in a handful of rounds
+    val path = (0L until 299L).map(i => (i, i + 1))
+    val g = graphOf(path)
+    val (labels, rounds) = Components.wccStar(g)
+    assert(rounds <= 12, s"star WCC took $rounds rounds")
+    val c = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(c.values.forall(_ == 0L), "path graph must be one component rooted at 0")
+    // and the auto-switch kicks in from plain wcc too, far below diameter
+    val (_, total) = Components.wccWithRounds(g)
+    assert(total <= 30, s"auto-switched WCC took $total rounds")
+  }
+
   test("SCC cap escalation keeps a long cycle whole") {
     // 30-cycle with a DAG tail; propCap=4 < cycle length forces the
     // unconverged-retry path — extraction must still assign every cycle
