@@ -267,6 +267,33 @@ object SamplingSql {
        |  FROM verts
        |) WHERE rn <= $k""".stripMargin
 
+  /** Batched ego graphs: radius-unrolled multi-source BFS reach, then the
+    * per-seed induced undirected edges with both endpoint distances. */
+  def egoBatched(nSeeds: Int, radius: Int): String = {
+    val b = new StringBuilder
+    b ++= s"WITH $PRELUDE,\n${seeds(nSeeds)},\n"
+    b ++= "g0 AS MATERIALIZED (SELECT id AS seed, id, 0 AS dist FROM seeds),\n"
+    b ++= "gs0 AS MATERIALIZED (SELECT seed, id FROM g0),\n"
+    for (t <- 1 to radius) {
+      b ++= s"""g$t AS MATERIALIZED (
+        |  SELECT f.seed, u.dst AS id, $t AS dist
+        |  FROM g${t - 1} f JOIN und u ON u.src = f.id
+        |  WHERE NOT EXISTS (SELECT 1 FROM gs${t - 1} s WHERE s.seed = f.seed AND s.id = u.dst)
+        |  GROUP BY 1, 2
+        |),
+        |gs$t AS MATERIALIZED (SELECT seed, id FROM gs${t - 1} UNION ALL SELECT seed, id FROM g$t)""".stripMargin
+      b ++= ",\n"
+    }
+    b ++= "reach AS MATERIALIZED (" + (0 to radius).map(t =>
+      s"SELECT seed, id, dist FROM g$t").mkString(" UNION ALL ") + ")\n"
+    b ++= """SELECT r1.seed, u.src, u.dst,
+      |  CAST(r1.dist AS BIGINT) AS src_dist, CAST(r2.dist AS BIGINT) AS dst_dist
+      |FROM und u
+      |JOIN reach r1 ON r1.id = u.src
+      |JOIN reach r2 ON r2.seed = r1.seed AND r2.id = u.dst""".stripMargin
+    b.toString
+  }
+
   /** Multi-source BFS (batched by source), unrolled `rounds` levels.
     * Predecessor tie-break = min source endpoint, as in MultiTraversal. */
   def msBfs(nSources: Int, rounds: Int): String = {

@@ -197,6 +197,10 @@ object SparkEntry {
       val seeds = e.agg(min(SRC).as(ID))
       Structure.inducedSubgraph(e, Structure.kHopNeighbors(und, seeds, 2))
     },
+    "q_ego_batched" -> q { (s, dir) =>
+      val g = Fixtures.supplierGraphUnd(s, dir)
+      MultiTraversal.batchedEgo(g, Fixtures.seedVertices(s, dir, 3), radius = 2)
+    },
     "q_coarsen" -> q { (s, dir) =>
       val labels = Tables(s, dir, "supplier")
         .select(col("s_suppkey").as(ID), col("s_nationkey").cast("long").as("label"))
@@ -859,6 +863,7 @@ object SparkEntry {
     "q_negative_biased" -> SamplingSql.negativeBiasedSample(n = 200, seed = 42),
     "q_select_random_vertices" -> SamplingSql.selectRandomVertices(k = 10, seed = 42),
     "q_msbfs" -> SamplingSql.msBfs(nSources = 3, rounds = 12),
+    "q_ego_batched" -> SamplingSql.egoBatched(nSeeds = 3, radius = 2),
     "q_od_distances" -> SamplingSql.odDistances(nOrigins = 3, nDests = 5, rounds = 12),
     "q_od_weighted" -> SamplingSql.odWeighted(nOrigins = 3, nDests = 5, rounds = 10),
     "q_bfs_paths" -> SamplingSql.bfsPaths(nDests = 3, rounds = 12),

@@ -51,6 +51,25 @@ object MultiTraversal {
     (settled, depth)
   }
 
+  /** Batched multi-seed ego graphs (reference `community/egonet.py:30`
+    * batched_ego_graphs): ONE radius-bounded multi-source BFS settles every
+    * seed's neighborhood in the same jobs (no per-seed loop), then two
+    * keyed joins induce each seed's edge list, annotated with both
+    * endpoints' hop distances from that seed.
+    * Output (seed, src, dst, src_dist, dst_dist). */
+  def batchedEgo(g: PropertyGraph, seeds: DataFrame, radius: Int): DataFrame = {
+    val reach = msBfs(g, seeds.select(col(seeds.columns.head).as("source")),
+        depthLimit = radius)
+      .select(col("source").as("seed"), col(ID), col("distance"))
+    g.edges.select(SRC, DST)
+      .join(reach.select(col("seed"), col(ID).as(SRC), col("distance").as("src_dist")), SRC)
+      .join(reach.select(col("seed"), col(ID).as(DST), col("distance").as("dst_dist")),
+        Seq("seed", DST))
+      .select(col("seed"), col(SRC), col(DST),
+        col("src_dist").cast("long").as("src_dist"),
+        col("dst_dist").cast("long").as("dst_dist"))
+  }
+
   /** Origin-destination shortest hop distances: multi-source BFS from the
     * origins, semi-joined to the destination list.
     * Output (origin, destination, distance). */
