@@ -50,9 +50,11 @@ object Ann {
     // dimension from the data, not an assumed width (ANSI element_at
     // throws past the array end)
     val dim = e.select(size(col("v"))).first().getInt(0)
-    var cents = e.orderBy(idCol).limit(nlist)
-      .select((row_number().over(org.apache.spark.sql.expressions.Window.orderBy(idCol)) - 1)
-        .as("cid"), col("v").as("cv")).mat
+    // dense 0-based centroid ids via the distributed zipWithIndex helper —
+    // the frame is limit(nlist) small, but a global-window row_number here
+    // would still funnel it through a single partition
+    var cents = graft.core.Renumber.assignIds(e.orderBy(idCol).limit(nlist))
+      .select(col(graft.core.Gr.INT_ID).as("cid"), col("v").as("cv")).mat
     for (_ <- 0 until iters) {
       cents = assignFused(e, cents, idCol, Seq("v"))
         .select(col("cid"), col("v"))
