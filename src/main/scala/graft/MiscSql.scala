@@ -153,6 +153,46 @@ object MiscSql {
     b.toString
   }
 
+  /** Directed-degree core numbers of the RMAT fixture
+    * (`degree_type=incoming/outgoing`): same per-k cascade unroll as the
+    * bidirectional oracle, but peeling the DIRECTED simple graph by
+    * in-/out-degree — a vertex absent from the degree table counts 0, so
+    * every stage tracks the alive endpoint set explicitly. */
+  def coreNumberRmatDirected(mode: String, maxK: Int, rounds: Int): String = {
+    val degCol = if (mode == "incoming") "dst" else "src"
+    val b = new StringBuilder
+    b ++= s"WITH raw AS MATERIALIZED (\n  ${GenSql.rmat(scale = 8, numEdges = 1024).replace("\n", "\n  ")}\n),\n"
+    b ++= "allv AS MATERIALIZED (SELECT src AS id FROM raw UNION SELECT dst FROM raw),\n"
+    b ++= "c0_f AS MATERIALIZED (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),\n"
+    var prev = "c0_f"
+    for (k <- 1 to maxK) {
+      for (r <- 1 to rounds) {
+        val cur = s"c${k}_$r"
+        b ++= s"""av${k}_$r AS MATERIALIZED (SELECT src AS id FROM $prev UNION SELECT dst FROM $prev),
+          |dg${k}_$r AS MATERIALIZED (SELECT $degCol AS id, count(*) AS d FROM $prev GROUP BY 1),
+          |wk${k}_$r AS MATERIALIZED (
+          |  SELECT a.id FROM av${k}_$r a LEFT JOIN dg${k}_$r g ON g.id = a.id
+          |  WHERE coalesce(g.d, 0) < $k
+          |),
+          |$cur AS MATERIALIZED (
+          |  SELECT e.src, e.dst FROM $prev e
+          |  WHERE NOT EXISTS (SELECT 1 FROM wk${k}_$r w WHERE w.id = e.src)
+          |    AND NOT EXISTS (SELECT 1 FROM wk${k}_$r w WHERE w.id = e.dst)
+          |)""".stripMargin
+        b ++= ",\n"
+        prev = cur
+      }
+      b ++= s"c${k}_f AS MATERIALIZED (SELECT src, dst FROM $prev),\n"
+      prev = s"c${k}_f"
+    }
+    b ++= "pres AS MATERIALIZED (\n  " + (1 to maxK).map { k =>
+      s"SELECT src AS id, $k AS k FROM c${k}_f UNION ALL SELECT dst, $k FROM c${k}_f"
+    }.mkString("\n  UNION ALL ") + "\n)\n"
+    b ++= """SELECT v.id, CAST(coalesce(max(p.k), 0) AS BIGINT) AS core_number
+      |FROM allv v LEFT JOIN pres p ON p.id = v.id GROUP BY v.id""".stripMargin
+    b.toString
+  }
+
   /** Handshake weighted matching on the supplier graph, `rounds` unrolled:
     * per round each vertex points at arg_max(weight·1e6 − dst); mutual
     * pairs retire. */

@@ -160,6 +160,20 @@ object SparkEntry {
       require(cascade <= 9, s"peel cascade depth $cascade exceeds oracle round budget 9")
       res.select(col(ID), col("core_number").cast("long").as("core_number"))
     },
+    "q_core_number_in" -> q { (s, _) =>
+      val (res, maxCore, cascade) =
+        Components.coreNumberWithStats(Fixtures.rmatGraph(s), degreeType = "incoming")
+      require(maxCore <= 7, s"max in-core $maxCore exceeds oracle unroll budget 7")
+      require(cascade <= 8, s"peel cascade depth $cascade exceeds oracle round budget 8")
+      res.select(col(ID), col("core_number").cast("long").as("core_number"))
+    },
+    "q_core_number_out" -> q { (s, _) =>
+      val (res, maxCore, cascade) =
+        Components.coreNumberWithStats(Fixtures.rmatGraph(s), degreeType = "outgoing")
+      require(maxCore <= 7, s"max out-core $maxCore exceeds oracle unroll budget 7")
+      require(cascade <= 8, s"peel cascade depth $cascade exceeds oracle round budget 8")
+      res.select(col(ID), col("core_number").cast("long").as("core_number"))
+    },
     "q_kcore" -> q { (s, dir) =>
       val (core, rounds) = Components.kCoreWithRounds(Fixtures.supplierGraph(s, dir), k = 50)
       require(rounds <= 4, s"k-core cascade took $rounds rounds, oracle budget is 4")
@@ -804,6 +818,8 @@ object SparkEntry {
     "q_mst" -> MiscSql.mstSupplier(rounds = 7),
     "q_kcore" -> MiscSql.kcoreSupplier(k = 50, rounds = 4),
     "q_core_number" -> MiscSql.coreNumberRmat(maxK = 10, rounds = 9),
+    "q_core_number_in" -> MiscSql.coreNumberRmatDirected("incoming", maxK = 8, rounds = 8),
+    "q_core_number_out" -> MiscSql.coreNumberRmatDirected("outgoing", maxK = 8, rounds = 8),
     "q_assignment" -> MiscSql.assignmentCustSupp,
     "q_fa2_layout" -> MiscSql.fa2Supplier(iters = 3),
     "q_coloring" -> MiscSql.coloringTree(colors = 5, misRounds = 6, seed = 42),

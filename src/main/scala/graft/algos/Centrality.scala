@@ -160,8 +160,6 @@ object Centrality {
     var frontier = settled
     var level = 0
     var more = true
-    val levels = scala.collection.mutable.ArrayBuffer[DataFrame]()
-    levels += frontier
     while (more) {
       level += 1
       val next = frontier.withColumnRenamed(ID, SRC).join(e, SRC)
@@ -176,7 +174,6 @@ object Centrality {
       else {
         settled = settled.union(next).mat
         frontier = next
-        levels += next
       }
     }
     // backward sweep by descending level

@@ -121,19 +121,35 @@ object Components {
     * peeling: repeatedly remove all vertices with degree < k, incrementing k
     * when the graph is k-stable. Each round is a degree agg + semi-join.
     * @return DataFrame(id, core_number). */
-  def coreNumber(g: PropertyGraph, maxK: Int = Int.MaxValue): DataFrame =
-    coreNumberWithStats(g, maxK)._1
+  def coreNumber(g: PropertyGraph, maxK: Int = Int.MaxValue,
+                 degreeType: String = "bidirectional"): DataFrame =
+    coreNumberWithStats(g, maxK, degreeType)._1
 
   /** Core numbers plus peel statistics: (labels, max core value assigned,
     * max cascade delete-rounds within any stage). The stats let oracle
     * queries ASSERT the DuckDB unroll (per-k cascade) covered the real
-    * peel instead of silently relying on fixture shape. */
-  def coreNumberWithStats(g: PropertyGraph, maxK: Int = Int.MaxValue): (DataFrame, Int, Int) = {
+    * peel instead of silently relying on fixture shape.
+    *
+    * `degreeType` follows the reference (`core_number.py:10`):
+    * "bidirectional" peels the symmetrized simple graph by undirected
+    * degree; "incoming"/"outgoing" peel the DIRECTED simple graph by
+    * in-/out-degree (a deleted vertex still takes all its incident edges
+    * with it, both directions). */
+  def coreNumberWithStats(g: PropertyGraph, maxK: Int = Int.MaxValue,
+                          degreeType: String = "bidirectional"): (DataFrame, Int, Int) = {
     val spark = g.spark
     import spark.implicits._
-    var remaining = Structure.canonicalize(
-      Structure.symmetrize(g.edges.select(SRC, DST))).select(SRC, DST)
-      .mat
+    def degOf(e: DataFrame): DataFrame = degreeType match {
+      case "bidirectional" => undirDegrees(e)
+      case "incoming" => e.groupBy(col(DST).as(ID)).agg(count(lit(1)).as("degree"))
+      case "outgoing" => e.groupBy(col(SRC).as(ID)).agg(count(lit(1)).as("degree"))
+      case other => throw new IllegalArgumentException(s"unknown degree_type $other")
+    }
+    var remaining = (degreeType match {
+      case "bidirectional" => Structure.canonicalize(
+        Structure.symmetrize(g.edges.select(SRC, DST)))
+      case _ => g.edges.select(SRC, DST).filter(col(SRC) =!= col(DST)).distinct()
+    }).select(SRC, DST).mat
     // track remaining vertices explicitly: a vertex that loses its last edge
     // mid-peel must still receive a core number at the CURRENT stage.
     var verts = g.vertices.select(ID).mat
@@ -149,7 +165,7 @@ object Components {
       // rounds; on dense graphs this is the difference between O(#distinct
       // core values) and O(max degree) Spark jobs). Values are unchanged:
       // a vertex of minimum degree d peels at stage d with core number d.
-      val deg0 = verts.join(undirDegrees(remaining), Seq(ID), "left")
+      val deg0 = verts.join(degOf(remaining), Seq(ID), "left")
         .select(col(ID), coalesce(col("degree"), lit(0L)).as("degree")).mat
       val minDeg = deg0.agg(min("degree")).first().getLong(0).toInt
       k = math.max(k, minDeg + 1)
@@ -161,7 +177,7 @@ object Components {
         var cascade = 0
         while (!stable) {
           val deg = if (first) deg0
-            else verts.join(undirDegrees(remaining), Seq(ID), "left")
+            else verts.join(degOf(remaining), Seq(ID), "left")
               .select(col(ID), coalesce(col("degree"), lit(0L)).as("degree"))
           first = false
           val weak = deg.filter(col("degree") < k).select(ID).mat
