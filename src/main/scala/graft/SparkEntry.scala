@@ -460,6 +460,22 @@ object SparkEntry {
         .select(col(ID).as("batch_id"), col(ID).as("vertex"))
       sampling.NeighborSampling.temporal(und, seeds, fanouts = Seq(2, 2))
     },
+    "q_temporal_biased" -> q { (s, dir) =>
+      val und = Fixtures.supplierGraphUnd(s, dir).edges
+        .withColumn("t", col(WEIGHT).cast("long"))
+      val seeds = Fixtures.seedVertices(s, dir, 3)
+        .select(col(ID).as("batch_id"), col(ID).as("vertex"))
+      sampling.NeighborSampling.temporalBiased(und, seeds, fanouts = Seq(2, 2))
+    },
+    "q_temporal_hetero" -> q { (s, dir) =>
+      val und = Fixtures.supplierGraphUnd(s, dir).edges
+        .withColumn("t", col(WEIGHT).cast("long"))
+        .withColumn("edge_type", ((col(SRC) + col(DST)) % 2).cast("int"))
+      val seeds = Fixtures.seedVertices(s, dir, 3)
+        .select(col(ID).as("batch_id"), col(ID).as("vertex"))
+      sampling.NeighborSampling.temporalHeterogeneous(und, seeds,
+        fanouts = Map(0 -> Seq(2, 2), 1 -> Seq(1, 1)))
+    },
     "q_negative_sample" -> q { (s, dir) =>
       // sparse bipartite graph — the dense supplier fixture would anti-join
       // every candidate away (vacuous rows=0 check)
@@ -873,6 +889,9 @@ object SparkEntry {
     "q_hetero_sample" -> SamplingSql.heteroSample(nBatches = 3,
       fanouts = Map(0 -> Seq(2, 2), 1 -> Seq(1, 1)), seed = 42),
     "q_temporal_sample" -> SamplingSql.temporalSample(nBatches = 3, fanouts = Seq(2, 2), seed = 42),
+    "q_temporal_biased" -> SamplingSql.temporalBiasedSample(nBatches = 3, fanouts = Seq(2, 2), seed = 42),
+    "q_temporal_hetero" -> SamplingSql.temporalHeteroSample(nBatches = 3,
+      fanouts = Map(0 -> Seq(2, 2), 1 -> Seq(1, 1)), seed = 42),
     "q_negative_sample" -> SamplingSql.negativeSample(n = 200, seed = 42),
     "q_sample_csr" -> SamplingSql.sampleCsr(nBatches = 3, fanouts = Seq(2, 2), seed = 42),
     "q_sample_renumber_seeds" -> SamplingSql.sampleRenumberSeeds(nBatches = 3, fanouts = Seq(2, 2), seed = 42),
