@@ -78,20 +78,28 @@ object PipelineSql {
   def ngramJaccardPairsCapped(threshold: Double, maxDf: Int): String =
     s"""WITH $SHINGLES3,
        |cnt AS MATERIALIZED (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+       |dft AS MATERIALIZED (SELECT s, count(*) AS df FROM sh GROUP BY 1),
        |rare AS MATERIALIZED (
-       |  SELECT sh.doc_id, sh.s FROM sh
-       |  WHERE sh.s IN (SELECT s FROM sh GROUP BY s HAVING count(*) <= $maxDf)
+       |  SELECT sh.doc_id, sh.s FROM sh JOIN dft USING (s) WHERE dft.df <= $maxDf
        |),
-       |cands AS MATERIALIZED (
-       |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+       |hub AS MATERIALIZED (
+       |  SELECT sh.doc_id, sh.s FROM sh JOIN dft USING (s) WHERE dft.df > $maxDf
+       |),
+       |rinter AS MATERIALIZED (
+       |  SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS ri
        |  FROM rare x JOIN rare y ON x.s = y.s AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2
+       |),
+       |hinter AS MATERIALIZED (
+       |  SELECT r.id_a, r.id_b, count(*) AS hi
+       |  FROM rinter r
+       |  JOIN hub a ON a.doc_id = r.id_a
+       |  JOIN hub b ON b.doc_id = r.id_b AND b.s = a.s
+       |  GROUP BY 1, 2
        |),
        |inter AS MATERIALIZED (
-       |  SELECT c.id_a, c.id_b, count(*) AS i
-       |  FROM cands c
-       |  JOIN sh a ON a.doc_id = c.id_a
-       |  JOIN sh b ON b.doc_id = c.id_b AND b.s = a.s
-       |  GROUP BY 1, 2
+       |  SELECT r.id_a, r.id_b, r.ri + coalesce(h.hi, 0) AS i
+       |  FROM rinter r LEFT JOIN hinter h ON h.id_a = r.id_a AND h.id_b = r.id_b
        |)
        |SELECT id_a, id_b, round(i * 1.0 / (ca.n_sh + cb.n_sh - i), 6) AS jaccard
        |FROM inter JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b

@@ -243,6 +243,16 @@ object SparkEntry {
       graft.core.Hypergraph.directEdges(Fixtures.events(s, dir), "event_id",
         Seq("event_type", "user_id"))
     },
+    "q_hypergraph_flat" -> q { (s, dir) =>
+      // categorical_metadata = false: raw values as node keys, nulls kept
+      graft.core.Hypergraph.edges(Fixtures.events(s, dir), "event_id",
+        Seq("event_type", "user_id"), categoricalMetadata = false, dropNa = false)
+    },
+    "q_hypergraph_direct_attrs" -> q { (s, dir) =>
+      // drop_edge_attrs = false: co-occurrence rows keep their event id
+      graft.core.Hypergraph.directEdgesWithEvent(Fixtures.events(s, dir), "event_id",
+        Seq("event_type", "user_id"))
+    },
     // ---- training-data pipeline: dedup / similarity / text / multimodal ----
     "q_dedup_exact" -> q { (s, dir) =>
       pipeline.Dedup.exact(Fixtures.documents(s, dir))
@@ -775,6 +785,23 @@ object SparkEntry {
         |FROM he a JOIN he b ON a.event_id = b.event_id
         |WHERE a.node_key < b.node_key
         |GROUP BY 1, 2""".stripMargin,
+    "q_hypergraph_flat" ->
+      """SELECT event_id, 'event_type' AS col_name, coalesce(event_type, 'null') AS node_key
+        |FROM events
+        |UNION ALL
+        |SELECT event_id, 'user_id', coalesce(CAST(user_id AS VARCHAR), 'null')
+        |FROM events""".stripMargin,
+    "q_hypergraph_direct_attrs" ->
+      """WITH he AS MATERIALIZED (
+        |  SELECT event_id, 'event_type::' || event_type AS node_key
+        |  FROM events WHERE event_type IS NOT NULL
+        |  UNION ALL
+        |  SELECT event_id, 'user_id::' || CAST(user_id AS VARCHAR)
+        |  FROM events WHERE user_id IS NOT NULL
+        |)
+        |SELECT a.event_id, a.node_key AS src_key, b.node_key AS dst_key
+        |FROM he a JOIN he b ON a.event_id = b.event_id
+        |WHERE a.node_key < b.node_key""".stripMargin,
     "q_dedup_exact" -> PipelineSql.dedupExact,
     "q_minhash" -> PipelineSql.minhash(8),
     "q_lsh_pairs" -> PipelineSql.lshPairs(bands = 4, rowsPerBand = 2, threshold = 0.2),

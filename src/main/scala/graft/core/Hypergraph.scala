@@ -17,13 +17,22 @@ object Hypergraph {
 
   /** Bipartite hypergraph edges: one edge per (row, categorical column).
     * @return DataFrame(event_id, col_name, node_key) where
-    * node_key = "<col><DELIM><value>" (reference's categorical node ids). */
-  def edges(df: DataFrame, idCol: String, cols: Seq[String]): DataFrame =
+    * node_key = "<col><DELIM><value>" (reference's categorical node ids).
+    * `categoricalMetadata = false` (reference `hypergraph.py`
+    * categorical_metadata option) emits the RAW value as the node key —
+    * values from different columns then share nodes. `dropNa = false`
+    * keeps null attribute values as explicit "<col>::null" nodes. */
+  def edges(df: DataFrame, idCol: String, cols: Seq[String],
+            categoricalMetadata: Boolean = true, dropNa: Boolean = true): DataFrame =
     cols.map { c =>
-      df.select(col(idCol).cast("long").as("event_id"),
-        lit(c).as("col_name"),
-        concat_ws(DELIM, lit(c), col(c).cast("string")).as("node_key"))
-        .filter(col(c).isNotNull)
+      // NB: concat_ws SKIPS null arguments (never returns null), so the
+      // null-keeping path substitutes the value explicitly
+      val v = if (dropNa) col(c).cast("string")
+              else coalesce(col(c).cast("string"), lit("null"))
+      val key = if (categoricalMetadata) concat(lit(s"$c$DELIM"), v) else v
+      val base = df.select(col(idCol).cast("long").as("event_id"),
+        lit(c).as("col_name"), key.as("node_key"))
+      if (dropNa) base.filter(col(c).isNotNull) else base
     }.reduce(_ union _)
 
   /** Attribute-value nodes with per-column counts. */
@@ -39,5 +48,16 @@ object Hypergraph {
     val b = e.select(col("event_id"), col("node_key").as("dst_key"))
     a.join(b, "event_id").filter(col("src_key") < col("dst_key"))
       .groupBy("src_key", "dst_key").agg(count(lit(1)).as("weight"))
+  }
+
+  /** Direct mode with edge attributes retained (reference
+    * `drop_edge_attrs=False`): one row per co-occurrence, carrying the
+    * originating event id instead of collapsing to a weight. */
+  def directEdgesWithEvent(df: DataFrame, idCol: String, cols: Seq[String]): DataFrame = {
+    val e = edges(df, idCol, cols)
+    val a = e.select(col("event_id"), col("node_key").as("src_key"))
+    val b = e.select(col("event_id"), col("node_key").as("dst_key"))
+    a.join(b, "event_id").filter(col("src_key") < col("dst_key"))
+      .select(col("event_id"), col("src_key"), col("dst_key"))
   }
 }

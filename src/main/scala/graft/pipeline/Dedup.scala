@@ -118,20 +118,27 @@ object Dedup {
           .groupBy(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
           .agg(count(lit(1)).as("inter"))
       } else {
-        val rare = sh.join(
-          sh.groupBy("s").agg(count(lit(1)).as("df"))
-            .filter(col("df") <= maxShingleDf).select("s"),
+        // shingle sets partition into rare/hub by global df, so
+        //   |A∩B| = |rare(A)∩rare(B)| + |hub(A)∩hub(B)|.
+        // The rare part IS the candidate join's count; the hub part joins
+        // each candidate pair against the few hub shingles per document —
+        // never against a hub posting list.
+        val dfTab = sh.groupBy("s").agg(count(lit(1)).as("df")).mat
+        val rare = sh.join(dfTab.filter(col("df") <= maxShingleDf).select("s"),
           Seq("s"), "left_semi")
-        val cands = rare.as("x").join(rare.as("y"),
+        val hub = sh.join(dfTab.filter(col("df") > maxShingleDf).select("s"),
+          Seq("s"), "left_semi")
+        val rareInter = rare.as("x").join(rare.as("y"),
             col("x.s") === col("y.s") && col(s"x.$idCol") < col(s"y.$idCol"))
-          .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
-          .distinct()
-        // exact intersection for the surviving candidates (hub shingles
-        // included again — the cap only limits who gets compared)
-        cands
-          .join(sh.select(col(idCol).as("id_a"), col("s").as("sa")), "id_a")
-          .join(sh.select(col(idCol).as("id_b"), col("s").as("sa")), Seq("id_b", "sa"))
-          .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+          .groupBy(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
+          .agg(count(lit(1)).as("rare_i"))
+        val hubInter = rareInter.select("id_a", "id_b")
+          .join(hub.select(col(idCol).as("id_a"), col("s").as("sa")), "id_a")
+          .join(hub.select(col(idCol).as("id_b"), col("s").as("sa")), Seq("id_b", "sa"))
+          .groupBy("id_a", "id_b").agg(count(lit(1)).as("hub_i"))
+        rareInter.join(hubInter, Seq("id_a", "id_b"), "left")
+          .select(col("id_a"), col("id_b"),
+            (col("rare_i") + coalesce(col("hub_i"), lit(0L))).as("inter"))
       }
     inter
       .join(cnt.select(col(idCol).as("id_a"), col("n_sh").as("na")), "id_a")
