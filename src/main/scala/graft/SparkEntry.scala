@@ -408,6 +408,15 @@ object SparkEntry {
       require(res.select("cluster").distinct().count() <= 4, "spectral: too many clusters")
       res
     },
+    "q_spectral_eigen" -> q { (s, dir) =>
+      // the reference's num_eigen_vects path: p-dim spectral embedding via
+      // orthogonal iteration + k-means (float eigensolver → rows+assert)
+      val g = Fixtures.supplierGraph(s, dir)
+      val res = Spectral.balancedCutEigen(g, k = 4, numEigenVects = 4).mat
+      require(res.select("cluster").distinct().count() <= 4, "spectral: too many clusters")
+      require(res.count() == g.vertices.count(), "spectral: lost vertices")
+      res
+    },
     "q_edge_lookup" -> q { (s, dir) =>
       val table = graft.core.Lookup.edgeIdTable(Fixtures.supplierEdges(s, dir)).mat
       val ids = table.filter(col(EDGE_ID) % 7 === 0).select(EDGE_ID, EDGE_TYPE)

@@ -1,6 +1,8 @@
 package graft.algos
 
-import org.apache.spark.sql.DataFrame
+import graft.prims.Mat._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
 import org.apache.spark.ml.clustering.PowerIterationClustering
 import graft.core.{PropertyGraph, Structure, Gr}
 
@@ -29,6 +31,117 @@ object Spectral {
     pic.assignClusters(und)
       .select(org.apache.spark.sql.functions.col(ID),
         org.apache.spark.sql.functions.col("cluster").cast("long").as("cluster"))
+  }
+
+  /** Balanced cut with the reference's `num_eigen_vects` semantics
+    * (`algorithms.hpp:878`: Lanczos → smallest Laplacian eigenvectors →
+    * k-means). Spark realization: ORTHOGONAL ITERATION on the normalized
+    * adjacency Â = D^{-1/2} A D^{-1/2} — the top-p eigenvectors of Â are
+    * exactly the smallest-eigenvalue eigenvectors of the normalized
+    * Laplacian I − Â that Lanczos extracts. Each iteration is ONE edge-join
+    * matvec carrying all p columns (p sums in one hash agg) plus a p×p Gram
+    * collected to the driver for Cholesky re-orthonormalization — 2 jobs
+    * per iteration regardless of p, versus a Lanczos sweep's per-vector
+    * re-orthogonalization job storm. K-means then runs on the p-dim
+    * embedding with deterministic hash-seeded centroids.
+    * Output (id, cluster). */
+  def balancedCutEigen(g: PropertyGraph, k: Int, numEigenVects: Int = 4,
+                       powerIters: Int = 12, kmeansIters: Int = 5,
+                       seed: Long = 42): DataFrame = {
+    import graft.pipeline.TextOps.hash60
+    val p = numEigenVects
+    val und = Structure.removeSelfLoops(
+      Structure.symmetrize(g.weightedEdges.select(SRC, DST, WEIGHT), sumWeights = false)).mat
+    val deg = und.groupBy(SRC).agg(sum(WEIGHT).as("d"))
+    val aNorm = und.join(deg.withColumnRenamed("d", "ds"), SRC)
+      .join(deg.select(col(SRC).as(DST), col("d").as("dd")), DST)
+      .select(col(SRC), col(DST), (col(WEIGHT) / sqrt(col("ds") * col("dd"))).as("w"))
+      .mat
+    def xcols = (0 until p).map(j => s"x$j")
+    // deterministic init in (-0.5, 0.5)
+    var x = und.select(col(SRC).as(ID)).distinct()
+      .select(col(ID) +: (0 until p).map(j =>
+        (hash60(concat_ws("|", lit("eig"), col(ID), lit(j), lit(seed)))
+          .cast("double") / lit(math.pow(2, 60)) - lit(0.5)).as(s"x$j")): _*)
+      .mat
+    for (_ <- 1 to powerIters) {
+      // matvec for all p columns in one join + one hash agg
+      val y = aNorm.join(x.withColumnRenamed(ID, DST), DST)
+        .groupBy(col(SRC).as(ID))
+        .agg(xcols.map(c => sum(col("w") * col(c)).as(c)).head,
+          xcols.map(c => sum(col("w") * col(c)).as(c)).tail: _*)
+        .mat
+      // Gram = Yᵀ Y (p(p+1)/2 sums, one agg) → Cholesky Rᵀ R = G on the
+      // driver → X = Y R⁻¹ re-orthonormalizes without a second shuffle
+      val gramCols = for (i <- 0 until p; j <- i until p)
+        yield sum(col(s"x$i") * col(s"x$j")).as(s"g_${i}_$j")
+      val gRow = y.agg(gramCols.head, gramCols.tail: _*).first()
+      val gram = Array.tabulate(p, p) { (i, j) =>
+        val (a, b) = if (i <= j) (i, j) else (j, i)
+        gRow.getDouble((0 until p).map(ii => p - ii).take(a).sum + (b - a))
+      }
+      val r = cholesky(gram, p)
+      val rInv = invUpper(r, p)
+      x = y.select(col(ID) +: (0 until p).map(j =>
+        (0 to j).map(i => col(s"x$i") * lit(rInv(i)(j))).reduce(_ + _).as(s"x$j")): _*)
+        .mat
+    }
+    // deterministic k-means on the embedding: centroids seeded from the k
+    // smallest vertex ids, Lloyd rounds with arg-min assignment
+    var cents: Array[(Long, Array[Double])] = x.orderBy(ID).limit(k).collect()
+      .zipWithIndex.map { case (row, i) =>
+        (i.toLong, (0 until p).map(j => row.getDouble(1 + j)).toArray) }
+    def assignExpr(cs: Array[(Long, Array[Double])]): Column = {
+      val dists = cs.map { case (cid, cv) =>
+        val d2 = (0 until p).map(j => (col(s"x$j") - lit(cv(j))) * (col(s"x$j") - lit(cv(j))))
+          .reduce(_ + _)
+        struct(d2.as("d"), lit(cid).as("c"))
+      }
+      least(dists.toIndexedSeq: _*).getField("c")
+    }
+    for (_ <- 1 to kmeansIters) {
+      val assigned = x.withColumn("cluster", assignExpr(cents))
+      val avgCols = (0 until p).map(j => avg(col(s"x$j")).as(s"x$j"))
+      val newCents = assigned.groupBy("cluster")
+        .agg(avgCols.head, avgCols.tail: _*)
+        .collect()
+        .map(row => (row.getLong(0), (0 until p).map(j => row.getDouble(1 + j)).toArray))
+        .sortBy(_._1)
+      cents = newCents
+    }
+    x.withColumn("cluster", assignExpr(cents))
+      .select(col(ID), col("cluster").cast("long").as("cluster"))
+  }
+
+  /** Lower-triangular Cholesky of G (as the transposed upper factor R with
+    * Rᵀ R = G), small p×p on the driver. */
+  private def cholesky(g: Array[Array[Double]], p: Int): Array[Array[Double]] = {
+    val r = Array.ofDim[Double](p, p)
+    for (j <- 0 until p) {
+      var s = g(j)(j)
+      for (i <- 0 until j) s -= r(i)(j) * r(i)(j)
+      r(j)(j) = math.sqrt(math.max(s, 1e-300))
+      for (c <- j + 1 until p) {
+        var t = g(j)(c)
+        for (i <- 0 until j) t -= r(i)(j) * r(i)(c)
+        r(j)(c) = t / r(j)(j)
+      }
+    }
+    r
+  }
+
+  /** Inverse of an upper-triangular p×p matrix (back substitution). */
+  private def invUpper(r: Array[Array[Double]], p: Int): Array[Array[Double]] = {
+    val inv = Array.ofDim[Double](p, p)
+    for (j <- 0 until p) {
+      inv(j)(j) = 1.0 / r(j)(j)
+      for (i <- j - 1 to 0 by -1) {
+        var s = 0.0
+        for (m <- i + 1 to j) s += r(i)(m) * inv(m)(j)
+        inv(i)(j) = -s / r(i)(i)
+      }
+    }
+    inv
   }
 
   /** Modularity-maximization flavor: same embedding, random init (matches
