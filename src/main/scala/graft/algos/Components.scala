@@ -153,7 +153,12 @@ object Components {
     // track remaining vertices explicitly: a vertex that loses its last edge
     // mid-peel must still receive a core number at the CURRENT stage.
     var verts = g.vertices.select(ID).mat
-    var result = spark.emptyDataset[(Long, Int)].toDF(ID, "core_number")
+    // peeled vertices accumulate LAZILY (each part is built from a cached
+    // degree frame): unioned once at the end instead of one checkpoint per
+    // cascade round — the peel's job count is stages + deletion rounds,
+    // and every extra materialization of tiny state was pure scheduler
+    // overhead on the round count
+    val resultParts = scala.collection.mutable.ArrayBuffer[DataFrame]()
     var k = 1
     var maxCore = 0
     var maxCascade = 0
@@ -171,21 +176,23 @@ object Components {
       k = math.max(k, minDeg + 1)
       if (k <= maxK) {
         // cascade at stage k: repeatedly delete vertices with degree < k;
-        // vertices deleted at stage k have core number k-1.
+        // vertices deleted at stage k have core number k-1. One cached
+        // degree frame per round; `weak` derives from it three times
+        // without its own checkpoint.
         var stable = false
         var first = true
         var cascade = 0
         while (!stable) {
           val deg = if (first) deg0
             else verts.join(degOf(remaining), Seq(ID), "left")
-              .select(col(ID), coalesce(col("degree"), lit(0L)).as("degree"))
+              .select(col(ID), coalesce(col("degree"), lit(0L)).as("degree")).mat
           first = false
-          val weak = deg.filter(col("degree") < k).select(ID).mat
-          if (weak.count() == 0) stable = true
+          val weak = deg.filter(col("degree") < k).select(ID)
+          if (weak.isEmpty) stable = true
           else {
             cascade += 1
             maxCore = math.max(maxCore, k - 1)
-            result = result.union(weak.withColumn("core_number", lit(k - 1))).mat
+            resultParts += weak.withColumn("core_number", lit(k - 1))
             verts = verts.join(weak, Seq(ID), "left_anti").mat
             remaining = remaining
               .join(weak.withColumnRenamed(ID, SRC), Seq(SRC), "left_anti")
@@ -198,6 +205,8 @@ object Components {
       }
       k += 1
     }
+    val result = resultParts.foldLeft(
+      spark.emptyDataset[(Long, Int)].toDF(ID, "core_number"))(_ union _)
     (result, maxCore, maxCascade)
   }
 
