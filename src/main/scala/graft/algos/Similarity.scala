@@ -39,13 +39,57 @@ object Similarity {
     * dominant cost. */
   def interAndDeg(g: PropertyGraph, minIntersection: Int = 1): (DataFrame, DataFrame) = {
     val und = undirected(g).mat
-    val deg = und.groupBy(col(SRC).as(ID)).agg(count(lit(1)).as("d"))
-    // wedges a—m—b with a<b: |N(a) ∩ N(b)| per pair
-    val left = und.select(col(DST).as("m"), col(SRC).as("a"))
-    val right = und.select(col(SRC).as("m"), col(DST).as("b"))
-    val inter = left.join(right, "m").filter(col("a") < col("b"))
-      .groupBy("a", "b").agg(count(lit(1)).as("i"))
-      .filter(col("i") >= minIntersection)
+    val deg = und.groupBy(col(SRC).as(ID)).agg(count(lit(1)).as("d")).mat
+    val canon = und.filter(col(SRC) < col(DST))
+    val nE = canon.count()
+    val verts = deg.select(ID)
+    val nV = deg.count()
+    val inter =
+      if (nV > 2 && nE * 4 > nV * (nV - 1)) {
+        // Density > 1/2: count over the COMPLEMENT (same identity family as
+        // Triangles.edgeSupportOf, extended to non-adjacent pairs):
+        //   |N(a)∩N(b)| = d(a)+d(b) − |V| + cc'(a,b) + (2 iff a,b non-adjacent)
+        // where cc' counts common complement-neighbors excluding a,b (the
+        // +2 restores a and b themselves, non-neighbors of both exactly
+        // when the pair is not an edge). The complement wedge stream
+        // shrinks quadratically with 1−density; the all-pairs frame is
+        // O(|E|) because density > 1/2 bounds |V|² < 4|E|.
+        val comp = verts.select(col(ID).as(SRC)).crossJoin(verts.select(col(ID).as(DST)))
+          .filter(col(SRC) < col(DST))
+          .join(canon.select(SRC, DST), Seq(SRC, DST), "left_anti").mat
+        val cund = comp.select(SRC, DST)
+          .union(comp.select(col(DST).as(SRC), col(SRC).as(DST)))
+        val cc = cund.select(col(SRC).as("m"), col(DST).as("a"))
+          .join(cund.select(col(SRC).as("m"), col(DST).as("b")), "m")
+          .filter(col("a") < col("b"))
+          .groupBy("a", "b").agg(count(lit(1)).as("cc"))
+        verts.select(col(ID).as("a")).crossJoin(verts.select(col(ID).as("b")))
+          .filter(col("a") < col("b"))
+          .join(deg.select(col(ID).as("a"), col("d").as("da")), "a")
+          .join(deg.select(col(ID).as("b"), col("d").as("db")), "b")
+          .join(canon.select(col(SRC).as("a"), col(DST).as("b")).withColumn("adj", lit(1)),
+            Seq("a", "b"), "left")
+          .join(cc, Seq("a", "b"), "left")
+          .select(col("a"), col("b"),
+            (col("da") + col("db") - lit(nV) + coalesce(col("cc"), lit(0L)) +
+              when(col("adj").isNull, lit(2L)).otherwise(lit(0L))).as("i"))
+          .filter(col("i") >= minIntersection)
+      } else {
+        val maxId = und.agg(greatest(max(SRC), max(DST))).first().getLong(0)
+        val left = und.select(col(DST).as("m"), col(SRC).as("a"))
+        val right = und.select(col(SRC).as("m"), col(DST).as("b"))
+        val wedges = left.join(right, "m").filter(col("a") < col("b"))
+        if (maxId < (1L << 31))
+          // single-long pair key through the Σ deg² hash agg
+          wedges.select((shiftleft(col("a"), 32) + col("b")).as("p"))
+            .groupBy("p").agg(count(lit(1)).as("i"))
+            .select(shiftright(col("p"), 32).as("a"),
+              col("p").bitwiseAND(lit((1L << 32) - 1)).as("b"), col("i"))
+            .filter(col("i") >= minIntersection)
+        else
+          wedges.groupBy("a", "b").agg(count(lit(1)).as("i"))
+            .filter(col("i") >= minIntersection)
+      }
     (inter, deg)
   }
 
@@ -109,11 +153,23 @@ object Similarity {
     val wdeg = und.groupBy(col(SRC).as(ID)).agg(sum(WEIGHT).as("d"))
     val left = und.select(col(DST).as("m"), col(SRC).as("a"), col(WEIGHT).as("wa"))
     val right = und.select(col(SRC).as("m"), col(DST).as("b"), col(WEIGHT).as("wb"))
-    val inter = left.join(right, "m").filter(col("a") < col("b"))
-      .groupBy("a", "b")
-      .agg(sum(least(col("wa"), col("wb"))).as("i"), count(lit(1)).as("n"))
-      .filter(col("n") >= minIntersection)
-      .drop("n")
+    val wedges = left.join(right, "m").filter(col("a") < col("b"))
+    val maxId = und.agg(greatest(max(SRC), max(DST))).first().getLong(0)
+    val inter =
+      if (maxId < (1L << 31))
+        // min-weight sums don't decompose over the complement, but the
+        // Σ deg² hash agg still runs on a single packed long key
+        wedges.select((shiftleft(col("a"), 32) + col("b")).as("p"),
+            least(col("wa"), col("wb")).as("w"))
+          .groupBy("p").agg(sum("w").as("i"), count(lit(1)).as("n"))
+          .filter(col("n") >= minIntersection)
+          .select(shiftright(col("p"), 32).as("a"),
+            col("p").bitwiseAND(lit((1L << 32) - 1)).as("b"), col("i"))
+      else
+        wedges.groupBy("a", "b")
+          .agg(sum(least(col("wa"), col("wb"))).as("i"), count(lit(1)).as("n"))
+          .filter(col("n") >= minIntersection)
+          .drop("n")
     (inter, wdeg)
   }
 
