@@ -14,14 +14,15 @@ import org.apache.spark.sql.expressions.Window
 object Lookup {
   import Gr._
 
-  /** Attach deterministic dense edge ids (row_number over canonical order)
-    * and a type column if absent — the build side of the lookup table.
-    * At scale, prefer ids carried from the source data; the global window
-    * here is for id-less inputs (documented single-pass sort). */
+  /** Attach deterministic dense edge ids (1-based rank in canonical
+    * (src,dst) order) and a type column if absent — the build side of the
+    * lookup table. Ids come from the distributed zipWithIndex over the
+    * range-partitioned sort, NOT a global window (which would funnel the
+    * whole edge list through one partition). */
   def edgeIdTable(edges: DataFrame): DataFrame = {
-    val w = Window.orderBy(SRC, DST)
     val withId = if (edges.columns.contains(EDGE_ID)) edges
-      else edges.withColumn(EDGE_ID, row_number().over(w).cast("long"))
+      else Renumber.assignIds(edges.orderBy(SRC, DST))
+        .withColumn(EDGE_ID, (col(INT_ID) + 1).cast("long")).drop(INT_ID)
     if (withId.columns.contains(EDGE_TYPE)) withId
     else withId.withColumn(EDGE_TYPE, ((col(SRC) + col(DST)) % 3).cast("int"))
   }
