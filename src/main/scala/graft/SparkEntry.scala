@@ -318,6 +318,15 @@ object SparkEntry {
     "q_fingerprint" -> q { (s, dir) =>
       pipeline.TextAnalysis.fingerprints(Fixtures.documents(s, dir), n = 5, w = 4)
     },
+    "q_contamination" -> q { (s, dir) =>
+      // eval-leakage filter: every 97th document plays the benchmark set
+      val docs = Fixtures.documents(s, dir)
+      pipeline.TextAnalysis.contamination(docs,
+        docs.filter(col("doc_id") % 97 === 0), n = 4)
+    },
+    "q_repetition" -> q { (s, dir) =>
+      pipeline.TextAnalysis.repetitionRatio(Fixtures.documents(s, dir), n = 3)
+    },
     "q_media_meta" -> q { (s, dir) =>
       pipeline.Multimodal.mediaMeta(pipeline.Multimodal.asMedia(Fixtures.documents(s, dir)))
     },
@@ -844,6 +853,29 @@ object SparkEntry {
     "q_quality" -> PipelineSql.quality,
     "q_langid" -> PipelineSql.langId,
     "q_fingerprint" -> PipelineSql.fingerprints(n = 5, w = 4),
+    "q_contamination" ->
+      """WITH w AS MATERIALIZED (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |shn AS MATERIALIZED (
+        |  SELECT DISTINCT doc_id, array_to_string(ws[i:i+3], ' ') AS s
+        |  FROM w, unnest(generate_series(1, len(ws) - 3)) AS t(i)
+        |),
+        |bsh AS MATERIALIZED (SELECT doc_id AS bench_id, s FROM shn WHERE doc_id % 97 = 0)
+        |SELECT a.doc_id, count(*) AS n_hit_ngrams, count(DISTINCT b.bench_id) AS n_bench_docs
+        |FROM shn a JOIN bsh b USING (s)
+        |WHERE a.doc_id <> b.bench_id
+        |GROUP BY 1""".stripMargin,
+    "q_repetition" ->
+      """WITH w AS MATERIALIZED (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |sh3 AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    list_transform(generate_series(1, len(ws) - 2), i -> array_to_string(ws[i:i+2], ' ')) AS shs
+        |  FROM w
+        |)
+        |SELECT doc_id, CAST(len(shs) AS BIGINT) AS n_ngrams,
+        |  CASE WHEN len(shs) > 0
+        |       THEN round(1.0 - CAST(len(list_distinct(shs)) AS DOUBLE) / len(shs), 6)
+        |       ELSE 0.0 END AS repetition
+        |FROM sh3""".stripMargin,
     "q_media_meta" -> PipelineSql.mediaMeta,
     "q_media_decode" -> PipelineSql.mediaDecode,
     "q_frame_sample" -> PipelineSql.frameSample(frameBytes = 64, stride = 4),

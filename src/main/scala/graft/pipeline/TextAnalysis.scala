@@ -96,6 +96,38 @@ object TextAnalysis {
       when(pmod(TextOps.hash60(concat_ws("|", lit("split"), col(idCol), lit(seed))),
         lit(100L)) < (100L - valPct), "train").otherwise("val").as("split"))
 
+  /** Benchmark decontamination: flag training documents whose word
+    * n-grams overlap a benchmark set — the standard eval-leakage filter a
+    * training corpus runs before every release. Distinct doc×benchmark
+    * shingles joined on the shingle (benchmark side is the small one and
+    * broadcasts); a document never contaminates itself.
+    * Output (doc_id, n_hit_ngrams, n_bench_docs). */
+  def contamination(docs: DataFrame, bench: DataFrame, n: Int = 5,
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    def sh(d: DataFrame, as: String) = d
+      .select(col(idCol).as(as), explode(shingles(tokens(col(textCol)), n)).as("s"))
+      .distinct()
+    sh(docs, "doc_id_")
+      .join(broadcast(sh(bench, "bench_id")), "s")
+      .filter(col("doc_id_") =!= col("bench_id"))
+      .groupBy(col("doc_id_").as(idCol))
+      .agg(count(lit(1)).as("n_hit_ngrams"),
+        countDistinct(col("bench_id")).as("n_bench_docs"))
+  }
+
+  /** Within-document repetition ratio: 1 − distinct/total word n-grams —
+    * the boilerplate/SEO-spam signal quality filters threshold on.
+    * Output (doc_id, n_ngrams, repetition). */
+  def repetitionRatio(docs: DataFrame, n: Int = 3,
+                      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val shs = shingles(tokens(col(textCol)), n)
+    docs.select(col(idCol),
+      size(shs).cast("long").as("n_ngrams"),
+      when(size(shs) > 0,
+        round(lit(1.0) - size(array_distinct(shs)) / size(shs).cast("double"), 6))
+        .otherwise(lit(0.0)).as("repetition"))
+  }
+
   def fingerprints(docs: DataFrame, n: Int = 5, w: Int = 4,
                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val grams = docs.select(col(idCol),
