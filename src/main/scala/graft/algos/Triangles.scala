@@ -113,9 +113,9 @@ object Triangles {
         .select(col(SRC), col(DST),
           (col("ds") + col("dd") - lit(nV) + coalesce(col("cc"), lit(0L))).as("support"))
     }
-    val maxId = e.agg(greatest(max(SRC), max(DST))).first().getLong(0)
+    val bounds = e.agg(least(min(SRC), min(DST)), greatest(max(SRC), max(DST))).first()
     val sup =
-      if (maxId < (1L << 31)) {
+      if (bounds.getLong(0) >= 0 && bounds.getLong(1) < (1L << 31)) {
         // pack (src,dst) into one long: the Σ deg² wedge stream then probes
         // a single-long broadcast hash set and the O(#triangles) explode
         // aggregates on a single-long key — ~1.5x the struct-key pipeline

@@ -85,12 +85,20 @@ object Structure {
   }
 
   /** Distinct vertex pairs exactly two hops apart (`simpleGraph.py:774`,
-    * C++ `graph_functions.hpp:847`) — edge self-join a.dst==b.src. */
+    * C++ `graph_functions.hpp:847`) — edge self-join a.dst==b.src. The
+    * Σ deg² wedge stream dedupes on a packed single-long pair key when ids
+    * fit 31 bits (cheaper hash + exchange than a two-column distinct). */
   def twoHopNeighbors(edges: DataFrame): DataFrame = {
     val a = edges.select(col(SRC).as("v"), col(DST).as("mid"))
     val b = edges.select(col(SRC).as("mid"), col(DST).as("w"))
-    a.join(b, "mid").filter(col("v") =!= col("w"))
-      .select(col("v").as(SRC), col("w").as(DST)).distinct()
+    val wedges = a.join(b, "mid").filter(col("v") =!= col("w"))
+    val bounds = edges.agg(least(min(SRC), min(DST)), greatest(max(SRC), max(DST))).first()
+    if (bounds.getLong(0) >= 0 && bounds.getLong(1) < (1L << 31))
+      wedges.select((shiftleft(col("v"), 32) + col("w")).as("p")).distinct()
+        .select(shiftright(col("p"), 32).as(SRC),
+          col("p").bitwiseAND(lit((1L << 32) - 1)).as(DST))
+    else
+      wedges.select(col("v").as(SRC), col("w").as(DST)).distinct()
   }
 
   /** Vertices within k hops of the seed set (`algorithms.hpp:2311`):
