@@ -68,6 +68,41 @@ object GraphStream {
       }.toDF()
   }
 
+  /** STREAMING exact dedup for the training-data pipeline: first-seen
+    * document per content hash survives, later copies are dropped by
+    * Structured Streaming's stateful dropDuplicates — state is one row per
+    * distinct hash, bounded by the watermark horizon when `event_time`
+    * is present (a corpus ingest never holds unbounded state). The
+    * streaming twin of `pipeline.Dedup.exact`. */
+  def streamingExactDedup(docs: DataFrame, idCol: String = "doc_id",
+                          textCol: String = "text",
+                          watermark: Option[String] = None): DataFrame = {
+    val hashed = docs.withColumn("content_hash", md5(col(textCol)))
+    val wm = watermark match {
+      case Some(w) => hashed.withWatermark("event_time", w)
+        .dropDuplicates("content_hash", "event_time")
+      case None => hashed.dropDuplicates("content_hash")
+    }
+    wm.select(col(idCol), col("content_hash"))
+  }
+
+  /** STREAMING MinHash signatures: the per-row signature is a pure
+    * projection (shingle → k hash-min aggregates inside one expression),
+    * so it runs unchanged on a stream — LSH bucket ids attach the same
+    * way, making the stream joinable against a static bucket table for
+    * online near-dup lookup. The streaming twin of
+    * `pipeline.Dedup.minhash`. */
+  def streamingMinhash(docs: DataFrame, n: Int = 3, k: Int = 8,
+                       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import graft.pipeline.TextOps._
+    val sh = shingles(tokens(col(textCol)), n)
+    // identical hash family to the batch Dedup.minhash — the streaming
+    // signature matches the batch signature bit-for-bit
+    docs.select(col(idCol) +: (0 until k).map { i =>
+      array_min(transform(sh, s => hash60(s, i))).as(s"mh$i")
+    }: _*)
+  }
+
   /** Snapshot pattern: periodically materialize the accumulated edge table
     * and run any batch algorithm over it (the documented dynamic-graph
     * story — SURVEY §1.4 "incremental graph = streaming sink appending to

@@ -31,6 +31,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming exact dedup keeps the first-seen copy across micro-batches") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    val result = GraphStream.streamingExactDedup(docs)
+    val q = result.writeStream.format("memory").queryName("sdedup")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, "alpha beta"), (2L, "gamma delta"))
+      q.processAllAvailable()
+      input.addData((3L, "alpha beta"), (4L, "epsilon zeta")) // 3 is a dup of 1
+      q.processAllAvailable()
+      val ids = sp.sql("select doc_id from sdedup").collect().map(_.getLong(0)).toSet
+      assert(ids == Set(1L, 2L, 4L), s"expected dup 3 dropped, got $ids")
+    } finally q.stop()
+  }
+
+  test("streaming minhash signatures equal the batch signatures") {
+    val sp = spark
+    import sp.implicits._
+    val docs = Seq((1L, "the quick brown fox jumps over the dog"),
+      (2L, "completely different words entirely here now")).toDF("doc_id", "text")
+    val batch = graft.pipeline.Dedup.minhash(docs, n = 3, k = 4).collect()
+      .map(r => r.getLong(0) -> (1 to 4).map(i => r.getLong(i))).toMap
+    val stream = GraphStream.streamingMinhash(docs, n = 3, k = 4).collect()
+      .map(r => r.getLong(0) -> (1 to 4).map(i => r.getLong(i))).toMap
+    assert(batch == stream)
+  }
+
   test("windowed degrees respect the event-time window") {
     val sp = spark
     import sp.implicits._
