@@ -60,6 +60,27 @@ class AlgoSpec extends SparkSpec {
     assert(c(1L) == c(2L) && c(2L) == c(3L) && c(4L) != c(1L))
   }
 
+  test("PageRank and Jaccard are partition-invariant at reported precision") {
+    // SURVEY §5c: float sums associate differently across partitionings;
+    // the REPORTED values (rounded as the queries round) must not
+    val es = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L), (4L, 6L),
+      (5L, 6L), (6L, 7L), (2L, 7L), (5L, 7L))
+    def graph(parts: Int) = {
+      val und = Structure.symmetrize(edgeDF(es)).repartition(parts)
+      PropertyGraph(Structure.extractVertexList(und), und,
+        GraphProperties(directed = false))
+    }
+    def pr(parts: Int) = PageRank.runFixed(graph(parts), iters = 20).collect()
+      .map(r => r.getLong(0) -> math.rint(r.getDouble(1) * 1e6)).toMap
+    assert(pr(1) == pr(64))
+    def jac(parts: Int) = {
+      val (i, d) = Similarity.interAndDeg(graph(parts))
+      Similarity.scoreFrom(i, d, Similarity.Jaccard).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> math.rint(r.getDouble(2) * 1e6)).toMap
+    }
+    assert(jac(1) == jac(64))
+  }
+
   test("spectral eigen embedding separates two cliques joined by a bridge") {
     val k5a = for (i <- 0L until 5L; j <- i + 1 until 5L) yield (i, j)
     val k5b = for (i <- 10L until 15L; j <- i + 1 until 15L) yield (i, j)
