@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core._
+import graft.core.Gr._
+
+/** Physical-plan shape assertions (SURVEY §5d): the properties that decide
+  * 100 TB viability are visible in `.explain` — column-pruned parquet
+  * scans, broadcast of per-vertex state into edge joins, per-partition
+  * top-k instead of a global sort. These tests pin them so a regression in
+  * plan shape fails CI even when the answers stay correct. */
+class PlanSpec extends SparkSpec {
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("parquet scan prunes to the selected columns and pushes filters") {
+    val li = Tables(spark, "/root/testdata/sf0.001", "lineitem")
+      .filter(col("l_suppkey") < 10)
+      .select("l_orderkey", "l_suppkey")
+    li.collect()
+    val plan = planOf(li)
+    assert(plan.contains("ReadSchema: struct<l_orderkey"), plan.take(800))
+    // the full lineitem schema must NOT reach the scan
+    assert(!plan.contains("l_extendedprice"), "scan reads unused columns")
+    assert(plan.contains("PushedFilters: [") && plan.contains("LessThan(l_suppkey,10)"),
+      "filter not pushed to the scan")
+  }
+
+  test("Hint.state under the broadcast gate plans a broadcast join") {
+    val e = edgeDF(Seq((1L, 2L), (2L, 3L), (3L, 1L)))
+    val state = edgeDF(Seq((1L, 0L))).select(col(SRC).as(ID), col(DST).as("v"))
+    val joined = e.join(graft.prims.Hint.state(state.withColumnRenamed(ID, SRC), 1L), SRC)
+    assert(planOf(joined).contains("BroadcastHashJoin"), planOf(joined).take(800))
+  }
+
+  test("selectRandomVertices plans TakeOrderedAndProject, not a global sort") {
+    val verts = edgeDF((1L to 100L).map(i => (i, i + 1))).select(col(SRC).as(ID))
+    val picked = graft.sampling.NeighborSampling.selectRandomVertices(verts, k = 5)
+    val plan = planOf(picked)
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(800))
+    assert(!plan.contains("Window"), "global window crept back in")
+  }
+}
