@@ -246,6 +246,30 @@ object SamplingSql {
        |SELECT sample_id, src, dst FROM j
        |WHERE NOT EXISTS (SELECT 1 FROM cs_edges e WHERE e.src = j.src AND e.dst = j.dst)""".stripMargin
 
+  /** Weight-biased homogeneous sampling: A-ES race pow(u, 1/weight)
+    * descending with dst tie-break, top-fanout per (batch, src). */
+  def neighborSampleBiased(nBatches: Int, fanouts: Seq[Int], seed: Long): String = {
+    val b = new StringBuilder
+    b ++= s"WITH $PRELUDE,\n${seeds(nBatches)},\n"
+    b ++= "f0 AS MATERIALIZED (SELECT id AS batch_id, id AS vertex FROM seeds),\n"
+    fanouts.zipWithIndex.foreach { case (f, h) =>
+      val key = s"pow(${u01(s"concat_ws('|', batch_id, $h, src, dst, $seed)")}, 1.0 / weight)"
+      b ++= s"""h$h AS MATERIALIZED (
+        |  SELECT batch_id, src, dst FROM (
+        |    SELECT s.batch_id, e.src, e.dst,
+        |      row_number() OVER (PARTITION BY s.batch_id, e.src ORDER BY $key DESC, e.dst) AS rn
+        |    FROM f$h s JOIN und e ON s.vertex = e.src
+        |  ) WHERE rn <= $f
+        |),
+        |f${h + 1} AS MATERIALIZED (SELECT DISTINCT batch_id, dst AS vertex FROM h$h)""".stripMargin
+      b ++= ",\n"
+    }
+    b ++= "sampled AS (" + fanouts.indices.map(h =>
+      s"SELECT batch_id, $h AS hop, src, dst FROM h$h").mkString(" UNION ALL ") + ")\n"
+    b ++= "SELECT batch_id, CAST(hop AS BIGINT) AS hop, src, dst FROM sampled"
+    b.toString
+  }
+
   /** Shared tail: renumber CTEs (sfinal/sverts/ranked) appended onto the
     * neighbor-sample chain, ready for a caller-specific final SELECT. */
   private def renumberChain(nBatches: Int, fanouts: Seq[Int], seed: Long): String = {

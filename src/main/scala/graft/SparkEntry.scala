@@ -473,6 +473,12 @@ object SparkEntry {
         .select(col(ID).as("batch_id"), col(ID).as("vertex"))
       sampling.NeighborSampling.homogeneous(und, seeds, fanouts = Seq(2, 2))
     },
+    "q_neighbor_biased" -> q { (s, dir) =>
+      val und = Fixtures.supplierGraphUnd(s, dir).edges
+      val seeds = Fixtures.seedVertices(s, dir, 3)
+        .select(col(ID).as("batch_id"), col(ID).as("vertex"))
+      sampling.NeighborSampling.homogeneousBiased(und, seeds, fanouts = Seq(2, 2))
+    },
     "q_hetero_sample" -> q { (s, dir) =>
       val und = Fixtures.supplierGraphUnd(s, dir).edges
         .withColumn("edge_type", ((col(SRC) + col(DST)) % 2).cast("int"))
@@ -954,6 +960,7 @@ object SparkEntry {
     },
     "q_relabel" ->
       s"WITH $SUPP_EDGES_SQL SELECT src + 5000 AS src, dst + 5000 AS dst, weight FROM supp_edges",
+    "q_neighbor_biased" -> SamplingSql.neighborSampleBiased(nBatches = 3, fanouts = Seq(2, 2), seed = 42),
     "q_hetero_sample" -> SamplingSql.heteroSample(nBatches = 3,
       fanouts = Map(0 -> Seq(2, 2), 1 -> Seq(1, 1)), seed = 42),
     "q_temporal_sample" -> SamplingSql.temporalSample(nBatches = 3, fanouts = Seq(2, 2), seed = 42),

@@ -56,6 +56,31 @@ object NeighborSampling {
     out.select(col("batch_id"), col("hop").cast("long").as("hop"), col(SRC), col(DST))
   }
 
+  /** Weight-biased homogeneous sampling (reference `with_biases` /
+    * biased_neighbor_sample): per hop, the f neighbors of each source are
+    * drawn WITHOUT replacement with probability ∝ edge weight via the A-ES
+    * exponential race — top-f by u^(1/w) descending (deterministic, same
+    * machinery as Walks.biased). `edges` must carry `weight`. */
+  def homogeneousBiased(edges: DataFrame, seeds: DataFrame, fanouts: Seq[Int],
+                        seed: Long = 42): DataFrame = {
+    val e = edges.select(col(SRC), col(DST), col(WEIGHT)).mat
+    var frontier = seeds.select(col("batch_id"), col("vertex")).mat
+    var out: DataFrame = null
+    fanouts.zipWithIndex.foreach { case (f, h) =>
+      val joined = frontier.join(e, frontier("vertex") === e(SRC))
+      val u = hash60(concat_ws("|", col("batch_id"), lit(h), col(SRC), col(DST), lit(seed)))
+        .cast("double") / lit(math.pow(2, 60))
+      val w = Window.partitionBy(col("batch_id"), col(SRC))
+        .orderBy(pow(u, lit(1.0) / col(WEIGHT)).desc, col(DST))
+      val sampled = joined.withColumn("_rn", row_number().over(w)).filter(col("_rn") <= f)
+        .select(col("batch_id"), lit(h).as("hop"), col(SRC), col(DST))
+        .mat
+      out = if (out == null) sampled else out.union(sampled)
+      frontier = sampled.select(col("batch_id"), col(DST).as("vertex")).distinct().mat
+    }
+    out.select(col("batch_id"), col("hop").cast("long").as("hop"), col(SRC), col(DST))
+  }
+
   /** With-replacement fanout sampling: slot s of vertex v draws neighbor
     * arg-min over the hash keyed by (batch, hop, src, slot, dst) — f
     * independent draws per source, duplicates allowed (reference
