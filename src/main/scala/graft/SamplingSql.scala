@@ -246,6 +246,36 @@ object SamplingSql {
        |SELECT sample_id, src, dst FROM j
        |WHERE NOT EXISTS (SELECT 1 FROM cs_edges e WHERE e.src = j.src AND e.dst = j.dst)""".stripMargin
 
+  /** Padded uniform walks on the hierarchy DAG: walks from the region
+    * roots die at supplier leaves; each walk pivots to a fixed-length
+    * comma-joined path padded with -1 (the use_padding output shape). */
+  def paddedDagWalks(depth: Int, seed: Long): String = {
+    val b = new StringBuilder
+    b ++= """WITH dagu AS MATERIALIZED (
+      |  SELECT CAST(n_regionkey AS BIGINT) AS src, CAST(n_nationkey + 100 AS BIGINT) AS dst FROM nation
+      |  UNION ALL
+      |  SELECT CAST(s_nationkey + 100 AS BIGINT), CAST(s_suppkey + 1000 AS BIGINT) FROM supplier
+      |),
+      |dseeds AS MATERIALIZED (SELECT DISTINCT src AS id FROM dagu WHERE src < 100),
+      |w0 AS MATERIALIZED (SELECT id AS walk_id, id AS vertex FROM dseeds),
+      |""".stripMargin
+    for (t <- 1 to depth) {
+      val key = h60(s"concat_ws('|', walk_id, $t, dst, $seed)")
+      b ++= s"""w$t AS MATERIALIZED (
+        |  SELECT walk_id, min_by(dst, $key) AS vertex
+        |  FROM w${t - 1} JOIN dagu ON vertex = src GROUP BY walk_id
+        |)""".stripMargin
+      b ++= ",\n"
+    }
+    b ++= "base AS MATERIALIZED (" + (0 to depth).map(t =>
+      s"SELECT walk_id, $t AS step, vertex FROM w$t").mkString(" UNION ALL ") + ")\n"
+    val slots = (0 to depth).map(t =>
+      s"coalesce(CAST(max(CASE WHEN step = $t THEN vertex END) AS VARCHAR), '-1')")
+      .mkString(", ")
+    b ++= s"SELECT walk_id, concat_ws(',', $slots) AS path FROM base GROUP BY walk_id"
+    b.toString
+  }
+
   /** Weight-biased homogeneous sampling: A-ES race pow(u, 1/weight)
     * descending with dst tie-break, top-fanout per (batch, src). */
   def neighborSampleBiased(nBatches: Int, fanouts: Seq[Int], seed: Long): String = {

@@ -215,6 +215,10 @@ object SparkEntry {
       val g = Fixtures.supplierGraphUnd(s, dir)
       MultiTraversal.batchedEgo(g, Fixtures.seedVertices(s, dir, 3), radius = 2)
     },
+    "q_two_hop_seeded" -> q { (s, dir) =>
+      Structure.twoHopNeighbors(Fixtures.supplierEdges(s, dir),
+        Some(Fixtures.seedVertices(s, dir, 3)))
+    },
     "q_coarsen" -> q { (s, dir) =>
       val labels = Tables(s, dir, "supplier")
         .select(col("s_suppkey").as(ID), col("s_nationkey").cast("long").as("label"))
@@ -467,6 +471,15 @@ object SparkEntry {
         .select(col(ID).as("walk_id"), col(ID).as("vertex"))
       sampling.Walks.node2vec(und, starts, maxDepth = 3, p = 1.0, q = 2.0)
     },
+    "q_walks_padded" -> q { (s, dir) =>
+      // DAG fixture: walks die at supplier leaves, exercising the -1 padding
+      val dag = Fixtures.hierarchyDag(s, dir)
+      val starts = dag.vertices.filter(col(ID) < 100)
+        .select(col(ID).as("walk_id"), col(ID).as("vertex"))
+      sampling.Walks.padded(
+          sampling.Walks.uniform(dag.edges, starts, maxDepth = 4), maxDepth = 4)
+        .select(col("walk_id"), concat_ws(",", col("path").cast("array<string>")).as("path"))
+    },
     "q_neighbor_sample" -> q { (s, dir) =>
       val und = Fixtures.supplierGraphUnd(s, dir).edges
       val seeds = Fixtures.seedVertices(s, dir, 3)
@@ -672,6 +685,13 @@ object SparkEntry {
          |SELECT DISTINCT a.src AS src, b.dst AS dst
          |FROM supp_edges a JOIN supp_edges b ON a.dst = b.src
          |WHERE a.src <> b.dst""".stripMargin,
+    "q_two_hop_seeded" ->
+      s"""WITH $SUPP_EDGES_SQL,
+         |$SUPP_VERTS_SQL,
+         |sds AS MATERIALIZED (SELECT id FROM verts ORDER BY id LIMIT 3)
+         |SELECT DISTINCT a.src AS src, b.dst AS dst
+         |FROM supp_edges a JOIN supp_edges b ON a.dst = b.src
+         |WHERE a.src <> b.dst AND a.src IN (SELECT id FROM sds)""".stripMargin,
     "q_induced_subgraph" ->
       s"""WITH $SUPP_EDGES_SQL
          |SELECT src, dst, weight FROM supp_edges
@@ -927,6 +947,7 @@ object SparkEntry {
     "q_biased_walks" -> SamplingSql.biasedWalks(nWalks = 5, depth = 4, seed = 42),
     "q_node2vec" -> SamplingSql.node2vecWalks(nWalks = 5, depth = 3, p = 1.0, q = 2.0, seed = 42),
     "q_neighbor_sample" -> SamplingSql.neighborSample(nBatches = 3, fanouts = Seq(2, 2), seed = 42),
+    "q_walks_padded" -> SamplingSql.paddedDagWalks(depth = 4, seed = 42),
     "q_sample_renumber" -> {
       val base = SamplingSql.neighborSample(nBatches = 3, fanouts = Seq(2, 2), seed = 42)
       // wrap the sample CTE chain: per-batch dense_rank renumbering

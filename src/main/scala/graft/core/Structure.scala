@@ -88,8 +88,15 @@ object Structure {
     * C++ `graph_functions.hpp:847`) — edge self-join a.dst==b.src. The
     * Σ deg² wedge stream dedupes on a packed single-long pair key when ids
     * fit 31 bits (cheaper hash + exchange than a two-column distinct). */
-  def twoHopNeighbors(edges: DataFrame): DataFrame = {
-    val a = edges.select(col(SRC).as("v"), col(DST).as("mid"))
+  def twoHopNeighbors(edges: DataFrame,
+                      startVertices: Option[DataFrame] = None): DataFrame = {
+    // start_vertices (reference `get_two_hop_neighbors(start_vertices=…)`):
+    // restrict BEFORE the wedge join, so only the seeds' adjacency streams
+    val a0 = edges.select(col(SRC).as("v"), col(DST).as("mid"))
+    val a = startVertices match {
+      case Some(s) => a0.join(s.select(col(s.columns.head).as("v")), Seq("v"), "left_semi")
+      case None => a0
+    }
     val b = edges.select(col(SRC).as("mid"), col(DST).as("w"))
     val wedges = a.join(b, "mid").filter(col("v") =!= col("w"))
     val bounds = edges.agg(least(min(SRC), min(DST)), greatest(max(SRC), max(DST))).first()

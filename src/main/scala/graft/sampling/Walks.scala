@@ -43,6 +43,19 @@ object Walks {
     out.select(col("walk_id"), col("step").cast("long").as("step"), col("vertex"))
   }
 
+  /** Padded walk output (reference `random_walks` use_padding=True shape,
+    * `sampling/random_walks.py`): one row per walk with a fixed-length
+    * vertex array — early-terminated walks pad with -1 so every array has
+    * maxDepth+1 slots, the layout GNN batch loaders consume. Wraps any
+    * (walk_id, step, vertex) row output. */
+  def padded(walkRows: DataFrame, maxDepth: Int): DataFrame = {
+    val byWalk = walkRows.groupBy("walk_id")
+      .agg(map_from_arrays(collect_list(col("step")), collect_list(col("vertex"))).as("m"))
+    byWalk.select(col("walk_id"),
+      array((0 to maxDepth).map(t =>
+        coalesce(element_at(col("m"), lit(t.toLong)), lit(-1L))): _*).as("path"))
+  }
+
   /** Biased (weight-proportional) walks via the A-ES exponential race:
     * key = U^(1/w) maximized, U = hash/2^60 ∈ (0,1). */
   def biased(edges: DataFrame, starts: DataFrame, maxDepth: Int, seed: Long = 42): DataFrame = {
