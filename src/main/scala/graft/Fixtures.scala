@@ -99,8 +99,13 @@ object Fixtures {
       val li = Tables(spark, dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
       val a = li.select(col("l_orderkey"), col("l_partkey").as(SRC))
       val b = li.select(col("l_orderkey"), col("l_partkey").as(DST))
+      // the co-order pair stream aggregates on a packed single-long key
+      // (part keys are far below 2^31) — same result, cheaper shuffle
       a.join(b, "l_orderkey").filter(col(SRC) < col(DST))
-        .groupBy(SRC, DST).agg(count(lit(1)).cast("double").as(WEIGHT))
+        .select((shiftleft(col(SRC), 32) + col(DST)).as("p"))
+        .groupBy("p").agg(count(lit(1)).cast("double").as(WEIGHT))
+        .select(shiftright(col("p"), 32).as(SRC),
+          col("p").bitwiseAND(lit((1L << 32) - 1)).as(DST), col(WEIGHT))
     }
 
   val PART_EDGES_SQL: String =
