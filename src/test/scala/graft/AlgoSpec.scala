@@ -60,6 +60,48 @@ class AlgoSpec extends SparkSpec {
     assert(c(1L) == c(2L) && c(2L) == c(3L) && c(4L) != c(1L))
   }
 
+  test("complement-path edge support and intersections match brute force on a dense graph") {
+    // K7 minus 4 edges: density 17/21 > 1/2 with a NON-empty complement —
+    // the regime where the cc terms of the complement identities actually
+    // carry weight (the sf0.01 gate fixture is complete, complement empty)
+    val removed = Set((0L, 1L), (2L, 3L), (2L, 5L), (4L, 6L))
+    val edges = for {
+      i <- 0L until 7L; j <- i + 1 until 7L if !removed((i, j))
+    } yield (i, j)
+    val adj = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (v, ps) => v -> ps.map(_._2).toSet }
+    val g = graphOf(edges)
+    // brute-force |N(u)∩N(v)|
+    def inter(u: Long, v: Long): Long = (adj(u) & adj(v)).size.toLong
+    val sup = Triangles.edgeSupport(g).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    for ((a, b) <- edges)
+      assert(sup((a, b)) == inter(a, b), s"support($a,$b)=${sup((a, b))} want ${inter(a, b)}")
+    // k-truss over the same graph: reference peel computed in-test
+    def peel(k: Int): Set[(Long, Long)] = {
+      var es = edges.toSet
+      var changed = true
+      while (changed) {
+        val a2 = es.flatMap { case (x, y) => Seq(x -> y, y -> x) }
+          .groupBy(_._1).map { case (v, ps) => v -> ps.map(_._2) }
+        val keep = es.filter { case (x, y) => (a2(x) & a2(y)).size >= k - 2 }
+        changed = keep != es
+        es = keep
+      }
+      es
+    }
+    val truss = Triangles.kTruss(g, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truss == peel(5), s"truss=$truss want ${peel(5)}")
+    val (interDf, _) = Similarity.interAndDeg(g)
+    val got = interDf.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    for (a <- 0L until 7L; b <- a + 1 until 7L) {
+      val want = inter(a, b)
+      if (want > 0) assert(got((a, b)) == want, s"inter($a,$b)=${got.get((a, b))} want $want")
+      else assert(!got.contains((a, b)), s"pair ($a,$b) should be absent")
+    }
+  }
+
   test("PageRank and Jaccard are partition-invariant at reported precision") {
     // SURVEY §5c: float sums associate differently across partitionings;
     // the REPORTED values (rounded as the queries round) must not
