@@ -353,6 +353,18 @@ object SparkEntry {
         .select(col(ID), col("nbrs.dst").as("ns"), col("nbrs.weight").as("ws"))
       sources.Convert.fromAdjList(adj, idCol = ID, nbrsCol = "ns", wCol = Some("ws"))
     },
+    "q_from_dense" -> q { (s, dir) =>
+      // dense-adjacency round trip (from_pandas_adjacency / numpy): build
+      // the dense rows from the undirected supplier graph, convert back to
+      // COO through fromDense, land exactly on the symmetrized edge list
+      val und = Fixtures.supplierGraphUnd(s, dir).edges
+      val maxId = und.agg(greatest(max(SRC), max(DST))).first().getLong(0).toInt
+      val dense = und.groupBy(col(SRC).as("id"))
+        .agg(map_from_arrays(collect_list(col(DST)), collect_list(col(WEIGHT))).as("m"))
+        .select(col("id"), transform(sequence(lit(0L), lit(maxId.toLong)),
+          j => coalesce(element_at(col("m"), j), lit(0.0))).as("row"))
+      sources.Convert.fromDense(dense)
+    },
     "q_karate_triangles" -> q { (s, _) =>
       // curated-dataset registry + triangle kernel on the classic fixture
       val g = sources.Datasets.getGraph(s, "karate")
@@ -907,6 +919,8 @@ object SparkEntry {
     "q_frame_sample" -> PipelineSql.frameSample(frameBytes = 64, stride = 4),
     "q_from_adjlist" ->
       s"WITH $SUPP_EDGES_SQL SELECT src, dst, weight FROM supp_edges",
+    "q_from_dense" ->
+      s"WITH $SUPP_EDGES_SQL, $SUPP_UND_SQL SELECT src, dst, weight FROM und",
     "q_karate_triangles" -> {
       val vals = sources.Datasets.karateEdges.map { case (a, b) => s"($a, $b)" }.mkString(", ")
       s"""WITH k0(s0, d0) AS (VALUES $vals),
