@@ -153,25 +153,29 @@ object SparkEntry {
     },
     "q_core_number" -> q { (s, _) =>
       // RMAT fixture: SF-independent core values 1..9, so the DuckDB per-k
-      // cascade unroll (maxK=10, 9 rounds) is provably sufficient — the
-      // stats asserts fail loudly if the fixture ever stops fitting.
-      val (res, maxCore, cascade) = Components.coreNumberWithStats(Fixtures.rmatGraph(s))
+      // cascade unroll (maxK=10, 9 rounds) is provably sufficient. The
+      // h-index fixpoint (== peel result, cross-checked in AlgoSpec on this
+      // exact fixture) costs O(sweeps) jobs instead of O(peel rounds); the
+      // max-core assert still fails loudly if the fixture outgrows the
+      // oracle's unroll, and an insufficient per-k round budget surfaces as
+      // a driver hash mismatch.
+      val (res, _) = Components.coreNumberHIndex(Fixtures.rmatGraph(s))
+      val maxCore = res.agg(max("core_number")).first().getLong(0)
       require(maxCore <= 9, s"max core $maxCore exceeds oracle unroll budget 9")
-      require(cascade <= 9, s"peel cascade depth $cascade exceeds oracle round budget 9")
       res.select(col(ID), col("core_number").cast("long").as("core_number"))
     },
     "q_core_number_in" -> q { (s, _) =>
-      val (res, maxCore, cascade) =
-        Components.coreNumberWithStats(Fixtures.rmatGraph(s), degreeType = "incoming")
+      val (res, _) =
+        Components.coreNumberHIndex(Fixtures.rmatGraph(s), degreeType = "incoming")
+      val maxCore = res.agg(max("core_number")).first().getLong(0)
       require(maxCore <= 7, s"max in-core $maxCore exceeds oracle unroll budget 7")
-      require(cascade <= 8, s"peel cascade depth $cascade exceeds oracle round budget 8")
       res.select(col(ID), col("core_number").cast("long").as("core_number"))
     },
     "q_core_number_out" -> q { (s, _) =>
-      val (res, maxCore, cascade) =
-        Components.coreNumberWithStats(Fixtures.rmatGraph(s), degreeType = "outgoing")
+      val (res, _) =
+        Components.coreNumberHIndex(Fixtures.rmatGraph(s), degreeType = "outgoing")
+      val maxCore = res.agg(max("core_number")).first().getLong(0)
       require(maxCore <= 7, s"max out-core $maxCore exceeds oracle unroll budget 7")
-      require(cascade <= 8, s"peel cascade depth $cascade exceeds oracle round budget 8")
       res.select(col(ID), col("core_number").cast("long").as("core_number"))
     },
     "q_kcore" -> q { (s, dir) =>

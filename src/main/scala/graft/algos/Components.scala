@@ -210,6 +210,70 @@ object Components {
     (result, maxCore, maxCascade)
   }
 
+  /** Core number via the iterated H-operator fixpoint (Lü, Zhou, Zhang,
+    * Stanley, "The H-index of a network node and its relation to degree and
+    * coreness", Nature Communications 2016): start from h(v) = degree and
+    * repeatedly set h(v) to the H-index of its neighbors' h values (the
+    * largest k such that ≥ k neighbors have h ≥ k). The sequence is
+    * pointwise non-increasing and converges exactly to the core number;
+    * the same proof carries to the directed in-/out-degree variants with
+    * in-/out-neighbor message sets (reference semantics
+    * `cores/core_number.py:10`, `degree_type`).
+    *
+    * Same result as [[coreNumberWithStats]] (cross-checked in AlgoSpec on
+    * the gated RMAT fixture for all three degree types) but a different
+    * cost shape: one aggregate-messages shuffle per sweep and typically
+    * O(10) sweeps, versus one Spark job cascade PER peel round — on graphs
+    * with deep cores the peel's job count is O(Σ cascade rounds) while this
+    * is O(sweeps). The per-vertex `collect_list` is bounded by degree — the
+    * same O(d_max) row bound a CSR adjacency row has; hub rows are handled
+    * by Spark's spillable aggregation buffers.
+    * @return (DataFrame(id, core_number: long), sweeps). */
+  def coreNumberHIndex(g: PropertyGraph, degreeType: String = "bidirectional",
+                       maxIter: Int = 200): (DataFrame, Int) = {
+    // adjacency rows (id, nbr): nbr's h value is counted in id's H-set.
+    // Simple graph per the reference: self-loops and multi-edges dropped.
+    val adj = (degreeType match {
+      case "bidirectional" =>
+        val c = Structure.canonicalize(Structure.symmetrize(g.edges.select(SRC, DST)))
+        c.select(col(SRC).as(ID), col(DST).as("nbr"))
+          .union(c.select(col(DST).as(ID), col(SRC).as("nbr")))
+      case "incoming" =>
+        g.edges.select(SRC, DST).filter(col(SRC) =!= col(DST)).distinct()
+          .select(col(DST).as(ID), col(SRC).as("nbr"))
+      case "outgoing" =>
+        g.edges.select(SRC, DST).filter(col(SRC) =!= col(DST)).distinct()
+          .select(col(SRC).as(ID), col(DST).as("nbr"))
+      case other => throw new IllegalArgumentException(s"unknown degree_type $other")
+    }).mat
+    val nV = g.vertices.count()
+    var h = g.vertices.select(ID)
+      .join(adj.groupBy(ID).agg(count(lit(1)).as("h")), Seq(ID), "left")
+      .select(col(ID), coalesce(col("h"), lit(0L)).as("h")).mat
+    var it = 0
+    var changed = 1L
+    while (changed > 0 && it < maxIter) {
+      it += 1
+      val msgs = adj
+        .join(graft.prims.Hint.state(
+          h.select(col(ID).as("nbr"), col("h").as("nh")), nV), "nbr")
+        .groupBy(ID).agg(collect_list(col("nh")).as("hs"))
+      // H-index of the multiset: sort descending, count positions i (0-based)
+      // with value ≥ i+1. Evaluates inside the aggregation projection —
+      // no second shuffle.
+      val hIdx = size(filter(sort_array(col("hs"), asc = false),
+        (x, i) => x >= (i + lit(1)).cast("long"))).cast("long")
+      // one materialization carries old and new h; the convergence count is
+      // a scan of the cached frame (same pattern as wccWithRounds)
+      val joined = h.join(msgs, Seq(ID), "left")
+        .select(col(ID), col("h").as("old"),
+          when(col("hs").isNotNull, hIdx).otherwise(lit(0L)).as("h")).mat
+      changed = joined.filter(col("h") < col("old")).count()
+      h = joined.select(col(ID), col("h"))
+    }
+    (h.select(col(ID), col("h").as("core_number")), it)
+  }
+
   /** Strongly connected components — trim + forward/backward min-label
     * coloring (reference legacy SCC `algorithms.hpp:1767`,
     * `components/strongly_connected_components_impl.cuh`, which likewise

@@ -194,6 +194,21 @@ class AlgoSpec extends SparkSpec {
     assert(core(1L) == 2 && core(2L) == 2 && core(3L) == 2 && core(4L) == 1)
   }
 
+  test("h-index core number equals the peel on the gated RMAT fixture, all degree types") {
+    // the exact fixture + degree types behind q_core_number{,_in,_out}: the
+    // DuckDB oracle unrolls the peel, the gate runs the h-index fixpoint —
+    // this equality is what licenses the swap
+    val g = Fixtures.rmatGraph(spark)
+    for (dt <- Seq("bidirectional", "incoming", "outgoing")) {
+      val peel = Components.coreNumberWithStats(g, degreeType = dt)._1.collect()
+        .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+      val (hRes, sweeps) = Components.coreNumberHIndex(g, degreeType = dt)
+      val h = hRes.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(h == peel, s"h-index != peel for degree_type=$dt")
+      assert(sweeps < 50, s"h-index took $sweeps sweeps on a 192-vertex fixture")
+    }
+  }
+
   test("topological levels respect the DAG order") {
     val g = graphOf(Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L)))
     val lvl = TreeDag.topologicalLevels(g).collect()
