@@ -155,6 +155,60 @@ object PipelineSql {
        |WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= $threshold""".stripMargin
   }
 
+  /** Exact IVF oracle: unrolls `Ann.kmeansCentroids` — deterministic init
+    * (first `nlist` vectors by vec_id, cid = rank in that order), `iters`
+    * Lloyd rounds of argmax-dot assignment (ties → lowest cid) and
+    * per-dimension avg update — then the `nprobe` bucket probe and exact
+    * in-bucket ranking, all in DuckDB SQL. `dim` is the embedding width
+    * (the per-dimension avg list is unrolled). Empty centroids drop out of
+    * the GROUP BY on both sides identically. */
+  def annIvf(nQueries: Int, k: Int, nlist: Int, nprobe: Int, iters: Int,
+             dim: Int): String = {
+    val avgList = "[" + (1 to dim).map(i => s"avg(v[$i])").mkString(", ") + "]"
+    def assign(cents: String, name: String): String =
+      s"""$name AS MATERIALIZED (
+         |  SELECT vec_id, v, cid FROM (
+         |    SELECT e.vec_id, e.v, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY list_dot_product(e.v, c.cv) DESC, c.cid) AS rn
+         |    FROM e CROSS JOIN $cents c) t WHERE rn = 1)""".stripMargin
+    val b = new StringBuilder
+    b ++= s"WITH $EMB_NORM,\n"
+    b ++= s"""c0 AS MATERIALIZED (
+             |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) - 1 AS cid,
+             |         v AS cv
+             |  FROM (SELECT * FROM e ORDER BY vec_id LIMIT $nlist)),
+             |""".stripMargin
+    for (i <- 1 to iters) {
+      b ++= assign(s"c${i - 1}", s"a$i") + ",\n"
+      b ++= s"c$i AS MATERIALIZED (SELECT cid, $avgList AS cv FROM a$i GROUP BY cid),\n"
+    }
+    b ++= assign(s"c$iters", "bucketed") + ",\n"
+    b ++= s"""q AS MATERIALIZED (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM e
+             |                   WHERE vec_id < $nQueries),
+             |qp AS MATERIALIZED (
+             |  SELECT query_id, qv, qn, cid FROM (
+             |    SELECT q.query_id, q.qv, q.qn, c.cid,
+             |      row_number() OVER (PARTITION BY q.query_id
+             |        ORDER BY list_dot_product(q.qv, c.cv) DESC, c.cid) AS rn
+             |    FROM q CROSS JOIN c$iters c) t WHERE rn <= $nprobe),
+             |scored AS MATERIALIZED (
+             |  SELECT qp.query_id, b.vec_id AS neighbor_id,
+             |    round(list_dot_product(b.v, qp.qv) / (eb.nrm * qp.qn), 6) AS cosine
+             |  FROM bucketed b
+             |  JOIN qp ON b.cid = qp.cid AND b.vec_id <> qp.query_id
+             |  JOIN e eb ON eb.vec_id = b.vec_id),
+             |ranked AS MATERIALIZED (
+             |  SELECT query_id, neighbor_id, cosine,
+             |    row_number() OVER (PARTITION BY query_id
+             |                       ORDER BY cosine DESC, neighbor_id) AS rank
+             |  FROM scored
+             |)
+             |SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
+             |FROM ranked WHERE rank <= $k""".stripMargin
+    b.toString
+  }
+
   def annTopK(nQueries: Int, k: Int): String =
     s"""WITH $EMB_NORM,
        |q AS MATERIALIZED (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM e

@@ -297,7 +297,9 @@ object SparkEntry {
       pipeline.Ann.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), k = 10)
     },
     "q_ann_ivf" -> q { (s, dir) =>
-      // approximate (recall < 1): rows-only check, exactness covered by q_ann_topk
+      // approximate (recall < 1) but fully deterministic: seeded k-means
+      // init, argmax-dot assignment with cid tie-break, avg updates — the
+      // DuckDB oracle unrolls the identical pipeline (PipelineSql.annIvf)
       val emb = Fixtures.embeddings(s, dir)
       pipeline.Ann.ivfTopK(emb, emb.filter(col("vec_id") < 5), k = 10)
     },
@@ -871,6 +873,8 @@ object SparkEntry {
     "q_embed_dup" -> PipelineSql.embedDup(0.4),
     "q_embed_dup_lsh" -> PipelineSql.embedDupLsh(0.4, planes = 4),
     "q_ann_topk" -> PipelineSql.annTopK(nQueries = 5, k = 10),
+    "q_ann_ivf" -> PipelineSql.annIvf(nQueries = 5, k = 10, nlist = 16,
+      nprobe = 4, iters = 3, dim = 64),
     "q_dedup_clusters" ->
       s"""WITH RECURSIVE pr AS MATERIALIZED (${PipelineSql.lshPairs(bands = 4, rowsPerBand = 2, threshold = 0.2)}),
          |sym AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM pr UNION SELECT id_b, id_a FROM pr),
