@@ -226,11 +226,16 @@ object MiscSql {
     * scalar key weight·1e10 + src·1e5 + dst (exact in double for integral
     * weights and ids < 1e5 — same total order as the Spark side's
     * struct(weight, src, dst) min), then components merge by min-label
-    * closure (recursive CTE). Extra rounds past convergence are no-ops. */
-  def mstSupplier(rounds: Int): String = {
+    * closure (recursive CTE). Extra rounds past convergence are no-ops.
+    * `maximum` negates the weight term of the key — the Spark side's
+    * maximum_spanning_tree runs min-Borůvka on negated weights, so the
+    * scalar key −w·1e10 + src·1e5 + dst reproduces its total order
+    * exactly (tie-break unchanged). */
+  def mstSupplier(rounds: Int, maximum: Boolean = false): String = {
+    val wKey = if (maximum) "-weight" else "weight"
     val b = new StringBuilder
     b ++= s"WITH RECURSIVE $SUPP_EDGES_SQL,\n$SUPP_VERTS_SQL,\n"
-    b ++= "ek AS MATERIALIZED (SELECT src, dst, weight, weight * 1e10 + src * 1e5 + dst AS k FROM supp_edges),\n"
+    b ++= s"ek AS MATERIALIZED (SELECT src, dst, weight, $wKey * 1e10 + src * 1e5 + dst AS k FROM supp_edges),\n"
     b ++= "comp0 AS MATERIALIZED (SELECT id, id AS comp FROM verts),\n"
     for (r <- 1 to rounds) {
       b ++= s"""cr$r AS MATERIALIZED (

@@ -204,6 +204,13 @@ object SparkEntry {
       require(rounds <= 8, s"Boruvka took $rounds rounds, oracle budget is 7")
       mst
     },
+    "q_mst_max" -> q { (s, dir) =>
+      // reference tree/minimum_spanning_tree.py:106 maximum_spanning_tree
+      val (mst, rounds) =
+        TreeDag.boruvkaMstWithRounds(Fixtures.supplierGraphUnd(s, dir), maximum = true)
+      require(rounds <= 8, s"Boruvka took $rounds rounds, oracle budget is 7")
+      mst
+    },
     "q_topo_sort" -> q { (s, dir) =>
       TreeDag.topologicalLevels(Fixtures.hierarchyDag(s, dir))
         .select(col(ID), col("level").cast("long").as("level"))
@@ -661,6 +668,25 @@ object SparkEntry {
         Fixtures.supplierSimDegW(s, dir), Similarity.Jaccard, Fixtures.supplierSimNVW(s, dir))
       r.select(col(SRC), col(DST), round(col("jaccard_coeff"), 6).as("jaccard_coeff"))
     },
+    // the other three use_weight=True coefficients share the same
+    // materialized weighted kernel — scalar math only, like the
+    // unweighted family (reference jaccard/sorensen/overlap/cosine.py
+    // all take use_weight)
+    "q_sorensen_weighted" -> q { (s, dir) =>
+      val r = Similarity.scoreFrom(Fixtures.supplierSimInterW(s, dir),
+        Fixtures.supplierSimDegW(s, dir), Similarity.Sorensen, Fixtures.supplierSimNVW(s, dir))
+      r.select(col(SRC), col(DST), round(col("sorensen_coeff"), 6).as("sorensen_coeff"))
+    },
+    "q_overlap_weighted" -> q { (s, dir) =>
+      val r = Similarity.scoreFrom(Fixtures.supplierSimInterW(s, dir),
+        Fixtures.supplierSimDegW(s, dir), Similarity.Overlap, Fixtures.supplierSimNVW(s, dir))
+      r.select(col(SRC), col(DST), round(col("overlap_coeff"), 6).as("overlap_coeff"))
+    },
+    "q_cosine_weighted" -> q { (s, dir) =>
+      val r = Similarity.scoreFrom(Fixtures.supplierSimInterW(s, dir),
+        Fixtures.supplierSimDegW(s, dir), Similarity.Cosine, Fixtures.supplierSimNVW(s, dir))
+      r.select(col(SRC), col(DST), round(col("cosine_coeff"), 6).as("cosine_coeff"))
+    },
     // ---- link prediction (§2.6): one shared kernel, four scorings ----
     "q_jaccard" -> q { (s, dir) =>
       val r = Similarity.scoreFrom(Fixtures.supplierSimInter(s, dir),
@@ -948,6 +974,7 @@ object SparkEntry {
          |FROM kverts v LEFT JOIN cnt c ON c.id = v.id""".stripMargin
     },
     "q_mst" -> MiscSql.mstSupplier(rounds = 7),
+    "q_mst_max" -> MiscSql.mstSupplier(rounds = 7, maximum = true),
     "q_kcore" -> MiscSql.kcoreSupplier(k = 50, rounds = 4),
     "q_core_number" -> MiscSql.coreNumberRmat(maxK = 10, rounds = 9),
     "q_core_number_in" -> MiscSql.coreNumberRmatDirected("incoming", maxK = 8, rounds = 8),
@@ -1022,24 +1049,32 @@ object SparkEntry {
     "q_bfs_paths" -> SamplingSql.bfsPaths(nDests = 3, rounds = 12),
     "q_edge_cut" -> SamplingSql.edgeCut,
     "q_ratio_cut" -> SamplingSql.ratioCut,
-    "q_jaccard_weighted" ->
-      s"""WITH $SUPP_EDGES_SQL,
-         |$SUPP_UND_SQL,
-         |wdeg AS MATERIALIZED (SELECT src AS id, sum(weight) AS d FROM und GROUP BY 1),
-         |inter AS MATERIALIZED (
-         |  SELECT l.src AS a, r.dst AS b, sum(least(l.weight, r.weight)) AS i
-         |  FROM und l JOIN und r ON l.dst = r.src
-         |  WHERE l.src < r.dst
-         |  GROUP BY 1, 2
-         |)
-         |SELECT i.a AS src, i.b AS dst,
-         |       round(i.i / (da.d + db.d - i.i), 6) AS jaccard_coeff
-         |FROM inter i JOIN wdeg da ON da.id = i.a JOIN wdeg db ON db.id = i.b""".stripMargin,
+    "q_jaccard_weighted" -> similarityWeightedSql(
+      "round(i.i / (da.d + db.d - i.i), 6)", "jaccard_coeff"),
+    "q_sorensen_weighted" -> similarityWeightedSql(
+      "round(2.0 * i.i / (da.d + db.d), 6)", "sorensen_coeff"),
+    "q_overlap_weighted" -> similarityWeightedSql(
+      "round(i.i / least(da.d, db.d), 6)", "overlap_coeff"),
+    "q_cosine_weighted" -> similarityWeightedSql(
+      "round(i.i / sqrt(da.d * db.d), 6)", "cosine_coeff"),
     "q_jaccard" -> similaritySql("round(CAST(i.i AS DOUBLE) / (da.d + db.d - i.i), 6)", "jaccard_coeff"),
     "q_overlap" -> similaritySql("round(CAST(i.i AS DOUBLE) / least(da.d, db.d), 6)", "overlap_coeff"),
     "q_cosine" -> similaritySql("round(CAST(i.i AS DOUBLE) / sqrt(CAST(da.d AS DOUBLE) * db.d), 6)", "cosine_coeff"),
     "q_sorensen" -> similaritySql("round(2.0 * i.i / (da.d + db.d), 6)", "sorensen_coeff"),
   )
+
+  private def similarityWeightedSql(scoreExpr: String, name: String): String =
+    s"""WITH $SUPP_EDGES_SQL,
+       |$SUPP_UND_SQL,
+       |wdeg AS MATERIALIZED (SELECT src AS id, sum(weight) AS d FROM und GROUP BY 1),
+       |inter AS MATERIALIZED (
+       |  SELECT l.src AS a, r.dst AS b, sum(least(l.weight, r.weight)) AS i
+       |  FROM und l JOIN und r ON l.dst = r.src
+       |  WHERE l.src < r.dst
+       |  GROUP BY 1, 2
+       |)
+       |SELECT i.a AS src, i.b AS dst, $scoreExpr AS $name
+       |FROM inter i JOIN wdeg da ON da.id = i.a JOIN wdeg db ON db.id = i.b""".stripMargin
 
   private def similaritySql(scoreExpr: String, name: String): String =
     s"""WITH $SUPP_EDGES_SQL,

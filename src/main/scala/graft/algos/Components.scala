@@ -228,9 +228,19 @@ object Components {
     * is O(sweeps). The per-vertex `collect_list` is bounded by degree — the
     * same O(d_max) row bound a CSR adjacency row has; hub rows are handled
     * by Spark's spillable aggregation buffers.
-    * @return (DataFrame(id, core_number: long), sweeps). */
+    *
+    * Sweeps run in LAZY batches of `checkEvery`: within a batch no job is
+    * submitted, so Catalyst chains the K aggregate-messages shuffles into
+    * one job — driver sync (materialize + convergence check) happens once
+    * per batch, not once per sweep. The check itself exploits monotonicity:
+    * h is pointwise non-increasing, so Σh unchanged across a batch ⟺ the
+    * batch's first sweep was already a fixpoint — one scalar agg on the
+    * cached frame, no old-vs-new join. Callers at very large scale where a
+    * single wasted sweep is a full-graph shuffle can set checkEvery=1.
+    * @return (DataFrame(id, core_number: long), sweeps incl. ≤ checkEvery−1
+    *         post-convergence no-ops). */
   def coreNumberHIndex(g: PropertyGraph, degreeType: String = "bidirectional",
-                       maxIter: Int = 200): (DataFrame, Int) = {
+                       maxIter: Int = 200, checkEvery: Int = 4): (DataFrame, Int) = {
     // adjacency rows (id, nbr): nbr's h value is counted in id's H-set.
     // Simple graph per the reference: self-loops and multi-edges dropped.
     val adj = (degreeType match {
@@ -246,32 +256,41 @@ object Components {
           .select(col(SRC).as(ID), col(DST).as("nbr"))
       case other => throw new IllegalArgumentException(s"unknown degree_type $other")
     }).mat
-    val nV = g.vertices.count()
-    var h = g.vertices.select(ID)
-      .join(adj.groupBy(ID).agg(count(lit(1)).as("h")), Seq(ID), "left")
-      .select(col(ID), coalesce(col("h"), lit(0L)).as("h")).mat
+    // Loop state covers exactly the vertices with ≥ 1 adjacency row (the
+    // groupBy(ID) key set of adj), so each sweep is a closed map over it —
+    // no old-vs-new left join. Isolated vertices are h = 0 from the first
+    // H-operator application onward and are appended once at the end.
+    var h = adj.groupBy(ID).agg(count(lit(1)).as("h")).mat
+    def hSum(df: org.apache.spark.sql.DataFrame): Long =
+      df.agg(coalesce(sum("h"), lit(0L))).first().getLong(0)
+    // H-index of the multiset: sort descending, count positions i (0-based)
+    // with value ≥ i+1. Evaluates inside the aggregation projection — no
+    // second shuffle per sweep.
+    val hIdx = size(filter(sort_array(col("hs"), asc = false),
+      (x, i) => x >= (i + lit(1)).cast("long"))).cast("long")
+    var prevSum = hSum(h)
     var it = 0
-    var changed = 1L
-    while (changed > 0 && it < maxIter) {
-      it += 1
-      val msgs = adj
-        .join(graft.prims.Hint.state(
-          h.select(col(ID).as("nbr"), col("h").as("nh")), nV), "nbr")
-        .groupBy(ID).agg(collect_list(col("nh")).as("hs"))
-      // H-index of the multiset: sort descending, count positions i (0-based)
-      // with value ≥ i+1. Evaluates inside the aggregation projection —
-      // no second shuffle.
-      val hIdx = size(filter(sort_array(col("hs"), asc = false),
-        (x, i) => x >= (i + lit(1)).cast("long"))).cast("long")
-      // one materialization carries old and new h; the convergence count is
-      // a scan of the cached frame (same pattern as wccWithRounds)
-      val joined = h.join(msgs, Seq(ID), "left")
-        .select(col(ID), col("h").as("old"),
-          when(col("hs").isNotNull, hIdx).otherwise(lit(0L)).as("h")).mat
-      changed = joined.filter(col("h") < col("old")).count()
-      h = joined.select(col(ID), col("h"))
+    var converged = prevSum == 0L
+    while (!converged && it < maxIter) {
+      val sweeps = math.min(checkEvery, maxIter - it)
+      var next = h
+      for (_ <- 0 until sweeps) {
+        // plain shuffle join (not a forced broadcast): a broadcast would
+        // collect `next` to the driver NOW, serializing the batch into
+        // per-sweep jobs; AQE still picks broadcast at runtime when small
+        next = adj.join(next.select(col(ID).as("nbr"), col("h").as("nh")), "nbr")
+          .groupBy(ID).agg(collect_list(col("nh")).as("hs"))
+          .select(col(ID), hIdx.as("h"))
+      }
+      h = next.mat
+      it += sweeps
+      val s = hSum(h)
+      converged = s == prevSum
+      prevSum = s
     }
-    (h.select(col(ID), col("h").as("core_number")), it)
+    val isolated = g.vertices.select(ID)
+      .join(h, Seq(ID), "left_anti").select(col(ID), lit(0L).as("h"))
+    (h.union(isolated).select(col(ID), col("h").as("core_number")), it)
   }
 
   /** Strongly connected components — trim + forward/backward min-label

@@ -123,6 +123,27 @@ class AlgoSpec extends SparkSpec {
     assert(jac(1) == jac(64))
   }
 
+  test("BFS, WCC and h-index core number are partition-invariant (1 vs 64)") {
+    // SURVEY §5c: integral-result algorithms must be bitwise identical
+    // under any input partitioning — no float association caveat applies
+    val es = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L), (4L, 6L),
+      (5L, 6L), (6L, 7L), (2L, 7L), (5L, 7L), (8L, 9L))
+    def graph(parts: Int) = {
+      val und = Structure.symmetrize(edgeDF(es)).repartition(parts)
+      PropertyGraph(Structure.extractVertexList(und), und,
+        GraphProperties(directed = false))
+    }
+    def bfs(parts: Int) = Traversal.bfs(graph(parts), 1L).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(bfs(1) == bfs(64))
+    def wcc(parts: Int) = Components.wcc(graph(parts)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(wcc(1) == wcc(64))
+    def core(parts: Int) = Components.coreNumberHIndex(graph(parts))._1.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core(1) == core(64))
+  }
+
   test("spectral eigen embedding separates two cliques joined by a bridge") {
     val k5a = for (i <- 0L until 5L; j <- i + 1 until 5L) yield (i, j)
     val k5b = for (i <- 10L until 15L; j <- i + 1 until 15L) yield (i, j)
