@@ -317,6 +317,93 @@ object MiscSql {
     b.toString
   }
 
+  /** Spectral num_eigen_vects clustering on the supplier graph — the full
+    * `Spectral.balancedCutEigen` pipeline unrolled: p=4 orthogonal
+    * iteration on D^{-1/2} A D^{-1/2} (matvec → Gram → Cholesky → back-
+    * substituted inverse → re-projection, all as scalar SQL with the SAME
+    * left-associative operation order as the Scala driver math), then
+    * deterministic k-means. Engine-reproducible because both sides snap
+    * the embedding and the centroids to 1e-8 each round (the ForceAtlas2
+    * oracle trick); everything between snaps is IEEE double arithmetic in
+    * matching order, so the 1e-8 quantization absorbs the only divergence
+    * source (distributed-sum association in matvec/Gram/avg). */
+  def spectralEigenSupplier(iters: Int = 12, k: Int = 4, kmeansIters: Int = 5,
+                            seed: Long = 42): String = {
+    val xs = 0 until 4
+    val b = new StringBuilder
+    b ++= s"WITH $SUPP_EDGES_SQL,\n$SUPP_UND_SQL,\n"
+    b ++= "wdeg AS MATERIALIZED (SELECT src AS id, sum(weight) AS d FROM und GROUP BY 1),\n"
+    b ++= """anorm AS MATERIALIZED (
+      |  SELECT e.src, e.dst, e.weight / sqrt(ds.d * dd.d) AS w
+      |  FROM und e JOIN wdeg ds ON ds.id = e.src JOIN wdeg dd ON dd.id = e.dst
+      |),
+      |""".stripMargin
+    b ++= "x0 AS MATERIALIZED (\n  SELECT id,\n" +
+      xs.map(j => s"    CAST(${h60(s"concat_ws('|', 'eig', id, $j, $seed)")} AS DOUBLE)" +
+        s" / 1152921504606846976.0 - 0.5 AS x$j").mkString(",\n") +
+      "\n  FROM (SELECT DISTINCT src AS id FROM und)\n),\n"
+    for (i <- 1 to iters) {
+      val p = s"x${i - 1}"
+      b ++= s"y$i AS MATERIALIZED (\n  SELECT a.src AS id,\n" +
+        xs.map(j => s"    sum(a.w * x.x$j) AS x$j").mkString(",\n") +
+        s"\n  FROM anorm a JOIN $p x ON x.id = a.dst GROUP BY a.src\n),\n"
+      b ++= s"g$i AS MATERIALIZED (\n  SELECT " +
+        (for (a <- xs; c <- xs if a <= c) yield s"sum(x$a * x$c) AS g$a$c").mkString(", ") +
+        s"\n  FROM y$i\n),\n"
+      // Cholesky RᵀR = G, row by row — subtraction order matches the
+      // Scala loop's sequential s -= r(i)(j)² accumulation
+      b ++= s"""r$i AS MATERIALIZED (
+        |  SELECT
+        |    sqrt(greatest(g00, 1e-300)) AS r00,
+        |    g01 / r00 AS r01, g02 / r00 AS r02, g03 / r00 AS r03,
+        |    sqrt(greatest(g11 - r01*r01, 1e-300)) AS r11,
+        |    (g12 - r01*r02) / r11 AS r12, (g13 - r01*r03) / r11 AS r13,
+        |    sqrt(greatest(g22 - r02*r02 - r12*r12, 1e-300)) AS r22,
+        |    (g23 - r02*r03 - r12*r13) / r22 AS r23,
+        |    sqrt(greatest(g33 - r03*r03 - r13*r13 - r23*r23, 1e-300)) AS r33
+        |  FROM g$i
+        |),
+        |inv$i AS MATERIALIZED (
+        |  SELECT
+        |    1.0/r00 AS u00, 1.0/r11 AS u11, 1.0/r22 AS u22, 1.0/r33 AS u33,
+        |    -(r01*u11)/r00 AS u01,
+        |    -(r12*u22)/r11 AS u12,
+        |    -(r01*u12 + r02*u22)/r00 AS u02,
+        |    -(r23*u33)/r22 AS u23,
+        |    -(r12*u23 + r13*u33)/r11 AS u13,
+        |    -(r01*u13 + r02*u23 + r03*u33)/r00 AS u03
+        |  FROM r$i
+        |),
+        |""".stripMargin
+      b ++= s"x$i AS MATERIALIZED (\n  SELECT id,\n" +
+        xs.map(j => "    round(" +
+          (0 to j).map(a => s"x$a*u$a$j").mkString(" + ") + s", 8) AS x$j").mkString(",\n") +
+        s"\n  FROM y$i CROSS JOIN inv$i\n),\n"
+    }
+    val xf = s"x$iters"
+    b ++= s"cent0 AS MATERIALIZED (\n" +
+      s"  SELECT row_number() OVER (ORDER BY id) - 1 AS cid, " +
+      xs.map(j => s"x$j").mkString(", ") +
+      s"\n  FROM $xf ORDER BY id LIMIT $k\n),\n"
+    val d2 = xs.map(j => s"(p.x$j - c.x$j)*(p.x$j - c.x$j)").mkString(" + ")
+    for (r <- 1 to kmeansIters + 1) {
+      b ++= s"""as$r AS MATERIALIZED (
+        |  SELECT id, ${xs.map(j => s"x$j").mkString(", ")}, cid AS cluster FROM (
+        |    SELECT p.*, c.cid,
+        |      row_number() OVER (PARTITION BY p.id ORDER BY $d2, c.cid) AS rn
+        |    FROM $xf p CROSS JOIN cent${r - 1} c
+        |  ) WHERE rn = 1
+        |)""".stripMargin
+      if (r <= kmeansIters)
+        b ++= s",\ncent$r AS MATERIALIZED (\n  SELECT cluster AS cid, " +
+          xs.map(j => s"round(avg(x$j), 8) AS x$j").mkString(", ") +
+          s"\n  FROM as$r GROUP BY 1\n),\n"
+      else b ++= "\n"
+    }
+    b ++= s"SELECT id, CAST(cluster AS BIGINT) AS cluster FROM as${kmeansIters + 1}"
+    b.toString
+  }
+
   /** 8×8 linear assignment on the customer→supplier bipartite graph:
     * enumerate all 8! permutations via an 8-way join over a dense
     * rank-indexed cost table (integer cents — exact arithmetic), maximize

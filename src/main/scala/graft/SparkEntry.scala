@@ -981,6 +981,7 @@ object SparkEntry {
     "q_core_number_out" -> MiscSql.coreNumberRmatDirected("outgoing", maxK = 8, rounds = 8),
     "q_assignment" -> MiscSql.assignmentCustSupp,
     "q_fa2_layout" -> MiscSql.fa2Supplier(iters = 3),
+    "q_spectral_eigen" -> MiscSql.spectralEigenSupplier(),
     "q_coloring" -> MiscSql.coloringTree(colors = 5, misRounds = 6, seed = 42),
     "q_mis" -> MiscSql.misTree(rounds = 6, seed = 42),
     "q_matching" -> MiscSql.matchingSupplier(rounds = 3),

@@ -82,8 +82,13 @@ object Spectral {
       }
       val r = cholesky(gram, p)
       val rInv = invUpper(r, p)
+      // snap to 1e-8 per iteration (same trick as ForceAtlas2): the matvec
+      // and Gram sums associate differently across engines/partitionings at
+      // ULP level; snapping re-quantizes the state each round so the DuckDB
+      // oracle (MiscSql.spectralEigenSupplier) reproduces the iteration
+      // exactly instead of drifting
       x = y.select(col(ID) +: (0 until p).map(j =>
-        (0 to j).map(i => col(s"x$i") * lit(rInv(i)(j))).reduce(_ + _).as(s"x$j")): _*)
+        round((0 to j).map(i => col(s"x$i") * lit(rInv(i)(j))).reduce(_ + _), 8).as(s"x$j")): _*)
         .mat
     }
     // deterministic k-means on the embedding: centroids seeded from the k
@@ -101,7 +106,8 @@ object Spectral {
     }
     for (_ <- 1 to kmeansIters) {
       val assigned = x.withColumn("cluster", assignExpr(cents))
-      val avgCols = (0 until p).map(j => avg(col(s"x$j")).as(s"x$j"))
+      // centroid snap, same engine-reproducibility reason as above
+      val avgCols = (0 until p).map(j => round(avg(col(s"x$j")), 8).as(s"x$j"))
       val newCents = assigned.groupBy("cluster")
         .agg(avgCols.head, avgCols.tail: _*)
         .collect()
