@@ -224,6 +224,37 @@ object SamplingSql {
     b.toString
   }
 
+  /** Heterogeneous biased temporal sampling: per-edge-type fanouts AND the
+    * A-ES race key pow(u, 1/weight) descending, inside the time window. */
+  def temporalHeteroBiasedSample(nBatches: Int, fanouts: Map[Int, Seq[Int]],
+                                 seed: Long): String = {
+    val nHops = fanouts.values.head.size
+    val b = new StringBuilder
+    b ++= s"WITH $PRELUDE,\n${seeds(nBatches)},\n"
+    b ++= "undt AS MATERIALIZED (SELECT src, dst, CAST(weight AS BIGINT) AS t, weight, CAST((src + dst) % 2 AS INT) AS edge_type FROM und),\n"
+    b ++= "f0 AS MATERIALIZED (SELECT id AS batch_id, id AS vertex, CAST(-1 AS BIGINT) AS t_in FROM seeds),\n"
+    for (h <- 0 until nHops) {
+      val key = s"pow(${u01(s"concat_ws('|', batch_id, $h, src, dst, $seed)")}, 1.0 / weight)"
+      val fanoutCase = "CASE " + fanouts.toSeq.sortBy(_._1).map { case (t, fs) =>
+        s"WHEN edge_type = $t THEN ${fs(h)}" }.mkString(" ") + " ELSE 0 END"
+      b ++= s"""h$h AS MATERIALIZED (
+        |  SELECT batch_id, src, dst, t, edge_type FROM (
+        |    SELECT s.batch_id, e.src, e.dst, e.t, e.edge_type, e.weight,
+        |      row_number() OVER (PARTITION BY s.batch_id, e.src, s.t_in, e.edge_type ORDER BY $key DESC, e.dst) AS rn
+        |    FROM f$h s JOIN undt e ON s.vertex = e.src AND e.t > s.t_in
+        |  ) WHERE rn <= $fanoutCase
+        |),
+        |f${h + 1} AS MATERIALIZED (
+        |  SELECT batch_id, dst AS vertex, min(t) AS t_in FROM h$h GROUP BY 1, 2
+        |)""".stripMargin
+      b ++= ",\n"
+    }
+    b ++= "sampled AS (" + (0 until nHops).map(h =>
+      s"SELECT batch_id, $h AS hop, src, dst, t, edge_type FROM h$h").mkString(" UNION ALL ") + ")\n"
+    b ++= "SELECT batch_id, CAST(hop AS BIGINT) AS hop, src, dst, t, edge_type FROM sampled"
+    b.toString
+  }
+
   /** Negative sampling over the SPARSE customer→supplier bipartite graph
     * (the dense supplier fixture would anti-join everything away): hash-
     * indexed candidate pairs minus existing edges. */

@@ -548,6 +548,17 @@ object SparkEntry {
       sampling.NeighborSampling.temporalHeterogeneous(und, seeds,
         fanouts = Map(0 -> Seq(2, 2), 1 -> Seq(1, 1)))
     },
+    "q_temporal_hetero_biased" -> q { (s, dir) =>
+      // the fourth reference temporal entry point (hpp:872): typed fanouts
+      // AND weight-biased selection inside the time window
+      val und = Fixtures.supplierGraphUnd(s, dir).edges
+        .withColumn("t", col(WEIGHT).cast("long"))
+        .withColumn("edge_type", ((col(SRC) + col(DST)) % 2).cast("int"))
+      val seeds = Fixtures.seedVertices(s, dir, 3)
+        .select(col(ID).as("batch_id"), col(ID).as("vertex"))
+      sampling.NeighborSampling.temporalHeterogeneousBiased(und, seeds,
+        fanouts = Map(0 -> Seq(2, 2), 1 -> Seq(1, 1)))
+    },
     "q_negative_sample" -> q { (s, dir) =>
       // sparse bipartite graph — the dense supplier fixture would anti-join
       // every candidate away (vacuous rows=0 check)
@@ -1036,6 +1047,8 @@ object SparkEntry {
       fanouts = Map(0 -> Seq(2, 2), 1 -> Seq(1, 1)), seed = 42),
     "q_temporal_sample" -> SamplingSql.temporalSample(nBatches = 3, fanouts = Seq(2, 2), seed = 42),
     "q_temporal_biased" -> SamplingSql.temporalBiasedSample(nBatches = 3, fanouts = Seq(2, 2), seed = 42),
+    "q_temporal_hetero_biased" -> SamplingSql.temporalHeteroBiasedSample(nBatches = 3,
+      fanouts = Map(0 -> Seq(2, 2), 1 -> Seq(1, 1)), seed = 42),
     "q_temporal_hetero" -> SamplingSql.temporalHeteroSample(nBatches = 3,
       fanouts = Map(0 -> Seq(2, 2), 1 -> Seq(1, 1)), seed = 42),
     "q_negative_sample" -> SamplingSql.negativeSample(n = 200, seed = 42),

@@ -216,6 +216,43 @@ object NeighborSampling {
       col(SRC), col(DST), col("t"), col("edge_type"))
   }
 
+  /** Heterogeneous BIASED temporal sampling (reference
+    * `sampling_functions.hpp:872`, the fourth temporal entry point):
+    * per-edge-type fanouts under the time-respecting constraint with
+    * neighbor selection weight-biased via the A-ES race key u^(1/w)
+    * descending — the composition of [[temporalHeterogeneous]]'s typed
+    * partition and [[temporalBiased]]'s ordering. `edges` must carry
+    * `t`, `weight` and `edge_type`. */
+  def temporalHeterogeneousBiased(edges: DataFrame, seeds: DataFrame,
+                                  fanouts: Map[Int, Seq[Int]],
+                                  seed: Long = 42): DataFrame = {
+    val e = edges.select(col(SRC), col(DST), col("t"), col(WEIGHT), col("edge_type")).mat
+    val nHops = fanouts.values.head.size
+    var frontier = seeds.select(col("batch_id"), col("vertex"), lit(-1L).as("t_in")).mat
+    var out: DataFrame = null
+    for (h <- 0 until nHops) {
+      val joined = frontier.join(e,
+        frontier("vertex") === e(SRC) && col("t") > col("t_in"))
+      val fanoutCol = fanouts.foldLeft(lit(0)) { case (acc, (t, fs)) =>
+        when(col("edge_type") === t, lit(fs(h))).otherwise(acc)
+      }
+      val u = hash60(concat_ws("|", col("batch_id"), lit(h), col(SRC), col(DST), lit(seed)))
+        .cast("double") / lit(math.pow(2, 60))
+      val key = pow(u, lit(1.0) / col(WEIGHT))
+      val w = Window.partitionBy(col("batch_id"), col(SRC), col("t_in"), col("edge_type"))
+        .orderBy(key.desc, col(DST))
+      val sampled = joined.withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") <= fanoutCol)
+        .select(col("batch_id"), lit(h).as("hop"), col(SRC), col(DST), col("t"), col("edge_type"))
+        .mat
+      out = if (out == null) sampled else out.union(sampled)
+      frontier = sampled
+        .groupBy(col("batch_id"), col(DST).as("vertex")).agg(min("t").as("t_in")).mat
+    }
+    out.select(col("batch_id"), col("hop").cast("long").as("hop"),
+      col(SRC), col(DST), col("t"), col("edge_type"))
+  }
+
   /** Negative sampling: `n` deterministic pseudo-random candidate pairs
     * drawn from the vertex list (dense index = rank in sorted id order,
     * picked by the hash), minus existing edges (anti-join) and self-loops.
