@@ -409,7 +409,14 @@ object MiscSql {
     * rank-indexed cost table (integer cents — exact arithmetic), maximize
     * total matched weight, tie-break by lexicographically smallest supplier
     * sequence. Mirrors the Spark side's enumerated optimum exactly. */
-  def assignmentCustSupp: String = {
+  def assignmentCustSupp: String = assignmentCustSuppSql(costOnly = false)
+
+  /** Optimal total (integer cents) of the same 8×8 problem — the gate for
+    * the distributed auction path, whose arg-assignment may differ among
+    * cost-equal optima while the optimal total is unique. */
+  def assignmentCustSuppCost: String = assignmentCustSuppSql(costOnly = true)
+
+  private def assignmentCustSuppSql(costOnly: Boolean): String = {
     val n = 8
     val joins = (2 to n).map { i =>
       val neq = (1 until i).map(k => s"a$i.j <> a$k.j").mkString(" AND ")
@@ -442,7 +449,7 @@ object MiscSql {
        |  ORDER BY tot DESC, $sorder
        |  LIMIT 1
        |)
-       |$unpivot""".stripMargin
+       |${if (costOnly) "SELECT CAST(tot AS BIGINT) AS total_cents FROM best" else unpivot}""".stripMargin
   }
 
   /** Edge-id lookup: dense canonical ids, probe every 7th id. */

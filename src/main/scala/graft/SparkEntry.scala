@@ -435,6 +435,22 @@ object SparkEntry {
       best.zipWithIndex.map { case (j, i) => (custs(i), supps(j)) }
         .toSeq.toDF("customer", "supplier")
     },
+    "q_assignment_auction" -> q { (s, dir) =>
+      // the DISTRIBUTED LAP path (Bertsekas auction) on the same 8×8
+      // fixture: values pre-scaled ×(n+1)=9 so ε=1 yields the exact
+      // optimum; the gate compares the achieved total (unique even when
+      // the arg-assignment is not) against the 8! enumeration's optimum
+      val e = Fixtures.custSuppEdges(s, dir)
+      val c8 = e.select(SRC).distinct().orderBy(SRC).limit(8)
+      val s8 = e.select(DST).distinct().orderBy(DST).limit(8)
+      val dense = c8.crossJoin(s8).join(e, Seq(SRC, DST), "left")
+        .select(col(SRC).as("i"), col(DST).as("j"),
+          (coalesce(round(col(WEIGHT) * 100), lit(0)).cast("long") * 9).as("v"))
+      val (asg, rounds) = Misc.auctionAssignment(dense)
+      require(rounds < 500, s"auction took $rounds rounds")
+      asg.join(dense, Seq("i", "j"))
+        .agg((sum(col("v")) / 9).cast("long").as("total_cents"))
+    },
     "q_fa2_layout" -> q { (s, dir) =>
       val pos = Misc.forceAtlas2(Fixtures.supplierGraph(s, dir), iters = 3).mat
       val bad = pos.filter(isnan(col("x")) || isnan(col("y"))).count()
@@ -991,6 +1007,7 @@ object SparkEntry {
     "q_core_number_in" -> MiscSql.coreNumberRmatDirected("incoming", maxK = 8, rounds = 8),
     "q_core_number_out" -> MiscSql.coreNumberRmatDirected("outgoing", maxK = 8, rounds = 8),
     "q_assignment" -> MiscSql.assignmentCustSupp,
+    "q_assignment_auction" -> MiscSql.assignmentCustSuppCost,
     "q_fa2_layout" -> MiscSql.fa2Supplier(iters = 3),
     "q_spectral_eigen" -> MiscSql.spectralEigenSupplier(),
     "q_coloring" -> MiscSql.coloringTree(colors = 5, misRounds = 6, seed = 42),

@@ -153,6 +153,66 @@ object Misc {
     res
   }
 
+  /** DISTRIBUTED linear assignment via the Bertsekas Jacobi auction
+    * (maximization form) — the scale path next to the driver-side
+    * [[assignment]] DP (which mirrors the reference's dense single-GPU
+    * legacy Hungarian, `linear_assignment/legacy/hungarian.cu`). `values`
+    * = (i, j, v: long) person→object values; callers pre-scale integral
+    * values by (n+1) so the unit bid increment ε = 1 guarantees an exact
+    * optimum (total suboptimality < n·ε). Each round every unassigned
+    * person bids best-net-minus-second-net + ε on its best object (join +
+    * two hash aggs), each contested object takes the highest bid and
+    * displaces the holder (one agg) — all tie-breaks by id, so the run is
+    * deterministic under any partitioning; no driver-side matrix ever
+    * materializes. @return (assignment (i, j), rounds). */
+  def auctionAssignment(values: DataFrame, maxRounds: Int = 500): (DataFrame, Int) = {
+    val spark = values.sparkSession
+    import spark.implicits._
+    val vals = values.select(col("i").cast("long"), col("j").cast("long"),
+      col("v").cast("long")).mat
+    val persons = vals.select("i").distinct().mat
+    var prices = vals.select("j").distinct().select(col("j"), lit(0L).as("p")).mat
+    var assign = spark.emptyDataset[(Long, Long)].toDF("i", "j")
+    var round = 0
+    var done = false
+    while (!done && round < maxRounds) {
+      val unassigned = persons.join(assign.select("i"), Seq("i"), "left_anti").mat
+      if (unassigned.isEmpty) done = true
+      else {
+        round += 1
+        val cand = vals.join(unassigned, "i").join(prices, "j")
+          .select(col("i"), col("j"), (col("v") - col("p")).as("net"), col("p"))
+        // best object per person (net desc, j asc) with its price…
+        val b1 = cand.groupBy("i")
+          .agg(max_by(struct(col("j"), col("net"), col("p")),
+            struct(col("net"), (-col("j")).as("nj"))).as("b"))
+          .select(col("i"), col("b.j").as("j"), col("b.net").as("net1"),
+            col("b.p").as("p1"))
+        // …and the runner-up net (absent for 1-object problems → -2^40
+        // stands in for the -infinity reservation value)
+        val b2 = cand.join(b1.select(col("i"), col("j").as("bj")), "i")
+          .filter(col("j") =!= col("bj"))
+          .groupBy("i").agg(max(col("net")).as("net2"))
+        val bids = b1.join(b2, Seq("i"), "left")
+          .select(col("i"), col("j"),
+            (col("p1") + col("net1") -
+              coalesce(col("net2"), lit(-(1L << 40))) + lit(1L)).as("bid"))
+        val winners = bids.groupBy("j")
+          .agg(max_by(struct(col("i"), col("bid")),
+            struct(col("bid"), (-col("i")).as("ni"))).as("w"))
+          .select(col("j"), col("w.i").as("i"), col("w.bid").as("bid"))
+          .mat
+        prices = prices.join(winners.select(col("j"), col("bid")), Seq("j"), "left")
+          .select(col("j"), coalesce(col("bid"), col("p")).as("p")).mat
+        assign = assign.join(winners.select("j"), Seq("j"), "left_anti")
+          .select("i", "j")
+          .union(winners.select("i", "j")).mat
+      }
+    }
+    require(done, s"auction did not complete within $maxRounds rounds")
+    (assign.select("i", "j"), round)
+  }
+
   /** ForceAtlas2-shaped layout: attraction along edges + grid-binned
     * repulsion (the Barnes-Hut cell approximation as a groupBy(cell) —
     * SURVEY §2.4). Deterministic hash init; `iters` bounded force rounds.

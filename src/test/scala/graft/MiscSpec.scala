@@ -57,6 +57,23 @@ class MiscSpec extends SparkSpec {
     assert(got.distinct.length == 5)
   }
 
+  test("auction assignment reaches the brute-force optimum on a 6x6 instance") {
+    // maximization form; values pre-scaled x(n+1)=7 so the eps=1 auction
+    // is exact — the same contract q_assignment_auction uses
+    val rnd = new scala.util.Random(11)
+    val v = Array.fill(6, 6)(rnd.nextInt(100).toLong)
+    import spark.implicits._
+    val values = (for (i <- 0 until 6; j <- 0 until 6)
+      yield (i.toLong, j.toLong, v(i)(j) * 7)).toDF("i", "j", "v")
+    val (asg, rounds) = Misc.auctionAssignment(values)
+    val got = asg.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 6 && got.values.toSeq.distinct.length == 6)
+    val total = got.map { case (i, j) => v(i.toInt)(j.toInt) }.sum
+    val best = (0 until 6).permutations
+      .map(p => p.zipWithIndex.map { case (j, i) => v(i)(j) }.sum).max
+    assert(total == best, s"auction total $total != optimum $best (rounds=$rounds)")
+  }
+
   test("generators: path/grid/complete shapes") {
     assert(Generators.pathGraph(spark, 10).count() == 9)
     assert(Generators.grid2d(spark, 3, 4).count() == (3 * 3 + 2 * 4))
