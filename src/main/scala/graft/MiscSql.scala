@@ -411,13 +411,16 @@ object MiscSql {
     * sequence. Mirrors the Spark side's enumerated optimum exactly. */
   def assignmentCustSupp: String = assignmentCustSuppSql(costOnly = false)
 
-  /** Optimal total (integer cents) of the same 8×8 problem — the gate for
-    * the distributed auction path, whose arg-assignment may differ among
-    * cost-equal optima while the optimal total is unique. */
+  /** Optimal total (whole dollars — the auction gate's coarser unit; see
+    * Misc.auctionAssignment on price-war round counts) of the same 8×8
+    * problem — the gate for the distributed auction path, whose
+    * arg-assignment may differ among cost-equal optima while the optimal
+    * total is unique. */
   def assignmentCustSuppCost: String = assignmentCustSuppSql(costOnly = true)
 
   private def assignmentCustSuppSql(costOnly: Boolean): String = {
     val n = 8
+    val unit = if (costOnly) "round(e.weight)" else "round(e.weight * 100)"
     val joins = (2 to n).map { i =>
       val neq = (1 until i).map(k => s"a$i.j <> a$k.j").mkString(" AND ")
       s"JOIN wm a$i ON a$i.i = $i AND $neq"
@@ -438,7 +441,7 @@ object MiscSql {
        |),
        |wm AS MATERIALIZED (
        |  SELECT c.i, s.j, c.cust, s.supp,
-       |         coalesce(CAST(round(e.weight * 100) AS BIGINT), 0) AS cents
+       |         coalesce(CAST($unit AS BIGINT), 0) AS cents
        |  FROM custs c CROSS JOIN supps s
        |  LEFT JOIN cs_edges e ON e.src = c.cust AND e.dst = s.supp
        |),
@@ -449,7 +452,7 @@ object MiscSql {
        |  ORDER BY tot DESC, $sorder
        |  LIMIT 1
        |)
-       |${if (costOnly) "SELECT CAST(tot AS BIGINT) AS total_cents FROM best" else unpivot}""".stripMargin
+       |${if (costOnly) "SELECT CAST(tot AS BIGINT) AS total_dollars FROM best" else unpivot}""".stripMargin
   }
 
   /** Edge-id lookup: dense canonical ids, probe every 7th id. */

@@ -437,19 +437,21 @@ object SparkEntry {
     },
     "q_assignment_auction" -> q { (s, dir) =>
       // the DISTRIBUTED LAP path (Bertsekas auction) on the same 8×8
-      // fixture: values pre-scaled ×(n+1)=9 so ε=1 yields the exact
-      // optimum; the gate compares the achieved total (unique even when
-      // the arg-assignment is not) against the 8! enumeration's optimum
+      // fixture: WHOLE-DOLLAR values (price-war rounds scale with value
+      // gaps, see auctionAssignment doc) pre-scaled ×(n+1)=9 so ε=1
+      // yields the exact optimum; the gate compares the achieved total
+      // (unique even when the arg-assignment is not) against the 8!
+      // enumeration's optimum in the same units
       val e = Fixtures.custSuppEdges(s, dir)
       val c8 = e.select(SRC).distinct().orderBy(SRC).limit(8)
       val s8 = e.select(DST).distinct().orderBy(DST).limit(8)
       val dense = c8.crossJoin(s8).join(e, Seq(SRC, DST), "left")
         .select(col(SRC).as("i"), col(DST).as("j"),
-          (coalesce(round(col(WEIGHT) * 100), lit(0)).cast("long") * 9).as("v"))
+          (coalesce(round(col(WEIGHT)), lit(0)).cast("long") * 9).as("v"))
       val (asg, rounds) = Misc.auctionAssignment(dense)
       require(rounds < 500, s"auction took $rounds rounds")
       asg.join(dense, Seq("i", "j"))
-        .agg((sum(col("v")) / 9).cast("long").as("total_cents"))
+        .agg((sum(col("v")) / 9).cast("long").as("total_dollars"))
     },
     "q_fa2_layout" -> q { (s, dir) =>
       val pos = Misc.forceAtlas2(Fixtures.supplierGraph(s, dir), iters = 3).mat

@@ -164,7 +164,17 @@ object Misc {
     * two hash aggs), each contested object takes the highest bid and
     * displaces the holder (one agg) — all tie-breaks by id, so the run is
     * deterministic under any partitioning; no driver-side matrix ever
-    * materializes. @return (assignment (i, j), rounds). */
+    * materializes.
+    *
+    * Round count is governed by VALUE GAPS between competitors, not data
+    * volume: near-tied bidders escalate by +ε per round, so callers keep
+    * the integral value range as coarse as the needed optimum resolution
+    * allows (the gate uses whole dollars, not cents — 100× shorter price
+    * wars for the same argmax). Classical ε-scaling (phases with shrinking
+    * ε and carried prices) was tried and REVERTED: clearing assignments
+    * between phases re-bids everyone ~n·ratio rounds per phase on this
+    * shape, costing more rounds than the flat ε = 1 run it replaced.
+    * @return (assignment (i, j), rounds). */
   def auctionAssignment(values: DataFrame, maxRounds: Int = 500): (DataFrame, Int) = {
     val spark = values.sparkSession
     import spark.implicits._
