@@ -103,6 +103,62 @@ object GraphStream {
     }: _*)
   }
 
+  /** STREAMING LSH candidate mining — the third leg of the streaming
+    * near-dup pipeline (exact dedup → minhash signatures → candidate
+    * pairs). Arriving documents compute the SAME banded minhash keys as
+    * the batch `pipeline.Dedup.minhashLshPairs`; keyed state per
+    * (band, bucket) holds the doc ids seen so far, and each newcomer
+    * emits a candidate pair against every resident before joining the
+    * bucket — pairs surface the moment the second copy arrives, across
+    * micro-batches. Multi-band double-emissions are dropped by the
+    * stateful dropDuplicates stage. Jaccard VERIFICATION stays a batch
+    * concern (candidates feed the same `ngramJaccard` kernel); at ingest
+    * you want candidates early, not verdicts.
+    * State bound = bucket occupancy — the identical row volume the batch
+    * band self-join shuffles, so a corpus that fits the batch join fits
+    * this state. */
+  final case class BandHit(band: Int, bk: String, docId: Long)
+  final case class LshBucket(ids: Seq[Long])
+  final case class CandidatePair(id_a: Long, id_b: Long)
+
+  def streamingLshCandidates(docs: DataFrame, n: Int = 3, bands: Int = 4,
+                             rowsPerBand: Int = 2,
+                             idCol: String = "doc_id",
+                             textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sig = streamingMinhash(docs, n, bands * rowsPerBand, idCol, textCol)
+    // identical band keys to the batch path: md5 over the band's
+    // signature slice
+    val bandStructs = array((0 until bands).map { b =>
+      val cols = (b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(j => col(s"mh$j").cast("string"))
+      struct(lit(b).as("band"), md5(concat_ws("_", cols: _*)).as("bk"))
+    }: _*)
+    val hits = sig.select(col(idCol).as("docId"), explode(bandStructs).as("bs"))
+      .select(col("bs.band").as("band"), col("bs.bk").as("bk"), col("docId"))
+      .as[BandHit]
+    hits.groupByKey(h => (h.band, h.bk))
+      .flatMapGroupsWithState[LshBucket, CandidatePair](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (_: (Int, String), events: Iterator[BandHit], state: GroupState[LshBucket]) =>
+          val have = state.getOption.map(_.ids).getOrElse(Seq.empty)
+          // sorted newcomer order keeps within-batch emission deterministic
+          val newcomers = events.map(_.docId).toSeq.distinct.sorted
+            .filterNot(have.contains)
+          val pairs = Seq.newBuilder[CandidatePair]
+          var resident = have
+          for (d <- newcomers) {
+            pairs ++= resident.map(o =>
+              CandidatePair(math.min(o, d), math.max(o, d)))
+            resident = resident :+ d
+          }
+          state.update(LshBucket(resident))
+          pairs.result().iterator
+      }.toDF()
+      .dropDuplicates("id_a", "id_b")
+  }
+
   /** Snapshot pattern: periodically materialize the accumulated edge table
     * and run any batch algorithm over it (the documented dynamic-graph
     * story — SURVEY §1.4 "incremental graph = streaming sink appending to

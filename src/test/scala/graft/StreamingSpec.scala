@@ -62,6 +62,38 @@ class StreamingSpec extends SparkSpec {
     assert(batch == stream)
   }
 
+  test("streaming LSH candidates pair a near-dup across micro-batches") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    val result = GraphStream.streamingLshCandidates(docs, n = 3, bands = 4, rowsPerBand = 2)
+    val q = result.writeStream.format("memory").queryName("slsh")
+      .outputMode("append").start()
+    try {
+      val near = "the quick brown fox jumps over the lazy dog again and again"
+      input.addData((1L, near), (2L, "completely unrelated words appear in this document body"))
+      q.processAllAvailable()
+      // doc 3 arrives a micro-batch later, near-identical to doc 1
+      input.addData((3L, near + " tail"), (4L, "another disjoint set of tokens lives here instead"))
+      q.processAllAvailable()
+      val pairs = sp.sql("select id_a, id_b from slsh").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs.contains((1L, 3L)), s"cross-batch near-dup pair missing: $pairs")
+      assert(!pairs.contains((2L, 4L)), s"dissimilar docs paired: $pairs")
+      // cross-check against the batch band join on the full corpus: the
+      // streaming candidate set must match (same signatures, same bands)
+      val all = Seq((1L, near), (2L, "completely unrelated words appear in this document body"),
+        (3L, near + " tail"), (4L, "another disjoint set of tokens lives here instead"))
+        .toDF("doc_id", "text")
+      val batch = graft.pipeline.Dedup.minhashLshPairs(all, n = 3, bands = 4,
+        rowsPerBand = 2, threshold = 0.0)
+        .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs == batch, s"stream $pairs != batch $batch")
+    } finally q.stop()
+  }
+
   test("windowed degrees respect the event-time window") {
     val sp = spark
     import sp.implicits._
