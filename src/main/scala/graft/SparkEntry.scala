@@ -369,13 +369,20 @@ object SparkEntry {
     "q_from_dense" -> q { (s, dir) =>
       // dense-adjacency round trip (from_pandas_adjacency / numpy): build
       // the dense rows from the undirected supplier graph, convert back to
-      // COO through fromDense, land exactly on the symmetrized edge list
+      // COO through fromDense, land exactly on the symmetrized edge list.
+      // The dense rows come from a (vertex × position) grid left-join +
+      // ordered collect — NOT element_at on a per-row map, whose MapData
+      // lookup is a linear scan (O(positions × degree) per row turned a
+      // 16 MB fixture build into ~30s of CPU)
       val und = Fixtures.supplierGraphUnd(s, dir).edges
-      val maxId = und.agg(greatest(max(SRC), max(DST))).first().getLong(0).toInt
-      val dense = und.groupBy(col(SRC).as("id"))
-        .agg(map_from_arrays(collect_list(col(DST)), collect_list(col(WEIGHT))).as("m"))
-        .select(col("id"), transform(sequence(lit(0L), lit(maxId.toLong)),
-          j => coalesce(element_at(col("m"), j), lit(0.0))).as("row"))
+      val maxId = und.agg(greatest(max(SRC), max(DST))).first().getLong(0)
+      val grid = und.select(col(SRC).as("id")).distinct()
+        .crossJoin(s.range(maxId + 1).select(col("id").as("j")))
+        .join(und.select(col(SRC).as("id"), col(DST).as("j"), col(WEIGHT).as("w")),
+          Seq("id", "j"), "left")
+      val dense = grid.groupBy("id")
+        .agg(transform(sort_array(collect_list(struct(col("j"),
+          coalesce(col("w"), lit(0.0)).as("w")))), e => e.getField("w")).as("row"))
       sources.Convert.fromDense(dense)
     },
     "q_karate_triangles" -> q { (s, _) =>
