@@ -34,6 +34,28 @@ class PlanSpec extends SparkSpec {
     assert(planOf(joined).contains("BroadcastHashJoin"), planOf(joined).take(800))
   }
 
+  test("pipeline text ops prune the documents scan to the touched columns") {
+    // a 100 TB corpus with fat rows lives or dies on column pruning: token
+    // counting touches (doc_id, text) and must not drag lang/source/n_chars
+    // through the scan
+    val docs = Fixtures.documents(spark, "/root/testdata/sf0.001")
+    val tc = graft.pipeline.TextAnalysis.tokenCounts(docs)
+    tc.collect()
+    val plan = planOf(tc)
+    assert(plan.contains("ReadSchema: struct<doc_id"), plan.take(800))
+    assert(!plan.contains("n_chars"), "tokenCounts scan reads unused columns")
+  }
+
+  test("brute-force ANN broadcasts the query side, never a cartesian or shuffle of the corpus") {
+    val emb = Fixtures.embeddings(spark, "/root/testdata/sf0.001")
+    val top = graft.pipeline.Ann.bruteForceTopK(emb, emb.filter(col("vec_id") < 2), k = 3)
+    top.collect()
+    val plan = planOf(top)
+    assert(plan.contains("Broadcast"), plan.take(1200))
+    assert(!plan.contains("CartesianProduct"),
+      "corpus x queries fell back to a cartesian product")
+  }
+
   test("selectRandomVertices plans TakeOrderedAndProject, not a global sort") {
     val verts = edgeDF((1L to 100L).map(i => (i, i + 1))).select(col(SRC).as(ID))
     val picked = graft.sampling.NeighborSampling.selectRandomVertices(verts, k = 5)
