@@ -344,6 +344,25 @@ object SparkEntry {
     "q_repetition" -> q { (s, dir) =>
       pipeline.TextAnalysis.repetitionRatio(Fixtures.documents(s, dir), n = 3)
     },
+    "q_pipeline_e2e" -> q { (s, dir) =>
+      // the COMPOSED training-data story, one gated query: exact-dedup
+      // canonical survivors → quality floor → drop the benchmark subset
+      // and anything its n-grams contaminate → deterministic train/val
+      // split. Each stage is the already-gated operator; the composition
+      // is what a 100 TB corpus actually runs nightly.
+      val docs = Fixtures.documents(s, dir)
+      val canon = pipeline.Dedup.exact(docs)
+        .filter(col("is_canonical")).select("doc_id")
+      val good = pipeline.TextAnalysis.qualityScore(docs)
+        .filter(col("quality") >= 0.5).select("doc_id")
+      val bench = docs.filter(col("doc_id") % 97 === 0)
+      val contaminated = pipeline.TextAnalysis.contamination(docs, bench, n = 4)
+        .select("doc_id")
+      val kept = canon.join(good, "doc_id")
+        .filter(col("doc_id") % 97 =!= 0)
+        .join(contaminated, Seq("doc_id"), "left_anti")
+      pipeline.TextAnalysis.trainValSplit(docs.join(kept, "doc_id"), valPct = 5)
+    },
     "q_media_meta" -> q { (s, dir) =>
       pipeline.Multimodal.mediaMeta(pipeline.Multimodal.asMedia(Fixtures.documents(s, dir)))
     },
@@ -984,6 +1003,30 @@ object SparkEntry {
         |       THEN round(1.0 - CAST(len(list_distinct(shs)) AS DOUBLE) / len(shs), 6)
         |       ELSE 0.0 END AS repetition
         |FROM sh3""".stripMargin,
+    "q_pipeline_e2e" ->
+      s"""WITH h AS MATERIALIZED (SELECT doc_id, md5(text) AS grp FROM documents),
+         |canon AS MATERIALIZED (SELECT min(doc_id) AS doc_id FROM h GROUP BY grp),
+         |good AS MATERIALIZED (
+         |  SELECT doc_id FROM (${PipelineSql.quality.replace("\n", "\n  ")}) WHERE quality >= 0.5
+         |),
+         |ww AS MATERIALIZED (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |shn AS MATERIALIZED (
+         |  SELECT DISTINCT doc_id, array_to_string(ws[i:i+3], ' ') AS s
+         |  FROM ww, unnest(generate_series(1, len(ws) - 3)) AS t(i)
+         |),
+         |bsh AS MATERIALIZED (SELECT doc_id AS bench_id, s FROM shn WHERE doc_id % 97 = 0),
+         |cont AS MATERIALIZED (
+         |  SELECT DISTINCT a.doc_id FROM shn a JOIN bsh b USING (s) WHERE a.doc_id <> b.bench_id
+         |),
+         |kept AS MATERIALIZED (
+         |  SELECT c.doc_id FROM canon c JOIN good g USING (doc_id)
+         |  WHERE c.doc_id % 97 <> 0
+         |    AND NOT EXISTS (SELECT 1 FROM cont WHERE cont.doc_id = c.doc_id)
+         |)
+         |SELECT doc_id,
+         |  CASE WHEN CAST('0x' || substr(md5(concat_ws('|', 'split', doc_id, 42)), 1, 15) AS BIGINT) % 100 < 95
+         |       THEN 'train' ELSE 'val' END AS split
+         |FROM kept""".stripMargin,
     "q_media_meta" -> PipelineSql.mediaMeta,
     "q_media_decode" -> PipelineSql.mediaDecode,
     "q_frame_sample" -> PipelineSql.frameSample(frameBytes = 64, stride = 4),
