@@ -199,6 +199,24 @@ class AlgoSpec extends SparkSpec {
     assert(run(1) == run(64))
   }
 
+  test("Leiden and ECG labels are invariant under input partitioning (1 vs 64)") {
+    // same §5c contract for the derived community algorithms: the WCC
+    // refinement (Leiden) and the batched keyed ensemble + vote reweight
+    // (ECG) must inherit the hash-race determinism of the Louvain core
+    val es = Seq((1L, 2L, 3.0), (1L, 3L, 3.0), (2L, 3L, 3.0), (3L, 4L, 1.0),
+      (4L, 5L, 3.0), (4L, 6L, 3.0), (5L, 6L, 3.0), (6L, 7L, 1.0), (7L, 8L, 2.0))
+    def graph(parts: Int) = {
+      val e = wGraphOf(es, directed = false)
+      graft.core.PropertyGraph(e.vertices, e.edges.repartition(parts), e.props)
+    }
+    def leiden(parts: Int) = Community.leiden(graph(parts), maxLevel = 2)._1
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(leiden(1) == leiden(64))
+    def ecg(parts: Int) = Community.ecg(graph(parts), ensembleSize = 3)._1
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ecg(1) == ecg(64))
+  }
+
   test("Boruvka MST total weight on a known weighted graph") {
     // square 1-2-3-4 with diagonal: MST = {1-2:1, 2-3:1, 3-4:1} weight 3
     val g = wGraphOf(Seq((1L, 2L, 1.0), (2L, 3L, 1.0), (3L, 4L, 1.0),
