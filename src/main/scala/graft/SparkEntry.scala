@@ -519,6 +519,17 @@ object SparkEntry {
       gen.Generators.erdosRenyi(s, n = 100, p = 0.05)
     },
     "q_gen_path" -> q { (s, _) => gen.Generators.pathGraph(s, 100) },
+    "q_wcc_star" -> q { (s, _) =>
+      // large-star/small-star WCC on its worst-case input: a 4000-vertex
+      // path (diameter 3999 — label propagation would need 4000 rounds);
+      // the O(log² V) round bound is the whole point of the variant
+      val e = gen.Generators.pathGraph(s, 4000)
+      val g = graft.core.PropertyGraph(Structure.extractVertexList(e), e,
+        graft.core.GraphProperties(directed = false))
+      val (labels, rounds) = Components.wccStar(g)
+      require(rounds <= 20, s"wccStar took $rounds rounds on a path graph")
+      labels
+    },
     "q_gen_grid" -> q { (s, _) => gen.Generators.grid2d(s, 10, 10) },
     "q_gen_complete" -> q { (s, _) => gen.Generators.complete(s, 30) },
     // ---- sampling & random walks (§2.7) ----
@@ -1071,6 +1082,8 @@ object SparkEntry {
     "q_rmat_scrambled" -> GenSql.rmatScrambled(scale = 8, numEdges = 1024),
     "q_erdos_renyi" -> GenSql.erdosRenyi(n = 100, p = 0.05),
     "q_gen_path" -> GenSql.pathGraph(100),
+    "q_wcc_star" ->
+      "SELECT CAST(i AS BIGINT) AS id, CAST(0 AS BIGINT) AS component FROM range(0, 4000) t(i)",
     "q_gen_grid" -> GenSql.grid2d(10, 10),
     "q_gen_complete" -> GenSql.complete(30),
     "q_uniform_walks" -> SamplingSql.uniformWalks(nWalks = 5, depth = 4, seed = 42),
