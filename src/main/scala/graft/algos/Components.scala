@@ -81,7 +81,10 @@ object Components {
     while (!done && it < maxIter) {
       it += 1
       // large-star: per vertex u, m = min(u, N(u)); every neighbor v > u
-      // re-hangs onto m
+      // re-hangs onto m. No dedup here — the min-aggregations downstream
+      // are duplicate-insensitive and the round's final distinct restores
+      // set semantics; an intermediate distinct was a whole extra shuffle
+      // per round on the round-dominated cost profile.
       val adj = pairs.select(SRC, DST)
         .union(pairs.select(col(DST).as(SRC), col(SRC).as(DST)))
       val mMap = adj.groupBy(SRC).agg(min(DST).as("mn"))
@@ -89,7 +92,6 @@ object Components {
       val ls = adj.filter(col(DST) > col(SRC)).join(mMap, SRC)
         .filter(col(DST) =!= col("m"))
         .select(least(col(DST), col("m")).as(SRC), greatest(col(DST), col("m")).as(DST))
-        .distinct()
       // small-star: per vertex hi over its smaller neighbors, everything
       // (including hi) folds onto the minimum
       val hiAdj = ls.select(col(DST).as("hi"), col(SRC).as("lo"))
@@ -101,7 +103,8 @@ object Components {
         .union(sMin.select(col("m").as(SRC), col("hi").as(DST)))
         .distinct().mat
       val nNew = ss.count()
-      // fixpoint: the pair set reproduces itself (star forest)
+      // fixpoint: the pair set reproduces itself (star forest); the
+      // exceptAll job only runs once counts stop changing
       done = nNew == nPairs && ss.exceptAll(pairs).isEmpty
       pairs = ss
       nPairs = nNew
