@@ -74,6 +74,25 @@ class MiscSpec extends SparkSpec {
     assert(total == best, s"auction total $total != optimum $best (rounds=$rounds)")
   }
 
+  test("auction assignment handles sparse values (missing pairs)") {
+    // not every (person, object) pair has a value; the optimum must still
+    // be reached through the runner-up fallback (reservation value) path
+    import spark.implicits._
+    val values = Seq(
+      (0L, 0L, 70L), (0L, 1L, 14L),
+      (1L, 1L, 21L), (1L, 2L, 28L),
+      (2L, 0L, 35L), (2L, 2L, 7L)
+    ).toDF("i", "j", "v")
+    val (asg, _) = Misc.auctionAssignment(values)
+    val got = asg.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // optimum: 0->0 (70), 1->2 (28), 2-> none available except 0 taken...
+    // feasible perfect matchings: {0->0,1->1,2->2}=98, {0->0,1->2,2->?}
+    // 2 has only 0 and 2; with 0->0 and 1->2 person 2 is left with taken
+    // objects, so the only perfect matchings are {0->0,1->1,2->2}=98,
+    // {0->1,1->2,2->0}=77, {0->0,1->2,2->?}: infeasible. Optimum = 98.
+    assert(got == Map(0L -> 0L, 1L -> 1L, 2L -> 2L), s"got $got")
+  }
+
   test("generators: path/grid/complete shapes") {
     assert(Generators.pathGraph(spark, 10).count() == 9)
     assert(Generators.grid2d(spark, 3, 4).count() == (3 * 3 + 2 * 4))
