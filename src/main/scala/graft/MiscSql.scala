@@ -225,16 +225,23 @@ object MiscSql {
     * per round each component picks its min cross-component edge by the
     * scalar key weight·1e10 + src·1e5 + dst (exact in double for integral
     * weights and ids < 1e5 — same total order as the Spark side's
-    * struct(weight, src, dst) min), then components merge by min-label
-    * closure (recursive CTE). Extra rounds past convergence are no-ops.
+    * struct(weight, src, dst) min), then components merge by a FIXED
+    * `jumpSteps`-step pointer-doubling closure over the chosen-edge graph
+    * (g_{k+1} = g_k ∘ g_k with identity seeded, so g_k holds all paths of
+    * length ≤ 2^k; 2^jumpSteps must exceed the merge-tree diameter, which
+    * is bounded by the vertex count — 8 covers 256 ≫ the ~100-supplier
+    * fixture). Plain MATERIALIZED CTEs only: the r4 WITH RECURSIVE
+    * transitive closure never terminated in DuckDB 1.0 (re-inlined per
+    * reference, compounding across unrolled rounds) and zeroed the round's
+    * gate. Extra rounds past convergence are no-ops.
     * `maximum` negates the weight term of the key — the Spark side's
     * maximum_spanning_tree runs min-Borůvka on negated weights, so the
     * scalar key −w·1e10 + src·1e5 + dst reproduces its total order
     * exactly (tie-break unchanged). */
-  def mstSupplier(rounds: Int, maximum: Boolean = false): String = {
+  def mstSupplier(rounds: Int, maximum: Boolean = false, jumpSteps: Int = 8): String = {
     val wKey = if (maximum) "-weight" else "weight"
     val b = new StringBuilder
-    b ++= s"WITH RECURSIVE $SUPP_EDGES_SQL,\n$SUPP_VERTS_SQL,\n"
+    b ++= s"WITH $SUPP_EDGES_SQL,\n$SUPP_VERTS_SQL,\n"
     b ++= s"ek AS MATERIALIZED (SELECT src, dst, weight, $wKey * 1e10 + src * 1e5 + dst AS k FROM supp_edges),\n"
     b ++= "comp0 AS MATERIALIZED (SELECT id, id AS comp FROM verts),\n"
     for (r <- 1 to rounds) {
@@ -252,13 +259,15 @@ object MiscSql {
         |  SELECT DISTINCT c.src, c.dst, c.weight, c.c1, c.c2 FROM cr$r c
         |  JOIN mk$r m ON c.k = m.k AND (m.comp = c.c1 OR m.comp = c.c2)
         |),
-        |cg$r AS MATERIALIZED (SELECT c1 AS a, c2 AS b FROM ch$r UNION SELECT c2, c1 FROM ch$r),
-        |reach$r(a, b) AS (
-        |  SELECT comp, comp FROM (SELECT DISTINCT comp FROM comp${r - 1})
-        |  UNION
-        |  SELECT rr.a, g.b FROM reach$r rr JOIN cg$r g ON g.a = rr.b
-        |),
-        |newl$r AS MATERIALIZED (SELECT a AS comp, min(b) AS newc FROM reach$r GROUP BY a),
+        |g${r}_0 AS MATERIALIZED (
+        |  SELECT comp AS a, comp AS b FROM (SELECT DISTINCT comp FROM comp${r - 1})
+        |  UNION SELECT c1, c2 FROM ch$r UNION SELECT c2, c1 FROM ch$r
+        |)""".stripMargin
+      b ++= ",\n"
+      for (j <- 1 to jumpSteps) {
+        b ++= s"g${r}_$j AS MATERIALIZED (SELECT DISTINCT x.a, y.b FROM g${r}_${j - 1} x JOIN g${r}_${j - 1} y ON y.a = x.b),\n"
+      }
+      b ++= s"""newl$r AS MATERIALIZED (SELECT a AS comp, min(b) AS newc FROM g${r}_$jumpSteps GROUP BY a),
         |comp$r AS MATERIALIZED (
         |  SELECT c.id, n.newc AS comp FROM comp${r - 1} c JOIN newl$r n ON n.comp = c.comp
         |)""".stripMargin
@@ -425,7 +434,7 @@ object MiscSql {
       val neq = (1 until i).map(k => s"a$i.j <> a$k.j").mkString(" AND ")
       s"JOIN wm a$i ON a$i.i = $i AND $neq"
     }.mkString("\n  ")
-    val tot = (1 to n).map(i => s"a$i.cents").mkString(" + ")
+    val tot = (1 to n).map(i => s"a$i.units").mkString(" + ")
     val scols = (1 to n).map(i => s"a$i.supp AS s$i").mkString(", ")
     val sorder = (1 to n).map(i => s"s$i").mkString(", ")
     val unpivot = (1 to n).map(i =>
@@ -441,7 +450,8 @@ object MiscSql {
        |),
        |wm AS MATERIALIZED (
        |  SELECT c.i, s.j, c.cust, s.supp,
-       |         coalesce(CAST($unit AS BIGINT), 0) AS cents
+       |         -- whole dollars when costOnly (auction gate), cents otherwise
+       |         coalesce(CAST($unit AS BIGINT), 0) AS units
        |  FROM custs c CROSS JOIN supps s
        |  LEFT JOIN cs_edges e ON e.src = c.cust AND e.dst = s.supp
        |),
@@ -454,6 +464,32 @@ object MiscSql {
        |)
        |${if (costOnly) "SELECT CAST(tot AS BIGINT) AS total_dollars FROM best" else unpivot}""".stripMargin
   }
+
+  /** n=64 mid-size LAP oracle with a CLOSED-FORM optimum — the gate for the
+    * O(n³) shortest-augmenting-path Hungarian (Misc.assignmentJV), which no
+    * SQL engine could solve by enumeration at this size. The cost matrix is
+    * cost(i,j) = cust_i·supp_j + r_i + h_j: row/column constants (r, h =
+    * rounded per-key weight sums) never change the argmin assignment, and
+    * by the rearrangement inequality Σ cust·supp over a permutation is
+    * minimized UNIQUELY (all ids distinct, positive) by pairing ascending
+    * cust ids with descending supp ids — so a rank-join computes the exact
+    * assignment the solver must earn through general machinery. */
+  def assignmentJv(n: Int = 64): String =
+    s"""WITH $CUSTSUPP_EDGES_SQL,
+       |custs AS MATERIALIZED (
+       |  SELECT cust, r, row_number() OVER (ORDER BY cust) AS rk
+       |  FROM (SELECT src AS cust, CAST(round(sum(weight)) AS BIGINT) AS r
+       |        FROM cs_edges GROUP BY 1 ORDER BY 1 LIMIT $n)
+       |),
+       |supps AS MATERIALIZED (
+       |  SELECT supp, h, row_number() OVER (ORDER BY supp DESC) AS rk
+       |  FROM (SELECT dst AS supp, CAST(round(sum(weight)) AS BIGINT) AS h
+       |        FROM cs_edges GROUP BY 1 ORDER BY 1 LIMIT $n)
+       |)
+       |SELECT c.cust AS customer, s.supp AS supplier,
+       |       c.cust * s.supp + c.r + s.h AS cost
+       |FROM custs c JOIN supps s ON s.rk = c.rk
+       |ORDER BY customer""".stripMargin
 
   /** Edge-id lookup: dense canonical ids, probe every 7th id. */
   def edgeLookup: String =

@@ -479,6 +479,35 @@ object SparkEntry {
       asg.join(dense, Seq("i", "j"))
         .agg((sum(col("v")) / 9).cast("long").as("total_dollars"))
     },
+    "q_assignment_jv" -> q { (s, dir) =>
+      // mid-size exact LAP (n=64 ≫ the DP's n≤20 cap): assignment()
+      // dispatches to the O(n³) shortest-augmenting-path Hungarian. The
+      // cost matrix cust_i·supp_j + r_i + h_j has a provably unique
+      // closed-form optimum (see MiscSql.assignmentJv), so the gate pins
+      // the solver's full arg-assignment, not just its total.
+      val n = 64
+      val e = Fixtures.custSuppEdges(s, dir)
+      val custs = e.groupBy(SRC).agg(round(sum(WEIGHT)).cast("long").as("r"))
+        .orderBy(SRC).limit(n).collect().map(r => (r.getLong(0), r.getLong(1)))
+      val supps = e.groupBy(DST).agg(round(sum(WEIGHT)).cast("long").as("h"))
+        .orderBy(DST).limit(n).collect().map(r => (r.getLong(0), r.getLong(1)))
+      require(custs.length == n && supps.length == n, s"fixture too small for n=$n")
+      val cost = Array.tabulate(n, n)((i, j) =>
+        (custs(i)._1 * supps(j)._1 + custs(i)._2 + supps(j)._2).toDouble)
+      val asg = Misc.assignment(cost)
+      // self-check vs the rearrangement-inequality closed form: ascending
+      // cust ids pair with descending supp ids (row/col constants inert)
+      val sortedJ = supps.indices.sortBy(j => -supps(j)._1)
+      val closedTotal = custs.indices.sortBy(i => custs(i)._1).zip(sortedJ)
+        .map { case (i, j) => cost(i)(j) }.sum
+      val jvTotal = asg.zipWithIndex.map { case (j, i) => cost(i)(j) }.sum
+      require(jvTotal == closedTotal,
+        s"JV total $jvTotal != closed-form optimum $closedTotal")
+      import s.implicits._
+      asg.zipWithIndex.map { case (j, i) =>
+        (custs(i)._1, supps(j)._1, cost(i)(j).toLong) }
+        .toSeq.toDF("customer", "supplier", "cost")
+    },
     "q_fa2_layout" -> q { (s, dir) =>
       val pos = Misc.forceAtlas2(Fixtures.supplierGraph(s, dir), iters = 3).mat
       val bad = pos.filter(isnan(col("x")) || isnan(col("y"))).count()
@@ -1071,6 +1100,7 @@ object SparkEntry {
     "q_core_number_out" -> MiscSql.coreNumberRmatDirected("outgoing", maxK = 8, rounds = 8),
     "q_assignment" -> MiscSql.assignmentCustSupp,
     "q_assignment_auction" -> MiscSql.assignmentCustSuppCost,
+    "q_assignment_jv" -> MiscSql.assignmentJv(),
     "q_fa2_layout" -> MiscSql.fa2Supplier(iters = 3),
     "q_spectral_eigen" -> MiscSql.spectralEigenSupplier(),
     "q_coloring" -> MiscSql.coloringTree(colors = 5, misRounds = 6, seed = 42),

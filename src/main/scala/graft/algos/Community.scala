@@ -111,11 +111,17 @@ object Community {
     var moved = 1L
     var zeroStreak = 0
     var it = 0
-    // alternating parity phases: synchronous best-move updates oscillate
-    // (two vertices that each want the other's community swap forever —
-    // observed as a constant nonzero moved count burning maxIter rounds),
-    // so each round only vertices with (id+round) even may move. Converged
-    // = two consecutive zero-move rounds (one per parity class).
+    // Synchronous best-move updates can oscillate (two vertices that each
+    // want the other's community swap forever — a constant nonzero moved
+    // count burning maxIter rounds). Always-on parity masking fixes that
+    // but doubles the round count on well-behaved graphs, so parity is
+    // ESCALATION, not default: full-move rounds run until the moved count
+    // plateaus (non-decreasing while nonzero — the oscillation signature),
+    // then rounds switch to the masked regime where only vertices with
+    // (id+round) parity may move. Converged = one zero-move full round, or
+    // two consecutive zero-move parity rounds (one per parity class).
+    var parityMode = false
+    var prevMoved = Long.MaxValue
     while (zeroStreak < 2 && it < maxIter) {
       it += 1
       // tot_c = Σ k_i over community members
@@ -161,15 +167,22 @@ object Community {
       // materialized frame carries the old community alongside the new one,
       // so the moved count is a scan of the cached frame — one job per
       // round, not a second join+count job
+      val mayMove =
+        if (parityMode) pmod(col(ID) + lit(it), lit(2)) === 0 else lit(true)
       val nextC = labels.join(best, Seq("run", ID), "left")
         .select(col("run"), col(ID), col("community").as("old"),
-          when(col("nc").isNotNull &&
-               pmod(col(ID) + lit(it), lit(2)) === 0 &&
+          when(col("nc").isNotNull && mayMove &&
                col("gain") > coalesce(col("stay_gain"), lit(0.0)) + lit(1e-12), col("nc"))
             .otherwise(col("community")).as("community"))
         .mat
       moved = nextC.filter(col("community") =!= col("old")).count()
-      zeroStreak = if (moved == 0) zeroStreak + 1 else 0
+      if (!parityMode) {
+        if (moved == 0) zeroStreak = 2 // everyone was free to move; done
+        else parityMode = true // escalate after the opening mass-move round
+        prevMoved = moved
+      } else {
+        zeroStreak = if (moved == 0) zeroStreak + 1 else 0
+      }
       labels = nextC.select(col("run"), col(ID), col("community"))
     }
     labels

@@ -124,13 +124,25 @@ object Misc {
     pairs
   }
 
-  /** Exact linear assignment for SMALL square cost matrices — driver-side
-    * subset DP (O(n²·2ⁿ), n ≤ 20), deterministic lexicographic tie-break.
-    * The reference's Hungarian is likewise a dense single-GPU legacy path;
-    * a 100 TB engine only ever calls this on collected small problems. */
+  /** Exact linear assignment for square cost matrices, driver-side — the
+    * analogue of the reference's dense single-GPU legacy Hungarian
+    * (`linear_assignment/legacy/hungarian.cu`); a 100 TB engine only ever
+    * calls this on collected small-to-mid problems (distributed scale goes
+    * through [[auctionAssignment]]). Dispatch: n ≤ 20 keeps the subset DP
+    * (its lexicographic tie-break is what the 8!-enumeration oracle pins);
+    * 20 < n ≤ 2048 runs the O(n³) shortest-augmenting-path Hungarian with
+    * potentials ([[assignmentJV]]) — exact on arbitrary doubles, unlike the
+    * auction's ε-optimality on non-integral values. */
   def assignment(cost: Array[Array[Double]]): Array[Int] = {
+    if (cost.length > 20) return assignmentJV(cost)
+    assignmentDp(cost)
+  }
+
+  /** Subset-DP exact LAP (O(n²·2ⁿ), n ≤ 20), deterministic lexicographic
+    * tie-break. */
+  def assignmentDp(cost: Array[Array[Double]]): Array[Int] = {
     val n = cost.length
-    require(n <= 20, "driver-side LAP supports n <= 20")
+    require(n <= 20, "driver-side LAP DP supports n <= 20")
     val full = (1 << n) - 1
     val dp = Array.fill(1 << n)(Double.MaxValue)
     val choice = Array.fill(1 << n)(-1)
@@ -150,6 +162,64 @@ object Misc {
       res(Integer.bitCount(mask) - 1) = j
       mask &= ~(1 << j)
     }
+    res
+  }
+
+  /** O(n³) shortest-augmenting-path Hungarian with row/column potentials
+    * (the Jonker–Volgenant shape): each row is inserted by a Dijkstra-like
+    * scan over reduced costs, potentials keep them non-negative, and the
+    * found alternating path augments the matching. Exact for arbitrary
+    * double costs; deterministic (scans pick the smallest column index on
+    * ties). Mid-size driver path — n ≤ 2048 keeps the n² matrix and the
+    * n³ work comfortably on one core (~10⁹ ops at the cap). */
+  def assignmentJV(cost: Array[Array[Double]]): Array[Int] = {
+    val n = cost.length
+    require(n <= 2048, "driver-side LAP supports n <= 2048; use auctionAssignment beyond")
+    require(cost.forall(_.length == n), "cost matrix must be square")
+    val INF = Double.MaxValue / 4
+    // 1-indexed: u,v potentials; p(j) = row matched to column j; way(j) =
+    // previous column on the alternating path into j
+    val u = new Array[Double](n + 1)
+    val v = new Array[Double](n + 1)
+    val p = new Array[Int](n + 1)
+    val way = new Array[Int](n + 1)
+    var i = 1
+    while (i <= n) {
+      p(0) = i
+      var j0 = 0
+      val minv = Array.fill(n + 1)(INF)
+      val used = new Array[Boolean](n + 1)
+      var augmenting = true
+      while (augmenting) {
+        used(j0) = true
+        val i0 = p(j0)
+        var delta = INF
+        var j1 = -1
+        var j = 1
+        while (j <= n) {
+          if (!used(j)) {
+            val cur = cost(i0 - 1)(j - 1) - u(i0) - v(j)
+            if (cur < minv(j)) { minv(j) = cur; way(j) = j0 }
+            if (minv(j) < delta) { delta = minv(j); j1 = j }
+          }
+          j += 1
+        }
+        j = 0
+        while (j <= n) {
+          if (used(j)) { u(p(j)) += delta; v(j) -= delta }
+          else minv(j) -= delta
+          j += 1
+        }
+        j0 = j1
+        augmenting = p(j0) != 0
+      }
+      // unwind the alternating path
+      while (j0 != 0) { val j1 = way(j0); p(j0) = p(j1); j0 = j1 }
+      i += 1
+    }
+    val res = new Array[Int](n)
+    var j = 1
+    while (j <= n) { if (p(j) != 0) res(p(j) - 1) = j - 1; j += 1 }
     res
   }
 

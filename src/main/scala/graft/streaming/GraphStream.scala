@@ -114,9 +114,19 @@ object GraphStream {
     * stateful dropDuplicates stage. Jaccard VERIFICATION stays a batch
     * concern (candidates feed the same `ngramJaccard` kernel); at ingest
     * you want candidates early, not verdicts.
-    * State bound = bucket occupancy — the identical row volume the batch
-    * band self-join shuffles, so a corpus that fits the batch join fits
-    * this state. */
+    * State has TWO components: (1) bucket occupancy — the identical row
+    * volume the batch band self-join shuffles, so a corpus that fits the
+    * batch join fits this state; (2) the pair-dedup store behind
+    * `dropDuplicates(id_a, id_b)`, which holds every distinct candidate
+    * pair ever emitted and is NOT bounded by bucket occupancy — for a
+    * long-lived ingest, checkpoint-compact it or swap in a watermarked
+    * `dropDuplicatesWithinWatermark` window (duplicate candidates across
+    * far-apart windows only cost downstream verification work, never
+    * correctness).
+    * Documents with fewer than `n` tokens have no shingles, hence a NULL
+    * signature; the batch explode produces no rows for them, so they are
+    * filtered here too — otherwise every short doc would share the
+    * degenerate md5("") bucket and pair up spuriously. */
   final case class BandHit(band: Int, bk: String, docId: Long)
   final case class LshBucket(ids: Seq[Long])
   final case class CandidatePair(id_a: Long, id_b: Long)
@@ -128,6 +138,7 @@ object GraphStream {
     val spark = docs.sparkSession
     import spark.implicits._
     val sig = streamingMinhash(docs, n, bands * rowsPerBand, idCol, textCol)
+      .filter(col("mh0").isNotNull) // short docs: no shingles -> no bands (batch parity)
     // identical band keys to the batch path: md5 over the band's
     // signature slice
     val bandStructs = array((0 until bands).map { b =>
@@ -143,9 +154,10 @@ object GraphStream {
         OutputMode.Append(), GroupStateTimeout.NoTimeout) {
         (_: (Int, String), events: Iterator[BandHit], state: GroupState[LshBucket]) =>
           val have = state.getOption.map(_.ids).getOrElse(Seq.empty)
+          val haveSet = have.toSet // O(1) residency checks, not O(occupancy)
           // sorted newcomer order keeps within-batch emission deterministic
           val newcomers = events.map(_.docId).toSeq.distinct.sorted
-            .filterNot(have.contains)
+            .filterNot(haveSet)
           val pairs = Seq.newBuilder[CandidatePair]
           var resident = have
           for (d <- newcomers) {

@@ -57,6 +57,41 @@ class MiscSpec extends SparkSpec {
     assert(got.distinct.length == 5)
   }
 
+  test("JV Hungarian matches the DP optimum on random 12x12 instances") {
+    val rnd = new scala.util.Random(23)
+    def tot(cost: Array[Array[Double]], a: Array[Int]) =
+      a.zipWithIndex.map { case (j, i) => cost(i)(j) }.sum
+    for (_ <- 1 to 10) {
+      val cost = Array.fill(12, 12)(rnd.nextInt(1000).toDouble)
+      val jv = Misc.assignmentJV(cost)
+      assert(jv.distinct.length == 12)
+      assert(tot(cost, jv) == tot(cost, Misc.assignmentDp(cost)))
+    }
+    // non-integral costs: JV is exact where the auction is only ε-optimal
+    val fcost = Array.fill(12, 12)(rnd.nextDouble())
+    assert(tot(fcost, Misc.assignmentJV(fcost)) == tot(fcost, Misc.assignmentDp(fcost)))
+  }
+
+  test("assignment dispatches to JV above n=20 and matches the auction optimum") {
+    val rnd = new scala.util.Random(31)
+    val n = 16
+    val v = Array.fill(n, n)(rnd.nextInt(1000).toLong)
+    // JV minimizes; the auction maximizes — negate for the JV side
+    val cost = v.map(_.map(x => -x.toDouble))
+    val jvTotal = -Misc.assignmentJV(cost).zipWithIndex
+      .map { case (j, i) => cost(i)(j) }.sum.toLong
+    import spark.implicits._
+    val values = (for (i <- 0 until n; j <- 0 until n)
+      yield (i.toLong, j.toLong, v(i)(j) * (n + 1))).toDF("i", "j", "v")
+    val (asg, rounds) = Misc.auctionAssignment(values, maxRounds = 2000)
+    val got = asg.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val aucTotal = got.map { case (i, j) => v(i.toInt)(j.toInt) }.sum
+    assert(jvTotal == aucTotal, s"JV $jvTotal != auction $aucTotal (rounds=$rounds)")
+    // dispatch: n=21 goes through assignmentJV (would throw in the DP)
+    val c21 = Array.fill(21, 21)(rnd.nextInt(100).toDouble)
+    assert(Misc.assignment(c21).distinct.length == 21)
+  }
+
   test("auction assignment reaches the brute-force optimum on a 6x6 instance") {
     // maximization form; values pre-scaled x(n+1)=7 so the eps=1 auction
     // is exact — the same contract q_assignment_auction uses

@@ -94,6 +94,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming LSH drops short docs with empty signatures (batch parity)") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    val result = GraphStream.streamingLshCandidates(docs, n = 3, bands = 4, rowsPerBand = 2)
+    val q = result.writeStream.format("memory").queryName("slsh_short")
+      .outputMode("append").start()
+    try {
+      // docs 1-3 have < 3 tokens: no shingles, NULL signature. Pre-fix they
+      // all landed in the shared md5("") bucket and paired spuriously.
+      input.addData((1L, "hi"), (2L, "yo"), (3L, "one two"))
+      q.processAllAvailable()
+      input.addData((4L, "ok"), (5L, "the quick brown fox jumps over the lazy dog"))
+      q.processAllAvailable()
+      val pairs = sp.sql("select id_a, id_b from slsh_short").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val batch = graft.pipeline.Dedup.minhashLshPairs(
+        Seq((1L, "hi"), (2L, "yo"), (3L, "one two"), (4L, "ok"),
+          (5L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text"),
+        n = 3, bands = 4, rowsPerBand = 2, threshold = 0.0)
+        .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs == batch, s"stream $pairs != batch $batch")
+      assert(pairs.isEmpty, s"short docs must not pair: $pairs")
+    } finally q.stop()
+  }
+
   test("windowed degrees respect the event-time window") {
     val sp = spark
     import sp.implicits._
