@@ -13,7 +13,8 @@ final case class GraphProperties(
     directed: Boolean = true,
     weighted: Boolean = false,
     renumbered: Boolean = false,
-    multiEdge: Boolean = false)
+    multiEdge: Boolean = false,
+    tree: Boolean = false)
 
 /** Property-light graph over a columnar edge list — the COO edge list is the
   * source of truth, exactly as in the reference (`simpleGraph.py:42-67`), but
@@ -60,8 +61,23 @@ final case class PropertyGraph(
     * is_multigraph/is_bipartite`, `graph_classes.py`). */
   def isDirected: Boolean = props.directed
   def isWeighted: Boolean = props.weighted && hasWeights
+  /** Declared multigraphs (built via GraphClasses.multiGraphFromEdges)
+    * answer from the property; undeclared ones fall back to counting, the
+    * reference's structural check. */
   def isMultigraph: Boolean =
-    edges.count() > edges.select(Gr.SRC, Gr.DST).distinct().count()
+    props.multiEdge ||
+      edges.count() > edges.select(Gr.SRC, Gr.DST).distinct().count()
+
+  /** Edge density (reference `Graph.density`, `graph_classes.py:806-831`).
+    * Undirected graphs store both directions here, so stored-E/(V(V−1))
+    * equals the standard 2E/(V(V−1)) without the reference's factor
+    * branch. Refused on a MultiGraph, as in the reference (multiplicity
+    * makes >100% "density" meaningless, `graph_classes.py:849-862`). */
+  def density: Double = {
+    require(!props.multiEdge, "the density function is not supported on a MultiGraph")
+    val v = numVertices.toDouble
+    numEdges.toDouble / (v * (v - 1.0))
+  }
 
   /** Bipartiteness via 2-coloring: multi-source BFS from each component's
     * minimum vertex, color = distance parity; bipartite iff no edge joins
