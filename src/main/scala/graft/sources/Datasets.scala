@@ -3,16 +3,23 @@ package graft.sources
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.core.{PropertyGraph, GraphBuilder, Gr}
 
-/** Small curated-dataset registry (reference `datasets/dataset.py:165,267`
-  * + YAML metadata like `datasets/metadata/karate.yaml`). Zero-egress
-  * environment: the classic Zachary karate club graph (public domain,
-  * Zachary 1977 — the reference's default test dataset) ships inline;
-  * file-backed datasets register a loader instead.
+/** Curated-dataset registry (reference `datasets/dataset.py:165,267` +
+  * YAML metadata `dataset metadata YAMLs`). Zero-egress environment: the
+  * classic public-domain graphs ship inline ([[DatasetData]]) instead of
+  * downloading from the reference's mirror; the Meta record carries the
+  * same fields the reference's YAML does (counts, directedness, weights,
+  * provenance), so `registry(name)` answers what `Dataset.metadata` does.
   */
 object Datasets {
 
+  /** Mirror of the reference's YAML metadata surface
+    * (`datasets/metadata/dolphins.yaml` et al.). `edges` counts canonical
+    * undirected pairs (the YAMLs count both stored directions for the
+    * symmetric CSVs — e.g. netscience 5484 = 2 × 2742). */
   final case class Meta(name: String, directed: Boolean, weighted: Boolean,
-                        vertices: Long, edges: Long)
+                        vertices: Long, edges: Long,
+                        hasLoop: Boolean = false, isMultigraph: Boolean = false,
+                        description: String = "", refs: String = "")
 
   /** Zachary karate club: 34 vertices, 78 undirected edges. */
   val karateEdges: Seq[(Long, Long)] = Seq(
@@ -28,19 +35,47 @@ object Datasets {
     (28, 31), (28, 33), (29, 32), (29, 33), (30, 32), (30, 33), (31, 32),
     (31, 33), (32, 33)).map { case (a, b) => (a.toLong, b.toLong) }
 
-  val registry: Map[String, Meta] = Map(
-    "karate" -> Meta("karate", directed = false, weighted = false, 34, 78))
+  lazy val dolphinsEdges: Seq[(Long, Long)] =
+    DatasetData.parseUnweighted(DatasetData.dolphins)
+  lazy val polbooksEdges: Seq[(Long, Long)] =
+    DatasetData.parseUnweighted(DatasetData.polbooks)
+  lazy val netscienceEdges: Seq[(Long, Long, Double)] =
+    DatasetData.parseWeighted(DatasetData.netscience)
 
-  def getEdgelist(spark: SparkSession, name: String): DataFrame = name match {
-    case "karate" =>
-      import spark.implicits._
-      karateEdges.toDF(Gr.SRC, Gr.DST)
-    case other => throw new IllegalArgumentException(s"unknown dataset: $other")
+  val registry: Map[String, Meta] = Map(
+    "karate" -> Meta("karate", directed = false, weighted = false, 34, 78,
+      description = "Zachary's karate club social network (1977)",
+      refs = "W. W. Zachary, An information flow model for conflict and " +
+        "fission in small groups, J. Anthropol. Res. 33, 452-473 (1977)"),
+    "dolphins" -> Meta("dolphins", directed = false, weighted = false, 62, 159,
+      description = "Frequent associations between 62 dolphins living off " +
+        "Doubtful Sound, New Zealand (Lusseau et al. 2003)",
+      refs = "D. Lusseau et al., Behav. Ecol. Sociobiol. 54, 396-405 (2003)"),
+    "polbooks" -> Meta("polbooks", directed = false, weighted = false, 105, 441,
+      description = "Copurchasing network of books about U.S. politics " +
+        "around the 2004 presidential election (V. Krebs)",
+      refs = "V. Krebs, The political books network, unpublished"),
+    "netscience" -> Meta("netscience", directed = false, weighted = true,
+      1461, 2742,
+      description = "Coauthorship network of scientists working on network " +
+        "theory and experiment (M. Newman, May 2006)",
+      refs = "M. E. J. Newman, Finding community structure in networks " +
+        "using the eigenvectors of matrices, Phys. Rev. E 74, 036104 (2006)"))
+
+  def getEdgelist(spark: SparkSession, name: String): DataFrame = {
+    import spark.implicits._
+    name match {
+      case "karate" => karateEdges.toDF(Gr.SRC, Gr.DST)
+      case "dolphins" => dolphinsEdges.toDF(Gr.SRC, Gr.DST)
+      case "polbooks" => polbooksEdges.toDF(Gr.SRC, Gr.DST)
+      case "netscience" => netscienceEdges.toDF(Gr.SRC, Gr.DST, Gr.WEIGHT)
+      case other => throw new IllegalArgumentException(s"unknown dataset: $other")
+    }
   }
 
   def getGraph(spark: SparkSession, name: String): PropertyGraph = {
     val meta = registry(name)
-    GraphBuilder.fromEdges(getEdgelist(spark, name), Gr.SRC, Gr.DST, None,
-      directed = meta.directed)
+    GraphBuilder.fromEdges(getEdgelist(spark, name), Gr.SRC, Gr.DST,
+      if (meta.weighted) Some(Gr.WEIGHT) else None, directed = meta.directed)
   }
 }

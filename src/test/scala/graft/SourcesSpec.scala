@@ -56,4 +56,29 @@ class SourcesSpec extends SparkSpec {
     assert(core.Structure.extractVertexList(Datasets.getEdgelist(spark, "karate")).count() == 34)
     assert(algos.Triangles.countTotal(g) == 45)
   }
+
+  test("curated registry: dolphins / polbooks / netscience match published stats") {
+    // published counts (reference dataset metadata YAMLs; the YAMLs count
+    // both stored directions of the symmetric CSVs, we count canonical pairs)
+    assert(Datasets.dolphinsEdges.length == 159)
+    assert(Datasets.polbooksEdges.length == 441)
+    assert(Datasets.netscienceEdges.length == 2742)
+    val d = Datasets.getGraph(spark, "dolphins")
+    assert(d.numVertices == 62 && !d.isWeighted && !d.isDirected)
+    val p = Datasets.getGraph(spark, "polbooks")
+    assert(p.numVertices == 105)
+    val n = Datasets.getGraph(spark, "netscience")
+    assert(n.numVertices == 1461 && n.isWeighted)
+    // Newman 2006 reports the largest netscience component has 379 vertices
+    val comp = algos.Components.wcc(n)
+    val sizes = comp.groupBy("component").count()
+    assert(sizes.agg(org.apache.spark.sql.functions.max("count"))
+      .collect()(0).getLong(0) == 379)
+    // every registry entry must load and agree with its metadata
+    Datasets.registry.foreach { case (name, meta) =>
+      val edges = Datasets.getEdgelist(spark, name)
+      assert(core.Structure.extractVertexList(edges).count() == meta.vertices, name)
+      assert(edges.count() == meta.edges, name)
+    }
+  }
 }
