@@ -19,6 +19,12 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => subset.forall(_.contains(n)) }
       .map { case (name, fn) =>
+      // wall-clock start per query (epoch seconds): post-hoc contention
+      // diagnosis — a machine-wide disturbance (e.g. a concurrent oracle
+      // run) shows up as a time-localized block of slow queries, where a
+      // code regression tracks the query, not the clock (BENCH_r04 was
+      // poisoned exactly this way and undiagnosable without timestamps)
+      val startedAt = System.currentTimeMillis() / 1000
       val t0 = System.nanoTime()
       // noop sink: forces full computation of every output column. A bare
       // count() lets Catalyst eliminate a final left join against unique
@@ -40,12 +46,14 @@ object Bench {
       // queries accumulate cached blocks until heavy queries spill.
       System.err.println(f"[bench] $name rows=$n t=$dt%.1fs")
       System.gc()
-      name -> dt
+      (name, dt, startedAt)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val starts = results.map { case (k, _, s) => s"\"" + k + "\":" + s }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"started":$starts,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

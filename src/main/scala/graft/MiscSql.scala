@@ -502,6 +502,63 @@ object MiscSql {
        |)
        |SELECT edge_id, edge_type, src, dst FROM etab WHERE edge_id % 7 = 0""".stripMargin
 
+  /** Exact level-1 Louvain on the supplier graph, `rounds` unrolled move
+    * rounds mirroring Community.oneLevelKeyed's deterministic schedule:
+    * round 1 everyone may move, rounds ≥ 2 only (id + round) % 2 == 0 (the
+    * parity escalation after the opening mass-move round). Gain
+    * arithmetic is exactly reproducible across engines: supplier weights
+    * are integral counts, so w_in / k / tot / m2 are exact and the single
+    * division is computed pointwise from identical operands. The Spark
+    * side asserts convergence within `rounds`; extra unrolled rounds on a
+    * converged state are no-ops (no strictly-positive gain remains). */
+  def louvainL1Supplier(rounds: Int): String = {
+    val b = new StringBuilder
+    b ++= s"WITH $SUPP_EDGES_SQL,\n$SUPP_UND_SQL,\n"
+    b ++= "m2 AS MATERIALIZED (SELECT sum(weight) AS w FROM und),\n"
+    b ++= "ki AS MATERIALIZED (SELECT src AS id, sum(weight) AS k FROM und GROUP BY 1),\n"
+    b ++= "l0 AS MATERIALIZED (SELECT id, id AS c FROM ki),\n"
+    for (i <- 1 to rounds) {
+      val p = i - 1
+      val mask = if (i == 1) "TRUE" else s"(l.id + $i) % 2 = 0"
+      b ++= s"""tot$i AS MATERIALIZED (
+        |  SELECT l.c, sum(k.k) AS tot FROM l$p l JOIN ki k ON k.id = l.id GROUP BY 1
+        |),
+        |nbr$i AS MATERIALIZED (
+        |  SELECT u.src AS id, l.c AS nc, sum(u.weight) AS w_in
+        |  FROM und u JOIN l$p l ON l.id = u.dst
+        |  WHERE u.src <> u.dst GROUP BY 1, 2
+        |),
+        |cand$i AS MATERIALIZED (
+        |  SELECT n.id, n.nc, cur.c AS c_cur,
+        |         n.w_in - k.k * (CASE WHEN n.nc = cur.c THEN t.tot - k.k ELSE t.tot END)
+        |                  / (SELECT w FROM m2) AS gain
+        |  FROM nbr$i n
+        |  JOIN l$p cur ON cur.id = n.id
+        |  JOIN ki k ON k.id = n.id
+        |  JOIN tot$i t ON t.c = n.nc
+        |),
+        |best$i AS MATERIALIZED (
+        |  SELECT id, nc, gain, stay_gain FROM (
+        |    SELECT id, nc, gain,
+        |           row_number() OVER (PARTITION BY id ORDER BY gain DESC, nc ASC) AS rn,
+        |           max(CASE WHEN nc = c_cur THEN gain END) OVER (PARTITION BY id) AS stay_gain
+        |    FROM cand$i
+        |  ) WHERE rn = 1
+        |),
+        |l$i AS MATERIALIZED (
+        |  SELECT l.id,
+        |         CASE WHEN b.nc IS NOT NULL AND $mask
+        |                   AND b.gain > coalesce(b.stay_gain, 0) + 1e-12
+        |              THEN b.nc ELSE l.c END AS c
+        |  FROM l$p l LEFT JOIN best$i b ON b.id = l.id
+        |)""".stripMargin
+      b ++= ",\n"
+    }
+    b ++= s"fin AS MATERIALIZED (SELECT id, c AS community FROM l$rounds)\n"
+    b ++= "SELECT id, community FROM fin"
+    b.toString
+  }
+
   /** One-row structural summary of the supplier graph. */
   def graphSummary: String =
     s"""WITH $SUPP_EDGES_SQL,

@@ -3,7 +3,7 @@ package graft
 import graft.prims.Mat._
 import org.apache.spark.sql.{SparkSession, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.core.{Structure, GraphBuilder, Gr}
+import graft.core.{Structure, GraphBuilder, GraphClasses, Gr}
 import graft.algos._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -189,6 +189,17 @@ object SparkEntry {
       // degraded move phase (e.g. broken gain formula or oscillation
       // re-appearing) lands well below it
       require(!q.isNaN && q >= 0.04, s"louvain modularity $q below recorded floor 0.04")
+      labels
+    },
+    "q_louvain_l1" -> q { (s, dir) =>
+      // EXACT Louvain gate: level-1 move phase on the supplier graph, the
+      // full deterministic schedule unrolled in DuckDB (MiscSql
+      // .louvainL1Supplier). Integral weights make the gain arithmetic
+      // bit-reproducible across engines, so this pins the real move logic
+      // — gain formula, tie-breaks, parity escalation — not just a floor.
+      val (labels, rounds) =
+        Community.oneLevelWithRounds(Fixtures.supplierGraph(s, dir), maxIter = 8)
+      require(rounds <= 8, s"louvain level-1 took $rounds rounds, oracle unrolls 8")
       labels
     },
     "q_modularity" -> q { (s, dir) =>
@@ -409,6 +420,31 @@ object SparkEntry {
       val g = sources.Datasets.getGraph(s, "karate")
       Triangles.countPerVertex(g)
     },
+    "q_dolphins_jaccard" -> q { (s, _) =>
+      // second curated dataset (Lusseau dolphins): global top-20 Jaccard
+      val g = sources.Datasets.getGraph(s, "dolphins")
+      require(g.numVertices == 62 && g.numEdges == 2 * 159,
+        "dolphins metadata mismatch")
+      Similarity.allPairs(g, Similarity.Jaccard, topK = Some(20))
+        .select(col(SRC), col(DST), round(col("jaccard_coeff"), 6).as("jaccard_coeff"))
+    },
+    "q_polbooks_triangles" -> q { (s, _) =>
+      // third curated dataset (Krebs political books): per-vertex triangles
+      val g = sources.Datasets.getGraph(s, "polbooks")
+      require(g.numVertices == 105 && g.numEdges == 2 * 441,
+        "polbooks metadata mismatch")
+      Triangles.countPerVertex(g)
+    },
+    "q_netscience_wcc" -> q { (s, _) =>
+      // weighted curated dataset (Newman coauthorship): component labels.
+      // netscience is famously disconnected (hundreds of components);
+      // the oracle unrolls 25 min-label rounds, so assert convergence fits.
+      val g = sources.Datasets.getGraph(s, "netscience")
+      require(g.numVertices == 1461 && g.isWeighted, "netscience metadata mismatch")
+      val (labels, rounds) = Components.wccWithRounds(g)
+      require(rounds <= 25, s"netscience WCC took $rounds rounds, oracle unrolls 25")
+      labels
+    },
     // ---- MIS / coloring / matching / LAP / layout / spectral / lookup ----
     "q_mis" -> q { (s, dir) =>
       val (m, rounds) = Misc.misWithRounds(Fixtures.hierarchyDag(s, dir))
@@ -479,19 +515,45 @@ object SparkEntry {
       asg.join(dense, Seq("i", "j"))
         .agg((sum(col("v")) / 9).cast("long").as("total_dollars"))
     },
+    "q_multigraph" -> q { (s, dir) =>
+      // MultiGraph class surface (reference graph_classes.py:837): one edge
+      // per LINEITEM row, so a cust→supp pair ordered repeatedly yields
+      // genuine parallel edges that must SURVIVE construction. The gate
+      // checks multiplicities and that edge_seq numbers each pair 1..k.
+      val li = Tables(s, dir, "lineitem")
+      val o = Tables(s, dir, "orders")
+      val raw = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .select(col("o_custkey").as("c"), (col("l_suppkey") + 100000L).as("p"),
+          col("l_extendedprice").as("w"))
+      val mg = GraphClasses.multiGraphFromEdges(raw, "c", "p", Some("w"))
+      require(mg.props.multiEdge && mg.isMultigraph, "multigraph tag lost")
+      val densityRefused =
+        try { mg.density; false } catch { case _: IllegalArgumentException => true }
+      require(densityRefused, "density must be refused on a MultiGraph")
+      val per = mg.edges.groupBy(SRC, DST)
+        .agg(count(lit(1)).as("multiplicity"), max(col("edge_seq")).as("mx"))
+      require(per.filter(col("multiplicity") =!= col("mx")).isEmpty,
+        "edge_seq must number each pair 1..multiplicity")
+      per.filter(col("multiplicity") >= 2).select(SRC, DST, "multiplicity")
+    },
     "q_assignment_jv" -> q { (s, dir) =>
       // mid-size exact LAP (n=64 ≫ the DP's n≤20 cap): assignment()
       // dispatches to the O(n³) shortest-augmenting-path Hungarian. The
       // cost matrix cust_i·supp_j + r_i + h_j has a provably unique
       // closed-form optimum (see MiscSql.assignmentJv), so the gate pins
       // the solver's full arg-assignment, not just its total.
-      val n = 64
       val e = Fixtures.custSuppEdges(s, dir)
-      val custs = e.groupBy(SRC).agg(round(sum(WEIGHT)).cast("long").as("r"))
-        .orderBy(SRC).limit(n).collect().map(r => (r.getLong(0), r.getLong(1)))
-      val supps = e.groupBy(DST).agg(round(sum(WEIGHT)).cast("long").as("h"))
-        .orderBy(DST).limit(n).collect().map(r => (r.getLong(0), r.getLong(1)))
-      require(custs.length == n && supps.length == n, s"fixture too small for n=$n")
+      val custs0 = e.groupBy(SRC).agg(round(sum(WEIGHT)).cast("long").as("r"))
+        .orderBy(SRC).limit(64).collect().map(r => (r.getLong(0), r.getLong(1)))
+      val supps0 = e.groupBy(DST).agg(round(sum(WEIGHT)).cast("long").as("h"))
+        .orderBy(DST).limit(64).collect().map(r => (r.getLong(0), r.getLong(1)))
+      // smaller fixtures (sf0.001 has ~10 suppliers) shrink n the same way
+      // the oracle's rank-join truncates: cust ranks ascend from the
+      // smallest, supp ranks DESCEND from the largest of the limit-64 set
+      val n = math.min(custs0.length, supps0.length)
+      val custs = custs0.take(n)
+      val supps = supps0.sortBy(-_._1).take(n)
+      require(n >= 2, "fixture must yield at least a 2x2 problem")
       val cost = Array.tabulate(n, n)((i, j) =>
         (custs(i)._1 * supps(j)._1 + custs(i)._2 + supps(j)._2).toDouble)
       val asg = Misc.assignment(cost)
@@ -1092,6 +1154,13 @@ object SparkEntry {
          |SELECT v.id, coalesce(c.triangle_count, 0) AS triangle_count
          |FROM kverts v LEFT JOIN cnt c ON c.id = v.id""".stripMargin
     },
+    "q_louvain_l1" -> MiscSql.louvainL1Supplier(rounds = 8),
+    "q_dolphins_jaccard" ->
+      DatasetSql.jaccardTopK(sources.Datasets.dolphinsEdges, k = 20),
+    "q_polbooks_triangles" ->
+      DatasetSql.triangles(sources.Datasets.polbooksEdges),
+    "q_netscience_wcc" ->
+      DatasetSql.wcc(sources.Datasets.netscienceEdges.map(e => (e._1, e._2)), rounds = 25),
     "q_mst" -> MiscSql.mstSupplier(rounds = 7),
     "q_mst_max" -> MiscSql.mstSupplier(rounds = 7, maximum = true),
     "q_kcore" -> MiscSql.kcoreSupplier(k = 50, rounds = 4),
@@ -1101,6 +1170,11 @@ object SparkEntry {
     "q_assignment" -> MiscSql.assignmentCustSupp,
     "q_assignment_auction" -> MiscSql.assignmentCustSuppCost,
     "q_assignment_jv" -> MiscSql.assignmentJv(),
+    "q_multigraph" ->
+      """SELECT o_custkey AS src, l_suppkey + 100000 AS dst,
+        |       count(*) AS multiplicity
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
     "q_fa2_layout" -> MiscSql.fa2Supplier(iters = 3),
     "q_spectral_eigen" -> MiscSql.spectralEigenSupplier(),
     "q_coloring" -> MiscSql.coloringTree(colors = 5, misRounds = 6, seed = 42),

@@ -88,8 +88,22 @@ object Community {
   /** One Louvain level: synchronous best-move rounds until no vertex moves.
     * @return DataFrame(id, community). */
   private def oneLevel(und: DataFrame, maxIter: Int, resolution: Double): DataFrame =
-    oneLevelKeyed(und.withColumn("run", lit(0L)), maxIter, resolution)
+    oneLevelKeyed(und.withColumn("run", lit(0L)), maxIter, resolution)._1
       .drop("run")
+
+  /** Public level-1 entry exposing the ROUND COUNT, for gates that pin the
+    * exact move schedule (the q_louvain_l1 DuckDB oracle unrolls the same
+    * fixed rounds: full-move round 1, then parity-masked rounds — see
+    * oneLevelKeyed). Prep matches [[louvain]]: self-loops dropped,
+    * symmetrized without weight summing. */
+  def oneLevelWithRounds(g: PropertyGraph, maxIter: Int = 20,
+                         resolution: Double = 1.0): (DataFrame, Int) = {
+    val base = Structure.removeSelfLoops(
+      Structure.symmetrize(g.weightedEdges.select(SRC, DST, WEIGHT), sumWeights = false))
+    val (labels, rounds) =
+      oneLevelKeyed(base.withColumn("run", lit(0L)), maxIter, resolution)
+    (labels.drop("run"), rounds)
+  }
 
   /** Batched one-level Louvain over MANY graphs at once: every state table
     * carries a `run` key, so an ensemble of R randomized runs (ECG) costs
@@ -97,8 +111,9 @@ object Community {
     * multi-source BFS and k-sampled Brandes (SURVEY §7.4-2). The per-run
     * 2m normalizer is a broadcast-joined table instead of a driver scalar.
     * Converged runs simply stop changing while the stragglers finish.
-    * Input: (run, src, dst, weight); output (run, id, community). */
-  private def oneLevelKeyed(undK: DataFrame, maxIter: Int, resolution: Double): DataFrame = {
+    * Input: (run, src, dst, weight); output ((run, id, community), rounds). */
+  private def oneLevelKeyed(undK: DataFrame, maxIter: Int,
+                            resolution: Double): (DataFrame, Int) = {
     val e = undK.mat
     val m2 = e.groupBy("run").agg(sum(WEIGHT).as("m2")).mat
     // k_i: weighted degree (self-loops count fully toward k_i here since the
@@ -185,7 +200,7 @@ object Community {
       }
       labels = nextC.select(col("run"), col(ID), col("community"))
     }
-    labels
+    (labels, it)
   }
 
   /** ECG (ensemble clustering): k randomized one-level Louvain runs re-weight
@@ -206,7 +221,7 @@ object Community {
       .select(col("run"), col(SRC), col(DST),
         (col(WEIGHT) * (lit(1.0) +
           (pmod(xxhash64(col(SRC), col(DST), lit(seed) + col("run")), lit(1000)) / lit(10000.0)))).as(WEIGHT))
-    val labels = oneLevelKeyed(undR, maxIter = 5, resolution = 1.0).mat
+    val labels = oneLevelKeyed(undR, maxIter = 5, resolution = 1.0)._1.mat
     // co-clustering votes per edge: one pass over (run × edges)
     val votes = und.select(SRC, DST)
       .select(explode(sequence(lit(0L), lit(ensembleSize - 1L))).as("run"), col(SRC), col(DST))
