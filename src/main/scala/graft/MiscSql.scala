@@ -284,7 +284,7 @@ object MiscSql {
     * expression shapes, and the same per-round 1e-8 position snap as
     * `Misc.forceAtlas2` — the snap is what makes the float iteration
     * reproducible across engines. */
-  def fa2Supplier(iters: Int, gridSize: Int = 8, step: Double = 0.05,
+  def fa2Supplier(iters: Int, gridSize: Int = 16, step: Double = 0.05,
                   seed: Long = 42): String = {
     val b = new StringBuilder
     b ++= s"WITH $SUPP_EDGES_SQL,\n$SUPP_VERTS_SQL,\n"
@@ -296,6 +296,13 @@ object MiscSql {
       |  FROM verts
       |)""".stripMargin
     b ++= ",\n"
+    // two-level quadtree repulsion, mirroring Misc.forceAtlas2(quadtree):
+    // near field (parent coarse cell within Chebyshev 1 of the vertex's
+    // coarse cell) at fine gridSize resolution, far field from coarse
+    // gridSize/4 weighted centroids derived FROM the fine table
+    val coarseN = math.max(gridSize / 4, 1)
+    def krn(v: String) =
+      s"(p.$v - c.m$v) * c.cnt / (pow(p.x - c.mx, 2) + pow(p.y - c.my, 2) + 1e-4)"
     for (i <- 1 to iters) {
       val p = s"pos${i - 1}"
       b ++= s"""att$i AS MATERIALIZED (
@@ -303,16 +310,33 @@ object MiscSql {
         |  FROM u2 e JOIN $p ps ON ps.id = e.src JOIN $p pd ON pd.id = e.dst
         |  GROUP BY e.src
         |),
-        |cells$i AS MATERIALIZED (
+        |fcells$i AS MATERIALIZED (
         |  SELECT floor(x * $gridSize) AS cx, floor(y * $gridSize) AS cy,
         |         count(*) AS cnt, avg(x) AS mx, avg(y) AS my
         |  FROM $p GROUP BY 1, 2
         |),
+        |fpar$i AS MATERIALIZED (
+        |  SELECT cnt, mx, my, CAST(floor(cx / 4) AS BIGINT) AS px,
+        |         CAST(floor(cy / 4) AS BIGINT) AS py
+        |  FROM fcells$i
+        |),
+        |ccells$i AS MATERIALIZED (
+        |  SELECT px, py, sum(cnt) AS cnt,
+        |         sum(mx * cnt) / sum(cnt) AS mx, sum(my * cnt) / sum(cnt) AS my
+        |  FROM fpar$i GROUP BY 1, 2
+        |),
         |rep$i AS MATERIALIZED (
-        |  SELECT p.id, p.x, p.y,
-        |    sum((p.x - c.mx) * c.cnt / (pow(p.x - c.mx, 2) + pow(p.y - c.my, 2) + 1e-4)) AS rx,
-        |    sum((p.y - c.my) * c.cnt / (pow(p.x - c.mx, 2) + pow(p.y - c.my, 2) + 1e-4)) AS ry
-        |  FROM $p p CROSS JOIN cells$i c GROUP BY p.id, p.x, p.y
+        |  SELECT id, x, y, sum(rx) AS rx, sum(ry) AS ry FROM (
+        |    SELECT p.id, p.x, p.y, ${krn("x")} AS rx, ${krn("y")} AS ry
+        |    FROM $p p CROSS JOIN fpar$i c
+        |    WHERE abs(c.px - floor(p.x * $coarseN)) <= 1
+        |      AND abs(c.py - floor(p.y * $coarseN)) <= 1
+        |    UNION ALL
+        |    SELECT p.id, p.x, p.y, ${krn("x")} AS rx, ${krn("y")} AS ry
+        |    FROM $p p CROSS JOIN ccells$i c
+        |    WHERE abs(c.px - floor(p.x * $coarseN)) > 1
+        |       OR abs(c.py - floor(p.y * $coarseN)) > 1
+        |  ) GROUP BY 1, 2, 3
         |),
         |pos$i AS MATERIALIZED (
         |  SELECT r.id,

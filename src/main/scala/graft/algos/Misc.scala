@@ -293,17 +293,34 @@ object Misc {
     (assign.select("i", "j"), round)
   }
 
-  /** ForceAtlas2-shaped layout: attraction along edges + grid-binned
-    * repulsion (the Barnes-Hut cell approximation as a groupBy(cell) —
-    * SURVEY §2.4). Deterministic hash init; `iters` bounded force rounds.
+  /** ForceAtlas2-shaped layout: attraction along edges + cell-binned
+    * repulsion, TWO-LEVEL QUADTREE by default (the Barnes-Hut far/near
+    * opening criterion discretized to two fixed levels, as groupBy(cell) —
+    * reference `layout/legacy/barnes_hut.cuh`): near-field cells (parent
+    * coarse cell within Chebyshev distance 1 of the vertex's coarse cell)
+    * contribute at FINE `gridSize`×`gridSize` resolution, the far field
+    * collapses to `gridSize/4`-grid coarse centroids. Vs the r4 flat grid
+    * this quadruples near-field resolution (16 vs 8 per axis) while the
+    * per-vertex contribution table stays O(1) broadcast rows (≤ 256 fine +
+    * 16 coarse). `quadtree = false` keeps the flat `gridSize`-cell grid
+    * (the quality-comparison baseline in MiscSpec).
+    * Deterministic hash init; `iters` bounded force rounds.
     * Output (id, x, y) in [0,1]². */
-  def forceAtlas2(g: PropertyGraph, iters: Int = 5, gridSize: Int = 8,
-                  step: Double = 0.05, seed: Long = 42): DataFrame = {
+  def forceAtlas2(g: PropertyGraph, iters: Int = 5, gridSize: Int = 16,
+                  step: Double = 0.05, seed: Long = 42,
+                  quadtree: Boolean = true): DataFrame = {
+    val coarseN = math.max(gridSize / 4, 1)
     val und = Structure.symmetrize(g.edges.select(SRC, DST)).mat
     val u01x = hash60(concat_ws("|", lit("fa2x"), col(ID), lit(seed))).cast("double") / lit(math.pow(2, 60))
     val u01y = hash60(concat_ws("|", lit("fa2y"), col(ID), lit(seed))).cast("double") / lit(math.pow(2, 60))
     var pos = Structure.extractVertexList(g.edges)
       .select(col(ID), u01x.as("x"), u01y.as("y")).mat
+    // shared repulsion kernel against a centroid table (mx, my, cnt)
+    def kernel() = (
+      ((col("x") - col("mx")) * col("cnt") /
+        (pow(col("x") - col("mx"), 2) + pow(col("y") - col("my"), 2) + lit(1e-4))).as("rx"),
+      ((col("y") - col("my")) * col("cnt") /
+        (pow(col("x") - col("mx"), 2) + pow(col("y") - col("my"), 2) + lit(1e-4))).as("ry"))
     for (_ <- 1 to iters) {
       // attraction: pull toward neighbor positions (sum of deltas)
       val att = und
@@ -311,19 +328,47 @@ object Misc {
         .join(pos.select(col(ID).as(DST), col("x").as("dx_"), col("y").as("dy_")), DST)
         .groupBy(col(SRC).as(ID))
         .agg(sum(col("dx_") - col("sx")).as("ax"), sum(col("dy_") - col("sy")).as("ay"))
-      // repulsion: grid cells push vertices away from cell centroids
+      // fine cells: counts + centroids at gridSize resolution
       val cells = pos.select(floor(col("x") * gridSize).as("cx"),
           floor(col("y") * gridSize).as("cy"), col("x"), col("y"))
         .groupBy("cx", "cy")
         .agg(count(lit(1)).as("cnt"), avg("x").as("mx"), avg("y").as("my"))
-      val rep = pos.crossJoin(broadcast(cells))
-        .select(col(ID), col("x"), col("y"),
-          ((col("x") - col("mx")) * col("cnt") /
-            (pow(col("x") - col("mx"), 2) + pow(col("y") - col("my"), 2) + lit(1e-4))).as("rx"),
-          ((col("y") - col("my")) * col("cnt") /
-            (pow(col("x") - col("mx"), 2) + pow(col("y") - col("my"), 2) + lit(1e-4))).as("ry"))
-        .groupBy(ID).agg(first("x").as("x"), first("y").as("y"),
-          sum("rx").as("rx"), sum("ry").as("ry"))
+      val rep =
+        if (!quadtree) {
+          val (rx, ry) = kernel()
+          pos.crossJoin(broadcast(cells))
+            .select(col(ID), col("x"), col("y"), rx, ry)
+            .groupBy(ID).agg(first("x").as("x"), first("y").as("y"),
+              sum("rx").as("rx"), sum("ry").as("ry"))
+        } else {
+          // coarse cells derived FROM the fine table (weighted centroids) —
+          // the oracle mirrors this exact derivation, and the per-round
+          // 1e-8 position snap absorbs cross-engine sum association
+          val coarse = cells
+            .groupBy(floor(col("cx") / 4).cast("long").as("px"),
+              floor(col("cy") / 4).cast("long").as("py"))
+            .agg(sum(col("cnt")).as("cnt"),
+              (sum(col("mx") * col("cnt")) / sum(col("cnt"))).as("mx"),
+              (sum(col("my") * col("cnt")) / sum(col("cnt"))).as("my"))
+          val pc = pos.select(col(ID), col("x"), col("y"),
+            floor(col("x") * coarseN).as("vcx"), floor(col("y") * coarseN).as("vcy"))
+          val fineP = cells.select(col("cnt"), col("mx"), col("my"),
+            floor(col("cx") / 4).cast("long").as("px"),
+            floor(col("cy") / 4).cast("long").as("py"))
+          val (nrx, nry) = kernel()
+          val near = pc.crossJoin(broadcast(fineP))
+            .filter(abs(col("px") - col("vcx")) <= 1 && abs(col("py") - col("vcy")) <= 1)
+            .select(col(ID), col("x"), col("y"), nrx, nry)
+          val (frx, fry) = kernel()
+          val far = pc.crossJoin(broadcast(coarse))
+            .filter(abs(col("px") - col("vcx")) > 1 || abs(col("py") - col("vcy")) > 1)
+            .select(col(ID), col("x"), col("y"), frx, fry)
+          // every vertex hits ≥ 1 near cell (its own), so the union keys
+          // cover all ids — no left-join backfill needed
+          near.union(far)
+            .groupBy(ID).agg(first("x").as("x"), first("y").as("y"),
+              sum("rx").as("rx"), sum("ry").as("ry"))
+        }
       // snap to a 1e-8 grid each round: float-sum association differs across
       // partitionings (and engines), and without the snap an ulp of drift
       // compounds through floor(x*grid) cell binning into divergent layouts

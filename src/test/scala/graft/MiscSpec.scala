@@ -128,6 +128,37 @@ class MiscSpec extends SparkSpec {
     assert(got == Map(0L -> 0L, 1L -> 1L, 2L -> 2L), s"got $got")
   }
 
+  test("FA2 quadtree separation quality >= flat grid on a two-community graph") {
+    // two K6 cliques joined by a single bridge — layout quality =
+    // mean edge length / mean all-pairs distance (lower = communities
+    // tighter relative to global spread)
+    val cl = (for {
+      base <- Seq(0L, 10L); a <- 0L until 6L; b <- (a + 1) until 6L
+    } yield (base + a, base + b)) :+ ((0L, 10L))
+    val g = graphOf(cl)
+    def quality(quadtree: Boolean): Double = {
+      val pos = Misc.forceAtlas2(g, iters = 5, quadtree = quadtree)
+      val p = pos.select(col(ID), col("x"), col("y"))
+      val und = core.Structure.symmetrize(g.edges.select(SRC, DST))
+      val eLen = und
+        .join(p.select(col(ID).as(SRC), col("x").as("xa"), col("y").as("ya")), SRC)
+        .join(p.select(col(ID).as(DST), col("x").as("xb"), col("y").as("yb")), DST)
+        .agg(avg(sqrt(pow(col("xa") - col("xb"), 2) + pow(col("ya") - col("yb"), 2))))
+        .first().getDouble(0)
+      val aLen = p.as("a").crossJoin(p.as("b"))
+        .filter(col(s"a.$ID") < col(s"b.$ID"))
+        .agg(avg(sqrt(pow(col("a.x") - col("b.x"), 2) + pow(col("a.y") - col("b.y"), 2))))
+        .first().getDouble(0)
+      eLen / aLen
+    }
+    val qQuad = quality(quadtree = true)
+    val qGrid = quality(quadtree = false)
+    // the refinement must not lose separation quality (small tolerance:
+    // both are approximations of the same force field)
+    assert(qQuad <= qGrid * 1.05, s"quadtree $qQuad vs grid $qGrid")
+    assert(qQuad < 1.0, s"neighbors should sit closer than random pairs: $qQuad")
+  }
+
   test("generators: path/grid/complete shapes") {
     assert(Generators.pathGraph(spark, 10).count() == 9)
     assert(Generators.grid2d(spark, 3, 4).count() == (3 * 3 + 2 * 4))
