@@ -583,6 +583,75 @@ object MiscSql {
     b.toString
   }
 
+  /** ECG co-clustering votes on the supplier graph: the full batched
+    * ensemble of Community.ecgVotes unrolled — `ensembleSize` runs with
+    * integral md5-perturbed weights through `rounds` run-keyed Louvain
+    * move rounds (the louvainL1Supplier schedule with a `run` column in
+    * every key), then votes per canonical edge. Exactness argument as in
+    * louvainL1Supplier: all sums integral, inexact ops pointwise. */
+  def ecgVotesSupplier(ensembleSize: Int, rounds: Int, seed: Long = 42): String = {
+    val b = new StringBuilder
+    b ++= s"WITH $SUPP_EDGES_SQL,\n$SUPP_UND_SQL,\n"
+    b ++= s"runs AS MATERIALIZED (SELECT * FROM generate_series(0, ${ensembleSize - 1}) AS t(run)),\n"
+    b ++= s"""eR AS MATERIALIZED (
+      |  SELECT r.run, u.src, u.dst,
+      |         u.weight * (10000 + ${h60(s"concat_ws('|', 'ecg', u.src, u.dst, $seed + r.run)")} % 1000) AS weight
+      |  FROM und u CROSS JOIN runs r
+      |),
+      |""".stripMargin
+    b ++= "m2r AS MATERIALIZED (SELECT run, sum(weight) AS w FROM eR GROUP BY 1),\n"
+    b ++= "kir AS MATERIALIZED (SELECT run, src AS id, sum(weight) AS k FROM eR GROUP BY 1, 2),\n"
+    b ++= "l0 AS MATERIALIZED (SELECT run, id, id AS c FROM kir),\n"
+    for (i <- 1 to rounds) {
+      val p = i - 1
+      val mask = if (i == 1) "TRUE" else s"(l.id + $i) % 2 = 0"
+      b ++= s"""tot$i AS MATERIALIZED (
+        |  SELECT l.run, l.c, sum(k.k) AS tot
+        |  FROM l$p l JOIN kir k ON k.run = l.run AND k.id = l.id GROUP BY 1, 2
+        |),
+        |nbr$i AS MATERIALIZED (
+        |  SELECT e.run, e.src AS id, l.c AS nc, sum(e.weight) AS w_in
+        |  FROM eR e JOIN l$p l ON l.run = e.run AND l.id = e.dst
+        |  WHERE e.src <> e.dst GROUP BY 1, 2, 3
+        |),
+        |cand$i AS MATERIALIZED (
+        |  SELECT n.run, n.id, n.nc, cur.c AS c_cur,
+        |         n.w_in - k.k * (CASE WHEN n.nc = cur.c THEN t.tot - k.k ELSE t.tot END)
+        |                  / m.w AS gain
+        |  FROM nbr$i n
+        |  JOIN l$p cur ON cur.run = n.run AND cur.id = n.id
+        |  JOIN kir k ON k.run = n.run AND k.id = n.id
+        |  JOIN tot$i t ON t.run = n.run AND t.c = n.nc
+        |  JOIN m2r m ON m.run = n.run
+        |),
+        |best$i AS MATERIALIZED (
+        |  SELECT run, id, nc, gain, stay_gain FROM (
+        |    SELECT run, id, nc, gain,
+        |           row_number() OVER (PARTITION BY run, id ORDER BY gain DESC, nc ASC) AS rn,
+        |           max(CASE WHEN nc = c_cur THEN gain END) OVER (PARTITION BY run, id) AS stay_gain
+        |    FROM cand$i
+        |  ) WHERE rn = 1
+        |),
+        |l$i AS MATERIALIZED (
+        |  SELECT l.run, l.id,
+        |         CASE WHEN b.nc IS NOT NULL AND $mask
+        |                   AND b.gain > coalesce(b.stay_gain, 0) + 1e-12
+        |              THEN b.nc ELSE l.c END AS c
+        |  FROM l$p l LEFT JOIN best$i b ON b.run = l.run AND b.id = l.id
+        |)""".stripMargin
+      b ++= ",\n"
+    }
+    b ++= s"""votes AS MATERIALIZED (
+      |  SELECT u.src, u.dst, CAST(sum(CASE WHEN la.c = lb.c THEN 1.0 ELSE 0.0 END) AS DOUBLE) AS votes
+      |  FROM und u CROSS JOIN runs r
+      |  JOIN l$rounds la ON la.run = r.run AND la.id = u.src
+      |  JOIN l$rounds lb ON lb.run = r.run AND lb.id = u.dst
+      |  GROUP BY 1, 2
+      |)
+      |SELECT src, dst, votes FROM votes WHERE src < dst""".stripMargin
+    b.toString
+  }
+
   /** One-row structural summary of the supplier graph. */
   def graphSummary: String =
     s"""WITH $SUPP_EDGES_SQL,

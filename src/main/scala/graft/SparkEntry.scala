@@ -808,6 +808,13 @@ object SparkEntry {
       require(!modQ.isNaN && modQ >= 0.12, s"ecg modularity $modQ below recorded floor 0.12")
       labels
     },
+    "q_ecg_votes" -> q { (s, dir) =>
+      // EXACT ECG gate: the ensemble's co-clustering vote table, full
+      // batched 4-run × 5-round unroll in DuckDB (MiscSql.ecgVotesSupplier).
+      // Integral perturbed weights make every sum exact — see ecgVotes.
+      Community.ecgVotes(Fixtures.supplierGraph(s, dir), ensembleSize = 4)
+        .filter(col(SRC) < col(DST))
+    },
     "q_edge_cut" -> q { (s, dir) =>
       val labels = Tables(s, dir, "supplier")
         .select(col("s_suppkey").as(ID), col("s_nationkey").cast("long").as("c"))
@@ -1155,6 +1162,7 @@ object SparkEntry {
          |FROM kverts v LEFT JOIN cnt c ON c.id = v.id""".stripMargin
     },
     "q_louvain_l1" -> MiscSql.louvainL1Supplier(rounds = 8),
+    "q_ecg_votes" -> MiscSql.ecgVotesSupplier(ensembleSize = 4, rounds = 5),
     "q_dolphins_jaccard" ->
       DatasetSql.jaccardTopK(sources.Datasets.dolphinsEdges, k = 20),
     "q_polbooks_triangles" ->

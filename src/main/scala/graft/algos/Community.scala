@@ -203,32 +203,47 @@ object Community {
     (labels, it)
   }
 
-  /** ECG (ensemble clustering): k randomized one-level Louvain runs re-weight
-    * edges by co-clustering frequency, then a final Louvain
-    * (reference `community/ecg.py:10`). Randomization: seeded per-run vertex
-    * priority perturbation. */
-  def ecg(g: PropertyGraph, ensembleSize: Int = 8, minWeight: Double = 0.05,
-          seed: Long = 42, finalMaxLevel: Int = 2): (DataFrame, Double) = {
+  /** Co-clustering vote table of the batched ECG ensemble: `ensembleSize`
+    * perturbed one-level Louvain runs in ONE run-keyed level
+    * (oneLevelKeyed — R runs cost one set of per-round jobs, not R), then
+    * votes = how many runs co-cluster each undirected edge's endpoints.
+    *
+    * The per-run perturbation is INTEGRAL: w · (10000 + md5-hash(edge,run)
+    * % 1000) — a uniform 10000× scaling of the classic w · (1 + p/10000)
+    * jitter, so the move structure is identical while every weight sum
+    * stays an exact integer-valued double (< 2^53). That makes the whole
+    * ensemble bit-reproducible across engines (the only inexact gain op
+    * is a pointwise product/division of identical operands), which is what
+    * lets q_ecg_votes gate this table EXACTLY in DuckDB. */
+  def ecgVotes(g: PropertyGraph, ensembleSize: Int = 8, seed: Long = 42,
+               maxIter: Int = 5): DataFrame = {
     val und = Structure.removeSelfLoops(
       Structure.symmetrize(g.weightedEdges.select(SRC, DST, WEIGHT), sumWeights = false))
       .mat
-    // ALL ensemble members run in one batched level keyed by `run`
-    // (oneLevelKeyed): R runs cost one set of per-round jobs, not R.
-    // Per-run weight perturbation diversifies the ensemble deterministically.
     val undR = und
       .select(explode(sequence(lit(0L), lit(ensembleSize - 1L))).as("run"),
         col(SRC), col(DST), col(WEIGHT))
       .select(col("run"), col(SRC), col(DST),
-        (col(WEIGHT) * (lit(1.0) +
-          (pmod(xxhash64(col(SRC), col(DST), lit(seed) + col("run")), lit(1000)) / lit(10000.0)))).as(WEIGHT))
-    val labels = oneLevelKeyed(undR, maxIter = 5, resolution = 1.0)._1.mat
+        (col(WEIGHT) * (lit(10000L) + pmod(graft.pipeline.TextOps.hash60(
+          concat_ws("|", lit("ecg"), col(SRC), col(DST), lit(seed) + col("run"))),
+          lit(1000)))).as(WEIGHT))
+    val labels = oneLevelKeyed(undR, maxIter, resolution = 1.0)._1.mat
     // co-clustering votes per edge: one pass over (run × edges)
-    val votes = und.select(SRC, DST)
+    und.select(SRC, DST)
       .select(explode(sequence(lit(0L), lit(ensembleSize - 1L))).as("run"), col(SRC), col(DST))
       .join(labels.select(col("run"), col(ID).as(SRC), col("community").as("ca")), Seq("run", SRC))
       .join(labels.select(col("run"), col(ID).as(DST), col("community").as("cb")), Seq("run", DST))
       .groupBy(SRC, DST)
       .agg(sum(when(col("ca") === col("cb"), 1.0).otherwise(0.0)).as("votes"))
+  }
+
+  /** ECG (ensemble clustering): k randomized one-level Louvain runs re-weight
+    * edges by co-clustering frequency, then a final Louvain
+    * (reference `community/ecg.py:10`). Randomization: seeded per-run edge
+    * weight perturbation (see [[ecgVotes]]). */
+  def ecg(g: PropertyGraph, ensembleSize: Int = 8, minWeight: Double = 0.05,
+          seed: Long = 42, finalMaxLevel: Int = 2): (DataFrame, Double) = {
+    val votes = ecgVotes(g, ensembleSize, seed)
     val reweighted = votes.select(col(SRC), col(DST),
       (lit(minWeight) + (lit(1.0) - lit(minWeight)) * col("votes") / lit(ensembleSize.toDouble)).as(WEIGHT))
     val g2 = PropertyGraph(Structure.extractVertexList(reweighted), reweighted,
