@@ -538,48 +538,82 @@ object MiscSql {
   def louvainL1Supplier(rounds: Int): String = {
     val b = new StringBuilder
     b ++= s"WITH $SUPP_EDGES_SQL,\n$SUPP_UND_SQL,\n"
-    b ++= "m2 AS MATERIALIZED (SELECT sum(weight) AS w FROM und),\n"
-    b ++= "ki AS MATERIALIZED (SELECT src AS id, sum(weight) AS k FROM und GROUP BY 1),\n"
-    b ++= "l0 AS MATERIALIZED (SELECT id, id AS c FROM ki),\n"
+    louvainRoundCtes(b, "l", "und", rounds)
+    b ++= s"fin AS MATERIALIZED (SELECT id, c AS community FROM l$rounds)\n"
+    b ++= "SELECT id, community FROM fin"
+    b.toString
+  }
+
+  /** Emits the unrolled one-level Louvain move-round CTEs over edge CTE
+    * `edges` (src, dst, weight; both directions present, self-loops
+    * allowed — they count toward k_i but are excluded from candidate
+    * moves, as in Community.oneLevelKeyed). CTE names are prefixed with
+    * `pfx`; final labels land in `${pfx}$rounds` (id, c). Leaves a
+    * trailing comma so callers can chain further CTEs. */
+  private def louvainRoundCtes(b: StringBuilder, pfx: String, edges: String,
+                               rounds: Int): Unit = {
+    b ++= s"${pfx}m2 AS MATERIALIZED (SELECT sum(weight) AS w FROM $edges),\n"
+    b ++= s"${pfx}ki AS MATERIALIZED (SELECT src AS id, sum(weight) AS k FROM $edges GROUP BY 1),\n"
+    b ++= s"${pfx}0 AS MATERIALIZED (SELECT id, id AS c FROM ${pfx}ki),\n"
     for (i <- 1 to rounds) {
       val p = i - 1
       val mask = if (i == 1) "TRUE" else s"(l.id + $i) % 2 = 0"
-      b ++= s"""tot$i AS MATERIALIZED (
-        |  SELECT l.c, sum(k.k) AS tot FROM l$p l JOIN ki k ON k.id = l.id GROUP BY 1
+      b ++= s"""${pfx}tot$i AS MATERIALIZED (
+        |  SELECT l.c, sum(k.k) AS tot FROM ${pfx}$p l JOIN ${pfx}ki k ON k.id = l.id GROUP BY 1
         |),
-        |nbr$i AS MATERIALIZED (
+        |${pfx}nbr$i AS MATERIALIZED (
         |  SELECT u.src AS id, l.c AS nc, sum(u.weight) AS w_in
-        |  FROM und u JOIN l$p l ON l.id = u.dst
+        |  FROM $edges u JOIN ${pfx}$p l ON l.id = u.dst
         |  WHERE u.src <> u.dst GROUP BY 1, 2
         |),
-        |cand$i AS MATERIALIZED (
+        |${pfx}cand$i AS MATERIALIZED (
         |  SELECT n.id, n.nc, cur.c AS c_cur,
         |         n.w_in - k.k * (CASE WHEN n.nc = cur.c THEN t.tot - k.k ELSE t.tot END)
-        |                  / (SELECT w FROM m2) AS gain
-        |  FROM nbr$i n
-        |  JOIN l$p cur ON cur.id = n.id
-        |  JOIN ki k ON k.id = n.id
-        |  JOIN tot$i t ON t.c = n.nc
+        |                  / (SELECT w FROM ${pfx}m2) AS gain
+        |  FROM ${pfx}nbr$i n
+        |  JOIN ${pfx}$p cur ON cur.id = n.id
+        |  JOIN ${pfx}ki k ON k.id = n.id
+        |  JOIN ${pfx}tot$i t ON t.c = n.nc
         |),
-        |best$i AS MATERIALIZED (
+        |${pfx}best$i AS MATERIALIZED (
         |  SELECT id, nc, gain, stay_gain FROM (
         |    SELECT id, nc, gain,
         |           row_number() OVER (PARTITION BY id ORDER BY gain DESC, nc ASC) AS rn,
         |           max(CASE WHEN nc = c_cur THEN gain END) OVER (PARTITION BY id) AS stay_gain
-        |    FROM cand$i
+        |    FROM ${pfx}cand$i
         |  ) WHERE rn = 1
         |),
-        |l$i AS MATERIALIZED (
+        |${pfx}$i AS MATERIALIZED (
         |  SELECT l.id,
         |         CASE WHEN b.nc IS NOT NULL AND $mask
         |                   AND b.gain > coalesce(b.stay_gain, 0) + 1e-12
         |              THEN b.nc ELSE l.c END AS c
-        |  FROM l$p l LEFT JOIN best$i b ON b.id = l.id
+        |  FROM ${pfx}$p l LEFT JOIN ${pfx}best$i b ON b.id = l.id
         |)""".stripMargin
       b ++= ",\n"
     }
-    b ++= s"fin AS MATERIALIZED (SELECT id, c AS community FROM l$rounds)\n"
-    b ++= "SELECT id, community FROM fin"
+  }
+
+  /** FULL two-level Louvain on the part co-order graph: level-1 unroll,
+    * graph contraction (Structure.coarsen as one groupBy-sum — coarsened
+    * weights stay integral, so the exactness argument survives the
+    * level boundary), level-2 unroll on the contracted graph, then the
+    * dendrogram flatten join. The Spark side asserts exactly 2 levels ran
+    * (the modularity-improvement branch the SQL does not model). */
+  def louvainFullPart(iters: Int = 5): String = {
+    val b = new StringBuilder
+    b ++= s"WITH $PART_EDGES_SQL,\n"
+    b ++= "pund AS MATERIALIZED (SELECT src, dst, weight FROM part_edges UNION ALL SELECT dst, src, weight FROM part_edges),\n"
+    louvainRoundCtes(b, "a", "pund", iters)
+    b ++= s"""cund AS MATERIALIZED (
+      |  SELECT la.c AS src, lb.c AS dst, sum(e.weight) AS weight
+      |  FROM pund e JOIN a$iters la ON la.id = e.src JOIN a$iters lb ON lb.id = e.dst
+      |  GROUP BY 1, 2
+      |),
+      |""".stripMargin
+    louvainRoundCtes(b, "b", "cund", iters)
+    b ++= s"fin AS MATERIALIZED (SELECT a.id, b.c AS louvain FROM a$iters a JOIN b$iters b ON b.id = a.c)\n"
+    b ++= "SELECT id, louvain FROM fin"
     b.toString
   }
 

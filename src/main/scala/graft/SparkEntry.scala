@@ -184,11 +184,16 @@ object SparkEntry {
       core
     },
     "q_louvain" -> q { (s, dir) =>
-      val (labels, q) = Community.louvain(Fixtures.partGraph(s, dir), maxLevel = 2, maxIter = 5)
+      val (labels, q, levels) =
+        Community.louvainWithLevels(Fixtures.partGraph(s, dir), maxLevel = 2, maxIter = 5)
       // quality floor: recorded 0.0515 (sf0.01) / 0.0493 (sf0.1) — a
       // degraded move phase (e.g. broken gain formula or oscillation
       // re-appearing) lands well below it
       require(!q.isNaN && q >= 0.04, s"louvain modularity $q below recorded floor 0.04")
+      // EXACT since r5: MiscSql.louvainFullPart unrolls both levels plus
+      // the contraction unconditionally — assert that branch is the one
+      // the run actually took (level 2 entered on modularity improvement)
+      require(levels == 2, s"oracle unrolls exactly 2 levels, ran $levels")
       labels
     },
     "q_louvain_l1" -> q { (s, dir) =>
@@ -1161,6 +1166,7 @@ object SparkEntry {
          |SELECT v.id, coalesce(c.triangle_count, 0) AS triangle_count
          |FROM kverts v LEFT JOIN cnt c ON c.id = v.id""".stripMargin
     },
+    "q_louvain" -> MiscSql.louvainFullPart(iters = 5),
     "q_louvain_l1" -> MiscSql.louvainL1Supplier(rounds = 8),
     "q_ecg_votes" -> MiscSql.ecgVotesSupplier(ensembleSize = 4, rounds = 5),
     "q_dolphins_jaccard" ->

@@ -45,6 +45,16 @@ object Community {
     * ties broken by smallest community id. */
   def louvain(g: PropertyGraph, maxLevel: Int = 10, maxIter: Int = 20,
               resolution: Double = 1.0, threshold: Double = 1e-7): (DataFrame, Double) = {
+    val (f, q, _) = louvainWithLevels(g, maxLevel, maxIter, resolution, threshold)
+    (f, q)
+  }
+
+  /** [[louvain]] also reporting how many levels actually RAN, so exact
+    * gates can assert the branch the oracle unrolled (q_louvain requires
+    * levels == 2 — the DuckDB side computes both levels unconditionally). */
+  def louvainWithLevels(g: PropertyGraph, maxLevel: Int = 10, maxIter: Int = 20,
+                        resolution: Double = 1.0,
+                        threshold: Double = 1e-7): (DataFrame, Double, Int) = {
     val base = Structure.removeSelfLoops(
       Structure.symmetrize(g.weightedEdges.select(SRC, DST, WEIGHT), sumWeights = false))
       .mat
@@ -82,7 +92,7 @@ object Community {
         lvlEdges = Structure.coarsen(lvlEdges, lvlLabels).mat
       }
     }
-    (flat, prevQ)
+    (flat, prevQ, level)
   }
 
   /** One Louvain level: synchronous best-move rounds until no vertex moves.
