@@ -617,6 +617,39 @@ object MiscSql {
     b.toString
   }
 
+  /** Exact Leiden-refinement gate: level-1 Louvain labels (the
+    * louvainL1Supplier schedule), then the Leiden connectivity refinement
+    * — WCC over intra-community edges — unrolled as `wccRounds` min-label
+    * propagation steps (the same step wccSupplier unrolls). The move
+    * phase is already exactness-argued (integral weights); the refinement
+    * adds only joins + min aggregates, so the whole composition is
+    * bit-reproducible. Spark asserts convergence within both budgets. */
+  def leidenRefineSupplier(l1Rounds: Int, wccRounds: Int): String = {
+    val b = new StringBuilder
+    b ++= s"WITH $SUPP_EDGES_SQL,\n$SUPP_UND_SQL,\n"
+    louvainRoundCtes(b, "l", "und", l1Rounds)
+    b ++= s"""lab AS MATERIALIZED (SELECT id, c FROM l$l1Rounds),
+      |intra AS MATERIALIZED (
+      |  SELECT u.src, u.dst FROM und u
+      |  JOIN lab la ON la.id = u.src JOIN lab lb ON lb.id = u.dst
+      |  WHERE la.c = lb.c
+      |),
+      |w0 AS MATERIALIZED (SELECT id, id AS component FROM lab),
+      |""".stripMargin
+    for (i <- 1 to wccRounds) {
+      b ++= s"""w$i AS MATERIALIZED (
+        |  SELECT v.id, least(v.component, coalesce(m.nbr_min, v.component)) AS component
+        |  FROM w${i - 1} v LEFT JOIN (
+        |    SELECT u.dst AS id, min(p.component) AS nbr_min
+        |    FROM intra u JOIN w${i - 1} p ON p.id = u.src GROUP BY 1
+        |  ) m ON m.id = v.id
+        |)""".stripMargin
+      b ++= (if (i < wccRounds) ",\n" else "\n")
+    }
+    b ++= s"SELECT id, component AS leiden FROM w$wccRounds"
+    b.toString
+  }
+
   /** ECG co-clustering votes on the supplier graph: the full batched
     * ensemble of Community.ecgVotes unrolled — `ensembleSize` runs with
     * integral md5-perturbed weights through `rounds` run-keyed Louvain

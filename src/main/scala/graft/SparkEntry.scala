@@ -440,6 +440,15 @@ object SparkEntry {
         "polbooks metadata mismatch")
       Triangles.countPerVertex(g)
     },
+    "q_karate_disjoint_wcc" -> q { (s, _) =>
+      // the reference's DEFAULT_DATASETS multi-component fixture: WCC must
+      // find exactly the two karate copies (components rooted at 0 and 34)
+      val g = sources.Datasets.getGraph(s, "karate-disjoint")
+      require(g.numVertices == 68, "karate-disjoint metadata mismatch")
+      val (labels, rounds) = Components.wccWithRounds(g)
+      require(rounds <= 8, s"karate-disjoint WCC took $rounds rounds, oracle unrolls 8")
+      labels
+    },
     "q_netscience_wcc" -> q { (s, _) =>
       // weighted curated dataset (Newman coauthorship): component labels.
       // netscience is famously disconnected (hundreds of components);
@@ -807,6 +816,18 @@ object SparkEntry {
       require(!modQ.isNaN && modQ >= 0.002, s"leiden modularity $modQ below recorded floor 0.002")
       labels
     },
+    "q_leiden_refine" -> q { (s, dir) =>
+      // EXACT Leiden gate for the refinement pass (the Leiden-specific
+      // step — Louvain's move logic is pinned by q_louvain_l1/q_louvain):
+      // L1 labels on the supplier graph, then WCC over intra-community
+      // edges, both unrolled in DuckDB (MiscSql.leidenRefineSupplier).
+      val g = Fixtures.supplierGraph(s, dir)
+      val (labels, lr) = Community.oneLevelWithRounds(g, maxIter = 8)
+      require(lr <= 8, s"louvain level-1 took $lr rounds, oracle unrolls 8")
+      val (refined, wr) = Community.leidenRefine(g, labels, "community")
+      require(wr <= 6, s"refinement WCC took $wr rounds, oracle unrolls 6")
+      refined
+    },
     "q_ecg" -> q { (s, dir) =>
       val (labels, modQ) = Community.ecg(Fixtures.supplierGraph(s, dir), ensembleSize = 4)
       // recorded 0.201 (sf0.01) / 0.140 (sf0.1)
@@ -1169,12 +1190,15 @@ object SparkEntry {
     "q_louvain" -> MiscSql.louvainFullPart(iters = 5),
     "q_louvain_l1" -> MiscSql.louvainL1Supplier(rounds = 8),
     "q_ecg_votes" -> MiscSql.ecgVotesSupplier(ensembleSize = 4, rounds = 5),
+    "q_leiden_refine" -> MiscSql.leidenRefineSupplier(l1Rounds = 8, wccRounds = 6),
     "q_dolphins_jaccard" ->
       DatasetSql.jaccardTopK(sources.Datasets.dolphinsEdges, k = 20),
     "q_polbooks_triangles" ->
       DatasetSql.triangles(sources.Datasets.polbooksEdges),
     "q_netscience_wcc" ->
       DatasetSql.wcc(sources.Datasets.netscienceEdges.map(e => (e._1, e._2)), rounds = 25),
+    "q_karate_disjoint_wcc" ->
+      DatasetSql.wcc(sources.Datasets.karateDisjointEdges, rounds = 8),
     "q_mst" -> MiscSql.mstSupplier(rounds = 7),
     "q_mst_max" -> MiscSql.mstSupplier(rounds = 7, maximum = true),
     "q_kcore" -> MiscSql.kcoreSupplier(k = 50, rounds = 4),

@@ -273,17 +273,30 @@ object Community {
     // near-equal-gain communities with no measurable modularity change —
     // the refinement pass below is what guarantees Leiden's invariant
     val (labels, _) = louvain(g, maxLevel, maxIter = maxIter, resolution = resolution)
-    val und = Structure.symmetrize(g.edges.select(SRC, DST)).mat
-    // intra-community edges only, then WCC per community piece
-    val intra = und
-      .join(labels.select(col(ID).as(SRC), col("louvain").as("ca")), SRC)
-      .join(labels.select(col(ID).as(DST), col("louvain").as("cb")), DST)
-      .filter(col("ca") === col("cb")).select(SRC, DST)
-    val sub = PropertyGraph(labels.select(ID), intra, g.props.copy(directed = false))
-    val refined = Components.wcc(sub).withColumnRenamed("component", "leiden")
+    val (refined, _) = leidenRefine(g, labels, "louvain")
     val base = Structure.removeSelfLoops(
       Structure.symmetrize(g.weightedEdges.select(SRC, DST, WEIGHT), sumWeights = false))
     (refined, modularity(base, refined, resolution))
+  }
+
+  /** The Leiden refinement pass in isolation: split every community into
+    * its weakly connected pieces (reference `detail/refine_impl.cuh` —
+    * the connectivity invariant plain Louvain lacks). Deterministic given
+    * the input labels: intra-community edge filter (2 joins) + min-label
+    * WCC, so it is EXACT-gateable by unrolling the same propagation in
+    * SQL (q_leiden_refine). Returns (labels(id, leiden), wccRounds) — the
+    * round count lets the gate assert convergence within the oracle's
+    * unrolled budget. */
+  def leidenRefine(g: PropertyGraph, labels: DataFrame,
+                   labelCol: String): (DataFrame, Int) = {
+    val und = Structure.symmetrize(g.edges.select(SRC, DST)).mat
+    val intra = und
+      .join(labels.select(col(ID).as(SRC), col(labelCol).as("ca")), SRC)
+      .join(labels.select(col(ID).as(DST), col(labelCol).as("cb")), DST)
+      .filter(col("ca") === col("cb")).select(SRC, DST)
+    val sub = PropertyGraph(labels.select(ID), intra, g.props.copy(directed = false))
+    val (refined, rounds) = Components.wccWithRounds(sub)
+    (refined.withColumnRenamed("component", "leiden"), rounds)
   }
 
   /** Edge cut of a partition: total weight of edges crossing clusters

@@ -35,6 +35,13 @@ object Datasets {
     (28, 31), (28, 33), (29, 32), (29, 33), (30, 32), (30, 33), (31, 32),
     (31, 33), (32, 33)).map { case (a, b) => (a.toLong, b.toLong) }
 
+  /** Two disjoint karate copies, second offset by +34 (reference
+    * `datasets/metadata/karate_disjoint.yaml`: 68 vertices, 312 stored
+    * directions = 156 canonical pairs) — the reference's DEFAULT_DATASETS
+    * multi-component fixture (`testing/__init__.py:39-64`). */
+  lazy val karateDisjointEdges: Seq[(Long, Long)] =
+    karateEdges ++ karateEdges.map { case (a, b) => (a + 34L, b + 34L) }
+
   lazy val dolphinsEdges: Seq[(Long, Long)] =
     DatasetData.parseUnweighted(DatasetData.dolphins)
   lazy val polbooksEdges: Seq[(Long, Long)] =
@@ -45,6 +52,12 @@ object Datasets {
   val registry: Map[String, Meta] = Map(
     "karate" -> Meta("karate", directed = false, weighted = false, 34, 78,
       description = "Zachary's karate club social network (1977)",
+      refs = "W. W. Zachary, An information flow model for conflict and " +
+        "fission in small groups, J. Anthropol. Res. 33, 452-473 (1977)"),
+    "karate-disjoint" -> Meta("karate-disjoint", directed = false,
+      weighted = false, 68, 156,
+      description = "Disjoint variant of the karate dataset: two copies " +
+        "of Zachary's club with the second id-shifted by 34",
       refs = "W. W. Zachary, An information flow model for conflict and " +
         "fission in small groups, J. Anthropol. Res. 33, 452-473 (1977)"),
     "dolphins" -> Meta("dolphins", directed = false, weighted = false, 62, 159,
@@ -66,6 +79,7 @@ object Datasets {
     import spark.implicits._
     name match {
       case "karate" => karateEdges.toDF(Gr.SRC, Gr.DST)
+      case "karate-disjoint" => karateDisjointEdges.toDF(Gr.SRC, Gr.DST)
       case "dolphins" => dolphinsEdges.toDF(Gr.SRC, Gr.DST)
       case "polbooks" => polbooksEdges.toDF(Gr.SRC, Gr.DST)
       case "netscience" => netscienceEdges.toDF(Gr.SRC, Gr.DST, Gr.WEIGHT)

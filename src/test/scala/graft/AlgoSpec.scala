@@ -217,6 +217,20 @@ class AlgoSpec extends SparkSpec {
     assert(ecg(1) == ecg(64))
   }
 
+  test("Leiden refinement splits a disconnected community into its pieces") {
+    // force a label table that merges two components into one community:
+    // the refinement (WCC over intra-community edges) must split them —
+    // the Leiden connectivity invariant (detail/refine_impl.cuh)
+    val g = wGraphOf(Seq((1L, 2L, 1.0), (2L, 3L, 1.0), (4L, 5L, 1.0)),
+      directed = false)
+    val labels = spark.createDataFrame(
+      Seq((1L, 0L), (2L, 0L), (3L, 0L), (4L, 0L), (5L, 0L))).toDF("id", "c")
+    val (refined, rounds) = Community.leidenRefine(g, labels, "c")
+    assert(rounds <= 4)
+    val m = refined.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L))
+  }
+
   test("Boruvka MST total weight on a known weighted graph") {
     // square 1-2-3-4 with diagonal: MST = {1-2:1, 2-3:1, 3-4:1} weight 3
     val g = wGraphOf(Seq((1L, 2L, 1.0), (2L, 3L, 1.0), (3L, 4L, 1.0),

@@ -57,6 +57,15 @@ class SourcesSpec extends SparkSpec {
     assert(algos.Triangles.countTotal(g) == 45)
   }
 
+  test("karate-disjoint: two components rooted at 0 and 34, sizes 34+34") {
+    val g = Datasets.getGraph(spark, "karate-disjoint")
+    assert(Datasets.karateDisjointEdges.length == 156)
+    val comp = algos.Components.wcc(g)
+    val sizes = comp.groupBy("component").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sizes == Map(0L -> 34L, 34L -> 34L))
+  }
+
   test("curated registry: dolphins / polbooks / netscience match published stats") {
     // published counts (reference dataset metadata YAMLs; the YAMLs count
     // both stored directions of the symmetric CSVs, we count canonical pairs)
