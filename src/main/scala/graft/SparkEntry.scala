@@ -339,6 +339,21 @@ object SparkEntry {
     "q_split" -> q { (s, dir) =>
       pipeline.TextAnalysis.trainValSplit(Fixtures.documents(s, dir), valPct = 5)
     },
+    "q_source_cap" -> q { (s, dir) =>
+      // per-domain cap: at most 10 docs per source, hash-priority pick
+      pipeline.TextAnalysis.sourceCap(Fixtures.documents(s, dir), maxPerKey = 10)
+    },
+    "q_stratified" -> q { (s, dir) =>
+      // corpus mixing weights by language (ppm): en 50%, fr/es 25%,
+      // de 12.5%, default (zh) 10%
+      pipeline.TextAnalysis.stratifiedSample(Fixtures.documents(s, dir),
+        ratesPpm = Map("en" -> 500000L, "fr" -> 250000L, "es" -> 250000L,
+          "de" -> 125000L), defaultPpm = 100000L)
+    },
+    "q_pack" -> q { (s, dir) =>
+      // concat-then-chunk packing into 2048-token contexts, 8 packer buckets
+      pipeline.TextAnalysis.packChunks(Fixtures.documents(s, dir), budget = 2048L)
+    },
     "q_token_count" -> q { (s, dir) =>
       pipeline.TextAnalysis.tokenCounts(Fixtures.documents(s, dir))
     },
@@ -1111,6 +1126,39 @@ object SparkEntry {
         |  CASE WHEN CAST('0x' || substr(md5(concat_ws('|', 'split', doc_id, 42)), 1, 15) AS BIGINT) % 100 < 95
         |       THEN 'train' ELSE 'val' END AS split
         |FROM documents""".stripMargin,
+    "q_source_cap" ->
+      """WITH pri AS MATERIALIZED (
+        |  SELECT doc_id, source,
+        |         CAST('0x' || substr(md5(concat_ws('|', 'cap', doc_id, 42)), 1, 15) AS BIGINT) AS pri
+        |  FROM documents
+        |),
+        |rn AS (SELECT doc_id, source,
+        |              row_number() OVER (PARTITION BY source ORDER BY pri, doc_id) AS rn
+        |       FROM pri)
+        |SELECT doc_id, source FROM rn WHERE rn <= 10""".stripMargin,
+    "q_stratified" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE CAST('0x' || substr(md5(concat_ws('|', 'strat', doc_id, 42)), 1, 15) AS BIGINT) % 1000000
+        |      < CASE lang WHEN 'en' THEN 500000 WHEN 'fr' THEN 250000
+        |                  WHEN 'es' THEN 250000 WHEN 'de' THEN 125000
+        |                  ELSE 100000 END""".stripMargin,
+    "q_pack" ->
+      """WITH b AS MATERIALIZED (
+        |  SELECT doc_id,
+        |         CAST('0x' || substr(md5(concat_ws('|', 'pack', doc_id, 42)), 1, 15) AS BIGINT) AS pri,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |),
+        |c AS (
+        |  SELECT doc_id, pri % 8 AS bucket, n_tokens,
+        |         coalesce(sum(n_tokens) OVER (
+        |           PARTITION BY pri % 8 ORDER BY pri, doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        |  FROM b
+        |)
+        |SELECT doc_id, bucket, cum_before // 2048 AS chunk,
+        |       cum_before % 2048 AS "offset", n_tokens
+        |FROM c""".stripMargin,
     "q_token_count" -> PipelineSql.tokenCounts,
     "q_quality" -> PipelineSql.quality,
     "q_langid" -> PipelineSql.langId,

@@ -96,6 +96,64 @@ object TextAnalysis {
       when(pmod(TextOps.hash60(concat_ws("|", lit("split"), col(idCol), lit(seed))),
         lit(100L)) < (100L - valPct), "train").otherwise("val").as("split"))
 
+  /** Per-source document cap (the per-domain cap a web corpus applies
+    * before training): keep at most `maxPerKey` docs per `keyCol`, chosen
+    * by deterministic doc-id hash priority — stable under repartitioning
+    * and re-runs, no rand(). Window top-k per key; a heavy-hitter source
+    * at corpus scale can swap the window for the ReservoirSample
+    * aggregate (bounded state, no per-key sort). Output: kept rows only. */
+  def sourceCap(docs: DataFrame, maxPerKey: Int, keyCol: String = "source",
+                idCol: String = "doc_id", seed: Long = 42): DataFrame = {
+    val pri = TextOps.hash60(concat_ws("|", lit("cap"), col(idCol), lit(seed)))
+    val w = Window.partitionBy(keyCol).orderBy(col("pri"), col(idCol))
+    docs.select(col(idCol), col(keyCol), pri.as("pri"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= maxPerKey)
+      .select(col(idCol), col(keyCol))
+  }
+
+  /** Stratified corpus mixture sampling: per-stratum keep rates in parts
+    * per million (language/source mixing weights), decided by a
+    * deterministic doc-id hash — a pure map-side filter that never
+    * shuffles at any corpus size. Integral ppm rates keep the threshold
+    * compare exact across engines (no float rate × 1e6 rounding). Strata
+    * absent from `ratesPpm` fall back to `defaultPpm`. */
+  def stratifiedSample(docs: DataFrame, ratesPpm: Map[String, Long],
+                       defaultPpm: Long = 0L, strataCol: String = "lang",
+                       idCol: String = "doc_id", seed: Long = 42): DataFrame = {
+    val u = pmod(TextOps.hash60(
+      concat_ws("|", lit("strat"), col(idCol), lit(seed))), lit(1000000L))
+    val rate = ratesPpm.foldLeft(lit(defaultPpm)) { case (acc, (k, r)) =>
+      when(col(strataCol) === k, lit(r)).otherwise(acc)
+    }
+    docs.select(col(idCol), col(strataCol)).filter(u < rate)
+  }
+
+  /** Concat-then-chunk sequence packing: documents are deterministically
+    * sharded into `nBuckets` packer buckets, hash-ordered within each,
+    * and the running token total assigns each doc the fixed-size context
+    * chunk its first token lands in (chunk = cum_before div budget,
+    * offset = cum_before mod budget) — the standard pretraining packing
+    * layout. Each bucket is one window partition, so parallelism scales
+    * with `nBuckets` (set it to O(cluster cores) at corpus scale); there
+    * is never a global sort. Output (doc_id, bucket, chunk, offset,
+    * n_tokens). */
+  def packChunks(docs: DataFrame, budget: Long, nBuckets: Int = 8,
+                 idCol: String = "doc_id", textCol: String = "text",
+                 seed: Long = 42): DataFrame = {
+    val h = TextOps.hash60(concat_ws("|", lit("pack"), col(idCol), lit(seed)))
+    val base = docs.select(col(idCol),
+      pmod(h, lit(nBuckets.toLong)).as("bucket"), h.as("pri"),
+      size(tokens(col(textCol))).cast("long").as("n_tokens"))
+    val w = Window.partitionBy("bucket").orderBy(col("pri"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    base
+      .withColumn("cum_before", coalesce(sum("n_tokens").over(w), lit(0L)))
+      .select(col(idCol), col("bucket"),
+        expr(s"cum_before div $budget").as("chunk"),
+        pmod(col("cum_before"), lit(budget)).as("offset"), col("n_tokens"))
+  }
+
   /** Benchmark decontamination: flag training documents whose word
     * n-grams overlap a benchmark set — the standard eval-leakage filter a
     * training corpus runs before every release. Distinct doc×benchmark

@@ -31,6 +31,41 @@ class PipelineSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("curation: source cap, stratified mixture, and chunk packing are deterministic") {
+    import spark.implicits._
+    val d = (0L until 120L).map { i =>
+      (i, s"tok${i % 7} tok${i % 5} tok${i % 3} filler words here", // 7 tokens
+        if (i % 3 == 0) "en" else if (i % 3 == 1) "fr" else "zh",
+        s"src${i % 4}")
+    }.toDF("doc_id", "text", "lang", "source")
+    // cap: at most 5 per source, stable under repartitioning
+    val cap = TextAnalysis.sourceCap(d, maxPerKey = 5)
+    val bySrc = cap.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc.values.forall(_ == 5) && bySrc.size == 4)
+    val cap64 = TextAnalysis.sourceCap(d.repartition(64), maxPerKey = 5)
+    assert(cap.collect().map(_.getLong(0)).toSet ==
+      cap64.collect().map(_.getLong(0)).toSet)
+    // stratified: kept docs are a subset of their stratum; zh fully dropped
+    val kept = TextAnalysis.stratifiedSample(d,
+      ratesPpm = Map("en" -> 1000000L, "fr" -> 500000L), defaultPpm = 0L)
+    val langs = kept.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(langs("en") == 40L) // rate 1.0 keeps the whole stratum
+    assert(langs.getOrElse("zh", 0L) == 0L)
+    assert(langs("fr") > 0L && langs("fr") < 40L)
+    // packing: within each bucket the chunk/offset walk reconstructs the
+    // running token total exactly (concat-then-chunk invariant)
+    val packed = TextAnalysis.packChunks(d, budget = 16L, nBuckets = 4)
+    packed.collect().groupBy(_.getLong(1)).foreach { case (_, rows) =>
+      var cum = 0L
+      rows.sortBy(r => (r.getLong(2), r.getLong(3))).foreach { r =>
+        assert(r.getLong(2) == cum / 16L && r.getLong(3) == cum % 16L)
+        cum += r.getLong(4)
+      }
+    }
+  }
+
   test("DF-capped ngram Jaccard keeps recall >= 0.95 vs exact on hub-heavy docs") {
     import spark.implicits._
     // 40 docs: 20 near-dup pairs with distinctive content, all sharing the

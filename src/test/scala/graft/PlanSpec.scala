@@ -46,6 +46,17 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("n_chars"), "tokenCounts scan reads unused columns")
   }
 
+  test("stratified sampling is a pure map-side filter — no Exchange in the plan") {
+    // the corpus-mixing filter must never shuffle: at 100 TB it is a
+    // scan+filter whose selectivity Catalyst can fold into the file scan
+    val docs = Fixtures.documents(spark, "/root/testdata/sf0.001")
+    val kept = graft.pipeline.TextAnalysis.stratifiedSample(docs,
+      ratesPpm = Map("en" -> 500000L), defaultPpm = 100000L)
+    kept.collect()
+    val plan = planOf(kept)
+    assert(!plan.contains("Exchange"), "stratifiedSample introduced a shuffle:\n" + plan.take(1200))
+  }
+
   test("brute-force ANN broadcasts the query side, never a cartesian or shuffle of the corpus") {
     val emb = Fixtures.embeddings(spark, "/root/testdata/sf0.001")
     val top = graft.pipeline.Ann.bruteForceTopK(emb, emb.filter(col("vec_id") < 2), k = 3)
