@@ -215,7 +215,8 @@ object OracleSql {
     * delta(v) = sigma_v · Σ_{w∈succ} (1+delta_w)/sigma_w. Undirected ⇒
     * halve; normalized by (n-1)(n-2)/2. `levels` must be ≥ the graph's
     * eccentricity — the Spark query asserts that. */
-  def betweennessSupplier(levels: Int, k: Option[Int] = None, seed: Long = 42): String = {
+  def betweennessSupplier(levels: Int, k: Option[Int] = None, seed: Long = 42,
+                          endpoints: Boolean = false): String = {
     val b = new StringBuilder
     b ++= s"WITH $SUPP_EDGES_SQL,\n$SUPP_UND_SQL,\n$SUPP_VERTS_SQL,\n"
     b ++= "nv AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts),\n"
@@ -257,13 +258,37 @@ object OracleSql {
     b ++= "alldelta AS MATERIALIZED (" +
       (0 to levels).map(l => s"SELECT root, id, delta FROM d$l").mkString(" UNION ALL ") + "),\n"
     val kScale = k.map(kk => s" * $kk / (SELECT n FROM nv)").getOrElse("")
-    b ++= s"""bc AS MATERIALIZED (
-      |  SELECT id, sum(delta) / 2.0 AS raw FROM alldelta WHERE root <> id GROUP BY id
-      |)
-      |SELECT v.id,
-      |  round(coalesce(bc.raw, 0) / (((SELECT n FROM nv) - 1) * ((SELECT n FROM nv) - 2) / 2.0$kScale), 6)
-      |    AS betweenness_centrality
-      |FROM verts v LEFT JOIN bc ON bc.id = v.id""".stripMargin
+    if (!endpoints) {
+      b ++= s"""bc AS MATERIALIZED (
+        |  SELECT id, sum(delta) / 2.0 AS raw FROM alldelta WHERE root <> id GROUP BY id
+        |)
+        |SELECT v.id,
+        |  round(coalesce(bc.raw, 0) / (((SELECT n FROM nv) - 1) * ((SELECT n FROM nv) - 2) / 2.0$kScale), 6)
+        |    AS betweenness_centrality
+        |FROM verts v LEFT JOIN bc ON bc.id = v.id""".stripMargin
+    } else {
+      // endpoints=True (reference betweenness_centrality.py:16): every
+      // (s,t) pair also counts its endpoints — each root adds
+      // (reached − 1), every vertex adds the number of roots reaching it;
+      // both read off the settled set s$levels. Halve with the path sum
+      // (undirected double-count), normalize by n(n−1)/2 instead of
+      // (n−1)(n−2)/2 — exactly the Spark side's order of operations.
+      b ++= s"""bc AS MATERIALIZED (
+        |  SELECT id, sum(delta) AS raw FROM alldelta WHERE root <> id GROUP BY id
+        |),
+        |rr AS MATERIALIZED (
+        |  SELECT root AS id, CAST(count(*) - 1 AS DOUBLE) AS rr FROM s$levels GROUP BY 1
+        |),
+        |sr AS MATERIALIZED (
+        |  SELECT id, CAST(count(*) AS DOUBLE) AS sr FROM s$levels WHERE root <> id GROUP BY 1
+        |)
+        |SELECT v.id,
+        |  round((coalesce(bc.raw, 0) + coalesce(rr.rr, 0) + coalesce(sr.sr, 0)) / 2.0
+        |        / ((SELECT n FROM nv) * ((SELECT n FROM nv) - 1) / 2.0$kScale), 6)
+        |    AS betweenness_centrality
+        |FROM verts v LEFT JOIN bc ON bc.id = v.id
+        |  LEFT JOIN rr ON rr.id = v.id LEFT JOIN sr ON sr.id = v.id""".stripMargin
+    }
     b.toString
   }
 

@@ -115,6 +115,15 @@ object SparkEntry {
       require(levels <= 4, s"BFS eccentricity $levels exceeds oracle level budget 4")
       res.select(col(ID), round(col("betweenness_centrality"), 6).as("betweenness_centrality"))
     },
+    "q_betweenness_endpoints" -> q { (s, dir) =>
+      // endpoints=True option (reference betweenness_centrality.py:16):
+      // same Brandes states, endpoint terms from the settled set
+      val g = Fixtures.supplierGraph(s, dir)
+      val (res, levels) =
+        Centrality.betweennessWithLevels(g, k = Some(32), endpoints = true)
+      require(levels <= 4, s"BFS eccentricity $levels exceeds oracle level budget 4")
+      res.select(col(ID), round(col("betweenness_centrality"), 6).as("betweenness_centrality"))
+    },
     "q_edge_betweenness" -> q { (s, dir) =>
       val g = Fixtures.supplierGraph(s, dir)
       val (res, levels) = Centrality.edgeBetweennessWithLevels(g, k = Some(16))
@@ -898,6 +907,19 @@ object SparkEntry {
         Fixtures.supplierSimDeg(s, dir), Similarity.Jaccard, Fixtures.supplierSimNV(s, dir))
       r.select(col(SRC), col(DST), round(col("jaccard_coeff"), 6).as("jaccard_coeff"))
     },
+    "q_jaccard_pairs" -> q { (s, dir) =>
+      // vertex_pair variant (reference jaccard.py:20): score an EXPLICIT
+      // pair list — each ranked vertex with its 3rd successor, a mix of
+      // adjacent and non-adjacent (zero-intersection) pairs
+      val g = Fixtures.supplierGraph(s, dir)
+      val ranked = Structure.extractVertexList(g.edges)
+        .select(col(ID), row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(ID)).as("rn"))
+      val pairs = ranked.as("x").join(ranked.as("y"), col("y.rn") === col("x.rn") + 3)
+        .select(col("x." + ID).as("a"), col("y." + ID).as("b"))
+      Similarity.forPairs(g, pairs, Similarity.Jaccard)
+        .select(col(SRC), col(DST), round(col("jaccard_coeff"), 6).as("jaccard_coeff"))
+    },
     "q_overlap" -> q { (s, dir) =>
       val r = Similarity.scoreFrom(Fixtures.supplierSimInter(s, dir),
         Fixtures.supplierSimDeg(s, dir), Similarity.Overlap, Fixtures.supplierSimNV(s, dir))
@@ -968,6 +990,8 @@ object SparkEntry {
          |  round((coalesce(i.d, 0) + coalesce(o.d, 0)) / ((SELECT n FROM nv) - 1), 6) AS degree_centrality
          |FROM verts v LEFT JOIN outd o ON o.id = v.id LEFT JOIN ind i ON i.id = v.id""".stripMargin,
     "q_betweenness" -> OracleSql.betweennessSupplier(levels = 4, k = Some(32)),
+    "q_betweenness_endpoints" ->
+      OracleSql.betweennessSupplier(levels = 4, k = Some(32), endpoints = true),
     "q_edge_betweenness" -> OracleSql.edgeBetweennessSupplier(levels = 4, k = 16),
     "q_pagerank" -> OracleSql.pagerankSupplier(iters = 10),
     "q_ppr" -> OracleSql.pprSupplier(iters = 10, k = 5),
@@ -1344,6 +1368,27 @@ object SparkEntry {
     "q_cosine_weighted" -> similarityWeightedSql(
       "round(i.i / sqrt(da.d * db.d), 6)", "cosine_coeff"),
     "q_jaccard" -> similaritySql("round(CAST(i.i AS DOUBLE) / (da.d + db.d - i.i), 6)", "jaccard_coeff"),
+    "q_jaccard_pairs" ->
+      s"""WITH ${Fixtures.SUPP_EDGES_SQL},
+         |${Fixtures.SUPP_UND_SQL},
+         |${Fixtures.SUPP_VERTS_SQL},
+         |ranked AS MATERIALIZED (SELECT id, row_number() OVER (ORDER BY id) AS rn FROM verts),
+         |pairs AS MATERIALIZED (
+         |  SELECT x.id AS a, y.id AS b FROM ranked x JOIN ranked y ON y.rn = x.rn + 3
+         |),
+         |deg AS MATERIALIZED (SELECT src AS id, count(*) AS d FROM und GROUP BY 1),
+         |inter AS MATERIALIZED (
+         |  SELECT p.a, p.b, count(*) AS i
+         |  FROM pairs p
+         |  JOIN und na ON na.src = p.a JOIN und nb ON nb.src = p.b AND nb.dst = na.dst
+         |  GROUP BY 1, 2
+         |)
+         |SELECT p.a AS src, p.b AS dst,
+         |       round(CAST(coalesce(i.i, 0) AS DOUBLE)
+         |             / (da.d + db.d - coalesce(i.i, 0)), 6) AS jaccard_coeff
+         |FROM pairs p
+         |LEFT JOIN inter i ON i.a = p.a AND i.b = p.b
+         |JOIN deg da ON da.id = p.a JOIN deg db ON db.id = p.b""".stripMargin,
     "q_overlap" -> similaritySql("round(CAST(i.i AS DOUBLE) / least(da.d, db.d), 6)", "overlap_coeff"),
     "q_cosine" -> similaritySql("round(CAST(i.i AS DOUBLE) / sqrt(CAST(da.d AS DOUBLE) * db.d), 6)", "cosine_coeff"),
     "q_sorensen" -> similaritySql("round(2.0 * i.i / (da.d + db.d), 6)", "sorensen_coeff"),
