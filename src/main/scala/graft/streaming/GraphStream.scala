@@ -171,6 +171,68 @@ object GraphStream {
       .dropDuplicates("id_a", "id_b")
   }
 
+  final case class BandHitT(band: Int, bk: String, docId: Long,
+                            ts: java.sql.Timestamp)
+  final case class CandidatePairT(id_a: Long, id_b: Long,
+                                  ts: java.sql.Timestamp)
+
+  /** [[streamingLshCandidates]] with a BOUNDED pair-dedup store: the
+    * input carries an event-time column, and the trailing duplicate drop
+    * becomes `dropDuplicatesWithinWatermark` — pair-dedup state now ages
+    * out past the watermark delay instead of holding every pair ever
+    * emitted (the unbounded second state component documented on the
+    * plain variant). A candidate re-emitted after the window only costs
+    * downstream verification work, never correctness: the Jaccard verify
+    * is idempotent per pair. Bucket-occupancy state is unchanged. */
+  def streamingLshCandidatesWatermarked(docs: DataFrame, n: Int = 3,
+                                        bands: Int = 4, rowsPerBand: Int = 2,
+                                        idCol: String = "doc_id",
+                                        textCol: String = "text",
+                                        tsCol: String = "ts",
+                                        delay: String = "10 minutes"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import graft.pipeline.TextOps._
+    // same hash family / band keys as streamingMinhash + the batch path,
+    // built inline so the event-time column rides along with the signature
+    val sh = shingles(tokens(col(textCol)), n)
+    val withSig = docs.withWatermark(tsCol, delay)
+      .select(col(idCol) +: col(tsCol) +: (0 until bands * rowsPerBand).map { i =>
+        array_min(transform(sh, s => hash60(s, i))).as(s"mh$i")
+      }: _*)
+      .filter(col("mh0").isNotNull)
+    val bandStructs = array((0 until bands).map { b =>
+      val cols = (b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(j => col(s"mh$j").cast("string"))
+      struct(lit(b).as("band"), md5(concat_ws("_", cols: _*)).as("bk"))
+    }: _*)
+    val hits = withSig
+      .select(col(idCol).as("docId"), col(tsCol).as("ts"), explode(bandStructs).as("bs"))
+      .select(col("bs.band").as("band"), col("bs.bk").as("bk"), col("docId"), col("ts"))
+      .as[BandHitT]
+    hits.groupByKey(h => (h.band, h.bk))
+      .flatMapGroupsWithState[LshBucket, CandidatePairT](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (_: (Int, String), events: Iterator[BandHitT], state: GroupState[LshBucket]) =>
+          val have = state.getOption.map(_.ids).getOrElse(Seq.empty)
+          val haveSet = have.toSet
+          val evs = events.toSeq
+          val ts = evs.map(_.ts.getTime).max
+          val newcomers = evs.map(_.docId).distinct.sorted.filterNot(haveSet)
+          val pairs = Seq.newBuilder[CandidatePairT]
+          var resident = have
+          for (d <- newcomers) {
+            pairs ++= resident.map(o => CandidatePairT(
+              math.min(o, d), math.max(o, d), new java.sql.Timestamp(ts)))
+            resident = resident :+ d
+          }
+          state.update(LshBucket(resident))
+          pairs.result().iterator
+      }.toDF()
+      .withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark("id_a", "id_b")
+  }
+
   /** Snapshot pattern: periodically materialize the accumulated edge table
     * and run any batch algorithm over it (the documented dynamic-graph
     * story — SURVEY §1.4 "incremental graph = streaming sink appending to

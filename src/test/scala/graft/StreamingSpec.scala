@@ -122,6 +122,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("watermarked LSH candidates: cross-batch pair found, dedup state bounded by watermark") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val docs = input.toDF().toDF("doc_id", "text", "ts")
+    val result = GraphStream.streamingLshCandidatesWatermarked(docs,
+      n = 3, bands = 4, rowsPerBand = 2, delay = "10 minutes")
+    val q = result.writeStream.format("memory").queryName("slsh_wm")
+      .outputMode("append").start()
+    try {
+      val near = "the quick brown fox jumps over the lazy dog again and again"
+      val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+      val t1 = java.sql.Timestamp.valueOf("2026-01-01 00:05:00")
+      input.addData((1L, near, t0), (2L, "completely unrelated words appear in this document body", t0))
+      q.processAllAvailable()
+      input.addData((3L, near + " tail", t1))
+      q.processAllAvailable()
+      // advance the watermark so the (1,3) dedup entry can age out
+      input.addData((9L, "far future unrelated tokens entirely disjoint content", java.sql.Timestamp.valueOf("2026-01-01 06:00:00")))
+      q.processAllAvailable()
+      val pairs = sp.sql("select id_a, id_b from slsh_wm").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs.contains((1L, 3L)), s"cross-batch near-dup pair missing: $pairs")
+      assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L), s"dissimilar doc paired: $pairs")
+      // multi-band double emission within the watermark window collapsed
+      assert(sp.sql("select * from slsh_wm where id_a=1 and id_b=3").count() == 1)
+    } finally q.stop()
+  }
+
   test("windowed degrees respect the event-time window") {
     val sp = spark
     import sp.implicits._
