@@ -122,6 +122,65 @@ object PipelineSql {
        |    AS simhash
        |FROM s GROUP BY 1""".stripMargin
 
+  /** Shared CTE chain for duplicated-span mining (mirrors
+    * Dedup.duplicateSpans): k-token windows with 0-based positions, 60-bit
+    * window hashes, cross-document dup filter (min≠max doc), and the
+    * lag/running-sum gaps-and-islands merge of overlapping-or-touching
+    * windows. */
+  private def dupSpanCtes(k: Int): String =
+    s"""w AS MATERIALIZED (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |win AS MATERIALIZED (
+       |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+       |         ${h60(s"array_to_string(ws[i:i+${k - 1}], ' ')")} AS h
+       |  FROM w, unnest(generate_series(1, len(ws) - ${k - 1})) AS t(i)
+       |),
+       |dup AS MATERIALIZED (SELECT h FROM win GROUP BY h HAVING min(doc_id) <> max(doc_id)),
+       |mk AS MATERIALIZED (SELECT doc_id, pos FROM win JOIN dup USING (h)),
+       |flg AS MATERIALIZED (
+       |  SELECT doc_id, pos,
+       |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > $k
+       |         THEN 1 ELSE 0 END AS f
+       |  FROM mk
+       |),
+       |isl AS MATERIALIZED (
+       |  SELECT doc_id, pos,
+       |    sum(f) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+       |  FROM flg
+       |),
+       |spans AS MATERIALIZED (
+       |  SELECT doc_id, min(pos) AS span_start, max(pos) + ${k - 1} AS span_end,
+       |         count(*) AS n_windows
+       |  FROM isl GROUP BY doc_id, island
+       |)""".stripMargin
+
+  def duplicateSpans(k: Int): String =
+    s"""WITH ${dupSpanCtes(k)}
+       |SELECT doc_id, span_start, span_end,
+       |       span_end - span_start + 1 AS span_len, n_windows
+       |FROM spans""".stripMargin
+
+  def removeDuplicateSpans(k: Int): String =
+    s"""WITH ${dupSpanCtes(k)},
+       |tok AS MATERIALIZED (
+       |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS idx, ws[i] AS wd
+       |  FROM w, unnest(generate_series(1, len(ws))) AS t(i)
+       |),
+       |kept AS MATERIALIZED (
+       |  SELECT t.doc_id, t.idx, t.wd
+       |  FROM tok t
+       |  LEFT JOIN spans s ON s.doc_id = t.doc_id AND t.idx BETWEEN s.span_start AND s.span_end
+       |  WHERE s.doc_id IS NULL
+       |),
+       |ag AS MATERIALIZED (
+       |  SELECT doc_id, string_agg(wd, ' ' ORDER BY idx) AS clean_text,
+       |         count(*) AS n_kept
+       |  FROM kept GROUP BY doc_id
+       |)
+       |SELECT w.doc_id, coalesce(a.clean_text, '') AS clean_text,
+       |       coalesce(a.n_kept, 0) AS n_tokens_kept,
+       |       len(w.ws) - coalesce(a.n_kept, 0) AS n_tokens_removed
+       |FROM w LEFT JOIN ag a USING (doc_id)""".stripMargin
+
   val EMB_NORM: String =
     """e AS MATERIALIZED (
       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,

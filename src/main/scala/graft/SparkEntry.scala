@@ -316,6 +316,14 @@ object SparkEntry {
     "q_simhash" -> q { (s, dir) =>
       pipeline.Dedup.simhash(Fixtures.documents(s, dir), bits = 32)
     },
+    "q_dup_spans" -> q { (s, dir) =>
+      // substring-level dedup: merged cross-document duplicated 5-token spans
+      pipeline.Dedup.duplicateSpans(Fixtures.documents(s, dir), k = 5)
+    },
+    "q_dup_span_strip" -> q { (s, dir) =>
+      // the removal pass: documents with every duplicated span cut out
+      pipeline.Dedup.removeDuplicateSpans(Fixtures.documents(s, dir), k = 5)
+    },
     "q_embed_dup" -> q { (s, dir) =>
       // planes = 0: exact all-pairs — the oracle path (quadratic, fixture only)
       pipeline.Dedup.embeddingDupPairs(Fixtures.embeddings(s, dir), threshold = 0.4, planes = 0)
@@ -1125,6 +1133,8 @@ object SparkEntry {
     "q_ngram_jaccard" -> PipelineSql.ngramJaccardPairs(0.2),
     "q_ngram_jaccard_capped" -> PipelineSql.ngramJaccardPairsCapped(0.2, maxDf = 20),
     "q_simhash" -> PipelineSql.simhash(32),
+    "q_dup_spans" -> PipelineSql.duplicateSpans(5),
+    "q_dup_span_strip" -> PipelineSql.removeDuplicateSpans(5),
     "q_embed_dup" -> PipelineSql.embedDup(0.4),
     "q_embed_dup_lsh" -> PipelineSql.embedDupLsh(0.4, planes = 4),
     "q_ann_topk" -> PipelineSql.annTopK(nQueries = 5, k = 10),

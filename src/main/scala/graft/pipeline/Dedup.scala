@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.prims.Mat._
 
@@ -160,6 +161,79 @@ object Dedup {
         round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 6)
           .as("jaccard"))
       .filter(col("jaccard") >= threshold)
+  }
+
+  /** Cross-document duplicated SPANS — the fixed-length-window
+    * approximation of exact substring deduplication (the suffix-array
+    * method of Lee et al., "Deduplicating Training Data Makes Language
+    * Models Better", ACL'22 — public method; fixed k-token windows are the
+    * standard distributed approximation of its duplicated-substring
+    * output). Every k-token window whose token sequence occurs in at
+    * least two DISTINCT documents is a duplicated window (within-doc
+    * repeats are `repetitionRatio`'s concern); per document, duplicated
+    * windows whose token ranges overlap or touch merge into maximal
+    * spans. Output (doc_id, span_start, span_end, span_len, n_windows),
+    * token indices 0-based inclusive.
+    *
+    * Scale shape: windows are keyed by a 60-bit hash of the window text,
+    * duplication is decided by ONE hash-shuffle aggregation
+    * (min(doc) ≠ max(doc) — no countDistinct expansion), marked windows
+    * come back via one equi-join against the 1-row-per-key dup side, and
+    * span merging is a per-document gaps-and-islands window (lag + running
+    * sum). Nothing is all-pairs: a boilerplate window shared by a million
+    * documents costs one aggregation row and a million join probes, never
+    * 10¹² join rows — this is why the window approximation, not the
+    * literal suffix array, is what runs at 100 TB. */
+  def duplicateSpans(docs: DataFrame, k: Int = 5, idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    val wins = docs.select(col(idCol),
+        posexplode(shingles(tokens(col(textCol)), k)).as(Seq("pos", "g")))
+      .select(col(idCol), col("pos").cast("long").as("pos"), hash60(col("g")).as("h"))
+    val dup = wins.groupBy("h")
+      .agg(min(idCol).as("_mn"), max(idCol).as("_mx"))
+      .filter(col("_mn") =!= col("_mx")).select("h")
+    val marked = wins.join(dup, "h").select(col(idCol), col("pos"))
+    val wOrd = Window.partitionBy(idCol).orderBy("pos")
+    // windows at p < q merge iff q ≤ p + k (ranges [p,p+k-1],[q,q+k-1]
+    // overlap or touch); null lag (first window) starts island 0
+    val islands = marked
+      .withColumn("_new",
+        when(col("pos") - lag("pos", 1).over(wOrd) > k, 1).otherwise(0))
+      .withColumn("island", sum("_new").over(wOrd))
+    islands.groupBy(col(idCol), col("island"))
+      .agg(min("pos").as("span_start"),
+        (max("pos") + k - 1).as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select(col(idCol), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_len"),
+        col("n_windows"))
+  }
+
+  /** Strip duplicated spans from every document — the aggressive
+    * boilerplate cut a web corpus applies corpus-wide (all copies go; the
+    * keep-one-copy decision for whole-document duplicates is
+    * [[resolveClusters]]' concern). Tokens covered by any merged span from
+    * [[duplicateSpans]] are removed; untouched documents pass through.
+    * Output (doc_id, clean_text, n_tokens_kept, n_tokens_removed).
+    * The span list is collected per document (bounded by document length,
+    * never corpus size) and applied as a codegen'd filter-with-index
+    * lambda — no UDF, no second pass over the corpus text. */
+  def removeDuplicateSpans(docs: DataFrame, k: Int = 5, idCol: String = "doc_id",
+                           textCol: String = "text"): DataFrame = {
+    val spans = duplicateSpans(docs, k, idCol, textCol)
+      .groupBy(idCol)
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("spans"))
+    docs.join(spans, Seq(idCol), "left")
+      .select(col(idCol), tokens(col(textCol)).as("ws"), col("spans"))
+      .select(col(idCol), col("ws"),
+        when(col("spans").isNull, col("ws"))
+          .otherwise(filter(col("ws"), (w, i) => !exists(col("spans"),
+            s => i >= s.getField("span_start") && i <= s.getField("span_end"))))
+          .as("kept"))
+      .select(col(idCol),
+        array_join(col("kept"), " ").as("clean_text"),
+        size(col("kept")).cast("long").as("n_tokens_kept"),
+        (size(col("ws")) - size(col("kept"))).cast("long").as("n_tokens_removed"))
   }
 
   /** 32-bit SimHash fingerprint over term-frequency-weighted tokens.

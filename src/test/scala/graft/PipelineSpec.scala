@@ -89,6 +89,29 @@ class PipelineSpec extends SparkSpec {
     assert(recall >= 0.95, s"recall $recall < 0.95 (missed ${exact -- capped})")
   }
 
+  test("duplicated spans: cross-doc windows merge to maximal spans; strip cuts all copies") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a b c d e f g h X p q r s t"),   // shared 8-token run as prefix
+      (2L, "z1 z2 a b c d e f g h z3 z4"),   // same run embedded mid-doc
+      (3L, "u1 u2 u3 u4 u5 u6 u7 u8"),       // untouched
+      (4L, "m1 m2 m3 m1 m2 m3 m4 m5")        // WITHIN-doc repeat only: not a dup
+    ).toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpans(d, k = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(4))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // doc 1: windows at pos 0..5 merge into [0,7]; doc 2: pos 2..7 -> [2,9]
+    assert(spans(1L) == Set((0L, 7L, 6L)), s"doc1 spans: ${spans.get(1L)}")
+    assert(spans(2L) == Set((2L, 9L, 6L)), s"doc2 spans: ${spans.get(2L)}")
+    assert(!spans.contains(3L) && !spans.contains(4L), s"spurious spans: $spans")
+    val clean = Dedup.removeDuplicateSpans(d, k = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(clean(1L) == (("X p q r s t", 6L, 8L)))
+    assert(clean(2L) == (("z1 z2 z3 z4", 4L, 8L)))
+    assert(clean(3L) == (("u1 u2 u3 u4 u5 u6 u7 u8", 8L, 0L)))
+    assert(clean(4L) == (("m1 m2 m3 m1 m2 m3 m4 m5", 8L, 0L)))
+  }
+
   test("simhash of identical docs is identical") {
     val sh = Dedup.simhash(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(sh(1L) == sh(2L))
