@@ -268,6 +268,70 @@ object PipelineSql {
     b.toString
   }
 
+  /** Exact PQ-ADC oracle: unrolls `Ann.pqTopK` — per-subspace k-means
+    * (init = first `ksub` vectors by vec_id, argmin-L2 assignment with
+    * lowest-cid tie-break, per-dim avg updates, `iters` rounds), the
+    * pivoted per-vector code row, the per-query subspace dot-product
+    * lookup table, and the fixed-subspace-order approximate-dot sum.
+    * `dim` is the embedding width; subvector width = dim / m. */
+  def annPq(nQueries: Int, k: Int, m: Int, ksub: Int, iters: Int, dim: Int): String = {
+    val dsub = dim / m
+    val avgList = "[" + (1 to dsub).map(i => s"avg(sv[$i])").mkString(", ") + "]"
+    def assign(cents: String, name: String): String =
+      s"""$name AS MATERIALIZED (
+         |  SELECT vec_id, sub, sv, cid FROM (
+         |    SELECT s.vec_id, s.sub, s.sv, c.cid,
+         |      row_number() OVER (PARTITION BY s.vec_id, s.sub
+         |        ORDER BY list_dot_product(s.sv, s.sv) - 2 * list_dot_product(s.sv, c.cv)
+         |                 + list_dot_product(c.cv, c.cv) ASC, c.cid) AS rn
+         |    FROM sv s JOIN $cents c ON c.sub = s.sub) t WHERE rn = 1)""".stripMargin
+    val b = new StringBuilder
+    b ++= s"WITH $EMB_NORM,\n"
+    b ++= s"""sv AS MATERIALIZED (
+             |  SELECT vec_id, s AS sub, v[s*$dsub+1 : s*$dsub+$dsub] AS sv
+             |  FROM e, unnest(generate_series(0, ${m - 1})) AS t(s)),
+             |c0 AS MATERIALIZED (
+             |  SELECT sub, CAST(row_number() OVER (PARTITION BY sub ORDER BY vec_id) AS BIGINT) - 1 AS cid,
+             |         sv AS cv
+             |  FROM sv WHERE vec_id IN (SELECT vec_id FROM e ORDER BY vec_id LIMIT $ksub)),
+             |""".stripMargin
+    for (i <- 1 to iters) {
+      b ++= assign(s"c${i - 1}", s"a$i") + ",\n"
+      b ++= s"c$i AS MATERIALIZED (SELECT sub, cid, $avgList AS cv FROM a$i GROUP BY sub, cid),\n"
+    }
+    b ++= assign(s"c$iters", "codes") + ",\n"
+    val codeCols = (0 until m).map(s => s"max(CASE WHEN sub = $s THEN cid END) AS c$s").mkString(", ")
+    val pivJoins = (0 until m).map { s =>
+      if (s == 0) s"JOIN lut l0 ON l0.sub = 0 AND l0.cid = cw.c0"
+      else s"JOIN lut l$s ON l$s.sub = $s AND l$s.cid = cw.c$s AND l$s.query_id = l0.query_id"
+    }.mkString("\n  ")
+    val pCols = (0 until m).map(s => s"l$s.p AS p$s").mkString(", ")
+    val adot = (0 until m).map(s => s"p$s").mkString(" + ")
+    b ++= s"""cw AS MATERIALIZED (SELECT vec_id, $codeCols FROM codes GROUP BY vec_id),
+             |q AS MATERIALIZED (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $nQueries),
+             |qsv AS MATERIALIZED (
+             |  SELECT query_id, s AS sub, qv[s*$dsub+1 : s*$dsub+$dsub] AS qsv
+             |  FROM q, unnest(generate_series(0, ${m - 1})) AS t(s)),
+             |lut AS MATERIALIZED (
+             |  SELECT s.query_id, s.sub, c.cid, list_dot_product(s.qsv, c.cv) AS p
+             |  FROM qsv s JOIN c$iters c ON c.sub = s.sub),
+             |piv AS MATERIALIZED (
+             |  SELECT l0.query_id, cw.vec_id AS neighbor_id, $pCols
+             |  FROM cw
+             |  $pivJoins),
+             |sc AS MATERIALIZED (
+             |  SELECT query_id, neighbor_id, round($adot, 6) AS adot
+             |  FROM piv WHERE neighbor_id <> query_id),
+             |ranked AS MATERIALIZED (
+             |  SELECT query_id, neighbor_id, adot,
+             |    row_number() OVER (PARTITION BY query_id
+             |                       ORDER BY adot DESC, neighbor_id) AS rank
+             |  FROM sc)
+             |SELECT query_id, neighbor_id, adot, CAST(rank AS BIGINT) AS rank
+             |FROM ranked WHERE rank <= $k""".stripMargin
+    b.toString
+  }
+
   def annTopK(nQueries: Int, k: Int): String =
     s"""WITH $EMB_NORM,
        |q AS MATERIALIZED (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM e

@@ -343,6 +343,12 @@ object SparkEntry {
       val emb = Fixtures.embeddings(s, dir)
       pipeline.Ann.ivfTopK(emb, emb.filter(col("vec_id") < 5), k = 10)
     },
+    "q_ann_pq" -> q { (s, dir) =>
+      // product-quantization ADC: 4-bit-per-subspace codes, broadcast
+      // lookup-table scoring — the memory-compressed scale path
+      val emb = Fixtures.embeddings(s, dir)
+      pipeline.Ann.pqTopK(emb, emb.filter(col("vec_id") < 5), k = 10)
+    },
     "q_dedup_clusters" -> q { (s, dir) =>
       // near-dup pairs → duplicate clusters via WCC over the pair graph
       val docs = Fixtures.documents(s, dir)
@@ -1140,6 +1146,8 @@ object SparkEntry {
     "q_ann_topk" -> PipelineSql.annTopK(nQueries = 5, k = 10),
     "q_ann_ivf" -> PipelineSql.annIvf(nQueries = 5, k = 10, nlist = 16,
       nprobe = 4, iters = 3, dim = 64),
+    "q_ann_pq" -> PipelineSql.annPq(nQueries = 5, k = 10, m = 8, ksub = 16,
+      iters = 2, dim = 64),
     "q_dedup_clusters" ->
       s"""WITH RECURSIVE pr AS MATERIALIZED (${PipelineSql.lshPairs(bands = 4, rowsPerBand = 2, threshold = 0.2)}),
          |sym AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM pr UNION SELECT id_b, id_a FROM pr),

@@ -81,6 +81,85 @@ object Ann {
         carry.map(c => first(col(c)).as(c)): _*)
   }
 
+  /** Product-quantization ANN (Jégou et al., TPAMI 2011 — public method):
+    * vectors are split into `m` subvectors; per subspace a `ksub`-centroid
+    * k-means codebook is trained (deterministic init = the first `ksub`
+    * vectors by id, argmin-L2 assignment with lowest-cid tie-break,
+    * per-dimension average updates); a vector's stored representation is
+    * its `m` nearest-subspace-centroid ids. At ksub=16 that is 4 bits per
+    * subspace — a 64-dim float vector (256 B) becomes 8 codes (4 B
+    * packed), the ~64× memory compression that lets a billion-vector
+    * index live in executor memory where raw floats cannot.
+    *
+    * Scoring is ADC (asymmetric distance computation): a per-query lookup
+    * table of subspace dot products (`m × ksub` entries — tiny, broadcast)
+    * is joined onto the corpus's pivoted code columns through `m`
+    * broadcast equi-joins, so the corpus is scanned once with NO shuffle
+    * of the vectors themselves; the approximate dot product is summed in
+    * fixed subspace order, making results bit-stable across partitionings
+    * (and reproducible by the DuckDB oracle). Output
+    * (query_id, neighbor_id, adot, rank) — approximate, recall < 1. */
+  def pqTopK(emb: DataFrame, queries: DataFrame, k: Int, m: Int = 8,
+             ksub: Int = 16, iters: Int = 2,
+             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val e = withNorm(emb, idCol, vecCol).select(col(idCol), col("v")).mat
+    val dim = e.select(size(col("v"))).first().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val dsub = dim / m
+    def subSplit(df: DataFrame, vc: String, out: String): DataFrame =
+      df.select(df.columns.map(col) :+ explode(sequence(lit(0), lit(m - 1))).as("sub"): _*)
+        .withColumn(out, slice(col(vc), col("sub") * dsub + 1, lit(dsub)))
+    val sv = subSplit(e, "v", "sv").select(col(idCol), col("sub"), col("sv")).mat
+    var cents = subSplit(
+        graft.core.Renumber.assignIds(e.orderBy(idCol).limit(ksub))
+          .select(col(graft.core.Gr.INT_ID).as("cid"), col("v")), "v", "cv")
+      .select(col("sub"), col("cid"), col("cv")).mat
+    // argmin-L2 subspace assignment, fused onto one scan of the subvector
+    // frame (centroids broadcast; ties -> lowest cid, mirroring the oracle)
+    def assign(c: DataFrame): DataFrame = {
+      val d2 = dot(col("sv"), col("sv")) - lit(2) * dot(col("sv"), col("cv")) +
+        dot(col("cv"), col("cv"))
+      sv.join(broadcast(c), "sub")
+        .select(col(idCol), col("sub"), col("sv"), col("cid"), d2.as("d2"))
+        .groupBy(col(idCol), col("sub"))
+        .agg(min_by(col("cid"), struct(col("d2"), col("cid"))).as("cid"),
+          first(col("sv")).as("sv"))
+    }
+    for (_ <- 0 until iters)
+      cents = assign(cents)
+        .groupBy("sub", "cid")
+        .agg(array((0 until dsub).map(i => avg(element_at(col("sv"), i + 1))): _*).as("cv"))
+        .mat
+    // the PQ index: m code columns per vector (exactly one sub each)
+    val codes = assign(cents)
+      .groupBy(idCol)
+      .agg(max(when(col("sub") === 0, col("cid"))).as("c0"),
+        (1 until m).map(s => max(when(col("sub") === s, col("cid"))).as(s"c$s")): _*)
+    val q = withNorm(queries, idCol, vecCol)
+      .select(col(idCol).as("query_id"), col("v").as("qv"))
+    val lut = subSplit(q, "qv", "qsv")
+      .join(broadcast(cents), "sub")
+      .select(col("query_id"), col("sub"), col("cid"), dot(col("qsv"), col("cv")).as("p"))
+      .mat
+    var scored: DataFrame = codes
+    for (s <- 0 until m) {
+      val ls = lut.filter(col("sub") === s)
+        .select((if (s == 0) col("query_id") else col("query_id").as(s"_q$s")),
+          col("cid").as(s"_cid$s"), col("p").as(s"p$s"))
+      scored =
+        if (s == 0) scored.join(broadcast(ls), col("c0") === col("_cid0"))
+        else scored.join(broadcast(ls),
+          col("query_id") === col(s"_q$s") && col(s"c$s") === col(s"_cid$s"))
+    }
+    val adot = (1 until m).foldLeft(col("p0"))((a, s) => a + col(s"p$s"))
+    val res = scored.filter(col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col(idCol).as("neighbor_id"), round(adot, 6).as("adot"))
+    TopK.perKey(res, Seq("query_id"), Seq(desc("adot"), col("neighbor_id")), k)
+      .withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy("query_id").orderBy(desc("adot"), col("neighbor_id"))))
+  }
+
   /** IVF top-k: probe the `nprobe` nearest centroid buckets per query and
     * rank exactly within them. Approximate (recall < 1) but the corpus-side
     * work is an equi-join on centroid id instead of a full scan per query. */
