@@ -67,6 +67,27 @@ class PlanSpec extends SparkSpec {
       "corpus x queries fell back to a cartesian product")
   }
 
+  test("PQ-ADC scoring joins the code table against broadcast LUTs, never a cartesian") {
+    val emb = Fixtures.embeddings(spark, "/root/testdata/sf0.001")
+    val top = graft.pipeline.Ann.pqTopK(emb, emb.filter(col("vec_id") < 2), k = 3)
+    top.collect()
+    val plan = planOf(top)
+    // every per-subspace LUT join must be a broadcast hash join — the
+    // corpus-side code table is scanned once, its vectors never shuffled
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1200))
+    assert(!plan.contains("CartesianProduct"),
+      "PQ scoring fell back to a cartesian product")
+  }
+
+  test("duplicated-span mining never goes all-pairs: equi-joins only") {
+    val docs = Fixtures.documents(spark, "/root/testdata/sf0.001")
+    val spans = graft.pipeline.Dedup.duplicateSpans(docs, k = 5)
+    spans.collect()
+    val plan = planOf(spans)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "span mining produced a non-equi join:\n" + plan.take(1200))
+  }
+
   test("selectRandomVertices plans TakeOrderedAndProject, not a global sort") {
     val verts = edgeDF((1L to 100L).map(i => (i, i + 1))).select(col(SRC).as(ID))
     val picked = graft.sampling.NeighborSampling.selectRandomVertices(verts, k = 5)
