@@ -268,6 +268,39 @@ object PipelineSql {
     b.toString
   }
 
+  /** Exact SemDeDup oracle: unrolls `Ann.kmeansCentroids` +
+    * `Dedup.embeddingDupPairsIvf` — deterministic k-means (same unroll as
+    * annIvf: first-`nlist` init, argmax-dot assignment with lowest-cid
+    * tie-break, per-dim avg updates), then exact cosine within each
+    * cluster only. */
+  def embedDupIvf(threshold: Double, nlist: Int, iters: Int, dim: Int): String = {
+    val avgList = "[" + (1 to dim).map(i => s"avg(v[$i])").mkString(", ") + "]"
+    def assign(cents: String, name: String): String =
+      s"""$name AS MATERIALIZED (
+         |  SELECT vec_id, v, nrm, cid FROM (
+         |    SELECT e.vec_id, e.v, e.nrm, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY list_dot_product(e.v, c.cv) DESC, c.cid) AS rn
+         |    FROM e CROSS JOIN $cents c) t WHERE rn = 1)""".stripMargin
+    val b = new StringBuilder
+    b ++= s"WITH $EMB_NORM,\n"
+    b ++= s"""c0 AS MATERIALIZED (
+             |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) - 1 AS cid,
+             |         v AS cv
+             |  FROM (SELECT * FROM e ORDER BY vec_id LIMIT $nlist)),
+             |""".stripMargin
+    for (i <- 1 to iters) {
+      b ++= assign(s"c${i - 1}", s"a$i") + ",\n"
+      b ++= s"c$i AS MATERIALIZED (SELECT cid, $avgList AS cv FROM a$i GROUP BY cid),\n"
+    }
+    b ++= assign(s"c$iters", "bucketed") + "\n"
+    b ++= s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             |  round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine
+             |FROM bucketed a JOIN bucketed b ON a.cid = b.cid AND a.vec_id < b.vec_id
+             |WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= $threshold""".stripMargin
+    b.toString
+  }
+
   /** Exact PQ-ADC oracle: unrolls `Ann.pqTopK` — per-subspace k-means
     * (init = first `ksub` vectors by vec_id, argmin-L2 assignment with
     * lowest-cid tie-break, per-dim avg updates, `iters` rounds), the

@@ -343,6 +343,11 @@ object SparkEntry {
       val emb = Fixtures.embeddings(s, dir)
       pipeline.Ann.ivfTopK(emb, emb.filter(col("vec_id") < 5), k = 10)
     },
+    "q_embed_dup_ivf" -> q { (s, dir) =>
+      // SemDeDup shape: deterministic k-means buckets, exact cosine within
+      pipeline.Dedup.embeddingDupPairsIvf(Fixtures.embeddings(s, dir),
+        threshold = 0.4, nlist = 16, iters = 3)
+    },
     "q_ann_pq" -> q { (s, dir) =>
       // product-quantization ADC: 4-bit-per-subspace codes, broadcast
       // lookup-table scoring — the memory-compressed scale path
@@ -1148,6 +1153,7 @@ object SparkEntry {
       nprobe = 4, iters = 3, dim = 64),
     "q_ann_pq" -> PipelineSql.annPq(nQueries = 5, k = 10, m = 8, ksub = 16,
       iters = 2, dim = 64),
+    "q_embed_dup_ivf" -> PipelineSql.embedDupIvf(0.4, nlist = 16, iters = 3, dim = 64),
     "q_dedup_clusters" ->
       s"""WITH RECURSIVE pr AS MATERIALIZED (${PipelineSql.lshPairs(bands = 4, rowsPerBand = 2, threshold = 0.2)}),
          |sym AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM pr UNION SELECT id_b, id_a FROM pr),

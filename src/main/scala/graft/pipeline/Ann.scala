@@ -71,6 +71,10 @@ object Ann {
     * map-side-combined hash agg that carries the listed vector columns
     * through. ONE corpus-sized shuffle — never a corpus-sized broadcast or a
     * join back onto the corpus. */
+  private[pipeline] def assignToCentroids(e: DataFrame, cents: DataFrame, idCol: String,
+                                          carry: Seq[String]): DataFrame =
+    assignFused(e, cents, idCol, carry)
+
   private def assignFused(e: DataFrame, cents: DataFrame, idCol: String,
                           carry: Seq[String]): DataFrame = {
     val scored = e.join(broadcast(cents))

@@ -278,6 +278,32 @@ object Dedup {
         .as("simhash"))
   }
 
+  /** Semantic dedup, k-means-bucketed (the SemDeDup shape — Abbas et al.
+    * 2023, public method): vectors are assigned to `nlist` coarse k-means
+    * clusters (deterministic training, shared with `Ann.kmeansCentroids`),
+    * and exact cosine runs ONLY within a cluster — the corpus-side work is
+    * an equi-join on cluster id, so a 100 TB embedding table is pruned to
+    * per-cluster blocks before any pair is materialized. Complements
+    * [[embeddingDupPairs]]' random-hyperplane buckets with
+    * geometry-adaptive ones: recall concentrates exactly where semantic
+    * duplicates live (same cluster) instead of being uniform over random
+    * cuts. Feed the pairs to [[resolveClusters]] for the keep-one
+    * decision. Output (id_a, id_b, cosine). */
+  def embeddingDupPairsIvf(emb: DataFrame, threshold: Double, nlist: Int = 16,
+                           iters: Int = 3,
+                           idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val e = emb.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("nrm", TextOps.norm(col("v"))).mat
+    val cents = Ann.kmeansCentroids(emb, nlist, iters, idCol, vecCol).mat
+    val bucketed = Ann.assignToCentroids(e, cents, idCol, Seq("v", "nrm"))
+    bucketed.as("a").join(bucketed.as("b"),
+        col("a.cid") === col("b.cid") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        round(TextOps.cosine(col("a.v"), col("b.v"), col("a.nrm"), col("b.nrm")), 6)
+          .as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
   /** Embedding near-duplicates: pairs with cosine ≥ threshold.
     * Candidate generation buckets vectors by random-hyperplane LSH signature
     * (`planes` hash-derived hyperplanes); exact cosine is computed only

@@ -186,13 +186,32 @@ class PipelineSpec extends SparkSpec {
       (i.toLong, base.map(x => x + 0.05f * rnd.nextFloat()))
     }
     val emb = vecs.toDF("vec_id", "embedding")
-    val exact = Dedup.embeddingDupPairs(emb, threshold = 0.95).collect()
+    val exact = Dedup.embeddingDupPairs(emb, threshold = 0.95, planes = 0).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val lsh = Dedup.embeddingDupPairs(emb, threshold = 0.95, planes = 6).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(lsh.subsetOf(exact)) // bucketing never invents pairs
     val recall = lsh.size.toDouble / exact.size
     assert(recall >= 0.6, s"LSH recall $recall too low (${lsh.size}/${exact.size})")
+  }
+
+  test("k-means-bucketed semantic dedup recovers near-dup pairs without inventing any") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    // same geometry as the LSH dedup test: 10 groups of 5 near-identical
+    // vectors; group members should share a k-means bucket
+    val vecs = (0 until 50).map { i =>
+      val base = Array.tabulate(8)(d => if (d == i / 5 % 8) 5f else 0f)
+      (i.toLong, base.map(x => x + 0.05f * rnd.nextFloat()))
+    }
+    val emb = vecs.toDF("vec_id", "embedding")
+    val exact = Dedup.embeddingDupPairs(emb, threshold = 0.95, planes = 0).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sem = Dedup.embeddingDupPairsIvf(emb, threshold = 0.95, nlist = 12, iters = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sem.subsetOf(exact)) // bucketing never invents pairs
+    val recall = sem.size.toDouble / exact.size
+    assert(recall >= 0.6, s"semantic-dedup recall $recall too low (${sem.size}/${exact.size})")
   }
 
   test("brute-force ANN top-k returns self as nearest neighbor") {
