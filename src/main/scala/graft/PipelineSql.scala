@@ -268,6 +268,39 @@ object PipelineSql {
     b.toString
   }
 
+  /** Incremental-dedup oracle: corpus = even doc_ids, batch = odd (the
+    * gated query's split); exact hit by md5, near hit by shared minhash
+    * band key (same hash family / band construction as lshPairs). */
+  def incrementalDedup(bands: Int, rowsPerBand: Int): String = {
+    val k = bands * rowsPerBand
+    def side(alias: String, pred: String): String =
+      s"""${alias} AS MATERIALIZED (SELECT * FROM documents WHERE $pred),
+         |w_$alias AS MATERIALIZED (SELECT doc_id, string_split(text, ' ') AS ws FROM $alias),
+         |sh_$alias AS MATERIALIZED (
+         |  SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS s
+         |  FROM w_$alias, unnest(generate_series(1, len(ws) - 2)) AS t(i)),
+         |mh_$alias AS MATERIALIZED (SELECT doc_id, ${minhashSelect(k)} FROM sh_$alias GROUP BY doc_id),
+         |bk_$alias AS MATERIALIZED (${(0 until bands).map { b =>
+             val key = (b * rowsPerBand until (b + 1) * rowsPerBand)
+               .map(j => s"CAST(mh$j AS VARCHAR)").mkString(" || '_' || ")
+             s"SELECT doc_id, $b AS band, md5($key) AS bk FROM mh_$alias"
+           }.mkString(" UNION ALL ")})""".stripMargin
+    s"""WITH ${side("corp", "doc_id % 2 = 0")},
+       |${side("bat", "doc_id % 2 = 1")},
+       |eh AS MATERIALIZED (
+       |  SELECT DISTINCT b.doc_id FROM bat b JOIN corp c ON md5(b.text) = md5(c.text)),
+       |nh AS MATERIALIZED (
+       |  SELECT DISTINCT a.doc_id FROM bk_bat a
+       |  JOIN bk_corp c ON a.band = c.band AND a.bk = c.bk)
+       |SELECT bat.doc_id,
+       |  eh.doc_id IS NOT NULL AS exact_dup,
+       |  nh.doc_id IS NOT NULL AS near_dup,
+       |  eh.doc_id IS NULL AND nh.doc_id IS NULL AS keep
+       |FROM bat
+       |LEFT JOIN eh ON eh.doc_id = bat.doc_id
+       |LEFT JOIN nh ON nh.doc_id = bat.doc_id""".stripMargin
+  }
+
   /** Exact SemDeDup oracle: unrolls `Ann.kmeansCentroids` +
     * `Dedup.embeddingDupPairsIvf` — deterministic k-means (same unroll as
     * annIvf: first-`nlist` init, argmax-dot assignment with lowest-cid

@@ -343,6 +343,13 @@ object SparkEntry {
       val emb = Fixtures.embeddings(s, dir)
       pipeline.Ann.ivfTopK(emb, emb.filter(col("vec_id") < 5), k = 10)
     },
+    "q_incremental_dedup" -> q { (s, dir) =>
+      // nightly-ingest shape: even doc_ids are the standing corpus, odd
+      // doc_ids the incoming batch
+      val docs = Fixtures.documents(s, dir)
+      pipeline.Dedup.incrementalDedup(
+        docs.filter(col("doc_id") % 2 === 0), docs.filter(col("doc_id") % 2 === 1))
+    },
     "q_embed_dup_ivf" -> q { (s, dir) =>
       // SemDeDup shape: deterministic k-means buckets, exact cosine within
       pipeline.Dedup.embeddingDupPairsIvf(Fixtures.embeddings(s, dir),
@@ -1154,6 +1161,7 @@ object SparkEntry {
     "q_ann_pq" -> PipelineSql.annPq(nQueries = 5, k = 10, m = 8, ksub = 16,
       iters = 2, dim = 64),
     "q_embed_dup_ivf" -> PipelineSql.embedDupIvf(0.4, nlist = 16, iters = 3, dim = 64),
+    "q_incremental_dedup" -> PipelineSql.incrementalDedup(bands = 4, rowsPerBand = 2),
     "q_dedup_clusters" ->
       s"""WITH RECURSIVE pr AS MATERIALIZED (${PipelineSql.lshPairs(bands = 4, rowsPerBand = 2, threshold = 0.2)}),
          |sym AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM pr UNION SELECT id_b, id_a FROM pr),

@@ -68,11 +68,7 @@ object Dedup {
     // cost (2x end-to-end on the documents fixture)
     val sh = shingleFrame(docs, n, idCol, textCol).mat
     val mh = minhashFromShingles(sh, k, idCol).mat
-    // band key: md5 over the band's signature slice
-    val bandKeys = (0 until bands).map { b =>
-      val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(j => col(s"mh$j").cast("string"))
-      mh.select(col(idCol), lit(b).as("band"), md5(concat_ws("_", cols: _*)).as("bk"))
-    }.reduce(_ union _)
+    val bandKeys = bandKeyFrame(mh, bands, rowsPerBand, idCol)
     val cand = bandKeys.as("a")
       .join(bandKeys.as("b"),
         col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
@@ -81,6 +77,48 @@ object Dedup {
       .distinct()
     val j = jaccardFromShingles(sh, cand, idCol)
     j.filter(col("jaccard") >= threshold)
+  }
+
+  /** LSH band keys from a minhash signature frame: md5 over each band's
+    * signature slice — the join key of every LSH candidate step. */
+  private def bandKeyFrame(mh: DataFrame, bands: Int, rowsPerBand: Int,
+                           idCol: String): DataFrame =
+    (0 until bands).map { b =>
+      val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(j => col(s"mh$j").cast("string"))
+      mh.select(col(idCol), lit(b).as("band"), md5(concat_ws("_", cols: _*)).as("bk"))
+    }.reduce(_ union _)
+
+  /** Incremental ingest dedup: annotate a NEW batch of documents against
+    * an EXISTING corpus — the nightly-snapshot shape, where re-mining the
+    * whole corpus for every ingest would be quadratic over time. A batch
+    * doc is `exact_dup` when its md5 matches any corpus doc, `near_dup`
+    * when it shares any minhash band key with one (same hash family as
+    * [[minhashLshPairs]]), and `keep` otherwise.
+    * Both probes are left-semi equi-joins of the (small) batch against
+    * corpus-derived key sets; at scale the corpus's md5 and band-key
+    * tables are computed once per snapshot and stored, so an ingest only
+    * pays its own signature build plus two hash joins.
+    * Output (doc_id, exact_dup, near_dup, keep), one row per batch doc. */
+  def incrementalDedup(corpus: DataFrame, batch: DataFrame, n: Int = 3,
+                       bands: Int = 4, rowsPerBand: Int = 2,
+                       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val k = bands * rowsPerBand
+    val exactHit = batch.select(col(idCol), md5(col(textCol)).as("h"))
+      .join(corpus.select(md5(col(textCol)).as("h")).distinct(), Seq("h"), "left_semi")
+      .select(col(idCol)).withColumn("_ex", lit(true))
+    def bk(df: DataFrame) = bandKeyFrame(
+      minhashFromShingles(shingleFrame(df, n, idCol, textCol), k, idCol),
+      bands, rowsPerBand, idCol)
+    val nearHit = bk(batch)
+      .join(bk(corpus).select("band", "bk").distinct(), Seq("band", "bk"), "left_semi")
+      .select(col(idCol)).distinct().withColumn("_nr", lit(true))
+    batch.select(col(idCol))
+      .join(exactHit, Seq(idCol), "left")
+      .join(nearHit, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("_ex"), lit(false)).as("exact_dup"),
+        coalesce(col("_nr"), lit(false)).as("near_dup"))
+      .withColumn("keep", !col("exact_dup") && !col("near_dup"))
   }
 
   /** Exact word-n-gram Jaccard for given candidate pairs (id_a, id_b):

@@ -89,6 +89,24 @@ class PipelineSpec extends SparkSpec {
     assert(recall >= 0.95, s"recall $recall < 0.95 (missed ${exact -- capped})")
   }
 
+  test("incremental dedup flags exact and near batch dups against the corpus") {
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (2L, "completely different text about spark catalyst optimizer internals here")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank"),  // exact
+      (3L, "the quick brown fox jumps over the lazy dog near the river today"), // near
+      (5L, "fresh unseen content with entirely novel words and nothing shared") // keep
+    ).toDF("doc_id", "text")
+    val r = Dedup.incrementalDedup(corpus, batch).collect()
+      .map(x => x.getLong(0) -> ((x.getBoolean(1), x.getBoolean(2), x.getBoolean(3)))).toMap
+    assert(r(1L) == ((true, true, false)))
+    assert(r(3L) == ((false, true, false)))
+    assert(r(5L) == ((false, false, true)))
+  }
+
   test("duplicated spans: cross-doc windows merge to maximal spans; strip cuts all copies") {
     import spark.implicits._
     val d = Seq(
