@@ -650,6 +650,48 @@ object MiscSql {
     b.toString
   }
 
+  /** FULL exact Leiden on the supplier graph: two-level Louvain (the
+    * louvainFullPart unroll shape — level-1 rounds, contraction by
+    * groupBy-sum, level-2 rounds, dendrogram flatten) followed by the
+    * connectivity refinement (WCC over intra-community edges, unrolled
+    * min-label propagation). Exactness: supplier weights are integral so
+    * every Louvain sum is exact and contraction keeps integrality across
+    * the level boundary; the refinement adds only joins and min
+    * aggregates. The Spark side asserts 2 levels ran and WCC converged
+    * within `wccRounds`. */
+  def leidenFullSupplier(iters: Int, wccRounds: Int): String = {
+    val b = new StringBuilder
+    b ++= s"WITH $SUPP_EDGES_SQL,\n$SUPP_UND_SQL,\n"
+    louvainRoundCtes(b, "a", "und", iters)
+    b ++= s"""cund AS MATERIALIZED (
+      |  SELECT la.c AS src, lb.c AS dst, sum(e.weight) AS weight
+      |  FROM und e JOIN a$iters la ON la.id = e.src JOIN a$iters lb ON lb.id = e.dst
+      |  GROUP BY 1, 2
+      |),
+      |""".stripMargin
+    louvainRoundCtes(b, "b", "cund", iters)
+    b ++= s"""fl AS MATERIALIZED (SELECT a.id, b.c AS c FROM a$iters a JOIN b$iters b ON b.id = a.c),
+      |intra AS MATERIALIZED (
+      |  SELECT u.src, u.dst FROM und u
+      |  JOIN fl la ON la.id = u.src JOIN fl lb ON lb.id = u.dst
+      |  WHERE la.c = lb.c
+      |),
+      |w0 AS MATERIALIZED (SELECT id, id AS component FROM fl),
+      |""".stripMargin
+    for (i <- 1 to wccRounds) {
+      b ++= s"""w$i AS MATERIALIZED (
+        |  SELECT v.id, least(v.component, coalesce(m.nbr_min, v.component)) AS component
+        |  FROM w${i - 1} v LEFT JOIN (
+        |    SELECT u.dst AS id, min(p.component) AS nbr_min
+        |    FROM intra u JOIN w${i - 1} p ON p.id = u.src GROUP BY 1
+        |  ) m ON m.id = v.id
+        |)""".stripMargin
+      b ++= (if (i < wccRounds) ",\n" else "\n")
+    }
+    b ++= s"SELECT id, component AS leiden FROM w$wccRounds"
+    b.toString
+  }
+
   /** ECG co-clustering votes on the supplier graph: the full batched
     * ensemble of Community.ecgVotes unrolled — `ensembleSize` runs with
     * integral md5-perturbed weights through `rounds` run-keyed Louvain

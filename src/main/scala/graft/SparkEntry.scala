@@ -859,12 +859,17 @@ object SparkEntry {
     },
     // ---- community extras (§2.5) ----
     "q_leiden" -> q { (s, dir) =>
-      val (labels, modQ) = Community.leiden(Fixtures.supplierGraph(s, dir), maxLevel = 2)
-      // near-complete graph: Q is legitimately tiny; recorded 0.0039
-      // (sf0.01) / 0.0126 (sf0.1) — the floor still rejects a sign flip or
-      // a collapsed all-in-one partition (Q = 0 exactly)
-      require(!modQ.isNaN && modQ >= 0.002, s"leiden modularity $modQ below recorded floor 0.002")
-      labels
+      // EXACT since r5-late: full Leiden = two-level Louvain (the
+      // louvainFullPart schedule at maxIter=5) + connectivity refinement,
+      // all unrolled in DuckDB (MiscSql.leidenFullSupplier). The former
+      // modularity floor is superseded by bit-exact labels; the asserts
+      // pin the branches the SQL unrolls (2 levels, WCC within budget).
+      val g = Fixtures.supplierGraph(s, dir)
+      val (labels, _, levels) = Community.louvainWithLevels(g, maxLevel = 2, maxIter = 5)
+      require(levels == 2, s"oracle unrolls exactly 2 levels, ran $levels")
+      val (refined, wr) = Community.leidenRefine(g, labels, "louvain")
+      require(wr <= 6, s"refinement WCC took $wr rounds, oracle unrolls 6")
+      refined
     },
     "q_leiden_refine" -> q { (s, dir) =>
       // EXACT Leiden gate for the refinement pass (the Leiden-specific
@@ -1295,6 +1300,7 @@ object SparkEntry {
     "q_louvain_l1" -> MiscSql.louvainL1Supplier(rounds = 8),
     "q_ecg_votes" -> MiscSql.ecgVotesSupplier(ensembleSize = 4, rounds = 5),
     "q_leiden_refine" -> MiscSql.leidenRefineSupplier(l1Rounds = 8, wccRounds = 6),
+    "q_leiden" -> MiscSql.leidenFullSupplier(iters = 5, wccRounds = 6),
     "q_dolphins_jaccard" ->
       DatasetSql.jaccardTopK(sources.Datasets.dolphinsEdges, k = 20),
     "q_polbooks_triangles" ->
