@@ -700,6 +700,41 @@ object MiscSql {
     * louvainL1Supplier: all sums integral, inexact ops pointwise. */
   def ecgVotesSupplier(ensembleSize: Int, rounds: Int, seed: Long = 42): String = {
     val b = new StringBuilder
+    ecgVotesCtes(b, ensembleSize, rounds, seed)
+    b ++= "\nSELECT src, dst, votes FROM votes WHERE src < dst"
+    b.toString
+  }
+
+  /** FULL exact ECG on the supplier graph: the batched ensemble-vote unroll
+    * (ecgVotesSupplier's CTE chain), the integral vote reweighting
+    * (Community.ecgReweight — uniform scaling keeps Louvain's decisions
+    * while every sum stays an exact integer-valued double), and the final
+    * two-level Louvain + contraction + flatten (the louvainFullPart shape).
+    * The Spark side asserts 2 levels ran. */
+  def ecgFullSupplier(ensembleSize: Int, voteRounds: Int, iters: Int,
+                      minWeight: Double = 0.05, seed: Long = 42): String = {
+    val cMin = math.round(1000.0 * minWeight * ensembleSize)
+    val cVote = math.round(1000.0 * (1.0 - minWeight))
+    val b = new StringBuilder
+    ecgVotesCtes(b, ensembleSize, voteRounds, seed)
+    b ++= s",\nund2 AS MATERIALIZED (SELECT src, dst, CAST($cMin + $cVote * votes AS DOUBLE) AS weight FROM votes),\n"
+    louvainRoundCtes(b, "x", "und2", iters)
+    b ++= s"""cund2 AS MATERIALIZED (
+      |  SELECT la.c AS src, lb.c AS dst, sum(e.weight) AS weight
+      |  FROM und2 e JOIN x$iters la ON la.id = e.src JOIN x$iters lb ON lb.id = e.dst
+      |  GROUP BY 1, 2
+      |),
+      |""".stripMargin
+    louvainRoundCtes(b, "y", "cund2", iters)
+    b ++= s"fin AS MATERIALIZED (SELECT x.id, y.c AS louvain FROM x$iters x JOIN y$iters y ON y.id = x.c)\n"
+    b ++= "SELECT id, louvain FROM fin"
+    b.toString
+  }
+
+  /** Emits the ecgVotesSupplier CTE chain through the `votes` CTE (both
+    * edge directions retained), leaving a trailing comma for chaining. */
+  private def ecgVotesCtes(b: StringBuilder, ensembleSize: Int, rounds: Int,
+                           seed: Long): Unit = {
     b ++= s"WITH $SUPP_EDGES_SQL,\n$SUPP_UND_SQL,\n"
     b ++= s"runs AS MATERIALIZED (SELECT * FROM generate_series(0, ${ensembleSize - 1}) AS t(run)),\n"
     b ++= s"""eR AS MATERIALIZED (
@@ -756,9 +791,7 @@ object MiscSql {
       |  JOIN l$rounds la ON la.run = r.run AND la.id = u.src
       |  JOIN l$rounds lb ON lb.run = r.run AND lb.id = u.dst
       |  GROUP BY 1, 2
-      |)
-      |SELECT src, dst, votes FROM votes WHERE src < dst""".stripMargin
-    b.toString
+      |)""".stripMargin
   }
 
   /** One-row structural summary of the supplier graph. */

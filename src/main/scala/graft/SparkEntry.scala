@@ -884,9 +884,19 @@ object SparkEntry {
       refined
     },
     "q_ecg" -> q { (s, dir) =>
-      val (labels, modQ) = Community.ecg(Fixtures.supplierGraph(s, dir), ensembleSize = 4)
-      // recorded 0.201 (sf0.01) / 0.140 (sf0.1)
-      require(!modQ.isNaN && modQ >= 0.12, s"ecg modularity $modQ below recorded floor 0.12")
+      // EXACT since r5-late: full ECG = the exact-gated ensemble votes,
+      // the integral scale-invariant reweighting (Community.ecgReweight),
+      // and a two-level Louvain — all unrolled in DuckDB
+      // (MiscSql.ecgFullSupplier). The former modularity floor (recorded
+      // 0.201 sf0.01; 0.224 with integral units) is superseded by
+      // bit-exact labels; the assert pins the level branch the SQL unrolls.
+      val g = Fixtures.supplierGraph(s, dir)
+      val rw = Community.ecgReweight(
+        Community.ecgVotes(g, ensembleSize = 4), ensembleSize = 4)
+      val g2 = graft.core.PropertyGraph(Structure.extractVertexList(rw), rw,
+        g.props.copy(weighted = true, directed = false))
+      val (labels, _, levels) = Community.louvainWithLevels(g2, maxLevel = 2, maxIter = 8)
+      require(levels == 2, s"oracle unrolls exactly 2 levels, ran $levels")
       labels
     },
     "q_ecg_votes" -> q { (s, dir) =>
@@ -1301,6 +1311,7 @@ object SparkEntry {
     "q_ecg_votes" -> MiscSql.ecgVotesSupplier(ensembleSize = 4, rounds = 5),
     "q_leiden_refine" -> MiscSql.leidenRefineSupplier(l1Rounds = 8, wccRounds = 6),
     "q_leiden" -> MiscSql.leidenFullSupplier(iters = 5, wccRounds = 6),
+    "q_ecg" -> MiscSql.ecgFullSupplier(ensembleSize = 4, voteRounds = 5, iters = 8),
     "q_dolphins_jaccard" ->
       DatasetSql.jaccardTopK(sources.Datasets.dolphinsEdges, k = 20),
     "q_polbooks_triangles" ->

@@ -247,15 +247,31 @@ object Community {
       .agg(sum(when(col("ca") === col("cb"), 1.0).otherwise(0.0)).as("votes"))
   }
 
+  /** Vote→weight reweighting in INTEGRAL units: the classic ECG formula
+    * minWeight + (1−minWeight)·votes/E, uniformly scaled by 1000·E with
+    * each coefficient rounded once — Louvain's gain ordering is invariant
+    * under uniform weight scaling (gain scales by the same constant), so
+    * the clustering decisions are those of the float formula up to the
+    * ≤0.05% coefficient rounding, while every weight sum stays an exact
+    * integer-valued double. That is what lets the FULL ecg pipeline gate
+    * exactly in DuckDB (the float form's accumulation-order-dependent
+    * sums cannot). */
+  def ecgReweight(votes: DataFrame, ensembleSize: Int,
+                  minWeight: Double = 0.05): DataFrame = {
+    val cMin = math.round(1000.0 * minWeight * ensembleSize)
+    val cVote = math.round(1000.0 * (1.0 - minWeight))
+    votes.select(col(SRC), col(DST),
+      (lit(cMin) + lit(cVote) * col("votes")).cast("double").as(WEIGHT))
+  }
+
   /** ECG (ensemble clustering): k randomized one-level Louvain runs re-weight
     * edges by co-clustering frequency, then a final Louvain
     * (reference `community/ecg.py:10`). Randomization: seeded per-run edge
-    * weight perturbation (see [[ecgVotes]]). */
+    * weight perturbation (see [[ecgVotes]]); the vote reweighting uses the
+    * integral-units form ([[ecgReweight]] — scale-invariant, exact-gateable). */
   def ecg(g: PropertyGraph, ensembleSize: Int = 8, minWeight: Double = 0.05,
           seed: Long = 42, finalMaxLevel: Int = 2): (DataFrame, Double) = {
-    val votes = ecgVotes(g, ensembleSize, seed)
-    val reweighted = votes.select(col(SRC), col(DST),
-      (lit(minWeight) + (lit(1.0) - lit(minWeight)) * col("votes") / lit(ensembleSize.toDouble)).as(WEIGHT))
+    val reweighted = ecgReweight(ecgVotes(g, ensembleSize, seed), ensembleSize, minWeight)
     val g2 = PropertyGraph(Structure.extractVertexList(reweighted), reweighted,
       g.props.copy(weighted = true, directed = false))
     // bounded final pass: the ensemble already did the exploration
