@@ -437,6 +437,67 @@ object MiscSql {
     b.toString
   }
 
+  /** Spectral PIC clustering on the supplier graph — `Spectral.balancedCut`
+    * (degreeInit) / `modularityMaximization` (hash init) unrolled: the
+    * constant-deflated power iteration v ← (Wv − mean)/max|·| on W = D⁻¹A
+    * (the Fiedler embedding of the random-walk Laplacian), embedding
+    * snapped to 1e-8 per round, then the deterministic 1-D k-means
+    * (evenly spaced seed centroids over [min,max], Lloyd rounds with
+    * (distance, cid) arg-min, centroids snapped to 1e-8). Every scalar
+    * (n, Σv, min, max) is recomputed here from the same snapped state, and
+    * everything between snaps is IEEE double arithmetic in matching
+    * operation order, so the 1e-8 quantization absorbs the only divergence
+    * source (distributed-sum association). */
+  def spectralPicSupplier(iters: Int = 10, k: Int = 4, kmeansIters: Int = 5,
+                          degreeInit: Boolean = true, seed: Long = 42): String = {
+    val b = new StringBuilder
+    b ++= s"WITH $SUPP_EDGES_SQL,\n$SUPP_UND_SQL,\n"
+    b ++= "wdeg AS MATERIALIZED (SELECT src AS id, sum(weight) AS d FROM und GROUP BY 1),\n"
+    b ++= "nn AS MATERIALIZED (SELECT count(*) AS n FROM wdeg),\n"
+    b ++= "trans AS MATERIALIZED (\n" +
+      "  SELECT e.src, e.dst, e.weight / d.d AS w FROM und e JOIN wdeg d ON d.id = e.src\n),\n"
+    if (degreeInit)
+      b ++= "tt AS MATERIALIZED (SELECT sum(d) AS t FROM wdeg),\n" +
+        "v0 AS MATERIALIZED (SELECT id, round(d * nn.n / tt.t + CAST(" +
+        h60(s"concat_ws('|', 'pic', id, $seed)") +
+        " AS DOUBLE) / 1152921504606846976.0 * 0.01, 8) AS v " +
+        "FROM wdeg CROSS JOIN nn CROSS JOIN tt),\n"
+    else
+      b ++= s"v0 AS MATERIALIZED (SELECT id, round(CAST(" +
+        h60(s"concat_ws('|', 'pic', id, $seed)") +
+        " AS DOUBLE) / 1152921504606846976.0, 8) AS v FROM wdeg),\n"
+    for (i <- 1 to iters) {
+      b ++= s"y$i AS MATERIALIZED (SELECT t.src AS id, sum(t.w * v.v) AS v " +
+        s"FROM trans t JOIN v${i - 1} v ON v.id = t.dst GROUP BY 1),\n"
+      b ++= s"s$i AS MATERIALIZED (SELECT sum(v) / (SELECT n FROM nn) AS c, " +
+        s"max(v) AS mx, min(v) AS mn FROM y$i),\n"
+      b ++= s"m$i AS MATERIALIZED (SELECT c, " +
+        s"greatest(greatest(mx - c, c - mn), 1e-300) AS m FROM s$i),\n"
+      b ++= s"v$i AS MATERIALIZED (SELECT id, round((v - c) / m, 8) AS v " +
+        s"FROM y$i CROSS JOIN m$i),\n"
+    }
+    val vf = s"v$iters"
+    b ++= s"mm AS MATERIALIZED (SELECT min(v) AS vmin, max(v) AS vmax FROM $vf),\n"
+    b ++= s"cent0 AS MATERIALIZED (SELECT j AS cid, " +
+      s"vmin + ((2*j+1) * (vmax - vmin)) / ${2 * k} AS c " +
+      s"FROM range(0, $k) r(j) CROSS JOIN mm),\n"
+    for (r <- 1 to kmeansIters + 1) {
+      b ++= s"""as$r AS MATERIALIZED (
+        |  SELECT id, v, cid AS cluster FROM (
+        |    SELECT p.id, p.v, c.cid,
+        |      row_number() OVER (PARTITION BY p.id ORDER BY (p.v - c.c)*(p.v - c.c), c.cid) AS rn
+        |    FROM $vf p CROSS JOIN cent${r - 1} c
+        |  ) WHERE rn = 1
+        |)""".stripMargin
+      if (r <= kmeansIters)
+        b ++= s",\ncent$r AS MATERIALIZED (SELECT cluster AS cid, " +
+          s"round(avg(v), 8) AS c FROM as$r GROUP BY 1),\n"
+      else b ++= "\n"
+    }
+    b ++= s"SELECT id, CAST(cluster AS BIGINT) AS cluster FROM as${kmeansIters + 1}"
+    b.toString
+  }
+
   /** 8×8 linear assignment on the customer→supplier bipartite graph:
     * enumerate all 8! permutations via an 8-way join over a dense
     * rank-indexed cost table (integer cents — exact arithmetic), maximize

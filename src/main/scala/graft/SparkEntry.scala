@@ -641,7 +641,17 @@ object SparkEntry {
       pos.select(col(ID), round(col("x"), 6).as("x"), round(col("y"), 6).as("y"))
     },
     "q_spectral" -> q { (s, dir) =>
+      // deterministic PIC (degree init) — exact gate: the full power
+      // iteration + 1-D k-means is unrolled in DuckDB
+      // (MiscSql.spectralPicSupplier), snapped state both sides
       val res = Spectral.balancedCut(Fixtures.supplierGraph(s, dir), k = 4).mat
+      require(res.select("cluster").distinct().count() <= 4, "spectral: too many clusters")
+      res
+    },
+    "q_spectral_mod" -> q { (s, dir) =>
+      // the reference's second spectral entry point (modularity
+      // maximization, algorithms.hpp:914): same machinery, hash init
+      val res = Spectral.modularityMaximization(Fixtures.supplierGraph(s, dir), k = 4).mat
       require(res.select("cluster").distinct().count() <= 4, "spectral: too many clusters")
       res
     },
@@ -1227,8 +1237,8 @@ object SparkEntry {
         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
         |  FROM b
         |)
-        |SELECT doc_id, bucket, cum_before // 2048 AS chunk,
-        |       cum_before % 2048 AS "offset", n_tokens
+        |SELECT doc_id, bucket, CAST(cum_before // 2048 AS BIGINT) AS chunk,
+        |       CAST(cum_before % 2048 AS BIGINT) AS "offset", n_tokens
         |FROM c""".stripMargin,
     "q_token_count" -> PipelineSql.tokenCounts,
     "q_quality" -> PipelineSql.quality,
@@ -1335,6 +1345,8 @@ object SparkEntry {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
     "q_fa2_layout" -> MiscSql.fa2Supplier(iters = 3),
+    "q_spectral" -> MiscSql.spectralPicSupplier(),
+    "q_spectral_mod" -> MiscSql.spectralPicSupplier(degreeInit = false),
     "q_spectral_eigen" -> MiscSql.spectralEigenSupplier(),
     "q_coloring" -> MiscSql.coloringTree(colors = 5, misRounds = 6, seed = 42),
     "q_mis" -> MiscSql.misTree(rounds = 6, seed = 42),

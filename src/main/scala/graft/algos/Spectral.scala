@@ -3,7 +3,6 @@ package graft.algos
 import graft.prims.Mat._
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.ml.clustering.PowerIterationClustering
 import graft.core.{PropertyGraph, Structure, Gr}
 
 /** Spectral graph clustering (reference: legacy Lanczos+kmeans
@@ -12,26 +11,98 @@ import graft.core.{PropertyGraph, Structure, Gr}
   * graft.algos.Community).
   *
   * Spark-native realization: power-iteration clustering (Lin & Cohen, ICML
-  * 2010) from MLlib — the power-method embedding of the normalized affinity
-  * matrix followed by k-means on the 1-D embedding, i.e. the same
-  * eigenvector machinery the reference's Lanczos path approximates, but
-  * expressed over the (src, dst, weight) edge DataFrame and therefore
-  * distributed by construction.
+  * 2010) — the power-method embedding of the row-normalized affinity matrix
+  * W = D⁻¹A followed by k-means on the 1-D embedding, i.e. the same
+  * dominant-eigenvector machinery the reference's Lanczos path
+  * approximates, expressed over the (src, dst, weight) edge DataFrame and
+  * therefore distributed by construction. Implemented directly (one
+  * edge-join matvec + one hash agg per iteration) rather than via MLlib's
+  * PIC so the iteration is DETERMINISTIC and engine-reproducible: state is
+  * snapped to 1e-8 each round (the ForceAtlas2/eigen oracle trick), which
+  * lets the DuckDB oracle (MiscSql.spectralPicSupplier) replay it exactly.
   */
 object Spectral {
   import Gr._
 
-  /** Balanced-cut-style clustering into k parts. Output (id, cluster). */
-  def balancedCut(g: PropertyGraph, k: Int, maxIter: Int = 10): DataFrame = {
+  /** Balanced-cut-style clustering into k parts ("degree" init, matching
+    * the PIC paper's recommended v₀ = d/volume). Output (id, cluster). */
+  def balancedCut(g: PropertyGraph, k: Int, maxIter: Int = 10,
+                  seed: Long = 42): DataFrame =
+    picCluster(g, k, maxIter, degreeInit = true, seed)
+
+  /** Deterministic PIC with constant-mode deflation: each round applies the
+    * random-walk operator W = D⁻¹A, then centers (subtracts the mean — the
+    * dominant eigenvector of W is the constant vector, so centering is
+    * Gram-Schmidt against it) and rescales to max|v| = 1. That is power
+    * iteration on the SUBDOMINANT eigenvector of W — the Fiedler embedding
+    * of the random-walk Laplacian, the very vector the reference's Lanczos
+    * balanced-cut extracts — and unlike the undeflated Lin&Cohen iteration
+    * it converges to a stable fixed point instead of collapsing to the
+    * constant vector, so a fixed iteration count + 1e-8 snapping is
+    * engine-reproducible. Then 1-D Lloyd k-means seeded with k evenly
+    * spaced centroids over [min, max] — no global sort, no per-partition
+    * RNG, every step a hash agg or broadcast-scalar projection, so the plan
+    * is identical on 1 or 1000 executors and replayable by the SQL oracle. */
+  private def picCluster(g: PropertyGraph, k: Int, iters: Int,
+                         degreeInit: Boolean, seed: Long): DataFrame = {
+    import graft.pipeline.TextOps.hash60
     val und = Structure.removeSelfLoops(
-      Structure.symmetrize(g.weightedEdges.select(SRC, DST, WEIGHT), sumWeights = false))
-    val pic = new PowerIterationClustering()
-      .setK(k).setMaxIter(maxIter).setInitMode("degree")
-      .setSrcCol(SRC).setDstCol(DST).setWeightCol(WEIGHT)
-    pic.assignClusters(und)
-      .select(org.apache.spark.sql.functions.col(ID),
-        org.apache.spark.sql.functions.col("cluster").cast("long").as("cluster"))
+      Structure.symmetrize(g.weightedEdges.select(SRC, DST, WEIGHT), sumWeights = false)).mat
+    val deg = und.groupBy(SRC).agg(sum(WEIGHT).as("d")).mat
+    val n = deg.count()
+    // row-normalized transition edge stream (one broadcastable degree join)
+    val trans = und.join(deg, SRC)
+      .select(col(SRC), col(DST), (col(WEIGHT) / col("d")).as("w")).mat
+    var v: DataFrame =
+      if (degreeInit) {
+        // degree init (PIC's v₀ = d/volume, scaled to mean 1) plus a small
+        // deterministic hash jitter: a graph automorphism (two mirrored
+        // communities) makes the pure degree vector symmetric, which has
+        // zero component along the antisymmetric Fiedler mode and the
+        // power iteration could never escape it
+        val total = deg.agg(sum("d")).first().getDouble(0)
+        deg.select(col(SRC).as(ID),
+          round(col("d") * lit(n) / lit(total) +
+            hash60(concat_ws("|", lit("pic"), col(SRC), lit(seed)))
+              .cast("double") / lit(math.pow(2, 60)) * lit(0.01), 8).as("v"))
+      } else
+        deg.select(col(SRC).as(ID),
+          round(hash60(concat_ws("|", lit("pic"), col(SRC), lit(seed)))
+            .cast("double") / lit(math.pow(2, 60)), 8).as("v"))
+    v = v.mat
+    for (_ <- 1 to iters) {
+      val y = trans.join(v.withColumnRenamed(ID, DST), DST)
+        .groupBy(col(SRC).as(ID)).agg(sum(col("w") * col("v")).as("v")).mat
+      // center + L∞ rescale from ONE scalar agg (max|y−c| = max(mx−c, c−mn));
+      // the single driver sync per iteration, same budget as the eigen
+      // path's Gram collect
+      val row = y.agg(sum("v"), max("v"), min("v")).first()
+      val c = row.getDouble(0) / n
+      val m = math.max(math.max(row.getDouble(1) - c, c - row.getDouble(2)), 1e-300)
+      v = y.select(col(ID), round((col("v") - lit(c)) / lit(m), 8).as("v")).mat
+    }
+    // deterministic 1-D k-means: evenly spaced initial centroids over the
+    // embedding's range (scalars from one agg — no global sort), then Lloyd
+    // rounds with arg-min assignment, centroids snapped to 1e-8
+    val mm = v.agg(min("v"), max("v")).first()
+    val (vmin, vmax) = (mm.getDouble(0), mm.getDouble(1))
+    var cents: Array[(Long, Double)] = Array.tabulate(k)(j =>
+      (j.toLong, vmin + ((2 * j + 1).toDouble * (vmax - vmin)) / (2 * k).toDouble))
+    def assignExpr(cs: Array[(Long, Double)]): Column =
+      least(cs.map { case (cid, c) =>
+        struct(((col("v") - lit(c)) * (col("v") - lit(c))).as("d"), lit(cid).as("c"))
+      }.toIndexedSeq: _*).getField("c")
+    for (_ <- 1 to KMeansIters) {
+      cents = v.withColumn("cluster", assignExpr(cents))
+        .groupBy("cluster").agg(round(avg("v"), 8).as("c"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+    }
+    v.withColumn("cluster", assignExpr(cents))
+      .select(col(ID), col("cluster").cast("long").as("cluster"))
   }
+
+  /** Lloyd rounds after seeding — mirrored by the oracle's unroll depth. */
+  val KMeansIters = 5
 
   /** Balanced cut with the reference's `num_eigen_vects` semantics
     * (`algorithms.hpp:878`: Lanczos → smallest Laplacian eigenvectors →
@@ -150,16 +221,11 @@ object Spectral {
     inv
   }
 
-  /** Modularity-maximization flavor: same embedding, random init (matches
-    * the reference exposing two spectral entry points). */
-  def modularityMaximization(g: PropertyGraph, k: Int, maxIter: Int = 10): DataFrame = {
-    val und = Structure.removeSelfLoops(
-      Structure.symmetrize(g.weightedEdges.select(SRC, DST, WEIGHT), sumWeights = false))
-    val pic = new PowerIterationClustering()
-      .setK(k).setMaxIter(maxIter).setInitMode("random")
-      .setSrcCol(SRC).setDstCol(DST).setWeightCol(WEIGHT)
-    pic.assignClusters(und)
-      .select(org.apache.spark.sql.functions.col(ID),
-        org.apache.spark.sql.functions.col("cluster").cast("long").as("cluster"))
-  }
+  /** Modularity-maximization flavor: same embedding machinery, hash-seeded
+    * "random" init (matches the reference exposing two spectral entry
+    * points, `algorithms.hpp:914`); deterministic and oracle-replayable
+    * like [[balancedCut]]. */
+  def modularityMaximization(g: PropertyGraph, k: Int, maxIter: Int = 10,
+                             seed: Long = 42): DataFrame =
+    picCluster(g, k, maxIter, degreeInit = false, seed)
 }

@@ -157,6 +157,22 @@ class AlgoSpec extends SparkSpec {
       s"cliques not separated: $c")
   }
 
+  test("deterministic PIC balanced cut separates two cliques joined by a bridge") {
+    val k5a = for (i <- 0L until 5L; j <- i + 1 until 5L) yield (i, j)
+    val k5b = for (i <- 10L until 15L; j <- i + 1 until 15L) yield (i, j)
+    val g = wGraphOf((k5a ++ k5b :+ ((4L, 10L))).map { case (a, b) => (a, b, 1.0) },
+      directed = false)
+    for (byDegree <- Seq(true, false)) {
+      val res = if (byDegree) Spectral.balancedCut(g, k = 2)
+                else Spectral.modularityMaximization(g, k = 2)
+      val c = res.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val ca = (0L until 5L).map(c).toSet
+      val cb = (10L until 15L).map(c).toSet
+      assert(ca.size == 1 && cb.size == 1 && ca != cb,
+        s"cliques not separated (degreeInit=$byDegree): $c")
+    }
+  }
+
   test("WCC star-contraction converges in O(log V) rounds on a path graph") {
     // a 300-vertex path has diameter 299: label propagation would need 300
     // sweeps; the star algorithm must finish in a handful of rounds
