@@ -47,4 +47,38 @@ object GenSql {
 
   def complete(n: Long): String =
     s"SELECT i.i AS src, j.j AS dst FROM range(0, $n) i(i) CROSS JOIN range(0, $n) j(j) WHERE i.i < j.j"
+
+  def mesh3d(x: Long, y: Long, z: Long, base: Long = 0L): String = {
+    val n = x * y * z
+    s"""SELECT i + $base AS src, i + $base + 1 AS dst FROM range(0, $n) t(i) WHERE (i + 1) % $x <> 0
+       |UNION ALL
+       |SELECT i + $base, i + $base + $x FROM range(0, $n) t(i) WHERE (i + $x) % ${x * y} >= $x
+       |UNION ALL
+       |SELECT i + $base, i + $base + ${x * y} FROM range(0, $n) t(i) WHERE (i + ${x * y}) % $n >= ${x * y}""".stripMargin
+  }
+
+  def bipartiteRmat(srcScale: Int, dstScale: Int, numEdges: Long,
+                    a: Double = 0.57, b: Double = 0.19, c: Double = 0.19,
+                    seed: Long = 42): String = {
+    val aPlusB = a + b
+    val aPlusC = a + c
+    val aNorm = if (a + b > 0.0) a / (a + b) else 0.0
+    val cNorm = if (1.0 - (a + b) > 0.0) c / (1.0 - (a + b)) else 0.0
+    val levels = math.max(srcScale, dstScale)
+    s"""WITH u AS MATERIALIZED (
+       |  SELECT e.i AS edge_id, l.l AS l,
+       |         ${u01(s"concat_ws('|', 'brmat_s', e.i, l.l, $seed)")} AS us,
+       |         ${u01(s"concat_ws('|', 'brmat_d', e.i, l.l, $seed)")} AS ud
+       |  FROM range(0, $numEdges) e(i) CROSS JOIN range(0, $levels) l(l)
+       |)
+       |SELECT edge_id,
+       |  CAST(coalesce(sum(CASE WHEN l < $srcScale AND us > $aPlusB
+       |    THEN (CAST(1 AS BIGINT) << ($srcScale - l - 1)) ELSE 0 END), 0) AS BIGINT) AS src,
+       |  CAST(coalesce(sum(CASE WHEN l < $dstScale AND ud > (
+       |      CASE WHEN l < $srcScale
+       |           THEN (CASE WHEN us > $aPlusB THEN $cNorm ELSE $aNorm END)
+       |           ELSE $aPlusC END)
+       |    THEN (CAST(1 AS BIGINT) << ($dstScale - l - 1)) ELSE 0 END), 0) AS BIGINT) AS dst
+       |FROM u GROUP BY edge_id""".stripMargin
+  }
 }

@@ -470,6 +470,16 @@ object SparkEntry {
           coalesce(col("w"), lit(0.0)).as("w")))), e => e.getField("w")).as("row"))
       sources.Convert.fromDense(dense)
     },
+    "q_to_dense" -> q { (s, dir) =>
+      // dense EXPORT round trip (to_pandas_adjacency → from_numpy_array):
+      // COO → dense rank-indexed rows → COO, ranks mapped back to vertex
+      // ids — must land exactly on the symmetrized supplier edge list
+      val und = Fixtures.supplierGraphUnd(s, dir).edges
+      val coo = sources.Convert.fromDense(sources.Convert.toDense(und))
+      val idx = sources.Convert.vertexRanks(und)
+      coo.join(broadcast(idx), coo(DST) === idx("j"))
+        .select(col(SRC), col("id").as(DST), col(WEIGHT))
+    },
     "q_karate_triangles" -> q { (s, _) =>
       // curated-dataset registry + triangle kernel on the classic fixture
       val g = sources.Datasets.getGraph(s, "karate")
@@ -684,6 +694,14 @@ object SparkEntry {
       gen.Generators.erdosRenyi(s, n = 100, p = 0.05)
     },
     "q_gen_path" -> q { (s, _) => gen.Generators.pathGraph(s, 100) },
+    "q_gen_mesh3d" -> q { (s, _) =>
+      // base offset exercised too (the reference composes mesh components
+      // at distinct base ids)
+      gen.Generators.mesh3d(s, 4, 3, 5, base = 10)
+    },
+    "q_rmat_bipartite" -> q { (s, _) =>
+      gen.Generators.bipartiteRmat(s, srcScale = 8, dstScale = 5, numEdges = 512)
+    },
     "q_wcc_star" -> q { (s, _) =>
       // large-star/small-star WCC on its worst-case input: a 4000-vertex
       // path (diameter 3999 — label propagation would need 4000 rounds);
@@ -1298,6 +1316,8 @@ object SparkEntry {
       s"WITH $SUPP_EDGES_SQL SELECT src, dst, weight FROM supp_edges",
     "q_from_dense" ->
       s"WITH $SUPP_EDGES_SQL, $SUPP_UND_SQL SELECT src, dst, weight FROM und",
+    "q_to_dense" ->
+      s"WITH $SUPP_EDGES_SQL, $SUPP_UND_SQL SELECT src, dst, weight FROM und",
     "q_karate_triangles" -> {
       val vals = sources.Datasets.karateEdges.map { case (a, b) => s"($a, $b)" }.mkString(", ")
       s"""WITH k0(s0, d0) AS (VALUES $vals),
@@ -1360,6 +1380,8 @@ object SparkEntry {
     "q_wcc_star" ->
       "SELECT CAST(i AS BIGINT) AS id, CAST(0 AS BIGINT) AS component FROM range(0, 4000) t(i)",
     "q_gen_grid" -> GenSql.grid2d(10, 10),
+    "q_gen_mesh3d" -> GenSql.mesh3d(4, 3, 5, base = 10),
+    "q_rmat_bipartite" -> GenSql.bipartiteRmat(srcScale = 8, dstScale = 5, numEdges = 512),
     "q_gen_complete" -> GenSql.complete(30),
     "q_uniform_walks" -> SamplingSql.uniformWalks(nWalks = 5, depth = 4, seed = 42),
     "q_biased_walks" -> SamplingSql.biasedWalks(nWalks = 5, depth = 4, seed = 42),

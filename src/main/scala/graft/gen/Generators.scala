@@ -86,11 +86,67 @@ object Generators {
     right.union(down)
   }
 
+  /** 3D mesh x×y×z with +1 / +x / +x·y edges (`graph_generators.hpp:257`,
+    * kernel `simple_generators.cuh:149-216`): vertex v = base + ix + iy·x +
+    * iz·x·y; an edge is kept exactly when its destination stays inside the
+    * same row / plane / grid — the reference's three filtered
+    * counting-iterator families, here three filtered range projections. */
+  def mesh3d(spark: SparkSession, x: Long, y: Long, z: Long,
+             base: Long = 0L): DataFrame = {
+    val n = x * y * z
+    val cells = spark.range(n).select((col("id") + base).as(SRC))
+    val right = cells.filter((col(SRC) + 1 - base) % x =!= 0)
+      .select(col(SRC), (col(SRC) + 1L).as(DST))
+    val up = cells.filter((col(SRC) + x - base) % (x * y) >= x)
+      .select(col(SRC), (col(SRC) + x).as(DST))
+    val deep = cells.filter((col(SRC) + x * y - base) % n >= x * y)
+      .select(col(SRC), (col(SRC) + x * y).as(DST))
+    right.union(up).union(deep)
+  }
+
   /** Complete graph K_n, canonical i<j (`graph_generators.hpp:283`). */
   def complete(spark: SparkSession, n: Long): DataFrame = {
     val i = spark.range(n).select(col("id").as(SRC))
     val j = spark.range(n).select(col("id").as(DST))
     i.crossJoin(j).filter(col(SRC) < col(DST))
+  }
+
+  /** Bipartite RMAT (`graph_generators.hpp:112`,
+    * `generate_bipartite_rmat_edgelist.cuh:28`): src ∈ [0, 2^srcScale) and
+    * dst ∈ [0, 2^dstScale) drawn level by level MSB-first; at each level the
+    * src draw picks the row half (bit set iff u > a+b), and the dst
+    * threshold CONDITIONS on that row choice — c/(1−(a+b)) in the lower
+    * row, a/(a+b) in the upper — so the joint quadrant probabilities are
+    * the Graph500 (a,b,c,d). Levels past the shorter scale use the marginal
+    * threshold a+c, exactly as the reference kernel. Same counter-mode
+    * hash60 draws as [[rmat]], reproducible by the DuckDB oracle. */
+  def bipartiteRmat(spark: SparkSession, srcScale: Int, dstScale: Int,
+                    numEdges: Long, a: Double = 0.57, b: Double = 0.19,
+                    c: Double = 0.19, seed: Long = 42): DataFrame = {
+    val aPlusB = a + b
+    val aPlusC = a + c
+    val aNorm = if (a + b > 0.0) a / (a + b) else 0.0
+    val cNorm = if (1.0 - (a + b) > 0.0) c / (1.0 - (a + b)) else 0.0
+    val base = spark.range(numEdges).select(col("id").as("edge_id"))
+    def u(tag: String, l: Int) =
+      hash60(concat_ws("|", lit(tag), col("edge_id"), lit(l), lit(seed)))
+        .cast("double") / lit(math.pow(2, 60))
+    val levels = math.max(srcScale, dstScale)
+    val (srcExpr, dstExpr) = (0 until levels).foldLeft((lit(0L), lit(0L))) {
+      case ((s, d), l) =>
+        if (l < srcScale) {
+          val srcSet = u("brmat_s", l) > aPlusB
+          val thr = when(srcSet, lit(cNorm)).otherwise(lit(aNorm))
+          val s2 = s + when(srcSet, lit(1L << (srcScale - l - 1))).otherwise(lit(0L))
+          val d2 = if (l < dstScale)
+            d + when(u("brmat_d", l) > thr, lit(1L << (dstScale - l - 1))).otherwise(lit(0L))
+          else d
+          (s2, d2)
+        } else
+          (s, d + when(u("brmat_d", l) > aPlusC, lit(1L << (dstScale - l - 1)))
+            .otherwise(lit(0L)))
+    }
+    base.select(col("edge_id"), srcExpr.as(SRC), dstExpr.as(DST))
   }
 
   /** Scramble vertex ids within [0, 2^scale) — the reference's

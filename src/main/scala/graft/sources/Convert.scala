@@ -56,6 +56,43 @@ object Convert {
       .groupBy(col(SRC).as("id"))
       .agg(sort_array(collect_list(struct(col(DST), col(WEIGHT)))).as("nbrs"))
 
+  /** COO → DENSE adjacency rows (the `to_pandas_adjacency` /
+    * `to_numpy_array` inverse of [[fromDense]], reference
+    * `convert_matrix.py:421,474`): one row per vertex id with a length-|V|
+    * weight array, column j = the j-th smallest vertex id (the reference
+    * likewise orders the pandas adjacency by the node index). Missing edges
+    * are 0.0, as in the reference's zero-filled matrix.
+    *
+    * EXPORT-ONLY op with O(|V|²) output by definition — the rank window is
+    * a deliberate global sort, same regime as the reference materializing a
+    * pandas DataFrame on the host. Not for the 100-TB path; the scalable
+    * export is [[toAdjList]]. */
+  def toDense(edges: DataFrame): DataFrame = {
+    val e = edges.select(col(SRC), col(DST),
+      (if (edges.columns.contains(WEIGHT)) col(WEIGHT) else lit(1.0)).as(WEIGHT))
+    val idx = vertexRanks(e)
+    // dense cells via (vertex × position) grid left-join + ordered collect —
+    // NOT element_at on a per-row map, whose MapData lookup is a linear scan
+    // (the q_from_dense fixture hit exactly that: O(positions × degree) per
+    // row turned a 16 MB build into ~30s of CPU)
+    val cells = e.join(broadcast(idx).select(col("id").as(DST), col("j")), DST)
+      .select(col(SRC).as("id"), col("j"), col(WEIGHT).as("w"))
+    idx.select("id").crossJoin(broadcast(idx).select("j"))
+      .join(cells, Seq("id", "j"), "left")
+      .groupBy("id")
+      .agg(transform(sort_array(collect_list(struct(col("j"),
+        coalesce(col("w"), lit(0.0)).as("w")))), x => x.getField("w")).as("row"))
+  }
+
+  /** (id, j) rank table: j = rank of id in ascending vertex-id order — the
+    * dense matrix's column order. Global window, same export-only caveat as
+    * [[toDense]]. */
+  def vertexRanks(edges: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    edges.select(col(SRC).as("id")).union(edges.select(col(DST).as("id"))).distinct()
+      .select(col("id"), (row_number().over(Window.orderBy("id")) - 1L).as("j"))
+  }
+
   /** MatrixMarket (.mtx) coordinate file → COO edge list. Header `%` lines
     * and the size line are dropped; 1-based ids are shifted to 0-based as
     * the reference's MTX reader does. */
