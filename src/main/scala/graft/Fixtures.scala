@@ -120,6 +120,19 @@ object Fixtures {
   def partGraph(spark: SparkSession, dir: String): PropertyGraph =
     GraphBuilder.fromEdges(partEdges(spark, dir), SRC, DST, Some(WEIGHT), directed = true)
 
+  /** Part co-order graph restricted to REPEAT co-orders (weight ≥ 2): sparse
+    * with a non-trivial degree spread at every SF (the full part graph is
+    * near-complete in co-order density; the supplier graph IS complete) —
+    * the fixture for the hub-capped weighted similarity gate. */
+  def partRepeatEdges(spark: SparkSession, dir: String): DataFrame =
+    cached(spark, s"part_rep:$dir")(partEdges(spark, dir).filter(col(WEIGHT) >= 2))
+
+  val PART_REPEAT_SQL: String =
+    "part_rep AS MATERIALIZED (SELECT src, dst, weight FROM part_edges WHERE weight >= 2)"
+
+  def partRepeatGraph(spark: SparkSession, dir: String): PropertyGraph =
+    GraphBuilder.fromEdges(partRepeatEdges(spark, dir), SRC, DST, Some(WEIGHT), directed = true)
+
   /** Directed cyclic fixture for SCC: canonical supplier edges plus the
     * REVERSED copies of edges with weight ≥ 2 (creates 2-cycles → nontrivial
     * strongly connected components). */

@@ -970,6 +970,16 @@ object SparkEntry {
         Fixtures.supplierSimDegW(s, dir), Similarity.Cosine, Fixtures.supplierSimNVW(s, dir))
       r.select(col(SRC), col(DST), round(col("cosine_coeff"), 6).as("cosine_coeff"))
     },
+    "q_cosine_weighted_capped" -> q { (s, dir) =>
+      // hub-capped weighted kernel on the repeat part co-order graph:
+      // candidates mined from degree-≤4 centers only, hub contributions
+      // rescored exactly — the oracle computes the full exact kernel
+      // restricted to the same candidate set
+      val (inter, wdeg) = Similarity.interAndDegWeightedCapped(
+        Fixtures.partRepeatGraph(s, dir), maxDegree = 4)
+      Similarity.scoreFrom(inter, wdeg, Similarity.Cosine)
+        .select(col(SRC), col(DST), round(col("cosine_coeff"), 6).as("cosine_coeff"))
+    },
     // ---- link prediction (§2.6): one shared kernel, four scorings ----
     "q_jaccard" -> q { (s, dir) =>
       val r = Similarity.scoreFrom(Fixtures.supplierSimInter(s, dir),
@@ -1450,6 +1460,29 @@ object SparkEntry {
       "round(i.i / least(da.d, db.d), 6)", "overlap_coeff"),
     "q_cosine_weighted" -> similarityWeightedSql(
       "round(i.i / sqrt(da.d * db.d), 6)", "cosine_coeff"),
+    "q_cosine_weighted_capped" ->
+      s"""WITH ${Fixtures.PART_EDGES_SQL},
+         |${Fixtures.PART_REPEAT_SQL},
+         |pund AS MATERIALIZED (
+         |  SELECT src, dst, weight FROM part_rep
+         |  UNION ALL SELECT dst, src, weight FROM part_rep
+         |),
+         |pdeg AS MATERIALIZED (SELECT src AS m, count(*) AS d FROM pund GROUP BY 1),
+         |hubs AS MATERIALIZED (SELECT m FROM pdeg WHERE d > 4),
+         |pwdeg AS MATERIALIZED (SELECT src AS id, sum(weight) AS wd FROM pund GROUP BY 1),
+         |cand AS MATERIALIZED (
+         |  SELECT DISTINCT x.dst AS a, y.dst AS b
+         |  FROM pund x JOIN pund y ON x.src = y.src AND x.dst < y.dst
+         |  WHERE NOT EXISTS (SELECT 1 FROM hubs h WHERE h.m = x.src)
+         |),
+         |inter AS MATERIALIZED (
+         |  SELECT x.dst AS a, y.dst AS b, sum(least(x.weight, y.weight)) AS i
+         |  FROM pund x JOIN pund y ON x.src = y.src AND x.dst < y.dst
+         |  GROUP BY 1, 2
+         |)
+         |SELECT c.a AS src, c.b AS dst, round(i.i / sqrt(da.wd * db.wd), 6) AS cosine_coeff
+         |FROM cand c JOIN inter i ON i.a = c.a AND i.b = c.b
+         |JOIN pwdeg da ON da.id = c.a JOIN pwdeg db ON db.id = c.b""".stripMargin,
     "q_jaccard" -> similaritySql("round(CAST(i.i AS DOUBLE) / (da.d + db.d - i.i), 6)", "jaccard_coeff"),
     "q_jaccard_pairs" ->
       s"""WITH ${Fixtures.SUPP_EDGES_SQL},

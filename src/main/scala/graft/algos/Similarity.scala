@@ -179,6 +179,51 @@ object Similarity {
     scoreFrom(inter, wdeg, coeff)
   }
 
+  /** HUB-CAPPED weighted kernel — the power-law defense for use_weight=True
+    * at scale. The uncapped wedge stream is Σ deg²: one degree-10⁶ hub
+    * center emits 10¹² wedge rows. Min-weight sums don't decompose over the
+    * complement (unlike the unweighted count), but they DO decompose over
+    * any partition of the CENTER set:
+    *   Σ_m min(w_am, w_bm) = Σ_{deg(m)≤cap} + Σ_{deg(m)>cap}.
+    * So: mine candidate pairs (and their partial sums) from degree-≤cap
+    * centers only — bounding the wedge stream at Σ_rare deg ≤ cap·|rare| —
+    * then EXACTLY rescore each candidate against the few hub neighbors per
+    * vertex (never against a hub's full posting list). The same rare/hub
+    * split as `Dedup.ngramJaccardPairs(maxShingleDf)`; like there, only a
+    * pair whose every common neighbor is a hub can be missed, and every
+    * returned score is exact. */
+  def interAndDegWeightedCapped(g: PropertyGraph, maxDegree: Int,
+                                minIntersection: Int = 1): (DataFrame, DataFrame) = {
+    require(maxDegree > 0, "maxDegree must be positive")
+    val und = Structure.removeSelfLoops(
+      Structure.symmetrize(g.weightedEdges.select(SRC, DST, WEIGHT), sumWeights = false)).mat
+    val wdeg = und.groupBy(col(SRC).as(ID)).agg(sum(WEIGHT).as("d"))
+    val ctr = und.select(col(SRC).as("m"), col(DST).as("nbr"), col(WEIGHT))
+    val deg = ctr.groupBy("m").agg(count(lit(1)).as("deg")).mat
+    // hub vertex list is tiny by construction (few vertices exceed the cap
+    // on a power-law graph) — broadcast it into both semi-joins
+    val hubs = broadcast(deg.filter(col("deg") > maxDegree).select("m"))
+    val rareCtr = ctr.join(hubs, Seq("m"), "left_anti").mat
+    val hubAdj = ctr.join(hubs, Seq("m"), "left_semi").mat
+    val rare = rareCtr.as("x").join(rareCtr.as("y"),
+        col("x.m") === col("y.m") && col("x.nbr") < col("y.nbr"))
+      .groupBy(col("x.nbr").as("a"), col("y.nbr").as("b"))
+      .agg(sum(least(col(s"x.$WEIGHT"), col(s"y.$WEIGHT"))).as("rare_i"),
+        count(lit(1)).as("rare_n"))
+    val hubInter = rare.select("a", "b")
+      .join(hubAdj.select(col("nbr").as("a"), col("m"), col(WEIGHT).as("wa")), "a")
+      .join(hubAdj.select(col("nbr").as("b"), col("m"), col(WEIGHT).as("wb")), Seq("b", "m"))
+      .groupBy("a", "b")
+      .agg(sum(least(col("wa"), col("wb"))).as("hub_i"), count(lit(1)).as("hub_n"))
+    val inter = rare.join(hubInter, Seq("a", "b"), "left")
+      .select(col("a"), col("b"),
+        (col("rare_i") + coalesce(col("hub_i"), lit(0.0))).as("i"),
+        (col("rare_n") + coalesce(col("hub_n"), lit(0L))).as("n"))
+      .filter(col("n") >= minIntersection)
+      .drop("n")
+    (inter, wdeg)
+  }
+
   /** Per-source top-k most similar vertices (window pattern, SURVEY §2.9). */
   def topKPerVertex(g: PropertyGraph, coeff: Coefficient, k: Int): DataFrame =
     TopK.perKey(allPairs(g, coeff), Seq(SRC), Seq(desc(coeff.name), col(DST)), k)

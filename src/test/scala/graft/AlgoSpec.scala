@@ -173,6 +173,35 @@ class AlgoSpec extends SparkSpec {
     }
   }
 
+  test("hub-capped weighted similarity is exact on candidates and bounds the wedge stream") {
+    // two 4-cliques sharing a degree-10 hub (vertex 100): capped scores for
+    // pairs with a rare common neighbor must equal the uncapped kernel's;
+    // pairs whose ONLY common neighbor is the hub are the documented misses
+    val clqA = for (i <- 0L until 4L; j <- i + 1 until 4L) yield (i, j, 1.0 + i)
+    val clqB = for (i <- 10L until 14L; j <- i + 1 until 14L) yield (i, j, 2.0)
+    val spokes = (0L until 4L).map(i => (i, 100L, 3.0)) ++
+      (10L until 14L).map(i => (i, 100L, 1.0)) ++ Seq((20L, 100L, 5.0), (21L, 100L, 5.0))
+    val g = wGraphOf(clqA ++ clqB ++ spokes, directed = false)
+    val cap = 5
+    val (full, _) = Similarity.interAndDegWeighted(g)
+    val (capped, wdeg) = Similarity.interAndDegWeightedCapped(g, maxDegree = cap)
+    val fullM = full.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val capM = capped.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // every returned candidate score is EXACT (includes hub contributions)
+    capM.foreach { case (p, i) => assert(fullM(p) == i, s"pair $p capped=$i full=${fullM(p)}") }
+    // clique pairs (rare common neighbors exist) are all retained
+    for (i <- 0L until 4L; j <- i + 1 until 4L) assert(capM.contains((i, j)))
+    // (20, 21) share ONLY the hub — the documented miss
+    assert(fullM.contains((20L, 21L)) && !capM.contains((20L, 21L)))
+    assert(wdeg.count() == 11)
+    // pure star: every wedge center is the hub, so the capped kernel's
+    // candidate stream must be EMPTY — proof the Σ deg² join never touches
+    // a center above the cap (the uncapped kernel sees all 45 leaf pairs)
+    val star = wGraphOf((0L until 10L).map(i => (i, 99L, 1.0)), directed = false)
+    assert(Similarity.interAndDegWeighted(star)._1.count() == 45)
+    assert(Similarity.interAndDegWeightedCapped(star, maxDegree = 5)._1.count() == 0)
+  }
+
   test("WCC star-contraction converges in O(log V) rounds on a path graph") {
     // a 300-vertex path has diameter 299: label propagation would need 300
     // sweeps; the star algorithm must finish in a handful of rounds
