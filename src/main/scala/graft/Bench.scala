@@ -16,6 +16,19 @@ object Bench {
     // optional arg: comma-separated query subset (iteration aid; the
     // driver's per-round bench passes no args and runs everything)
     val subset = if (args.nonEmpty) Some(args(0).split(",").toSet) else None
+    // shared fixtures are built OFF the per-query clock (their cost is
+    // reported separately below and included in the total): per-query
+    // numbers otherwise charge each fixture's build to whichever query
+    // touches it first, which moves across rounds as the name set changes.
+    // Subset runs skip the prewarm — they exist to see one query's full
+    // isolated cost.
+    val warmSec = if (subset.isEmpty) {
+      val t0 = System.nanoTime()
+      Fixtures.prewarm(spark, sfDir)
+      val w = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[bench] fixture prewarm t=$w%.1fs")
+      w
+    } else 0.0
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => subset.forall(_.contains(n)) }
       .map { case (name, fn) =>
@@ -52,8 +65,10 @@ object Bench {
       .mkString("{", ",", "}")
     val starts = results.map { case (k, _, s) => s"\"" + k + "\":" + s }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"started":$starts,"sf":"$sfDir"}""")
+    // total stays honest: prewarm seconds are part of the run, reported
+    // both inside the total and as their own field
+    val total = results.map(_._2).sum + warmSec
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"started":$starts,"fixture_warm":$warmSec,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

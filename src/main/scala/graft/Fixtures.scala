@@ -214,6 +214,25 @@ object Fixtures {
   def seedVertices(spark: SparkSession, dir: String, k: Int): DataFrame =
     Structure.extractVertexList(supplierEdges(spark, dir)).orderBy(ID).limit(k)
 
+  /** Eagerly build every shared cross-query fixture (cached() materializes
+    * via eager localCheckpoint, so touching each getter forces the build).
+    * Bench calls this BEFORE the per-query clock starts: the reference
+    * likewise benches `create_graph` separately from the algorithms, and
+    * without this the first query to touch a fixture pays its whole build
+    * (q_louvain was charged 69s for ~27s of its own work in the r5 driver
+    * bench — the 25M-edge part fixture landed on it). */
+  def prewarm(spark: SparkSession, dir: String): Unit = {
+    supplierEdges(spark, dir); supplierGraphUnd(spark, dir)
+    custSuppEdges(spark, dir); partEdges(spark, dir); partRepeatEdges(spark, dir)
+    cyclicSupplierGraph(spark, dir)
+    supplierSimInter(spark, dir); supplierSimDeg(spark, dir)
+    supplierSimInterW(spark, dir); supplierSimDegW(spark, dir)
+    supplierSimNV(spark, dir); supplierSimNVW(spark, dir)
+    supplierEdgeSupport(spark, dir)
+    rmatGraph(spark)
+    ()
+  }
+
   def documents(spark: SparkSession, dir: String): DataFrame = Tables(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = Tables(spark, dir, "embeddings")
 
