@@ -180,6 +180,19 @@ object Fixtures {
     cached(spark, s"sim_deg_w:$dir")(
       graft.algos.Similarity.interAndDegWeighted(supplierGraph(spark, dir))._2)
 
+  /** Shared Louvain level-1 labels (maxIter=8) on the supplier graph:
+    * q_louvain_l1 gates them directly, q_leiden_refine refines them — same
+    * deterministic schedule, so one run serves both (the move phase is the
+    * family's dominant cost). Rounds are cached with the labels so both
+    * queries keep their unroll-budget asserts. */
+  private val l1Cache = scala.collection.concurrent.TrieMap[(Int, String), (DataFrame, Int)]()
+  def supplierLouvainL1(spark: SparkSession, dir: String): (DataFrame, Int) =
+    l1Cache.getOrElseUpdate((System.identityHashCode(spark), s"louvain_l1:$dir"), {
+      val (labels, rounds) = graft.algos.Community.oneLevelWithRounds(
+        supplierGraph(spark, dir), maxIter = 8)
+      (labels.mat, rounds)
+    })
+
   private val countCache = scala.collection.concurrent.TrieMap[(Int, String), Long]()
   def supplierSimNV(spark: SparkSession, dir: String): Long =
     countCache.getOrElseUpdate((System.identityHashCode(spark), s"sim_nv:$dir"),
@@ -197,6 +210,17 @@ object Fixtures {
   def supplierEdgeSupport(spark: SparkSession, dir: String): DataFrame =
     cached(spark, s"tri_support:$dir")(
       graft.algos.Triangles.edgeSupport(supplierGraph(spark, dir)))
+
+  /** Shared ECG ensemble vote table (ensembleSize=4) over the supplier
+    * graph: q_ecg consumes it through reweight+Louvain and q_ecg_votes
+    * gates it directly — the 4-run batched ensemble is the family's
+    * dominant cost, so it is computed once per session like the similarity
+    * kernel. NOT in prewarm: q_ecg (first alphabetical toucher) pays it,
+    * which is the correct attribution — the ensemble IS the ECG algorithm,
+    * not an input fixture. */
+  def supplierEcgVotes(spark: SparkSession, dir: String): DataFrame =
+    cached(spark, s"ecg_votes:$dir")(
+      graft.algos.Community.ecgVotes(supplierGraph(spark, dir), ensembleSize = 4))
 
   /** Deterministic RMAT(scale 8, 1024 edges, seed 42) graph — SF-independent,
     * with a rich core structure (core values 1..9). The fixture for queries

@@ -211,8 +211,7 @@ object SparkEntry {
       // .louvainL1Supplier). Integral weights make the gain arithmetic
       // bit-reproducible across engines, so this pins the real move logic
       // — gain formula, tie-breaks, parity escalation — not just a floor.
-      val (labels, rounds) =
-        Community.oneLevelWithRounds(Fixtures.supplierGraph(s, dir), maxIter = 8)
+      val (labels, rounds) = Fixtures.supplierLouvainL1(s, dir)
       require(rounds <= 8, s"louvain level-1 took $rounds rounds, oracle unrolls 8")
       labels
     },
@@ -388,6 +387,15 @@ object SparkEntry {
     "q_pack" -> q { (s, dir) =>
       // concat-then-chunk packing into 2048-token contexts, 8 packer buckets
       pipeline.TextAnalysis.packChunks(Fixtures.documents(s, dir), budget = 2048L)
+    },
+    "q_shard" -> q { (s, dir) =>
+      // deterministic global shuffle into 8 training shards
+      pipeline.TextAnalysis.shardAssign(Fixtures.documents(s, dir), nShards = 8)
+    },
+    "q_length_batches" -> q { (s, dir) =>
+      // padding-minimizing batch formation: digit-count length buckets,
+      // batches of 16 within each
+      pipeline.TextAnalysis.lengthBatches(Fixtures.documents(s, dir), batchSize = 16)
     },
     "q_token_count" -> q { (s, dir) =>
       pipeline.TextAnalysis.tokenCounts(Fixtures.documents(s, dir))
@@ -905,7 +913,7 @@ object SparkEntry {
       // L1 labels on the supplier graph, then WCC over intra-community
       // edges, both unrolled in DuckDB (MiscSql.leidenRefineSupplier).
       val g = Fixtures.supplierGraph(s, dir)
-      val (labels, lr) = Community.oneLevelWithRounds(g, maxIter = 8)
+      val (labels, lr) = Fixtures.supplierLouvainL1(s, dir)
       require(lr <= 8, s"louvain level-1 took $lr rounds, oracle unrolls 8")
       val (refined, wr) = Community.leidenRefine(g, labels, "community")
       require(wr <= 6, s"refinement WCC took $wr rounds, oracle unrolls 6")
@@ -920,7 +928,7 @@ object SparkEntry {
       // bit-exact labels; the assert pins the level branch the SQL unrolls.
       val g = Fixtures.supplierGraph(s, dir)
       val rw = Community.ecgReweight(
-        Community.ecgVotes(g, ensembleSize = 4), ensembleSize = 4)
+        Fixtures.supplierEcgVotes(s, dir), ensembleSize = 4)
       val g2 = graft.core.PropertyGraph(Structure.extractVertexList(rw), rw,
         g.props.copy(weighted = true, directed = false))
       val (labels, _, levels) = Community.louvainWithLevels(g2, maxLevel = 2, maxIter = 8)
@@ -931,8 +939,7 @@ object SparkEntry {
       // EXACT ECG gate: the ensemble's co-clustering vote table, full
       // batched 4-run × 5-round unroll in DuckDB (MiscSql.ecgVotesSupplier).
       // Integral perturbed weights make every sum exact — see ecgVotes.
-      Community.ecgVotes(Fixtures.supplierGraph(s, dir), ensembleSize = 4)
-        .filter(col(SRC) < col(DST))
+      Fixtures.supplierEcgVotes(s, dir).filter(col(SRC) < col(DST))
     },
     "q_edge_cut" -> q { (s, dir) =>
       val labels = Tables(s, dir, "supplier")
@@ -1268,6 +1275,24 @@ object SparkEntry {
         |SELECT doc_id, bucket, CAST(cum_before // 2048 AS BIGINT) AS chunk,
         |       CAST(cum_before % 2048 AS BIGINT) AS "offset", n_tokens
         |FROM c""".stripMargin,
+    "q_shard" ->
+      """WITH p AS MATERIALIZED (
+        |  SELECT doc_id,
+        |         CAST('0x' || substr(md5(concat_ws('|', 'shard', doc_id, 42)), 1, 15) AS BIGINT) AS pri
+        |  FROM documents
+        |)
+        |SELECT doc_id, pri % 8 AS shard,
+        |       CAST(row_number() OVER (PARTITION BY pri % 8 ORDER BY pri, doc_id) - 1 AS BIGINT) AS pos
+        |FROM p""".stripMargin,
+    "q_length_batches" ->
+      """WITH p AS MATERIALIZED (
+        |  SELECT doc_id, CAST(len(CAST(n_chars AS VARCHAR)) AS BIGINT) AS bucket,
+        |         CAST('0x' || substr(md5(concat_ws('|', 'lbatch', doc_id, 42)), 1, 15) AS BIGINT) AS pri
+        |  FROM documents
+        |)
+        |SELECT doc_id, bucket,
+        |       CAST((row_number() OVER (PARTITION BY bucket ORDER BY pri, doc_id) - 1) // 16 AS BIGINT) AS batch
+        |FROM p""".stripMargin,
     "q_token_count" -> PipelineSql.tokenCounts,
     "q_quality" -> PipelineSql.quality,
     "q_langid" -> PipelineSql.langId,

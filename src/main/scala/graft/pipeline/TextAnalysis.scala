@@ -154,6 +154,42 @@ object TextAnalysis {
         pmod(col("cum_before"), lit(budget)).as("offset"), col("n_tokens"))
   }
 
+  /** Deterministic GLOBAL SHUFFLE into training shards — the step that
+    * writes a curated corpus out as N shard files in random-but-reproducible
+    * order (webdataset/TFRecord layout). shard = hash(doc_id) mod nShards,
+    * position = hash-order rank within the shard. One window per shard, so
+    * parallelism scales with `nShards` (set it to O(output files) at corpus
+    * scale — which is exactly what a shard writer wants); no global sort,
+    * no rand(), stable under repartitioning and re-runs.
+    * Output (doc_id, shard, pos). */
+  def shardAssign(docs: DataFrame, nShards: Int, idCol: String = "doc_id",
+                  seed: Long = 42): DataFrame = {
+    val h = TextOps.hash60(concat_ws("|", lit("shard"), col(idCol), lit(seed)))
+    val w = Window.partitionBy("shard").orderBy(col("pri"), col(idCol))
+    docs.select(col(idCol), pmod(h, lit(nShards.toLong)).as("shard"), h.as("pri"))
+      .withColumn("pos", (row_number().over(w) - 1).cast("long"))
+      .select(col(idCol), col("shard"), col("pos"))
+  }
+
+  /** Length-bucketed batch formation: group documents of similar length so
+    * fixed-size training batches waste minimal padding. Bucket = decimal
+    * digit count of `lenCol` (an order-of-magnitude bucket chosen because
+    * integer digit count is exactly reproducible across engines — no
+    * floor(log2(double)) boundary rounding); within a bucket documents are
+    * hash-ordered and cut into batches of `batchSize`. One window per
+    * bucket; at corpus scale the same layout comes from range-partitioning
+    * on (bucket, pri), which is what the window compiles to distributed.
+    * Output (doc_id, bucket, batch). */
+  def lengthBatches(docs: DataFrame, batchSize: Int, lenCol: String = "n_chars",
+                    idCol: String = "doc_id", seed: Long = 42): DataFrame = {
+    val h = TextOps.hash60(concat_ws("|", lit("lbatch"), col(idCol), lit(seed)))
+    val w = Window.partitionBy("bucket").orderBy(col("pri"), col(idCol))
+    docs.select(col(idCol), length(col(lenCol).cast("string")).cast("long").as("bucket"),
+        h.as("pri"))
+      .withColumn("rn", (row_number().over(w) - 1).cast("long"))
+      .select(col(idCol), col("bucket"), expr(s"rn div $batchSize").as("batch"))
+  }
+
   /** Benchmark decontamination: flag training documents whose word
     * n-grams overlap a benchmark set — the standard eval-leakage filter a
     * training corpus runs before every release. Distinct doc×benchmark
