@@ -79,8 +79,13 @@ object Spectral {
       val row = y.agg(sum("v"), max("v"), min("v")).first()
       val c = row.getDouble(0) / n
       val m = math.max(math.max(row.getDouble(1) - c, c - row.getDouble(2)), 1e-300)
-      v = y.select(col(ID), round((col("v") - lit(c)) / lit(m), 8).as("v")).mat
+      // NOT materialized: a pure projection over the just-checkpointed y —
+      // the next round's join re-runs only this projection, and skipping
+      // the third job per round cuts the scheduler floor by a third on
+      // small fixtures
+      v = y.select(col(ID), round((col("v") - lit(c)) / lit(m), 8).as("v"))
     }
+    v = v.mat
     // deterministic 1-D k-means: evenly spaced initial centroids over the
     // embedding's range (scalars from one agg — no global sort), then Lloyd
     // rounds with arg-min assignment, centroids snapped to 1e-8
