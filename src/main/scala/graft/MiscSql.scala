@@ -498,6 +498,35 @@ object MiscSql {
     b.toString
   }
 
+  /** get_traversed_cost on the supplier graph (`path_retrieval.py:12`):
+    * BFS tree from the min vertex (min-predecessor rule, matching
+    * `Traversal.bfs`) unrolled level by level, info = running weight sum
+    * down the tree in the same per-level addition order as the Spark loop
+    * (integral co-order weights — sums exact). */
+  def traversedCostSupplier(rounds: Int = 12): String = {
+    val b = new StringBuilder
+    b ++= s"WITH $SUPP_EDGES_SQL,\n$SUPP_UND_SQL,\n"
+    b ++= "b0 AS MATERIALIZED (SELECT (SELECT min(src) FROM und) AS id, 0.0 AS info),\n"
+    b ++= "all0 AS MATERIALIZED (SELECT id, info FROM b0),\n"
+    for (d <- 1 to rounds) {
+      b ++= s"""fr$d AS MATERIALIZED (
+        |  SELECT e.dst AS id, min(e.src) AS pred FROM und e JOIN b${d - 1} f ON f.id = e.src
+        |  WHERE NOT EXISTS (SELECT 1 FROM all${d - 1} a WHERE a.id = e.dst)
+        |  GROUP BY e.dst
+        |),
+        |b$d AS MATERIALIZED (
+        |  SELECT f.id, p.info + w.weight AS info
+        |  FROM fr$d f JOIN all${d - 1} p ON p.id = f.pred
+        |  JOIN und w ON w.src = f.pred AND w.dst = f.id
+        |),
+        |all$d AS MATERIALIZED (SELECT id, info FROM all${d - 1} UNION ALL SELECT id, info FROM b$d)""".stripMargin
+      b ++= ",\n"
+    }
+    b.setLength(b.length - 2)
+    b ++= s"\nSELECT id, round(info, 6) AS info FROM all$rounds"
+    b.toString
+  }
+
   /** 8×8 linear assignment on the customer→supplier bipartite graph:
     * enumerate all 8! permutations via an 8-way join over a dense
     * rank-indexed cost table (integer cents — exact arithmetic), maximize

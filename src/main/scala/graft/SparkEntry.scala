@@ -60,6 +60,18 @@ object SparkEntry {
       require(maxDepth <= 12, s"BFS depth $maxDepth exceeds oracle budget 12")
       res
     },
+    "q_traversed_cost" -> q { (s, dir) =>
+      // get_traversed_cost (path_retrieval.py): per-edge weight summed
+      // along each vertex's BFS predecessor path; tree is deterministic
+      // (min-predecessor), so the DuckDB unroll reproduces it exactly
+      val g = Fixtures.supplierGraphUnd(s, dir)
+      val src = g.vertices.agg(min(ID)).first().getLong(0)
+      val res = Traversal.bfs(g, src).mat
+      require(res.agg(max("distance")).first().getInt(0) <= 12,
+        "BFS depth exceeds oracle budget 12")
+      Traversal.traversedCost(res, g.edges)
+        .select(col(ID), round(col("info"), 6).as("info"))
+    },
     // ---- link analysis / centrality (§2.4) ----
     "q_pagerank" -> q { (s, dir) =>
       val g = Fixtures.supplierGraphUnd(s, dir)
@@ -1400,6 +1412,7 @@ object SparkEntry {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
     "q_fa2_layout" -> MiscSql.fa2Supplier(iters = 3),
+    "q_traversed_cost" -> MiscSql.traversedCostSupplier(rounds = 12),
     "q_spectral" -> MiscSql.spectralPicSupplier(),
     "q_spectral_mod" -> MiscSql.spectralPicSupplier(degreeInit = false),
     "q_spectral_eigen" -> MiscSql.spectralEigenSupplier(),

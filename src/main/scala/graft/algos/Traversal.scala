@@ -122,4 +122,37 @@ object Traversal {
       res, res.filter(col(ID) === target).select(ID),
       maxDepth = res.count().toInt.max(1))
   }
+
+  /** Path-cost retrieval (reference `utilities/path_retrieval.py:12`
+    * `get_traversed_cost`): sum an arbitrary per-edge value along each
+    * vertex's predecessor path back to the BFS/SSSP source. Level-
+    * synchronous propagation down the (deterministic, min-predecessor) BFS
+    * tree: one frontier-sized join per depth level — info(v) =
+    * info(pred(v)) + value(pred(v)→v) — never a per-path explosion, so at
+    * scale the cost is depth × one broadcastable join. Unreached vertices
+    * are absent, matching [[bfs]]'s output contract (the reference marks
+    * them with the dtype max; callers outer-join + `filterUnreachable`).
+    * @param bfsResult (id, distance, predecessor) rows from [[bfs]]/[[sssp]]
+    * @param weightedEdges (src, dst, value) — value summed along the tree
+    * @return DataFrame(id, info). */
+  def traversedCost(bfsResult: DataFrame, weightedEdges: DataFrame): DataFrame = {
+    val maxD = bfsResult.agg(max("distance")).first().get(0) match {
+      case i: java.lang.Integer => i.toInt
+      case l: java.lang.Long => l.toInt
+      case other => other.toString.toDouble.toInt
+    }
+    val w = weightedEdges.select(col(SRC).as("predecessor"), col(DST).as(ID),
+      col(weightedEdges.columns(2)).as("_val")).mat
+    var info = bfsResult.filter(col("distance") === 0)
+      .select(col(ID), lit(0.0).as("info"))
+    for (d <- 1 to maxD) {
+      val lvl = bfsResult.filter(col("distance") === d).select(col(ID), col("predecessor"))
+      val step = lvl
+        .join(info.select(col(ID).as("predecessor"), col("info").as("_pi")), "predecessor")
+        .join(w, Seq("predecessor", ID))
+        .select(col(ID), (col("_pi") + col("_val")).as("info"))
+      info = info.union(step).mat
+    }
+    info
+  }
 }
