@@ -88,6 +88,21 @@ class PlanSpec extends SparkSpec {
       "span mining produced a non-equi join:\n" + plan.take(1200))
   }
 
+  test("hub-capped weighted kernel broadcasts the hub list, equi-joins only") {
+    // at 100 TB the hub list is the tiny side of both semi-joins and the
+    // candidate rescore must stay an equi-join — a plan regression here
+    // reintroduces the sum(deg^2) hub blowup the cap exists to prevent
+    val es = (0L until 10L).flatMap(i => Seq((i, 99L, 1.0), (i, (i + 1) % 10, 2.0)))
+    val g = core.GraphBuilder.fromEdges(
+      wEdgeDF(es), SRC, DST, Some(WEIGHT), directed = false)
+    val (inter, _) = graft.algos.Similarity.interAndDegWeightedCapped(g, maxDegree = 5)
+    inter.collect()
+    val plan = planOf(inter)
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1200))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "capped kernel produced a non-equi join:\n" + plan.take(1200))
+  }
+
   test("selectRandomVertices plans TakeOrderedAndProject, not a global sort") {
     val verts = edgeDF((1L to 100L).map(i => (i, i + 1))).select(col(SRC).as(ID))
     val picked = graft.sampling.NeighborSampling.selectRandomVertices(verts, k = 5)
