@@ -222,6 +222,13 @@ object Fixtures {
     cached(spark, s"ecg_votes:$dir")(
       graft.algos.Community.ecgVotes(supplierGraph(spark, dir), ensembleSize = 4))
 
+  /** Shared duplicated-span table (k=5) over the documents corpus: the
+    * mining report (q_dup_spans) and the strip (q_dup_span_strip) consume
+    * the same corpus-wide window hash agg — one mining pass per session. */
+  def documentDupSpans(spark: SparkSession, dir: String): DataFrame =
+    cached(spark, s"dup_spans:$dir")(
+      graft.pipeline.Dedup.duplicateSpans(documents(spark, dir), k = 5))
+
   /** Deterministic RMAT(scale 8, 1024 edges, seed 42) graph — SF-independent,
     * with a rich core structure (core values 1..9). The fixture for queries
     * whose oracle must unroll to a data-dependent depth that would not be

@@ -329,11 +329,13 @@ object SparkEntry {
     },
     "q_dup_spans" -> q { (s, dir) =>
       // substring-level dedup: merged cross-document duplicated 5-token spans
-      pipeline.Dedup.duplicateSpans(Fixtures.documents(s, dir), k = 5)
+      Fixtures.documentDupSpans(s, dir)
     },
     "q_dup_span_strip" -> q { (s, dir) =>
-      // the removal pass: documents with every duplicated span cut out
-      pipeline.Dedup.removeDuplicateSpans(Fixtures.documents(s, dir), k = 5)
+      // the removal pass rides the session-shared span table — one mining
+      // pass serves both span queries
+      pipeline.Dedup.removeDuplicateSpansFrom(
+        Fixtures.documents(s, dir), Fixtures.documentDupSpans(s, dir))
     },
     "q_embed_dup" -> q { (s, dir) =>
       // planes = 0: exact all-pairs — the oracle path (quadratic, fixture only)

@@ -257,8 +257,17 @@ object Dedup {
     * never corpus size) and applied as a codegen'd filter-with-index
     * lambda — no UDF, no second pass over the corpus text. */
   def removeDuplicateSpans(docs: DataFrame, k: Int = 5, idCol: String = "doc_id",
-                           textCol: String = "text"): DataFrame = {
-    val spans = duplicateSpans(docs, k, idCol, textCol)
+                           textCol: String = "text"): DataFrame =
+    removeDuplicateSpansFrom(docs, duplicateSpans(docs, k, idCol, textCol),
+      idCol, textCol)
+
+  /** [[removeDuplicateSpans]] over a PRECOMPUTED [[duplicateSpans]] table —
+    * callers running both the mining report and the strip share one mining
+    * pass (the corpus-wide window hash agg is the dominant cost). */
+  def removeDuplicateSpansFrom(docs: DataFrame, spanTable: DataFrame,
+                               idCol: String = "doc_id",
+                               textCol: String = "text"): DataFrame = {
+    val spans = spanTable
       .groupBy(idCol)
       .agg(collect_list(struct(col("span_start"), col("span_end"))).as("spans"))
     docs.join(spans, Seq(idCol), "left")
