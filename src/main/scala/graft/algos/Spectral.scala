@@ -50,8 +50,9 @@ object Spectral {
       Structure.symmetrize(g.weightedEdges.select(SRC, DST, WEIGHT), sumWeights = false)).mat
     val deg = und.groupBy(SRC).agg(sum(WEIGHT).as("d")).mat
     val n = deg.count()
-    // row-normalized transition edge stream (one broadcastable degree join)
-    val trans = und.join(deg, SRC)
+    // row-normalized transition edge stream; the O(V) degree table
+    // broadcasts under the size gate so the edge stream never reshuffles
+    val trans = und.join(graft.prims.Hint.state(deg, n), SRC)
       .select(col(SRC), col(DST), (col(WEIGHT) / col("d")).as("w")).mat
     var v: DataFrame =
       if (degreeInit) {

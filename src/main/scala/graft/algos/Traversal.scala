@@ -143,16 +143,22 @@ object Traversal {
     }
     val w = weightedEdges.select(col(SRC).as("predecessor"), col(DST).as(ID),
       col(weightedEdges.columns(2)).as("_val")).mat
-    var info = bfsResult.filter(col("distance") === 0)
-      .select(col(ID), lit(0.0).as("info"))
+    var prev = bfsResult.filter(col("distance") === 0)
+      .select(col(ID), lit(0.0).as("info")).mat
+    val acc = scala.collection.mutable.ArrayBuffer(prev)
     for (d <- 1 to maxD) {
       val lvl = bfsResult.filter(col("distance") === d).select(col(ID), col("predecessor"))
-      val step = lvl
-        .join(info.select(col(ID).as("predecessor"), col("info").as("_pi")), "predecessor")
+      // predecessors of level d live exactly in level d−1: join the
+      // frontier against the PREVIOUS level only, never the accumulated
+      // table — at scale the accumulated side is O(V) and reshuffling it
+      // every level would be O(V·depth)
+      prev = lvl
+        .join(prev.select(col(ID).as("predecessor"), col("info").as("_pi")), "predecessor")
         .join(w, Seq("predecessor", ID))
         .select(col(ID), (col("_pi") + col("_val")).as("info"))
-      info = info.union(step).mat
+        .mat
+      acc += prev
     }
-    info
+    acc.reduce(_ union _)
   }
 }
