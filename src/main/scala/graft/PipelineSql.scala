@@ -450,6 +450,115 @@ object PipelineSql {
        |        + CASE WHEN meanlen BETWEEN 3.0 AND 8.0 THEN 0.2 ELSE 0.0 END, 6) AS quality
        |FROM f""".stripMargin
 
+  /** Shared CTE computing the blended quality score per (doc_id, source) —
+    * the same formula as `quality`, reused by the percentile-filter and
+    * curriculum oracles. Yields a relation `qv(doc_id, source, quality)`. */
+  private val qualityCte: String =
+    s"""w AS (SELECT doc_id, source, text, string_split(text, ' ') AS ws FROM documents),
+       |f AS (SELECT doc_id, source,
+       |  CAST(len(ws) AS DOUBLE) AS n,
+       |  len(list_distinct(ws)) / CAST(len(ws) AS DOUBLE) AS ttr,
+       |  ${hitRatio("en")} AS stopr,
+       |  list_sum(list_transform(ws, w -> len(w))) / CAST(len(ws) AS DOUBLE) AS meanlen
+       |  FROM w),
+       |qv AS (SELECT doc_id, source,
+       |  round(least(n / 200.0, 1.0) * 0.3 + ttr * 0.3 + least(stopr * 4.0, 1.0) * 0.2
+       |        + CASE WHEN meanlen BETWEEN 3.0 AND 8.0 THEN 0.2 ELSE 0.0 END, 6) AS quality
+       |  FROM f)""".stripMargin
+
+  def qualityFilter(minPct: Double): String =
+    s"""WITH $qualityCte,
+       |r AS (SELECT doc_id, source, quality,
+       |  percent_rank() OVER (PARTITION BY source ORDER BY quality, doc_id) AS pr
+       |  FROM qv)
+       |SELECT doc_id, source, quality FROM r WHERE pr >= $minPct""".stripMargin
+
+  def curriculum(phases: Int): String =
+    s"""WITH $qualityCte
+       |SELECT doc_id, source,
+       |  CAST(ntile($phases) OVER (PARTITION BY source ORDER BY quality, doc_id) AS BIGINT) AS phase
+       |FROM qv""".stripMargin
+
+  def vocab(topK: Int): String =
+    s"""WITH w AS MATERIALIZED (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+       |)
+       |SELECT word, count(*) AS n_occ, count(DISTINCT doc_id) AS n_docs
+       |FROM w GROUP BY 1 ORDER BY n_occ DESC, word LIMIT $topK""".stripMargin
+
+  def tfidf(k: Int): String =
+    s"""WITH w AS MATERIALIZED (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+       |),
+       |tf AS MATERIALIZED (SELECT doc_id, word, count(*) AS tf FROM w GROUP BY 1, 2),
+       |dfq AS MATERIALIZED (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+       |n AS (SELECT count(*) AS n_docs FROM documents),
+       |s AS (SELECT tf.doc_id, tf.word, tf.tf, dfq.df,
+       |        tf.tf * round(ln(CAST(n.n_docs AS DOUBLE) / dfq.df), 9) AS s
+       |      FROM tf JOIN dfq USING (word) CROSS JOIN n),
+       |r AS (SELECT doc_id, word, tf, df, s,
+       |        row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, word) AS rn
+       |      FROM s)
+       |SELECT doc_id, word, tf, df, round(s, 6) AS tf_idf FROM r WHERE rn <= $k""".stripMargin
+
+  /** Cluster-balanced sampling oracle: the identical deterministic k-means
+    * unroll as `embedDupIvf` / `annIvf`, then the top-`perCluster`
+    * md5-priority rows per cluster. */
+  def clusterSample(nlist: Int, perCluster: Int, iters: Int, dim: Int): String = {
+    val avgList = "[" + (1 to dim).map(i => s"avg(v[$i])").mkString(", ") + "]"
+    def assign(cents: String, name: String): String =
+      s"""$name AS MATERIALIZED (
+         |  SELECT vec_id, v, cid FROM (
+         |    SELECT e.vec_id, e.v, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY list_dot_product(e.v, c.cv) DESC, c.cid) AS rn
+         |    FROM e CROSS JOIN $cents c) t WHERE rn = 1)""".stripMargin
+    val b = new StringBuilder
+    b ++= s"WITH $EMB_NORM,\n"
+    b ++= s"""c0 AS MATERIALIZED (
+             |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) - 1 AS cid,
+             |         v AS cv
+             |  FROM (SELECT * FROM e ORDER BY vec_id LIMIT $nlist)),
+             |""".stripMargin
+    for (i <- 1 to iters) {
+      b ++= assign(s"c${i - 1}", s"a$i") + ",\n"
+      b ++= s"c$i AS MATERIALIZED (SELECT cid, $avgList AS cv FROM a$i GROUP BY cid),\n"
+    }
+    b ++= assign(s"c$iters", "bucketed") + ",\n"
+    b ++= s"""pri AS (SELECT vec_id, cid,
+             |  CAST('0x' || substr(md5(concat_ws('|', 'csample', vec_id, 42)), 1, 15) AS BIGINT) AS pri
+             |  FROM bucketed),
+             |r AS (SELECT vec_id, cid,
+             |  row_number() OVER (PARTITION BY cid ORDER BY pri, vec_id) AS rn FROM pri)
+             |SELECT vec_id, cid FROM r WHERE rn <= $perCluster""".stripMargin
+    b.toString
+  }
+
+  /** k-NN majority-vote oracle: the `annTopK` exact ranking joined back to
+    * the labels, argmax vote per query (votes desc, label asc). */
+  def knnClassify(nQueries: Int, k: Int): String =
+    s"""WITH $EMB_NORM,
+       |q AS MATERIALIZED (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM e
+       |                   WHERE vec_id < $nQueries),
+       |scored AS MATERIALIZED (
+       |  SELECT q.query_id, e.vec_id AS neighbor_id,
+       |    round(list_dot_product(e.v, q.qv) / (e.nrm * q.qn), 6) AS cosine
+       |  FROM e JOIN q ON e.vec_id <> q.query_id),
+       |ranked AS MATERIALIZED (
+       |  SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY cosine DESC, neighbor_id) AS rank
+       |  FROM scored),
+       |votes AS (
+       |  SELECT r.query_id, CAST(emb.label AS BIGINT) AS nlabel, count(*) AS n_votes
+       |  FROM ranked r JOIN embeddings emb ON emb.vec_id = r.neighbor_id
+       |  WHERE r.rank <= $k GROUP BY 1, 2),
+       |best AS (
+       |  SELECT query_id, nlabel, n_votes,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY n_votes DESC, nlabel) AS rn
+       |  FROM votes)
+       |SELECT query_id, nlabel AS pred_label, n_votes FROM best WHERE rn = 1""".stripMargin
+
   val langId: String = {
     val langs = graft.pipeline.TextAnalysis.StopWords.keys.toSeq.sorted
     val scoreCols = langs.map(l => s"round(${hitRatio(l)}, 6) AS s_$l").mkString(",\n  ")

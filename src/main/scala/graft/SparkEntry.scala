@@ -432,6 +432,32 @@ object SparkEntry {
     "q_repetition" -> q { (s, dir) =>
       pipeline.TextAnalysis.repetitionRatio(Fixtures.documents(s, dir), n = 3)
     },
+    "q_vocab" -> q { (s, dir) =>
+      // global word-frequency table, top-100 by occurrences
+      pipeline.TextAnalysis.vocab(Fixtures.documents(s, dir), topK = 100)
+    },
+    "q_tfidf" -> q { (s, dir) =>
+      // top-3 TF-IDF keywords per document
+      pipeline.TextAnalysis.tfidfTopTerms(Fixtures.documents(s, dir), k = 3)
+    },
+    "q_quality_filter" -> q { (s, dir) =>
+      // adaptive per-source quality cut: keep the upper half of each source
+      pipeline.TextAnalysis.qualityFilter(Fixtures.documents(s, dir), minPct = 0.5)
+    },
+    "q_curriculum" -> q { (s, dir) =>
+      // easy->hard curriculum phases, stratified by source
+      pipeline.TextAnalysis.curriculum(Fixtures.documents(s, dir), phases = 4)
+    },
+    "q_cluster_sample" -> q { (s, dir) =>
+      // diversity sampling: 8 hash-priority docs per k-means cluster
+      pipeline.Ann.clusterSample(Fixtures.embeddings(s, dir),
+        nlist = 16, perCluster = 8, iters = 3)
+    },
+    "q_knn_classify" -> q { (s, dir) =>
+      // weak labeling: 10-NN majority vote for the first 25 vectors
+      val emb = Fixtures.embeddings(s, dir)
+      pipeline.Ann.knnClassify(emb, emb.filter(col("vec_id") < 25), k = 10)
+    },
     "q_pipeline_e2e" -> q { (s, dir) =>
       // the COMPOSED training-data story, one gated query: exact-dedup
       // canonical survivors → quality floor → drop the benchmark subset
@@ -1334,6 +1360,13 @@ object SparkEntry {
         |       THEN round(1.0 - CAST(len(list_distinct(shs)) AS DOUBLE) / len(shs), 6)
         |       ELSE 0.0 END AS repetition
         |FROM sh3""".stripMargin,
+    "q_vocab" -> PipelineSql.vocab(topK = 100),
+    "q_tfidf" -> PipelineSql.tfidf(k = 3),
+    "q_quality_filter" -> PipelineSql.qualityFilter(minPct = 0.5),
+    "q_curriculum" -> PipelineSql.curriculum(phases = 4),
+    "q_cluster_sample" -> PipelineSql.clusterSample(nlist = 16, perCluster = 8,
+      iters = 3, dim = 64),
+    "q_knn_classify" -> PipelineSql.knnClassify(nQueries = 25, k = 10),
     "q_pipeline_e2e" ->
       s"""WITH h AS MATERIALIZED (SELECT doc_id, md5(text) AS grp FROM documents),
          |canon AS MATERIALIZED (SELECT min(doc_id) AS doc_id FROM h GROUP BY grp),

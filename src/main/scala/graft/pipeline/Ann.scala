@@ -164,6 +164,52 @@ object Ann {
           .partitionBy("query_id").orderBy(desc("adot"), col("neighbor_id"))))
   }
 
+  /** Cluster-balanced corpus sampling (the diversity-sampling step of an
+    * embedding-curated corpus): every vector is assigned to its nearest
+    * deterministic k-means centroid (same quantizer as IVF — one broadcast
+    * of the tiny centroid table, one corpus shuffle), then each cluster
+    * keeps its `perCluster` hash-priority winners. Uniform sampling
+    * over-represents dense regions of embedding space; per-cluster caps
+    * flatten that — the same shape DeepMind/Meta curation pipelines use
+    * after SemDeDup. Deterministic (md5 priority, no rand()), so the
+    * sample is stable under repartitioning and re-runs.
+    * Output (vec_id, cid) for kept rows. */
+  def clusterSample(emb: DataFrame, nlist: Int = 16, perCluster: Int = 8, iters: Int = 3,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    seed: Long = 42): DataFrame = {
+    val e = withNorm(emb, idCol, vecCol).select(col(idCol), col("v")).mat
+    val cents = kmeansCentroids(emb, nlist, iters, idCol, vecCol).mat
+    val bucketed = assignFused(e, cents, idCol, Seq.empty)
+    val pri = hash60(concat_ws("|", lit("csample"), col(idCol), lit(seed)))
+    TopK.perKey(bucketed.withColumn("pri", pri),
+        Seq("cid"), Seq(col("pri"), col(idCol)), perCluster)
+      .select(col(idCol), col("cid"))
+  }
+
+  /** k-NN weak labeling: classify each query vector by majority vote over
+    * its `k` exact-cosine nearest labeled neighbors (ties → more votes
+    * first, then lowest label — deterministic). The auto-labeling /
+    * label-propagation step of a semi-supervised data pipeline. The
+    * neighbor list is queries×k rows — tiny — so the label attach is a
+    * broadcast of the neighbor list onto the corpus label column, never a
+    * shuffle of the corpus. Output (query_id, pred_label, n_votes). */
+  def knnClassify(emb: DataFrame, queries: DataFrame, k: Int = 10,
+                  idCol: String = "vec_id", vecCol: String = "embedding",
+                  labelCol: String = "label"): DataFrame = {
+    val nn = bruteForceTopK(emb, queries, k, idCol, vecCol)
+      .select(col("query_id"), col("neighbor_id"))
+    val labels = emb.select(col(idCol).as("neighbor_id"),
+      col(labelCol).cast("long").as("nlabel"))
+    val votes = labels.join(broadcast(nn), "neighbor_id")
+      .groupBy(col("query_id"), col("nlabel"))
+      .agg(count(lit(1)).as("n_votes"))
+    votes.groupBy("query_id")
+      .agg(min_by(struct(col("nlabel"), col("n_votes")),
+        struct((col("n_votes") * -1).as("nv"), col("nlabel"))).as("b"))
+      .select(col("query_id"), col("b.nlabel").as("pred_label"),
+        col("b.n_votes").as("n_votes"))
+  }
+
   /** IVF top-k: probe the `nprobe` nearest centroid buckets per query and
     * rank exactly within them. Approximate (recall < 1) but the corpus-side
     * work is an equi-join on centroid id instead of a full scan per query. */

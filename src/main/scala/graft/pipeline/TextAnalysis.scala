@@ -36,6 +36,25 @@ object TextAnalysis {
       regexp_count(col(textCol), lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]")).cast("long")
         .as("n_bpe_ish"))
 
+  /** The blended [0,1] quality score as a single codegen'd Column over the
+    * raw text: length saturation, type-token ratio, stopword ratio, mean
+    * token length band. Shared by `qualityScore` (the per-signal report),
+    * `qualityFilter` and `curriculum` (which consume only the blend) so the
+    * filter/ordering queries are one scan with no self-join back onto the
+    * score table. */
+  private def blendedQuality(textCol: String): Column = {
+    val ws = tokens(col(textCol))
+    val nTok = size(ws).cast("double")
+    val ttr = size(array_distinct(ws)) / nTok
+    val stopR = expr(hitRatio(s"split($textCol, ' ')", "en"))
+    val meanLen = expr(s"aggregate(split($textCol, ' '), 0L, (a, w) -> a + length(w))") / nTok
+    round(
+      least(nTok / 200.0, lit(1.0)) * 0.3
+        + ttr * 0.3
+        + least(stopR * 4.0, lit(1.0)) * 0.2
+        + when(meanLen.between(3.0, 8.0), 0.2).otherwise(0.0), 6)
+  }
+
   /** Quality signals + a single blended score in [0,1]: length saturation,
     * type-token ratio, stopword ratio, mean token length band, punctuation
     * density. Formula is explicit so the DuckDB oracle reproduces it. */
@@ -57,6 +76,74 @@ object TextAnalysis {
           + ttr * 0.3
           + least(stopR * 4.0, lit(1.0)) * 0.2
           + when(meanLen.between(3.0, 8.0), 0.2).otherwise(0.0), 6).as("quality"))
+  }
+
+  /** Per-stratum quality-percentile filter: keep documents whose blended
+    * quality score sits at or above the `minPct` percent_rank within their
+    * stratum (deterministic tie-break by doc id, so every rank is unique
+    * and the cut is reproducible). The adaptive cousin of a fixed quality
+    * threshold — each source sheds its own worst tail, so a clean source
+    * isn't over-pruned and a noisy one isn't under-pruned. One scan + one
+    * window per stratum; at corpus scale the stratum count (domains,
+    * languages) is what bounds window parallelism, exactly like sourceCap.
+    * Output (doc_id, stratum, quality) for kept rows. */
+  def qualityFilter(docs: DataFrame, minPct: Double = 0.5, byCol: String = "source",
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val w = Window.partitionBy(byCol).orderBy(col("quality"), col(idCol))
+    docs.select(col(idCol), col(byCol), blendedQuality(textCol).as("quality"))
+      .withColumn("pr", percent_rank().over(w))
+      .filter(col("pr") >= minPct)
+      .select(col(idCol), col(byCol), col("quality"))
+  }
+
+  /** Curriculum phase assignment: ntile(`phases`) buckets over the blended
+    * quality score within each stratum (easy→hard ordering for curriculum
+    * training schedules, stratified so every source contributes to every
+    * phase). Deterministic tie-break by doc id. Output
+    * (doc_id, stratum, phase ∈ [1, phases]). */
+  def curriculum(docs: DataFrame, phases: Int = 4, byCol: String = "source",
+                 idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val w = Window.partitionBy(byCol).orderBy(col("quality"), col(idCol))
+    docs.select(col(idCol), col(byCol), blendedQuality(textCol).as("quality"))
+      .withColumn("phase", ntile(phases).over(w).cast("long"))
+      .select(col(idCol), col(byCol), col("phase"))
+  }
+
+  /** Corpus vocabulary: the global word-frequency table, top `topK` words
+    * by (total occurrences desc, word asc) with document frequencies. One
+    * codegen'd hash aggregation with map-side partial combine (each
+    * partition pre-merges its own word counts before the single shuffle on
+    * the word key); the top-k compiles to TakeOrderedAndProject — per-
+    * partition k-row heaps merged on the driver, never a global sort of
+    * the vocabulary. Output (word, n_occ, n_docs). */
+  def vocab(docs: DataFrame, topK: Int = 100, idCol: String = "doc_id",
+            textCol: String = "text"): DataFrame =
+    docs.select(col(idCol), explode(tokens(col(textCol))).as("word"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("n_occ"), countDistinct(col(idCol)).as("n_docs"))
+      .orderBy(desc("n_occ"), col("word"))
+      .limit(topK)
+
+  /** TF-IDF keyword extraction: the top `k` highest-scoring terms per
+    * document, score = tf · ln(N/df). The document-frequency table is
+    * sublinear in corpus size (Heaps' law) and joins back on the word key;
+    * the scalar corpus count rides a broadcast single-row frame. The idf
+    * is rounded to 9 dp BEFORE the tf multiply so the ranking compares
+    * identical doubles on any engine (ln is the one transcendental in the
+    * pipeline surface; 9 dp absorbs last-ULP libm differences without
+    * changing any real ordering). Output (doc_id, word, tf, df, tf_idf). */
+  def tfidfTopTerms(docs: DataFrame, k: Int = 3, idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    val words = docs.select(col(idCol), explode(tokens(col(textCol))).as("word"))
+    val tf = words.groupBy(col(idCol), col("word")).agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfT, "word")
+      .crossJoin(broadcast(n))
+      .withColumn("s", col("tf") * round(log(col("n_docs").cast("double") / col("df")), 9))
+    graft.prims.TopK.perKey(scored, Seq(idCol), Seq(desc("s"), col("word")), k)
+      .select(col(idCol), col("word"), col("tf"), col("df"),
+        round(col("s"), 6).as("tf_idf"))
   }
 
   /** Language ID by stopword hit-ratio over the supported marker sets;

@@ -245,4 +245,61 @@ class PipelineSpec extends SparkSpec {
     assert(got.length == 2)
     assert(got.head == (0L, 1L)) // nearest neighbor of 0 is 1 (self excluded)
   }
+
+  test("vocab counts occurrences and document frequencies, top-k ordered") {
+    val v = TextAnalysis.vocab(docs, topK = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // 'the' appears 3x in each of docs 1-3 (and 0x in doc 4)
+    assert(v.head == ("the", 9L, 3L))
+    assert(v.length == 3)
+  }
+
+  test("tfidf ranks distinctive words above ubiquitous ones") {
+    val t = TextAnalysis.tfidfTopTerms(docs, k = 3)
+      .filter(col("doc_id") === 4L).collect()
+    // every word of doc 4 is unique to it -> idf = ln(4), tf = 1 each;
+    // top-3 are its alphabetically-first words, never 'the'
+    assert(t.length == 3)
+    assert(t.forall(_.getString(1) != "the"))
+    assert(t.forall(r => math.abs(r.getDouble(4) - math.log(4.0)) < 1e-6))
+  }
+
+  test("quality filter keeps the upper half per stratum; curriculum phases are balanced") {
+    import spark.implicits._
+    val d = (0L until 80L).map { i =>
+      // vary length so the blended quality differs across docs
+      (i, (0L to (i % 16) + 3).map(j => s"w${(i + j) % 11}").mkString(" "), s"src${i % 4}")
+    }.toDF("doc_id", "text", "source")
+    val kept = TextAnalysis.qualityFilter(d, minPct = 0.5)
+    val bySrc = kept.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 20 docs per source, percent_rank >= 0.5 keeps ranks 11..20
+    assert(bySrc.size == 4 && bySrc.values.forall(_ == 10L))
+    val ph = TextAnalysis.curriculum(d, phases = 4)
+    val perPhase = ph.groupBy("source", "phase").count().collect()
+    assert(perPhase.forall(_.getLong(2) == 5L)) // 20 docs / 4 phases
+    // stable under repartitioning
+    assert(TextAnalysis.curriculum(d.repartition(16), phases = 4).collect().toSet ==
+      ph.collect().toSet)
+  }
+
+  test("cluster sample caps every cluster and is deterministic; knn vote matches labels") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    // two well-separated label clusters in 8-d
+    val emb = (0L until 60L).map { i =>
+      val base = if (i % 2 == 0) Array.fill(8)(0.0f) else Array.fill(8)(1.0f)
+      (i, base.zipWithIndex.map { case (b, j) =>
+        b + 0.05f * rng.nextFloat() + (if (j == 0) 0.5f else 0f) }, (i % 2).toInt)
+    }.toDF("vec_id", "embedding", "label")
+    val cs = Ann.clusterSample(emb, nlist = 4, perCluster = 5, iters = 2)
+    val perC = cs.groupBy("cid").count().collect().map(_.getLong(1))
+    assert(perC.forall(_ <= 5L))
+    assert(Ann.clusterSample(emb.repartition(16), nlist = 4, perCluster = 5, iters = 2)
+      .collect().toSet == cs.collect().toSet)
+    val pred = Ann.knnClassify(emb, emb.filter(col("vec_id") < 6), k = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // nearest neighbors of an even (label-0) vector are other label-0 vectors
+    (0L until 6L).foreach(i => assert(pred(i) == i % 2, s"vec $i"))
+  }
 }

@@ -110,4 +110,37 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan.take(800))
     assert(!plan.contains("Window"), "global window crept back in")
   }
+
+  test("vocab top-k plans TakeOrderedAndProject over a partial-agg count, not a global sort") {
+    val docs = Fixtures.documents(spark, "/root/testdata/sf0.001")
+    val v = graft.pipeline.TextAnalysis.vocab(docs, topK = 10)
+    val plan = planOf(v)
+    // per-partition heaps merged on the driver — a 100 TB vocabulary never
+    // passes through a single-partition global sort
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(1200))
+    assert(plan.contains("partial_count") || plan.contains("HashAggregate"),
+      "word counting lost its partial (map-side) aggregation:\n" + plan.take(1200))
+  }
+
+  test("knn vote attaches labels by broadcasting the tiny neighbor list") {
+    val emb = Fixtures.embeddings(spark, "/root/testdata/sf0.001")
+    val pred = graft.pipeline.Ann.knnClassify(emb, emb.filter(col("vec_id") < 3), k = 5)
+    pred.collect()
+    val plan = planOf(pred)
+    // the corpus label column is scanned once and joined against the
+    // broadcast queries×k neighbor list — the corpus is never shuffled to
+    // meet a 15-row frame
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1200))
+  }
+
+  test("cluster sampling assigns centroids via broadcast and caps via per-cluster window") {
+    val emb = Fixtures.embeddings(spark, "/root/testdata/sf0.001")
+    val cs = graft.pipeline.Ann.clusterSample(emb, nlist = 4, perCluster = 3, iters = 1)
+    cs.collect()
+    val plan = planOf(cs)
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      "centroid table must broadcast into the corpus scan:\n" + plan.take(1200))
+    assert(!plan.contains("CartesianProduct"),
+      "corpus-side cartesian crept into centroid assignment")
+  }
 }
