@@ -23,14 +23,20 @@ object Community {
   import Gr._
 
   /** Modularity of a partition: Q = Σ_c (in_c/2m − (tot_c/2m)²) over the
-    * undirected weighted graph. `labels`: (id, <label>). Exact, one pass. */
-  def modularity(und: DataFrame, labels: DataFrame, resolution: Double = 1.0): Double = {
+    * undirected weighted graph. `labels`: (id, <label>). Exact, one pass.
+    * `stateRows`: the label-table row count when the caller already tracks
+    * it (≥0 engages the size-gated broadcast of the labels into both edge
+    * joins — prims.Hint.state; default −1 = unknown, plain joins). */
+  def modularity(und: DataFrame, labels: DataFrame, resolution: Double = 1.0,
+                 stateRows: Long = -1L): Double = {
     val l = labels.select(col(labels.columns(0)).as(ID), col(labels.columns(1)).as("c"))
     val e = und.select(col(SRC), col(DST), col(WEIGHT))
     val m2 = e.agg(sum(WEIGHT)).first().getDouble(0) // = 2m (both directions present)
     val withC = e
-      .join(l.select(col(ID).as(SRC), col("c").as("c_src")), SRC)
-      .join(l.select(col(ID).as(DST), col("c").as("c_dst")), DST)
+      .join(graft.prims.Hint.state(
+        l.select(col(ID).as(SRC), col("c").as("c_src")), stateRows), SRC)
+      .join(graft.prims.Hint.state(
+        l.select(col(ID).as(DST), col("c").as("c_dst")), stateRows), DST)
     val inC = withC.filter(col("c_src") === col("c_dst"))
       .groupBy("c_src").agg(sum(WEIGHT).as("in_w"))
     val totC = withC.groupBy("c_src").agg(sum(WEIGHT).as("tot_w"))
@@ -72,10 +78,14 @@ object Community {
     var improved = true
     while (level < maxLevel && improved) {
       level += 1
-      val lvlLabels = oneLevel(lvlEdges, maxIter, resolution)
-      // map original vertices through this level's assignment
-      flat = flat.join(lvlLabels.withColumnRenamed(ID, "louvain_old")
-          .withColumnRenamed("community", "louvain_new"),
+      val (lvlLabels, nLvl) = oneLevelCounted(lvlEdges, maxIter, resolution)
+      // map original vertices through this level's assignment — the level
+      // label table is one row per CURRENT-level vertex (shrinks per
+      // level), so it rides the same size-gated broadcast as the in-round
+      // state joins instead of shuffling the original-V flat table
+      flat = flat.join(graft.prims.Hint.state(
+          lvlLabels.withColumnRenamed(ID, "louvain_old")
+            .withColumnRenamed("community", "louvain_new"), nLvl),
           flat("louvain") === col("louvain_old"))
         .select(flat(ID), col("louvain_new").as("louvain"))
         .mat
@@ -83,7 +93,7 @@ object Community {
       // summed weights), so evaluate on the CURRENT level's graph — after
       // level 1 that is the contracted graph, orders of magnitude smaller
       // than re-scoring `base` with the flattened labels
-      val q = modularity(lvlEdges, lvlLabels, resolution)
+      val q = modularity(lvlEdges, lvlLabels, resolution, stateRows = nLvl)
       if (q - prevQ <= threshold) improved = false
       else {
         prevQ = q
@@ -96,10 +106,13 @@ object Community {
   }
 
   /** One Louvain level: synchronous best-move rounds until no vertex moves.
-    * @return DataFrame(id, community). */
-  private def oneLevel(und: DataFrame, maxIter: Int, resolution: Double): DataFrame =
-    oneLevelKeyed(und.withColumn("run", lit(0L)), maxIter, resolution)._1
-      .drop("run")
+    * @return (DataFrame(id, community), vertex count of this level). */
+  private def oneLevelCounted(und: DataFrame, maxIter: Int,
+                              resolution: Double): (DataFrame, Long) = {
+    val (labels, _, n) =
+      oneLevelKeyedCounted(und.withColumn("run", lit(0L)), maxIter, resolution)
+    (labels.drop("run"), n)
+  }
 
   /** Public level-1 entry exposing the ROUND COUNT, for gates that pin the
     * exact move schedule (the q_louvain_l1 DuckDB oracle unrolls the same
@@ -124,6 +137,12 @@ object Community {
     * Input: (run, src, dst, weight); output ((run, id, community), rounds). */
   private def oneLevelKeyed(undK: DataFrame, maxIter: Int,
                             resolution: Double): (DataFrame, Int) = {
+    val (labels, rounds, _) = oneLevelKeyedCounted(undK, maxIter, resolution)
+    (labels, rounds)
+  }
+
+  private def oneLevelKeyedCounted(undK: DataFrame, maxIter: Int,
+                                   resolution: Double): (DataFrame, Int, Long) = {
     val e = undK.mat
     val m2 = e.groupBy("run").agg(sum(WEIGHT).as("m2")).mat
     // k_i: weighted degree (self-loops count fully toward k_i here since the
@@ -168,10 +187,18 @@ object Community {
       // candidate move gain (standard Louvain delta, constant terms dropped):
       //   gain(v→c) = w_in(v,c) − resolution · k_v · tot_c' / m2
       // where tot_c' excludes v itself when c is v's current community.
+      // the candidate chain's small sides (per-vertex current state,
+      // per-community totals — both ≤ nState rows) ride the same
+      // size-gated broadcast as the edge-side label join: under the gate a
+      // round's candidate scoring is ONE shuffle (the nbrC aggregation)
+      // instead of three (join routing only — per-row gains are identical
+      // either way, so the exact gates are unaffected)
       val cand = nbrC
-        .join(cur.select(col("run"), col(ID), col("community").as("c_cur"), col("k")),
-          Seq("run", ID))
-        .join(tot.withColumnRenamed("community", "nc"), Seq("run", "nc"))
+        .join(graft.prims.Hint.state(
+          cur.select(col("run"), col(ID), col("community").as("c_cur"), col("k")),
+          nState), Seq("run", ID))
+        .join(graft.prims.Hint.state(
+          tot.withColumnRenamed("community", "nc"), nState), Seq("run", "nc"))
         .join(broadcast(m2), "run")
         .select(col("run"), col(ID), col("nc"), col("c_cur"), col("k"),
           (col("w_in") - lit(resolution) * col("k") *
@@ -194,7 +221,8 @@ object Community {
       // round, not a second join+count job
       val mayMove =
         if (parityMode) pmod(col(ID) + lit(it), lit(2)) === 0 else lit(true)
-      val nextC = labels.join(best, Seq("run", ID), "left")
+      val nextC = labels.join(graft.prims.Hint.state(best, nState),
+          Seq("run", ID), "left")
         .select(col("run"), col(ID), col("community").as("old"),
           when(col("nc").isNotNull && mayMove &&
                col("gain") > coalesce(col("stay_gain"), lit(0.0)) + lit(1e-12), col("nc"))
@@ -210,7 +238,7 @@ object Community {
       }
       labels = nextC.select(col("run"), col(ID), col("community"))
     }
-    (labels, it)
+    (labels, it, nState)
   }
 
   /** Co-clustering vote table of the batched ECG ensemble: `ensembleSize`
