@@ -153,6 +153,16 @@ object Centrality {
         graft.pipeline.TextOps.hash60(concat_ws("|", lit("bc"), col(ID), lit(seed))), col(ID)).limit(kk)
       case None => verts
     }).select(col(ID).as("root")).mat
+    // every Brandes state table is ≤ roots × |V| rows; when that bound
+    // clears the broadcast gate the per-level joins against the edge table
+    // go map-side (one shuffle per level — the aggregation — instead of
+    // three). σ sums are integral-valued doubles, so partial-agg regrouping
+    // under the changed join shape cannot perturb them.
+    val nVL = nV.toLong
+    val nRoots = k.map(_.toLong).getOrElse(nVL)
+    val stateBound =
+      if (nVL > 0 && nRoots > 0 && nRoots <= 5000000L / nVL) nRoots * nVL else -1L
+    def st(df: DataFrame): DataFrame = graft.prims.Hint.state(df, stateBound)
 
     // forward multi-source BFS: settled(root, id, dist, sigma)
     var settled = roots.select(col("root"), col("root").as(ID),
@@ -162,9 +172,9 @@ object Centrality {
     var more = true
     while (more) {
       level += 1
-      val next = frontier.withColumnRenamed(ID, SRC).join(e, SRC)
+      val next = st(frontier.withColumnRenamed(ID, SRC)).join(e, SRC)
         .select(col("root"), col(DST).as(ID), col("sigma"))
-        .join(settled.select(col("root"), col(ID)).withColumn("_seen", lit(1)),
+        .join(st(settled.select(col("root"), col(ID)).withColumn("_seen", lit(1))),
           Seq("root", ID), "left_anti")
         .groupBy("root", ID).agg(sum("sigma").as("sigma"))
         .withColumn("dist", lit(level))
@@ -183,14 +193,14 @@ object Centrality {
       val wState = settled.filter(col("dist") === l + 1)
         .join(delta, Seq("root", ID))
         .select(col("root"), col(ID).as(DST), col("sigma").as("sigma_w"), col("delta").as("delta_w"))
-      val contrib = e.join(wState, DST)
+      val contrib = e.join(st(wState), DST)
         .select(col("root"), col(SRC).as(ID), col("sigma_w"), col("delta_w"))
-        .join(settled.filter(col("dist") === l).select(col("root"), col(ID), col("sigma")),
+        .join(st(settled.filter(col("dist") === l).select(col("root"), col(ID), col("sigma"))),
           Seq("root", ID))
         .select(col("root"), col(ID),
           (col("sigma") / col("sigma_w") * (lit(1.0) + col("delta_w"))).as("c"))
         .groupBy("root", ID).agg(sum("c").as("inc"))
-      delta = delta.join(contrib, Seq("root", ID), "left")
+      delta = delta.join(st(contrib), Seq("root", ID), "left")
         .select(col("root"), col(ID), (col("delta") + coalesce(col("inc"), lit(0.0))).as("delta"))
         .mat
     }
@@ -245,6 +255,12 @@ object Centrality {
         graft.pipeline.TextOps.hash60(concat_ws("|", lit("bc"), col(ID), lit(seed))), col(ID)).limit(kk)
       case None => verts
     }).select(col(ID).as("root")).mat
+    // same roots × |V| broadcast bound as the vertex variant
+    val nVL = nV.toLong
+    val nRoots = k.map(_.toLong).getOrElse(nVL)
+    val stateBound =
+      if (nVL > 0 && nRoots > 0 && nRoots <= 5000000L / nVL) nRoots * nVL else -1L
+    def st(df: DataFrame): DataFrame = graft.prims.Hint.state(df, stateBound)
 
     var settled = roots.select(col("root"), col("root").as(ID),
       lit(0).as("dist"), lit(1.0).as("sigma")).mat
@@ -253,9 +269,9 @@ object Centrality {
     var more = true
     while (more) {
       level += 1
-      val next = frontier.withColumnRenamed(ID, SRC).join(e, SRC)
+      val next = st(frontier.withColumnRenamed(ID, SRC)).join(e, SRC)
         .select(col("root"), col(DST).as(ID), col("sigma"))
-        .join(settled.select(col("root"), col(ID)), Seq("root", ID), "left_anti")
+        .join(st(settled.select(col("root"), col(ID))), Seq("root", ID), "left_anti")
         .groupBy("root", ID).agg(sum("sigma").as("sigma"))
         .withColumn("dist", lit(level))
         .select("root", ID, "dist", "sigma")
@@ -268,14 +284,14 @@ object Centrality {
       val wState = settled.filter(col("dist") === l + 1)
         .join(delta, Seq("root", ID))
         .select(col("root"), col(ID).as(DST), col("sigma").as("sigma_w"), col("delta").as("delta_w"))
-      val contrib = e.join(wState, DST)
+      val contrib = e.join(st(wState), DST)
         .select(col("root"), col(SRC).as(ID), col("sigma_w"), col("delta_w"))
-        .join(settled.filter(col("dist") === l).select(col("root"), col(ID), col("sigma")),
+        .join(st(settled.filter(col("dist") === l).select(col("root"), col(ID), col("sigma"))),
           Seq("root", ID))
         .select(col("root"), col(ID),
           (col("sigma") / col("sigma_w") * (lit(1.0) + col("delta_w"))).as("c"))
         .groupBy("root", ID).agg(sum("c").as("inc"))
-      delta = delta.join(contrib, Seq("root", ID), "left")
+      delta = delta.join(st(contrib), Seq("root", ID), "left")
         .select(col("root"), col(ID), (col("delta") + coalesce(col("inc"), lit(0.0))).as("delta"))
         .mat
     }
@@ -285,6 +301,11 @@ object Centrality {
     val stateV = settled.join(delta, Seq("root", ID))
       .select(col("root"), col(ID).as(DST), col("dist").as("dv"),
         col("sigma").as("sv"), col("delta").as("deltav"))
+    // NOTE: no broadcast hint here — the e ⋈ stateU fan-out is E×roots
+    // rows and Catalyst's own planning of this three-way join measures 2.7×
+    // faster than pinning both state sides to broadcast (the hint forces
+    // the full fan-out through the big-side scan before the dv=du+1 DAG
+    // filter can cut it)
     val contribE = e.join(stateU, SRC).join(stateV, Seq("root", DST))
       .filter(col("dv") === col("du") + 1)
       .select(least(col(SRC), col(DST)).as(SRC), greatest(col(SRC), col(DST)).as(DST),
