@@ -47,7 +47,7 @@ object Components {
         .groupBy(col(DST).as(ID)).agg(min("component").as("nbr_min"))
       // one materialization carries both the new label and the old one, so
       // the convergence count is a scan of the cached frame, not a re-join
-      val joined = labels.join(nbrMin, Seq(ID), "left")
+      val joined = labels.join(graft.prims.Hint.state(nbrMin, nV), Seq(ID), "left")
         .select(col(ID), col("component").as("old"),
           least(col("component"), coalesce(col("nbr_min"), col("component"))).as("component"))
         .mat

@@ -30,14 +30,19 @@ object TreeDag {
       .mat
     var comp = Structure.extractVertexList(canon)
       .select(col(ID), col(ID).as("comp")).mat
+    // the component map stays exactly |V| rows every round — one count up
+    // front feeds the size-gated broadcast of both per-round state joins
+    // (edge table scanned in place instead of shuffled twice per round)
+    val nV = comp.count()
+    def st(df: DataFrame): DataFrame = graft.prims.Hint.state(df, nV)
     var mst = canon.limit(0)
     var more = true
     var round = 0
     while (more && round < 64) {
       round += 1
       val e = canon
-        .join(comp.select(col(ID).as(SRC), col("comp").as("c_src")), SRC)
-        .join(comp.select(col(ID).as(DST), col("comp").as("c_dst")), DST)
+        .join(st(comp.select(col(ID).as(SRC), col("comp").as("c_src"))), SRC)
+        .join(st(comp.select(col(ID).as(DST), col("comp").as("c_dst"))), DST)
         .filter(col("c_src") =!= col("c_dst"))
         .mat
       if (e.isEmpty) more = false
@@ -52,6 +57,9 @@ object TreeDag {
           .mat
         mst = mst.union(chosen).mat
         // merge components: WCC over the component-contraction graph
+        // no hint on these two: `chosen` (≤ #components rows) is the small
+        // side here — AQE broadcasts it from runtime sizes; hinting comp
+        // would broadcast the bigger side
         val cg = chosen
           .join(comp.select(col(ID).as(SRC), col("comp").as("ca")), SRC)
           .join(comp.select(col(ID).as(DST), col("comp").as("cb")), DST)
@@ -59,7 +67,7 @@ object TreeDag {
         val cgVerts = comp.select(col("comp").as(ID)).distinct()
         val merged = Components.wcc(
           graft.core.PropertyGraph(cgVerts, cg, g.props.copy(directed = false)))
-        comp = comp.join(merged.withColumnRenamed(ID, "comp"), "comp")
+        comp = comp.join(st(merged.withColumnRenamed(ID, "comp")), "comp")
           .select(col(ID), col("component").as("comp"))
           .mat
       }
