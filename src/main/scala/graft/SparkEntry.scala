@@ -533,6 +533,40 @@ object SparkEntry {
       val g = sources.Datasets.getGraph(s, "karate")
       Triangles.countPerVertex(g)
     },
+    "q_small_line_sssp" -> q { (s, _) =>
+      // the reference's bundled maximum-diameter demo path: SSSP needs a
+      // full 9 relaxation rounds — the worst case for a frontier loop
+      val g = sources.Datasets.getGraph(s, "small_line")
+      require(g.numVertices == 10, "small_line metadata mismatch")
+      val (res, rounds) = Traversal.ssspWithRounds(g, 0L)
+      require(rounds <= 10, s"SSSP took $rounds rounds, oracle budget is 10")
+      res.select(col(ID), round(col("distance"), 6).as("distance"))
+    },
+    "q_small_tree_topo" -> q { (s, _) =>
+      // bundled demo DAG: topological levels = longest-path depth
+      val g = sources.Datasets.getGraph(s, "small_tree")
+      require(g.numVertices == 9, "small_tree metadata mismatch")
+      TreeDag.topologicalLevels(g)
+        .select(col(ID), col("level").cast("long").as("level"))
+    },
+    "q_toy_eigenvector" -> q { (s, _) =>
+      // the reference's eigenvector-centrality test fixture (toy_graph,
+      // both directions stored in-data)
+      val g = sources.Datasets.getGraph(s, "toy_graph")
+      require(g.numVertices == 6 && g.numEdges == 16, "toy_graph metadata mismatch")
+      Centrality.eigenvector(g, maxIter = 10, tol = -1.0)
+        .select(col(ID), round(col("ec"), 6).as("ec"))
+    },
+    "q_karate_asym_pagerank" -> q { (s, _) =>
+      // one-direction karate storage: canonical a<b edges leave the
+      // highest-id vertices dangling — the dangling-mass branch on a
+      // curated dataset, symmetrize OFF (reference karate_asymmetric)
+      val g = sources.Datasets.getGraph(s, "karate-asymmetric")
+      require(g.numVertices == 34 && g.numEdges == 78,
+        "karate-asymmetric metadata mismatch")
+      PageRank.run(g, tol = -1.0, maxIter = 10, weighted = true)
+        .select(col(ID), round(col("pagerank"), 6).as("pagerank"))
+    },
     "q_dolphins_jaccard" -> q { (s, _) =>
       // second curated dataset (Lusseau dolphins): global top-20 Jaccard
       val g = sources.Datasets.getGraph(s, "dolphins")
@@ -1400,6 +1434,14 @@ object SparkEntry {
       s"WITH $SUPP_EDGES_SQL, $SUPP_UND_SQL SELECT src, dst, weight FROM und",
     "q_to_dense" ->
       s"WITH $SUPP_EDGES_SQL, $SUPP_UND_SQL SELECT src, dst, weight FROM und",
+    "q_small_line_sssp" ->
+      DatasetSql.sssp(sources.Datasets.smallLineEdges, rounds = 10, source = 0L),
+    "q_small_tree_topo" ->
+      DatasetSql.topoLevels(sources.Datasets.smallTreeEdges, rounds = 4),
+    "q_toy_eigenvector" ->
+      DatasetSql.eigenvector(sources.Datasets.toyGraphEdges, iters = 10),
+    "q_karate_asym_pagerank" ->
+      DatasetSql.pagerank(sources.Datasets.karateAsymmetricEdges, iters = 10),
     "q_karate_triangles" -> {
       val vals = sources.Datasets.karateEdges.map { case (a, b) => s"($a, $b)" }.mkString(", ")
       s"""WITH k0(s0, d0) AS (VALUES $vals),

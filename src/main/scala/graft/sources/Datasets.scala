@@ -49,6 +49,41 @@ object Datasets {
   lazy val netscienceEdges: Seq[(Long, Long, Double)] =
     DatasetData.parseWeighted(DatasetData.netscience)
 
+  /** The reference's one-direction karate storage with original 1-based
+    * ids (`datasets/karate-asymmetric.csv`, metadata
+    * `karate_asymmetric.yaml`: directed, 78 stored edges) — the directed
+    * test fixture the reference loads with symmetrize off. */
+  lazy val karateAsymmetricEdges: Seq[(Long, Long, Double)] =
+    karateEdges.map { case (a, b) => (a + 1L, b + 1L, 1.0) }
+
+  /** Nvidia demo path graph (`small_line.yaml`: 10 vertices, 9 edges) —
+    * the maximum-diameter smoke fixture. */
+  val smallLineEdges: Seq[(Long, Long, Double)] =
+    (0L until 9L).map(i => (i, i + 1, 1.0))
+
+  /** Nvidia demo directed tree (`small_tree.yaml`: 9 vertices, 11 edges —
+    * a DAG, despite the name). */
+  val smallTreeEdges: Seq[(Long, Long, Double)] = Seq(
+    (0, 1, 1.0), (0, 2, 1.0), (0, 3, 1.0), (0, 4, 1.0),
+    (1, 5, 1.0), (2, 5, 1.0), (3, 5, 1.0), (4, 5, 1.0),
+    (5, 6, 1.0), (5, 7, 1.0), (5, 8, 1.0))
+    .map { case (a, b, w) => (a.toLong, b.toLong, w) }
+
+  /** Nvidia demo 6-vertex weighted graph, both directions stored
+    * (`toy_graph.yaml`: directed, symmetric, 16 edges) — the reference's
+    * eigenvector/katz centrality test fixture. */
+  val toyGraphEdges: Seq[(Long, Long, Double)] = Seq(
+    (0, 1, 0.1), (1, 3, 2.1), (1, 4, 1.1), (2, 0, 5.1),
+    (2, 1, 3.1), (2, 3, 4.1), (3, 5, 7.2), (4, 5, 3.2),
+    (1, 0, 0.1), (3, 1, 2.1), (4, 1, 1.1), (0, 2, 5.1),
+    (1, 2, 3.1), (3, 2, 4.1), (5, 3, 7.2), (5, 4, 3.2))
+    .map { case (a, b, w) => (a.toLong, b.toLong, w) }
+
+  /** One-direction storage of the same toy graph
+    * (`toy_graph_undirected.yaml`: 8 canonical weighted edges). */
+  val toyGraphUndirectedEdges: Seq[(Long, Long, Double)] =
+    toyGraphEdges.take(8)
+
   val registry: Map[String, Meta] = Map(
     "karate" -> Meta("karate", directed = false, weighted = false, 34, 78,
       description = "Zachary's karate club social network (1977)",
@@ -73,7 +108,24 @@ object Datasets {
       description = "Coauthorship network of scientists working on network " +
         "theory and experiment (M. Newman, May 2006)",
       refs = "M. E. J. Newman, Finding community structure in networks " +
-        "using the eigenvectors of matrices, Phys. Rev. E 74, 036104 (2006)"))
+        "using the eigenvectors of matrices, Phys. Rev. E 74, 036104 (2006)"),
+    "karate-asymmetric" -> Meta("karate-asymmetric", directed = true,
+      weighted = true, 34, 78,
+      description = "Zachary's karate club stored one-direction with " +
+        "1-based ids (the reference's directed karate fixture)",
+      refs = "W. W. Zachary, An information flow model for conflict and " +
+        "fission in small groups, J. Anthropol. Res. 33, 452-473 (1977)"),
+    "small_line" -> Meta("small_line", directed = false, weighted = true,
+      10, 9, description = "10-vertex path graph (Nvidia demo data)"),
+    "small_tree" -> Meta("small_tree", directed = true, weighted = true,
+      9, 11, description = "9-vertex directed tree/DAG (Nvidia demo data)"),
+    "toy_graph" -> Meta("toy_graph", directed = true, weighted = true,
+      6, 16, description = "6-vertex weighted demo graph, both directions " +
+        "stored (Nvidia demo data)"),
+    "toy_graph_undirected" -> Meta("toy_graph_undirected", directed = false,
+      weighted = true, 6, 8,
+      description = "Canonical one-direction storage of the 6-vertex " +
+        "weighted demo graph (Nvidia demo data)"))
 
   def getEdgelist(spark: SparkSession, name: String): DataFrame = {
     import spark.implicits._
@@ -83,6 +135,11 @@ object Datasets {
       case "dolphins" => dolphinsEdges.toDF(Gr.SRC, Gr.DST)
       case "polbooks" => polbooksEdges.toDF(Gr.SRC, Gr.DST)
       case "netscience" => netscienceEdges.toDF(Gr.SRC, Gr.DST, Gr.WEIGHT)
+      case "karate-asymmetric" => karateAsymmetricEdges.toDF(Gr.SRC, Gr.DST, Gr.WEIGHT)
+      case "small_line" => smallLineEdges.toDF(Gr.SRC, Gr.DST, Gr.WEIGHT)
+      case "small_tree" => smallTreeEdges.toDF(Gr.SRC, Gr.DST, Gr.WEIGHT)
+      case "toy_graph" => toyGraphEdges.toDF(Gr.SRC, Gr.DST, Gr.WEIGHT)
+      case "toy_graph_undirected" => toyGraphUndirectedEdges.toDF(Gr.SRC, Gr.DST, Gr.WEIGHT)
       case other => throw new IllegalArgumentException(s"unknown dataset: $other")
     }
   }

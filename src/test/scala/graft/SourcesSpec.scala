@@ -90,4 +90,25 @@ class SourcesSpec extends SparkSpec {
       assert(edges.count() == meta.edges, name)
     }
   }
+
+  test("bundled demo datasets: line diameter, tree DAG depth, toy symmetry") {
+    import org.apache.spark.sql.functions._
+    // small_line: SSSP from 0 reaches distance 9 (max-diameter path)
+    val line = Datasets.getGraph(spark, "small_line")
+    val d = algos.Traversal.sssp(line, 0L)
+      .agg(max("distance")).collect()(0).getDouble(0)
+    assert(d == 9.0)
+    // small_tree: a DAG of depth 3 (0 -> {1..4} -> 5 -> {6,7,8})
+    val tree = Datasets.getGraph(spark, "small_tree")
+    val lv = algos.TreeDag.topologicalLevels(tree)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(lv(0L) == 0 && lv(5L) == 2 && lv(8L) == 3)
+    // toy_graph stores both directions of toy_graph_undirected
+    val toy = Datasets.toyGraphEdges.map(e => (e._1, e._2)).toSet
+    assert(Datasets.toyGraphUndirectedEdges
+      .forall { case (a, b, _) => toy((a, b)) && toy((b, a)) })
+    // karate-asymmetric: 1-based directed storage of the karate club
+    val ka = Datasets.getGraph(spark, "karate-asymmetric")
+    assert(ka.isDirected && ka.numEdges == 78)
+  }
 }
