@@ -501,6 +501,50 @@ object PipelineSql {
        |      FROM s)
        |SELECT doc_id, word, tf, df, round(s, 6) AS tf_idf FROM r WHERE rn <= $k""".stripMargin
 
+  val tokenEntropy: String =
+    """WITH w AS MATERIALIZED (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+      |),
+      |cnt AS MATERIALIZED (SELECT doc_id, w, count(*) AS c FROM w GROUP BY 1, 2),
+      |n AS MATERIALIZED (SELECT doc_id, sum(c) AS n_tokens FROM cnt GROUP BY 1)
+      |SELECT cnt.doc_id, CAST(n.n_tokens AS BIGINT) AS n_tokens,
+      |  round(-sum(cnt.c / CAST(n.n_tokens AS DOUBLE)
+      |             * log2(cnt.c / CAST(n.n_tokens AS DOUBLE))), 6) AS entropy
+      |FROM cnt JOIN n ON n.doc_id = cnt.doc_id
+      |GROUP BY 1, 2""".stripMargin
+
+  /** PMI collocation oracle: the same skip-gram pair frame, integral
+    * counts, and exact-ratio ranking (ln only on the reported column). */
+  def pmiPairs(window: Int, minCount: Int, topK: Int): String =
+    s"""WITH w AS MATERIALIZED (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |pos AS MATERIALIZED (
+       |  SELECT doc_id, i, ws[i] AS w
+       |  FROM w, unnest(generate_series(1, len(ws))) AS t(i)
+       |),
+       |pairs AS MATERIALIZED (
+       |  SELECT least(a.w, b.w) AS w_a, greatest(a.w, b.w) AS w_b
+       |  FROM pos a JOIN pos b ON a.doc_id = b.doc_id
+       |   AND b.i > a.i AND b.i <= a.i + $window
+       |),
+       |cab AS MATERIALIZED (
+       |  SELECT w_a, w_b, count(*) AS n_pair FROM pairs GROUP BY 1, 2
+       |  HAVING count(*) >= $minCount
+       |),
+       |cw AS MATERIALIZED (SELECT w, count(*) AS cw FROM pos GROUP BY 1),
+       |tot AS (SELECT (SELECT count(*) FROM pos) AS t_tok,
+       |               (SELECT count(*) FROM pairs) AS t_pair),
+       |scored AS MATERIALIZED (
+       |  SELECT cab.w_a, cab.w_b, cab.n_pair,
+       |    (CAST(cab.n_pair AS DOUBLE) * tot.t_tok * tot.t_tok)
+       |      / (CAST(tot.t_pair AS DOUBLE) * ca.cw * cb.cw) AS r
+       |  FROM cab
+       |  JOIN cw ca ON ca.w = cab.w_a
+       |  JOIN cw cb ON cb.w = cab.w_b
+       |  CROSS JOIN tot
+       |)
+       |SELECT w_a, w_b, n_pair, round(ln(r), 6) AS pmi
+       |FROM scored ORDER BY r DESC, w_a, w_b LIMIT $topK""".stripMargin
+
   /** Cluster-balanced sampling oracle: the identical deterministic k-means
     * unroll as `embedDupIvf` / `annIvf`, then the top-`perCluster`
     * md5-priority rows per cluster. */

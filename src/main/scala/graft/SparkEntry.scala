@@ -458,6 +458,15 @@ object SparkEntry {
       val emb = Fixtures.embeddings(s, dir)
       pipeline.Ann.knnClassify(emb, emb.filter(col("vec_id") < 25), k = 10)
     },
+    "q_entropy" -> q { (s, dir) =>
+      // token-distribution entropy: the information-density quality signal
+      pipeline.TextAnalysis.tokenEntropy(Fixtures.documents(s, dir))
+    },
+    "q_pmi" -> q { (s, dir) =>
+      // collocation mining: top-50 PMI skip-gram pairs, 2-token window
+      pipeline.TextAnalysis.pmiPairs(Fixtures.documents(s, dir),
+        window = 2, minCount = 5, topK = 50)
+    },
     "q_pipeline_e2e" -> q { (s, dir) =>
       // the COMPOSED training-data story, one gated query: exact-dedup
       // canonical survivors → quality floor → drop the benchmark subset
@@ -1401,6 +1410,8 @@ object SparkEntry {
     "q_cluster_sample" -> PipelineSql.clusterSample(nlist = 16, perCluster = 8,
       iters = 3, dim = 64),
     "q_knn_classify" -> PipelineSql.knnClassify(nQueries = 25, k = 10),
+    "q_entropy" -> PipelineSql.tokenEntropy,
+    "q_pmi" -> PipelineSql.pmiPairs(window = 2, minCount = 5, topK = 50),
     "q_pipeline_e2e" ->
       s"""WITH h AS MATERIALIZED (SELECT doc_id, md5(text) AS grp FROM documents),
          |canon AS MATERIALIZED (SELECT min(doc_id) AS doc_id FROM h GROUP BY grp),

@@ -146,6 +146,61 @@ object TextAnalysis {
         round(col("s"), 6).as("tf_idf"))
   }
 
+  /** Token-distribution entropy per document: H = −Σ p_w log2 p_w over the
+    * word frequency distribution — the information-density quality signal
+    * (near-zero H ⇒ the doc is one token repeated; H ≈ log2(n) ⇒ every
+    * token distinct). One explode + two hash aggs, all map-side-combined.
+    * Output (doc_id, n_tokens, entropy). */
+  def tokenEntropy(docs: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    val words = docs.select(col(idCol), explode(tokens(col(textCol))).as("w"))
+    val cnt = words.groupBy(col(idCol), col("w")).agg(count(lit(1)).as("c"))
+    val n = cnt.groupBy(idCol).agg(sum("c").as("n_tokens"))
+    val p = col("c") / col("n_tokens").cast("double")
+    cnt.join(n, idCol)
+      .select(col(idCol), col("n_tokens"), (p * log2(p)).as("term"))
+      .groupBy(col(idCol), col("n_tokens"))
+      .agg(round(-sum("term"), 6).as("entropy"))
+      .select(col(idCol), col("n_tokens"), col("entropy"))
+  }
+
+  /** Word-association mining: pointwise mutual information over skip-gram
+    * pairs within a `window`-token window — the collocation/phrase-mining
+    * pass of an embedding-training pipeline. Pair generation is LINEAR in
+    * corpus tokens (positions self-joined per document with a ≤`window`
+    * position gap), never the per-document all-pairs square. Ranking
+    * compares the exact PMI ratio r = c(ab)·T² / (P·c(a)·c(b)) — pure IEEE
+    * products/division of integer-valued doubles, identical on any engine —
+    * and only the reported pmi column takes a log. Pairs below `minCount`
+    * are noise-floored away. Output (w_a, w_b, n_pair, pmi), top `topK` by
+    * (r desc, w_a, w_b). */
+  def pmiPairs(docs: DataFrame, window: Int = 2, minCount: Int = 5,
+               topK: Int = 50, idCol: String = "doc_id",
+               textCol: String = "text"): DataFrame = {
+    val pos = docs.select(col(idCol),
+      posexplode(tokens(col(textCol))).as(Seq("p", "w")))
+    val a = pos.select(col(idCol), col("p").as("pa"), col("w").as("wa"))
+    val b = pos.select(col(idCol), col("p").as("pb"), col("w").as("wb"))
+    val pairs = a.join(b, Seq(idCol))
+      .filter(col("pb") > col("pa") && col("pb") <= col("pa") + window)
+      .select(least(col("wa"), col("wb")).as("w_a"),
+        greatest(col("wa"), col("wb")).as("w_b"))
+    val cab = pairs.groupBy("w_a", "w_b").agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= minCount)
+    val cw = pos.groupBy(col("w")).agg(count(lit(1)).as("cw"))
+    val totals = pos.agg(count(lit(1)).as("t_tok"))
+      .crossJoin(pairs.agg(count(lit(1)).as("t_pair")))
+    val r = (col("n_pair").cast("double") * col("t_tok") * col("t_tok")) /
+      (col("t_pair").cast("double") * col("ca") * col("cb"))
+    val scored = cab
+      .join(cw.select(col("w").as("w_a"), col("cw").as("ca")), "w_a")
+      .join(cw.select(col("w").as("w_b"), col("cw").as("cb")), "w_b")
+      .crossJoin(broadcast(totals))
+      .withColumn("r", r)
+    scored.orderBy(desc("r"), col("w_a"), col("w_b")).limit(topK)
+      .select(col("w_a"), col("w_b"), col("n_pair"), round(log(col("r")), 6).as("pmi"))
+  }
+
   /** Language ID by stopword hit-ratio over the supported marker sets;
     * deterministic argmax (score desc, language code asc), 'und' when no
     * marker hits at all. */

@@ -283,6 +283,27 @@ class PipelineSpec extends SparkSpec {
       ph.collect().toSet)
   }
 
+  test("token entropy: zero for a one-word doc, log2(n) for all-distinct") {
+    import spark.implicits._
+    val d = Seq((1L, "x x x x"), (2L, "a b c d")).toDF("doc_id", "text")
+    val h = TextAnalysis.tokenEntropy(d).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(h(1L) == 0.0)
+    assert(math.abs(h(2L) - 2.0) < 1e-9)
+  }
+
+  test("PMI ranks the exclusive collocation above the promiscuous pair") {
+    import spark.implicits._
+    // 'ice cream' always co-occur and appear nowhere else; 'the' pairs
+    // with everything, so (ice, cream) must out-rank any pair with 'the'
+    val d = (0L until 20L).map(i =>
+      (i, s"the ice cream w$i the stuff w${i % 3}")).toDF("doc_id", "text")
+    val top = TextAnalysis.pmiPairs(d, window = 2, minCount = 5, topK = 5)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(3)))
+    assert(top.head._1 == "cream" && top.head._2 == "ice")
+    assert(top.head._3 > 0)
+  }
+
   test("cluster sample caps every cluster and is deterministic; knn vote matches labels") {
     import spark.implicits._
     val rng = new scala.util.Random(7)
