@@ -179,12 +179,18 @@ object TextAnalysis {
                textCol: String = "text"): DataFrame = {
     val pos = docs.select(col(idCol),
       posexplode(tokens(col(textCol))).as(Seq("p", "w")))
-    val a = pos.select(col(idCol), col("p").as("pa"), col("w").as("wa"))
-    val b = pos.select(col(idCol), col("p").as("pb"), col("w").as("wb"))
-    val pairs = a.join(b, Seq(idCol))
-      .filter(col("pb") > col("pa") && col("pb") <= col("pa") + window)
-      .select(least(col("wa"), col("wb")).as("w_a"),
-        greatest(col("wa"), col("wb")).as("w_b"))
+    // TRUE linear pair generation: each position explodes into its
+    // `window` forward offsets and equi-joins on (doc, position) —
+    // tokens × window rows. A doc_id-only equi-join with the position gap
+    // as a post-predicate would enumerate the per-document all-pairs
+    // square before filtering, which a long document at corpus scale
+    // cannot afford.
+    val a = pos.select(col(idCol), col("w").as("wa"), col("p"),
+        explode(sequence(lit(1), lit(window))).as("off"))
+      .select(col(idCol), (col("p") + col("off")).as("p"), col("wa"))
+    val pairs = a.join(pos, Seq(idCol, "p"))
+      .select(least(col("wa"), col("w")).as("w_a"),
+        greatest(col("wa"), col("w")).as("w_b"))
     val cab = pairs.groupBy("w_a", "w_b").agg(count(lit(1)).as("n_pair"))
       .filter(col("n_pair") >= minCount)
     val cw = pos.groupBy(col("w")).agg(count(lit(1)).as("cw"))
