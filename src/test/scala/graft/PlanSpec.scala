@@ -133,6 +133,18 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan.take(1200))
   }
 
+  test("PMI pair generation is an equi-join on doc+position — no square enumeration") {
+    val docs = Fixtures.documents(spark, "/root/testdata/sf0.001")
+    val p = graft.pipeline.TextAnalysis.pmiPairs(docs, window = 2, minCount = 2, topK = 10)
+    p.collect()
+    val plan = planOf(p)
+    // the single-row totals frame rides a broadcast cross join by design;
+    // what must never appear is an unkeyed join of the position frames
+    assert(!plan.contains("CartesianProduct"), plan.take(1200))
+    assert(plan.contains("Join [doc_id"),
+      "PMI pair join lost its (doc, position) equi-key:\n" + plan.take(1200))
+  }
+
   test("cluster sampling assigns centroids via broadcast and caps via per-cluster window") {
     val emb = Fixtures.embeddings(spark, "/root/testdata/sf0.001")
     val cs = graft.pipeline.Ann.clusterSample(emb, nlist = 4, perCluster = 3, iters = 1)
