@@ -545,6 +545,50 @@ object PipelineSql {
        |SELECT w_a, w_b, n_pair, round(ln(r), 6) AS pmi
        |FROM scored ORDER BY r DESC, w_a, w_b LIMIT $topK""".stripMargin
 
+  /** Corpus-trained bigram-LM scoring oracle: identical add-k-smoothed
+    * conditional probabilities and per-document mean log-prob. */
+  def bigramLm(k: Double): String =
+    s"""WITH w AS MATERIALIZED (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |pos AS MATERIALIZED (
+       |  SELECT doc_id, i, ws[i] AS w
+       |  FROM w, unnest(generate_series(1, len(ws))) AS t(i)
+       |),
+       |big AS MATERIALIZED (
+       |  SELECT a.doc_id, a.w AS wa, b.w AS wb
+       |  FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+       |),
+       |c2 AS MATERIALIZED (SELECT wa, wb, count(*) AS c2 FROM big GROUP BY 1, 2),
+       |c1 AS MATERIALIZED (SELECT wa, count(*) AS c1 FROM big GROUP BY 1),
+       |vn AS (SELECT count(DISTINCT w) AS v FROM pos)
+       |SELECT big.doc_id, count(*) AS n_bigrams,
+       |  round(avg(ln((c2.c2 + $k) / (c1.c1 + $k * vn.v))), 6) AS lm_score
+       |FROM big
+       |JOIN c2 ON c2.wa = big.wa AND c2.wb = big.wb
+       |JOIN c1 ON c1.wa = big.wa
+       |CROSS JOIN vn
+       |GROUP BY 1""".stripMargin
+
+  /** Hard-negative oracle: the annTopK ranking restricted to label-
+    * mismatched (query, corpus) pairs. */
+  def hardNegatives(nQueries: Int, k: Int): String =
+    s"""WITH $EMB_NORM,
+       |lab AS MATERIALIZED (SELECT vec_id, CAST(label AS BIGINT) AS l FROM embeddings),
+       |q AS MATERIALIZED (
+       |  SELECT e.vec_id AS query_id, e.v AS qv, e.nrm AS qn, lab.l AS ql
+       |  FROM e JOIN lab ON lab.vec_id = e.vec_id WHERE e.vec_id < $nQueries),
+       |scored AS MATERIALIZED (
+       |  SELECT q.query_id, e.vec_id AS neighbor_id,
+       |    round(list_dot_product(e.v, q.qv) / (e.nrm * q.qn), 6) AS cosine
+       |  FROM e JOIN lab nl ON nl.vec_id = e.vec_id
+       |  JOIN q ON e.vec_id <> q.query_id AND nl.l <> q.ql),
+       |ranked AS MATERIALIZED (
+       |  SELECT query_id, neighbor_id, cosine,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY cosine DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
+       |FROM ranked WHERE rank <= $k""".stripMargin
+
   /** Cluster-balanced sampling oracle: the identical deterministic k-means
     * unroll as `embedDupIvf` / `annIvf`, then the top-`perCluster`
     * md5-priority rows per cluster. */

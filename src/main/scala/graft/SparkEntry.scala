@@ -467,6 +467,15 @@ object SparkEntry {
       pipeline.TextAnalysis.pmiPairs(Fixtures.documents(s, dir),
         window = 2, minCount = 5, topK = 50)
     },
+    "q_lm_score" -> q { (s, dir) =>
+      // corpus-trained bigram-LM quality filter (KenLM/CCNet shape)
+      pipeline.TextAnalysis.bigramLmScore(Fixtures.documents(s, dir), k = 0.5)
+    },
+    "q_hard_negatives" -> q { (s, dir) =>
+      // contrastive-training negatives: most-similar label-mismatched
+      val emb = Fixtures.embeddings(s, dir)
+      pipeline.Ann.hardNegatives(emb, emb.filter(col("vec_id") < 10), k = 10)
+    },
     "q_pipeline_e2e" -> q { (s, dir) =>
       // the COMPOSED training-data story, one gated query: exact-dedup
       // canonical survivors → quality floor → drop the benchmark subset
@@ -1412,6 +1421,8 @@ object SparkEntry {
     "q_knn_classify" -> PipelineSql.knnClassify(nQueries = 25, k = 10),
     "q_entropy" -> PipelineSql.tokenEntropy,
     "q_pmi" -> PipelineSql.pmiPairs(window = 2, minCount = 5, topK = 50),
+    "q_lm_score" -> PipelineSql.bigramLm(k = 0.5),
+    "q_hard_negatives" -> PipelineSql.hardNegatives(nQueries = 10, k = 10),
     "q_pipeline_e2e" ->
       s"""WITH h AS MATERIALIZED (SELECT doc_id, md5(text) AS grp FROM documents),
          |canon AS MATERIALIZED (SELECT min(doc_id) AS doc_id FROM h GROUP BY grp),

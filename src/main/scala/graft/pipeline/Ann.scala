@@ -210,6 +210,34 @@ object Ann {
         col("b.n_votes").as("n_votes"))
   }
 
+  /** Hard-negative mining for contrastive training: per query, the `k`
+    * most-similar corpus vectors whose label DIFFERS from the query's —
+    * the negatives that actually move a contrastive loss (random negatives
+    * are trivially separable). Same corpus-scan shape as brute-force top-k
+    * (query side broadcast, label filter fused into the join, per-query
+    * window rank); an IVF prefilter composes in front of it at billion-
+    * vector scale. Output (query_id, neighbor_id, cosine, rank). */
+  def hardNegatives(emb: DataFrame, queries: DataFrame, k: Int = 10,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    labelCol: String = "label"): DataFrame = {
+    def wn(df: DataFrame, lbl: String) = df
+      .select(col(idCol), col(vecCol).cast("array<double>").as("v"),
+        col(labelCol).cast("long").as(lbl))
+      .withColumn("nrm", norm(col("v")))
+    val corpus = wn(emb, "nl")
+    val q = wn(queries, "ql")
+      .select(col(idCol).as("query_id"), col("v").as("qv"), col("nrm").as("qn"),
+        col("ql"))
+    val scored = corpus.join(broadcast(q),
+        col(idCol) =!= col("query_id") && col("nl") =!= col("ql"))
+      .select(col("query_id"), col(idCol).as("neighbor_id"),
+        round(cosine(col("v"), col("qv"), col("nrm"), col("qn")), 6).as("cosine"))
+    TopK.perKey(scored, Seq("query_id"), Seq(desc("cosine"), col("neighbor_id")), k)
+      .withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy("query_id").orderBy(desc("cosine"), col("neighbor_id"))))
+  }
+
   /** IVF top-k: probe the `nprobe` nearest centroid buckets per query and
     * rank exactly within them. Approximate (recall < 1) but the corpus-side
     * work is an equi-join on centroid id instead of a full scan per query. */

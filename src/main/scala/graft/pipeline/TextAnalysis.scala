@@ -207,6 +207,32 @@ object TextAnalysis {
       .select(col("w_a"), col("w_b"), col("n_pair"), round(log(col("r")), 6).as("pmi"))
   }
 
+  /** Corpus-trained bigram language-model scoring — the KenLM-shaped
+    * perplexity filter of a CCNet-style pipeline, self-trained on the
+    * corpus: P(b|a) = (c(a,b) + k) / (c(a·) + k·V) with add-k smoothing,
+    * document score = mean ln P over its bigrams (higher = more typical of
+    * the corpus; junk scores low). The bigram table is sublinear in corpus
+    * size and joins back on the bigram key; the (V, k) scalars ride a
+    * broadcast single-row frame. Output (doc_id, n_bigrams, lm_score). */
+  def bigramLmScore(docs: DataFrame, k: Double = 0.5,
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val pos = docs.select(col(idCol),
+      posexplode(tokens(col(textCol))).as(Seq("p", "w")))
+    val a = pos.select(col(idCol), (col("p") + 1).as("p"), col("w").as("wa"))
+    val big = a.join(pos, Seq(idCol, "p"))
+      .select(col(idCol), col("wa"), col("w").as("wb"))
+    val c2 = big.groupBy("wa", "wb").agg(count(lit(1)).as("c2"))
+    val c1 = big.groupBy("wa").agg(count(lit(1)).as("c1"))
+    val vocabN = pos.agg(countDistinct(col("w")).as("v"))
+    big.join(c2, Seq("wa", "wb"))
+      .join(c1, Seq("wa"))
+      .crossJoin(broadcast(vocabN))
+      .select(col(idCol),
+        log((col("c2") + lit(k)) / (col("c1") + lit(k) * col("v"))).as("lp"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"), round(avg("lp"), 6).as("lm_score"))
+  }
+
   /** Language ID by stopword hit-ratio over the supported marker sets;
     * deterministic argmax (score desc, language code asc), 'und' when no
     * marker hits at all. */

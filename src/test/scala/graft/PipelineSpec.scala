@@ -304,6 +304,29 @@ class PipelineSpec extends SparkSpec {
     assert(top.head._3 > 0)
   }
 
+  test("bigram LM scores corpus-typical docs above shuffled junk") {
+    import spark.implicits._
+    // 20 docs repeat the same phrasing; one doc uses the same words in an
+    // order no other doc has — its bigrams are all unseen-but-smoothed
+    val d = ((0L until 20L).map(i => (i, "the cat sat on the mat")) :+
+      (99L, "mat the on sat cat the")).toDF("doc_id", "text")
+    val s = TextAnalysis.bigramLmScore(d).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(s(0L) > s(99L))
+  }
+
+  test("hard negatives exclude same-label vectors and rank by cosine") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f), 0), (1L, Array(0.99f, 0.1f), 0),
+      (2L, Array(0.9f, 0.2f), 1), (3L, Array(0.0f, 1.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val hn = Ann.hardNegatives(emb, emb.filter(col("vec_id") === 0L), k = 2)
+      .orderBy("rank").collect().map(r => (r.getLong(1), r.getInt(3)))
+    // nearest same-label vec 1 must NOT appear; nearest different-label is 2
+    assert(hn.map(_._1).toSeq == Seq(2L, 3L))
+  }
+
   test("cluster sample caps every cluster and is deterministic; knn vote matches labels") {
     import spark.implicits._
     val rng = new scala.util.Random(7)
