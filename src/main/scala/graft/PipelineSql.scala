@@ -589,6 +589,74 @@ object PipelineSql {
        |SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
        |FROM ranked WHERE rank <= $k""".stripMargin
 
+  /** BPE training CTE chain: (distinct word, freq) table, then per round a
+    * pair count, a deterministic argmax (freq desc, l, r), and the same
+    * single-scan `/l/r/` → `/lr/` replace the Spark trainer applies.
+    * Yields CTEs `b1..bN` (the winning merges) and `w0..wN` (the evolving
+    * word table). */
+  private def bpeCtes(nMerges: Int): String = {
+    val b = new StringBuilder
+    b ++= """wrd AS MATERIALIZED (
+            |  SELECT w, count(*) AS n
+            |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+            |  WHERE w NOT LIKE '%/%' AND len(w) > 0 GROUP BY 1),
+            |w0 AS MATERIALIZED (
+            |  SELECT '/' || array_to_string(string_split(w, ''), '/') || '/' AS seq, n
+            |  FROM wrd),
+            |""".stripMargin
+    for (i <- 1 to nMerges) {
+      b ++= s"""t$i AS MATERIALIZED (
+               |  SELECT seq, n, list_filter(string_split(seq, '/'), x -> x <> '') AS toks
+               |  FROM w${i - 1}),
+               |p$i AS MATERIALIZED (
+               |  SELECT toks[i] AS l, toks[i + 1] AS r, sum(n) AS freq
+               |  FROM t$i, unnest(generate_series(1, len(toks) - 1)) AS u(i)
+               |  GROUP BY 1, 2),
+               |b$i AS MATERIALIZED (SELECT l, r, freq FROM p$i ORDER BY freq DESC, l, r LIMIT 1),
+               |w$i AS MATERIALIZED (
+               |  SELECT replace(seq,
+               |           '/' || (SELECT l FROM b$i) || '/' || (SELECT r FROM b$i) || '/',
+               |           '/' || (SELECT l FROM b$i) || (SELECT r FROM b$i) || '/') AS seq, n
+               |  FROM w${i - 1})""".stripMargin
+      b ++= ",\n"
+    }
+    b.dropRight(2).toString
+  }
+
+  /** BPE merge-table oracle (rank, left, right, n_occ). */
+  def bpeTrain(nMerges: Int): String = {
+    val rows = (1 to nMerges).map(i =>
+      s"""SELECT CAST($i AS BIGINT) AS rank, l AS "left", r AS "right",
+         |       CAST(freq AS BIGINT) AS n_occ FROM b$i""".stripMargin)
+      .mkString("\nUNION ALL\n")
+    s"WITH ${bpeCtes(nMerges)}\n$rows"
+  }
+
+  /** Post-BPE per-document subword counts: replay the learned merges over
+    * every document's words with the same single-scan replace. */
+  def bpeTokenCount(nMerges: Int): String = {
+    val b = new StringBuilder
+    b ++= s"WITH ${bpeCtes(nMerges)},\n"
+    b ++= """d0 AS MATERIALIZED (
+            |  SELECT doc_id, '/' || array_to_string(string_split(w, ''), '/') || '/' AS seq
+            |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+            |  WHERE w NOT LIKE '%/%' AND len(w) > 0),
+            |""".stripMargin
+    for (i <- 1 to nMerges) {
+      b ++= s"""d$i AS MATERIALIZED (
+               |  SELECT doc_id, replace(seq,
+               |           '/' || (SELECT l FROM b$i) || '/' || (SELECT r FROM b$i) || '/',
+               |           '/' || (SELECT l FROM b$i) || (SELECT r FROM b$i) || '/') AS seq
+               |  FROM d${i - 1}),
+               |""".stripMargin
+    }
+    b ++= s"""final AS (
+             |  SELECT doc_id, len(list_filter(string_split(seq, '/'), x -> x <> '')) AS k
+             |  FROM d$nMerges)
+             |SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_subwords FROM final GROUP BY 1""".stripMargin
+    b.toString
+  }
+
   /** Cluster-balanced sampling oracle: the identical deterministic k-means
     * unroll as `embedDupIvf` / `annIvf`, then the top-`perCluster`
     * md5-priority rows per cluster. */

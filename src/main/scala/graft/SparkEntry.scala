@@ -476,6 +476,16 @@ object SparkEntry {
       val emb = Fixtures.embeddings(s, dir)
       pipeline.Ann.hardNegatives(emb, emb.filter(col("vec_id") < 10), k = 10)
     },
+    "q_bpe_train" -> q { (s, dir) =>
+      // BPE tokenizer training: first 5 learned merges + their frequencies
+      pipeline.Tokenizer.bpeTrain(Fixtures.documents(s, dir), nMerges = 5)
+    },
+    "q_bpe_tokens" -> q { (s, dir) =>
+      // apply the learned merges: post-BPE subword counts per document
+      val docs = Fixtures.documents(s, dir)
+      pipeline.Tokenizer.bpeTokenCount(docs,
+        pipeline.Tokenizer.bpeTrain(docs, nMerges = 5))
+    },
     "q_pipeline_e2e" -> q { (s, dir) =>
       // the COMPOSED training-data story, one gated query: exact-dedup
       // canonical survivors → quality floor → drop the benchmark subset
@@ -1423,6 +1433,8 @@ object SparkEntry {
     "q_pmi" -> PipelineSql.pmiPairs(window = 2, minCount = 5, topK = 50),
     "q_lm_score" -> PipelineSql.bigramLm(k = 0.5),
     "q_hard_negatives" -> PipelineSql.hardNegatives(nQueries = 10, k = 10),
+    "q_bpe_train" -> PipelineSql.bpeTrain(nMerges = 5),
+    "q_bpe_tokens" -> PipelineSql.bpeTokenCount(nMerges = 5),
     "q_pipeline_e2e" ->
       s"""WITH h AS MATERIALIZED (SELECT doc_id, md5(text) AS grp FROM documents),
          |canon AS MATERIALIZED (SELECT min(doc_id) AS doc_id FROM h GROUP BY grp),

@@ -304,6 +304,22 @@ class PipelineSpec extends SparkSpec {
     assert(top.head._3 > 0)
   }
 
+  test("BPE training learns the dominant pair first and shrinks token counts") {
+    import spark.implicits._
+    val d = (0L until 10L).map(i => (i, "low lower lowest low low")).toDF("doc_id", "text")
+    val merges = Tokenizer.bpeTrain(d, nMerges = 3).orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    // 'l'+'o' appears in every word of every doc — it must be merge #1;
+    // merge #2 then extends it with 'w'
+    assert(merges(0) == ("l", "o"))
+    assert(merges(1) == ("lo", "w"))
+    val counts = Tokenizer.bpeTokenCount(d, Tokenizer.bpeTrain(d, nMerges = 3))
+      .collect().map(r => r.getLong(1))
+    // 'low low low' collapses to 1 subword per word after 2 merges; the
+    // suffixes stay split: strictly fewer subwords than raw characters
+    assert(counts.forall(c => c > 0 && c < "low lower lowest low low".count(_ != ' ')))
+  }
+
   test("bigram LM scores corpus-typical docs above shuffled junk") {
     import spark.implicits._
     // 20 docs repeat the same phrasing; one doc uses the same words in an
