@@ -60,6 +60,32 @@ object PipelineSql {
        |WHERE round(coalesce(i.i, 0) * 1.0 / (ca.n_sh + cb.n_sh - coalesce(i.i, 0)), 6) >= $threshold""".stripMargin
   }
 
+  /** Edit-distance rescoring oracle: the lshPairs candidate CTEs, then
+    * levenshtein over the pair texts (identical classic DP metric in both
+    * engines). */
+  def editDistancePairs(bands: Int, rowsPerBand: Int): String = {
+    val k = bands * rowsPerBand
+    val bandKeys = (0 until bands).map { b =>
+      val key = (b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(j => s"CAST(mh$j AS VARCHAR)").mkString(" || '_' || ")
+      s"SELECT doc_id, $b AS band, md5($key) AS bk FROM mh"
+    }.mkString(" UNION ALL ")
+    s"""WITH $SHINGLES3,
+       |mh AS MATERIALIZED (SELECT doc_id, ${minhashSelect(k)} FROM sh GROUP BY doc_id),
+       |bk AS MATERIALIZED ($bandKeys),
+       |cand AS MATERIALIZED (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bk a JOIN bk b ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id
+       |)
+       |SELECT c.id_a, c.id_b,
+       |  CAST(levenshtein(da.text, db.text) AS BIGINT) AS dist,
+       |  round(1.0 - levenshtein(da.text, db.text)
+       |        / CAST(greatest(len(da.text), len(db.text)) AS DOUBLE), 6) AS edit_sim
+       |FROM cand c
+       |JOIN documents da ON da.doc_id = c.id_a
+       |JOIN documents db ON db.doc_id = c.id_b""".stripMargin
+  }
+
   def ngramJaccardPairs(threshold: Double): String =
     s"""WITH $SHINGLES3,
        |cnt AS MATERIALIZED (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),

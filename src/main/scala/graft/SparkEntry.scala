@@ -480,6 +480,13 @@ object SparkEntry {
       // BPE tokenizer training: first 5 learned merges + their frequencies
       pipeline.Tokenizer.bpeTrain(Fixtures.documents(s, dir), nMerges = 5)
     },
+    "q_edit_dist" -> q { (s, dir) =>
+      // near-dup precision pass: Levenshtein over LSH candidate pairs only
+      val docs = Fixtures.documents(s, dir)
+      val cand = pipeline.Dedup.minhashLshPairs(docs,
+        n = 3, bands = 4, rowsPerBand = 2, threshold = 0.0)
+      pipeline.Dedup.editDistancePairs(docs, cand.select("id_a", "id_b"))
+    },
     "q_bpe_tokens" -> q { (s, dir) =>
       // apply the learned merges: post-BPE subword counts per document
       val docs = Fixtures.documents(s, dir)
@@ -1435,6 +1442,7 @@ object SparkEntry {
     "q_hard_negatives" -> PipelineSql.hardNegatives(nQueries = 10, k = 10),
     "q_bpe_train" -> PipelineSql.bpeTrain(nMerges = 5),
     "q_bpe_tokens" -> PipelineSql.bpeTokenCount(nMerges = 5),
+    "q_edit_dist" -> PipelineSql.editDistancePairs(bands = 4, rowsPerBand = 2),
     "q_pipeline_e2e" ->
       s"""WITH h AS MATERIALIZED (SELECT doc_id, md5(text) AS grp FROM documents),
          |canon AS MATERIALIZED (SELECT min(doc_id) AS doc_id FROM h GROUP BY grp),

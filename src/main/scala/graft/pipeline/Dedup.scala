@@ -121,6 +121,26 @@ object Dedup {
       .withColumn("keep", !col("exact_dup") && !col("near_dup"))
   }
 
+  /** Character-level edit-distance rescoring of candidate pairs — the
+    * precision pass after LSH recall (banded Levenshtein is the classic
+    * near-dup verifier). Only LSH-surviving pairs are scored, so the
+    * O(len²) distance never touches the full corpus; at very long
+    * documents swap in Spark's thresholded `levenshtein(l, r, max)` for
+    * the early-exit band. Output (id_a, id_b, dist, edit_sim) with
+    * edit_sim = 1 − dist/max(len). */
+  def editDistancePairs(docs: DataFrame, pairs: DataFrame,
+                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val t = docs.select(col(idCol), col(textCol))
+    val lev = levenshtein(col("ta"), col("tb"))
+    pairs.select(col("id_a"), col("id_b"))
+      .join(t.select(col(idCol).as("id_a"), col(textCol).as("ta")), "id_a")
+      .join(t.select(col(idCol).as("id_b"), col(textCol).as("tb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        lev.cast("long").as("dist"),
+        round(lit(1.0) - lev / greatest(length(col("ta")), length(col("tb")))
+          .cast("double"), 6).as("edit_sim"))
+  }
+
   /** Exact word-n-gram Jaccard for given candidate pairs (id_a, id_b):
     * intersection via a join on the shared shingle, sizes via a per-doc
     * count — the same neighborhood-intersection shape as the reference's
