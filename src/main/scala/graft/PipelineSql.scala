@@ -615,6 +615,41 @@ object PipelineSql {
        |SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
        |FROM ranked WHERE rank <= $k""".stripMargin
 
+  /** Per-source corpus datasheet oracle: same blended quality, exact
+    * ranked-element median. */
+  val sourceStats: String =
+    s"""WITH w AS (SELECT doc_id, source, n_chars, text, string_split(text, ' ') AS ws FROM documents),
+       |f AS (SELECT doc_id, source, n_chars,
+       |  CAST(len(ws) AS BIGINT) AS n_tok,
+       |  CAST(len(ws) AS DOUBLE) AS n,
+       |  len(list_distinct(ws)) / CAST(len(ws) AS DOUBLE) AS ttr,
+       |  ${hitRatio("en")} AS stopr,
+       |  list_sum(list_transform(ws, w -> len(w))) / CAST(len(ws) AS DOUBLE) AS meanlen
+       |  FROM w),
+       |base AS MATERIALIZED (SELECT doc_id, source, n_chars, n_tok,
+       |  round(least(n / 200.0, 1.0) * 0.3 + ttr * 0.3 + least(stopr * 4.0, 1.0) * 0.2
+       |        + CASE WHEN meanlen BETWEEN 3.0 AND 8.0 THEN 0.2 ELSE 0.0 END, 6) AS q
+       |  FROM f),
+       |ag AS (SELECT source, count(*) AS n_docs, sum(n_tok) AS n_tokens,
+       |       round(avg(q), 6) AS mean_quality FROM base GROUP BY 1),
+       |r AS (SELECT source, n_chars,
+       |      row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
+       |      count(*) OVER (PARTITION BY source) AS nn FROM base)
+       |SELECT ag.source, ag.n_docs, ag.n_tokens, ag.mean_quality,
+       |       CAST(r.n_chars AS BIGINT) AS median_chars
+       |FROM ag JOIN r ON r.source = ag.source AND r.rn = (r.nn + 1) // 2""".stripMargin
+
+  /** Cross-source shared-n-gram duplication matrix oracle. */
+  def crossSourceDup(n: Int): String =
+    s"""WITH w AS (SELECT source, string_split(text, ' ') AS ws FROM documents),
+       |sh AS MATERIALIZED (
+       |  SELECT DISTINCT source, array_to_string(ws[i:i+${n - 1}], ' ') AS s
+       |  FROM w, unnest(generate_series(1, len(ws) - ${n - 1})) AS t(i)
+       |)
+       |SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
+       |FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
+       |GROUP BY 1, 2""".stripMargin
+
   /** BPE training CTE chain: (distinct word, freq) table, then per round a
     * pair count, a deterministic argmax (freq desc, l, r), and the same
     * single-scan `/l/r/` → `/lr/` replace the Spark trainer applies.

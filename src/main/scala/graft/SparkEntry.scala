@@ -487,6 +487,14 @@ object SparkEntry {
         n = 3, bands = 4, rowsPerBand = 2, threshold = 0.0)
       pipeline.Dedup.editDistancePairs(docs, cand.select("id_a", "id_b"))
     },
+    "q_source_stats" -> q { (s, dir) =>
+      // per-source corpus datasheet: volume, quality, exact median length
+      pipeline.TextAnalysis.sourceStats(Fixtures.documents(s, dir))
+    },
+    "q_cross_source_dup" -> q { (s, dir) =>
+      // provenance diagnostic: shared 8-grams across source pairs
+      pipeline.TextAnalysis.crossSourceDup(Fixtures.documents(s, dir), n = 8)
+    },
     "q_bpe_tokens" -> q { (s, dir) =>
       // apply the learned merges: post-BPE subword counts per document
       val docs = Fixtures.documents(s, dir)
@@ -1443,6 +1451,8 @@ object SparkEntry {
     "q_bpe_train" -> PipelineSql.bpeTrain(nMerges = 5),
     "q_bpe_tokens" -> PipelineSql.bpeTokenCount(nMerges = 5),
     "q_edit_dist" -> PipelineSql.editDistancePairs(bands = 4, rowsPerBand = 2),
+    "q_source_stats" -> PipelineSql.sourceStats,
+    "q_cross_source_dup" -> PipelineSql.crossSourceDup(n = 8),
     "q_pipeline_e2e" ->
       s"""WITH h AS MATERIALIZED (SELECT doc_id, md5(text) AS grp FROM documents),
          |canon AS MATERIALIZED (SELECT min(doc_id) AS doc_id FROM h GROUP BY grp),

@@ -233,6 +233,50 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_bigrams"), round(avg("lp"), 6).as("lm_score"))
   }
 
+  /** Per-source corpus datasheet — the report a curation run publishes
+    * before training: document count, token volume, mean blended quality,
+    * and the exact median document length (picked as the ranked element at
+    * ⌈n/2⌉ with a deterministic (length, id) order — engine-exact, unlike
+    * interpolated quantile estimators). One scan + one agg + one window
+    * per source. Output (source, n_docs, n_tokens, mean_quality,
+    * median_chars). */
+  def sourceStats(docs: DataFrame, byCol: String = "source",
+                  idCol: String = "doc_id", textCol: String = "text",
+                  lenCol: String = "n_chars"): DataFrame = {
+    val base = docs.select(col(byCol), col(idCol), col(lenCol),
+      size(tokens(col(textCol))).cast("long").as("n_tok"),
+      blendedQuality(textCol).as("q"))
+    val agg = base.groupBy(byCol).agg(
+      count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"),
+      round(avg("q"), 6).as("mean_quality"))
+    val w = Window.partitionBy(byCol).orderBy(col(lenCol), col(idCol))
+    val med = base
+      .withColumn("rn", row_number().over(w))
+      .withColumn("nn", count(lit(1)).over(Window.partitionBy(byCol)))
+      .filter(col("rn") === (col("nn") + 1) / 2)
+      .select(col(byCol), col(lenCol).cast("long").as("median_chars"))
+    agg.join(med, byCol)
+  }
+
+  /** Cross-source duplication matrix: for every unordered source pair, the
+    * number of distinct word `n`-grams both sources contain — "which
+    * sources copy from each other", the provenance diagnostic a dedup run
+    * reports (an 8-gram shared across sources is near-certain copying, not
+    * coincidence). The join key is the n-gram itself over per-source
+    * DISTINCT n-gram sets, so the pair fan-out per n-gram is bounded by
+    * (sources sharing it)², and the per-pair row count by the source
+    * count — a constant at corpus scale. Output (src_a, src_b, n_shared). */
+  def crossSourceDup(docs: DataFrame, n: Int = 8, byCol: String = "source",
+                     textCol: String = "text"): DataFrame = {
+    val sh = docs.select(col(byCol),
+        explode(shingles(tokens(col(textCol)), n)).as("s"))
+      .distinct()
+    sh.as("a").join(sh.as("b"),
+        col("a.s") === col("b.s") && col(s"a.$byCol") < col(s"b.$byCol"))
+      .groupBy(col(s"a.$byCol").as("src_a"), col(s"b.$byCol").as("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** Language ID by stopword hit-ratio over the supported marker sets;
     * deterministic argmax (score desc, language code asc), 'und' when no
     * marker hits at all. */
