@@ -11,6 +11,7 @@ import org.apache.spark.sql.expressions.Window
   */
 object TextAnalysis {
   import TextOps._
+  import graft.prims.Mat._
 
   /** Public per-language stopword marker sets for the n-gram/stopword
     * language-ID heuristic (tiny on purpose — broadcast as literals into
@@ -135,7 +136,7 @@ object TextAnalysis {
   def tfidfTopTerms(docs: DataFrame, k: Int = 3, idCol: String = "doc_id",
                     textCol: String = "text"): DataFrame = {
     val words = docs.select(col(idCol), explode(tokens(col(textCol))).as("word"))
-    val tf = words.groupBy(col(idCol), col("word")).agg(count(lit(1)).as("tf"))
+    val tf = words.groupBy(col(idCol), col("word")).agg(count(lit(1)).as("tf")).mat
     val dfT = tf.groupBy("word").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val scored = tf.join(dfT, "word")
@@ -154,7 +155,7 @@ object TextAnalysis {
   def tokenEntropy(docs: DataFrame, idCol: String = "doc_id",
                    textCol: String = "text"): DataFrame = {
     val words = docs.select(col(idCol), explode(tokens(col(textCol))).as("w"))
-    val cnt = words.groupBy(col(idCol), col("w")).agg(count(lit(1)).as("c"))
+    val cnt = words.groupBy(col(idCol), col("w")).agg(count(lit(1)).as("c")).mat
     val n = cnt.groupBy(idCol).agg(sum("c").as("n_tokens"))
     val p = col("c") / col("n_tokens").cast("double")
     cnt.join(n, idCol)
@@ -178,7 +179,7 @@ object TextAnalysis {
                topK: Int = 50, idCol: String = "doc_id",
                textCol: String = "text"): DataFrame = {
     val pos = docs.select(col(idCol),
-      posexplode(tokens(col(textCol))).as(Seq("p", "w")))
+      posexplode(tokens(col(textCol))).as(Seq("p", "w"))).mat
     // TRUE linear pair generation: each position explodes into its
     // `window` forward offsets and equi-joins on (doc, position) —
     // tokens × window rows. A doc_id-only equi-join with the position gap
@@ -190,7 +191,7 @@ object TextAnalysis {
       .select(col(idCol), (col("p") + col("off")).as("p"), col("wa"))
     val pairs = a.join(pos, Seq(idCol, "p"))
       .select(least(col("wa"), col("w")).as("w_a"),
-        greatest(col("wa"), col("w")).as("w_b"))
+        greatest(col("wa"), col("w")).as("w_b")).mat
     val cab = pairs.groupBy("w_a", "w_b").agg(count(lit(1)).as("n_pair"))
       .filter(col("n_pair") >= minCount)
     val cw = pos.groupBy(col("w")).agg(count(lit(1)).as("cw"))
@@ -217,10 +218,10 @@ object TextAnalysis {
   def bigramLmScore(docs: DataFrame, k: Double = 0.5,
                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val pos = docs.select(col(idCol),
-      posexplode(tokens(col(textCol))).as(Seq("p", "w")))
+      posexplode(tokens(col(textCol))).as(Seq("p", "w"))).mat
     val a = pos.select(col(idCol), (col("p") + 1).as("p"), col("w").as("wa"))
     val big = a.join(pos, Seq(idCol, "p"))
-      .select(col(idCol), col("wa"), col("w").as("wb"))
+      .select(col(idCol), col("wa"), col("w").as("wb")).mat
     val c2 = big.groupBy("wa", "wb").agg(count(lit(1)).as("c2"))
     val c1 = big.groupBy("wa").agg(count(lit(1)).as("c1"))
     val vocabN = pos.agg(countDistinct(col("w")).as("v"))
