@@ -85,18 +85,23 @@ object Components {
       // are duplicate-insensitive and the round's final distinct restores
       // set semantics; an intermediate distinct was a whole extra shuffle
       // per round on the round-dominated cost profile.
+      // per-vertex min maps are bounded by the live vertex count (≤ 2×
+      // current pairs) — size-gate them onto the broadcast path so each
+      // star round's state join scans the pair set in place
+      def st(df: DataFrame): DataFrame =
+        graft.prims.Hint.state(df, if (nPairs <= 2500000L) 2 * nPairs else -1L)
       val adj = pairs.select(SRC, DST)
         .union(pairs.select(col(DST).as(SRC), col(SRC).as(DST)))
       val mMap = adj.groupBy(SRC).agg(min(DST).as("mn"))
         .select(col(SRC), least(col("mn"), col(SRC)).as("m"))
-      val ls = adj.filter(col(DST) > col(SRC)).join(mMap, SRC)
+      val ls = adj.filter(col(DST) > col(SRC)).join(st(mMap), SRC)
         .filter(col(DST) =!= col("m"))
         .select(least(col(DST), col("m")).as(SRC), greatest(col(DST), col("m")).as(DST))
       // small-star: per vertex hi over its smaller neighbors, everything
       // (including hi) folds onto the minimum
       val hiAdj = ls.select(col(DST).as("hi"), col(SRC).as("lo"))
       val sMin = hiAdj.groupBy("hi").agg(min("lo").as("m"))
-      val ss = hiAdj.join(sMin, "hi")
+      val ss = hiAdj.join(st(sMin), "hi")
         .select(col("lo").as(SRC), col("m").as(DST))
         .filter(col(SRC) =!= col(DST))
         .select(least(col(SRC), col(DST)).as(SRC), greatest(col(SRC), col(DST)).as(DST))
