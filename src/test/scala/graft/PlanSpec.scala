@@ -134,15 +134,33 @@ class PlanSpec extends SparkSpec {
   }
 
   test("PMI pair generation is an equi-join on doc+position — no square enumeration") {
-    val docs = Fixtures.documents(spark, "/root/testdata/sf0.001")
-    val p = graft.pipeline.TextAnalysis.pmiPairs(docs, window = 2, minCount = 2, topK = 10)
-    p.collect()
-    val plan = planOf(p)
+    // the pair frame materializes mid-operator, so its join shape is not in
+    // the FINAL executed plan — capture every plan the operator runs
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val l = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             d: Long): Unit = plans.add(qe.executedPlan.toString)
+      override def onFailure(f: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(l)
+    try {
+      val docs = Fixtures.documents(spark, "/root/testdata/sf0.001")
+      graft.pipeline.TextAnalysis.pmiPairs(docs, window = 2, minCount = 2, topK = 10)
+        .collect()
+      // listener events post asynchronously
+      val deadline = System.nanoTime() + 10e9.toLong
+      while (!plans.toArray.exists(_.toString.contains("Join [doc_id")) &&
+             System.nanoTime() < deadline) Thread.sleep(100)
+    } finally spark.listenerManager.unregister(l)
+    val all = plans.toArray.map(_.toString)
+    assert(all.exists(_.contains("Join [doc_id")),
+      "PMI pair join lost its (doc, position) equi-key")
     // the single-row totals frame rides a broadcast cross join by design;
-    // what must never appear is an unkeyed join of the position frames
-    assert(!plan.contains("CartesianProduct"), plan.take(1200))
-    assert(plan.contains("Join [doc_id"),
-      "PMI pair join lost its (doc, position) equi-key:\n" + plan.take(1200))
+    // what must never appear is an unkeyed CartesianProduct
+    assert(!all.exists(_.contains("CartesianProduct")))
   }
 
   test("cluster sampling assigns centroids via broadcast and caps via per-cluster window") {
