@@ -68,7 +68,17 @@ object Bench {
     // total stays honest: prewarm seconds are part of the run, reported
     // both inside the total and as their own field
     val total = results.map(_._2).sum + warmSec
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"started":$starts,"fixture_warm":$warmSec,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"started":$starts,"fixture_warm":$warmSec,"sf":"$sfDir"}"""
+    println(line)
+    // the stdout contract above is the driver's; ALSO persist the complete
+    // JSON to a file — BENCH_r05.json reached the repo truncated mid-object
+    // (ADVICE r5), and a committed local copy makes every bench total
+    // independently substantiable even if the driver's capture clips again.
+    if (subset.isEmpty) {
+      try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
+        (line + "\n").getBytes("UTF-8"))
+      catch { case _: Throwable => () }
+    }
     spark.stop()
   }
 }
