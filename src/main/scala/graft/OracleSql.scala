@@ -411,4 +411,63 @@ object OracleSql {
        |  WHERE b.dist < $maxDepth
        |)
        |SELECT id, CAST(min(dist) AS BIGINT) AS distance FROM bfs GROUP BY id""".stripMargin
+
+  /** BFS forest edges (reference `bfs_edges`): the engine's deterministic
+    * min-predecessor rule re-derived from the BFS levels — pred(v) = min u
+    * adjacent to v with dist(u) = dist(v) − 1. */
+  def bfsEdgesSupplier(maxDepth: Int): String =
+    s"""WITH RECURSIVE $SUPP_EDGES_SQL,
+       |$SUPP_UND_SQL,
+       |bfs(id, dist) AS (
+       |  SELECT (SELECT min(src) FROM supp_edges), 0
+       |  UNION
+       |  SELECT u.dst, b.dist + 1 FROM bfs b JOIN und u ON u.src = b.id
+       |  WHERE b.dist < $maxDepth
+       |),
+       |lvl AS MATERIALIZED (SELECT id, min(dist) AS d FROM bfs GROUP BY id)
+       |SELECT min(dp.id) AS src, dv.id AS dst
+       |FROM lvl dv
+       |JOIN und u ON u.dst = dv.id
+       |JOIN lvl dp ON dp.id = u.src AND dp.d = dv.d - 1
+       |WHERE dv.d > 0
+       |GROUP BY dv.id""".stripMargin
+
+  /** `shortest_path` walk-back oracle: SSSP distances unrolled (identical
+    * to [[ssspSupplier]]), the engine's argmin predecessor re-derived as
+    * pred(v) = min u with dist(u) + w(u,v) = dist(v) (fixture weights are
+    * integral counts, so the equality is exact), then a recursive
+    * predecessor walk from the max-id vertex back to the source. */
+  def shortestPathSupplier(rounds: Int): String = {
+    val b = new StringBuilder
+    b ++= s"WITH RECURSIVE $SUPP_EDGES_SQL,\n$SUPP_UND_SQL,\n$SUPP_VERTS_SQL,\n"
+    b ++= "d0 AS MATERIALIZED (SELECT (SELECT min(src) FROM supp_edges) AS id, 0.0 AS d),\n"
+    for (i <- 1 to rounds) {
+      b ++= s"""d$i AS MATERIALIZED (
+        |  SELECT id, min(d) AS d FROM (
+        |    SELECT id, d FROM d${i - 1}
+        |    UNION ALL
+        |    SELECT u.dst AS id, p.d + u.weight AS d
+        |    FROM und u JOIN d${i - 1} p ON p.id = u.src
+        |  ) GROUP BY id
+        |),
+        |""".stripMargin
+    }
+    b ++= s"""pred AS MATERIALIZED (
+      |  SELECT v.id,
+      |         CASE WHEN v.id = (SELECT min(src) FROM supp_edges) THEN CAST(-1 AS BIGINT)
+      |              ELSE (SELECT min(u.src) FROM und u JOIN d$rounds p ON p.id = u.src
+      |                    WHERE u.dst = v.id AND p.d + u.weight = v.d) END AS pred
+      |  FROM d$rounds v
+      |),
+      |tgt AS MATERIALIZED (SELECT max(id) AS t FROM verts),
+      |path(pos, vertex) AS (
+      |  SELECT 0, (SELECT t FROM tgt)
+      |  UNION ALL
+      |  SELECT p.pos + 1, pr.pred FROM path p JOIN pred pr ON pr.id = p.vertex
+      |  WHERE pr.pred <> -1
+      |)
+      |SELECT (SELECT t FROM tgt) AS destination, CAST(pos AS BIGINT) AS pos, vertex
+      |FROM path""".stripMargin
+    b.toString
+  }
 }

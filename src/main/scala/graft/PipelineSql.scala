@@ -834,4 +834,80 @@ object PipelineSql {
        |  unnest(generate_series(0, greatest(CAST(ceil(n_bytes / $step.0) AS BIGINT) - 1, 0)))
        |    AS t(frame_id)""".stripMargin
   }
+
+  /** Shard-manifest oracle: the q_shard placement, then per shard a count,
+    * a token total, and a bit_xor fold of the per-placement 60-bit hash
+    * (order-insensitive, so no string_agg ordering is involved). */
+  def shardManifest(nShards: Int): String =
+    s"""WITH p AS MATERIALIZED (
+       |  SELECT doc_id, ${h60("concat_ws('|', 'shard', doc_id, 42)")} AS pri,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+       |  FROM documents
+       |),
+       |placed AS MATERIALIZED (
+       |  SELECT doc_id, pri % $nShards AS shard, n_toks,
+       |         CAST(row_number() OVER (PARTITION BY pri % $nShards
+       |                                 ORDER BY pri, doc_id) - 1 AS BIGINT) AS pos
+       |  FROM p
+       |)
+       |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+       |       bit_xor(${h60("concat_ws(':', doc_id, pos)")}) AS checksum
+       |FROM placed GROUP BY shard""".stripMargin
+
+  /** DSIR importance-weight oracle: add-one-smoothed unigram log-likelihood
+    * ratio of the target-language slice vs the raw corpus, summed per doc. */
+  def dsir(targetLang: String): String =
+    s"""WITH w AS MATERIALIZED (
+       |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents
+       |),
+       |wn AS MATERIALIZED (SELECT * FROM w WHERE len(w) > 0),
+       |vocab AS MATERIALIZED (
+       |  SELECT w, CAST(count(*) AS DOUBLE) AS c_r,
+       |         CAST(count(*) FILTER (WHERE lang = '$targetLang') AS DOUBLE) AS c_t
+       |  FROM wn GROUP BY w
+       |),
+       |st AS MATERIALIZED (
+       |  SELECT sum(c_r) AS n_r, sum(c_t) AS n_t,
+       |         CAST(count(*) AS DOUBLE) AS v FROM vocab
+       |),
+       |scored AS (
+       |  SELECT doc_id,
+       |         round(sum(ln((vc.c_t + 1.0) / (st.n_t + st.v))
+       |                   - ln((vc.c_r + 1.0) / (st.n_r + st.v))), 6) AS dsir_logw
+       |  FROM wn JOIN vocab vc USING (w) CROSS JOIN st
+       |  GROUP BY doc_id
+       |)
+       |SELECT doc_id, dsir_logw, dsir_logw > 0.0 AS selected FROM scored""".stripMargin
+
+  /** Tokenizer-fertility oracle: replays the bpeTokenCount merge chain and
+    * aggregates subwords-per-word per language. */
+  def fertility(nMerges: Int): String = {
+    val b = new StringBuilder
+    b ++= s"WITH ${bpeCtes(nMerges)},\n"
+    b ++= """d0 AS MATERIALIZED (
+            |  SELECT doc_id, '/' || array_to_string(string_split(w, ''), '/') || '/' AS seq
+            |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+            |  WHERE w NOT LIKE '%/%' AND len(w) > 0),
+            |""".stripMargin
+    for (i <- 1 to nMerges) {
+      b ++= s"""d$i AS MATERIALIZED (
+               |  SELECT doc_id, replace(seq,
+               |           '/' || (SELECT l FROM b$i) || '/' || (SELECT r FROM b$i) || '/',
+               |           '/' || (SELECT l FROM b$i) || (SELECT r FROM b$i) || '/') AS seq
+               |  FROM d${i - 1}),
+               |""".stripMargin
+    }
+    b ++= s"""per_doc AS MATERIALIZED (
+             |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+             |         CAST(sum(len(list_filter(string_split(seq, '/'), x -> x <> ''))) AS BIGINT) AS n_subwords
+             |  FROM d$nMerges GROUP BY doc_id),
+             |lng AS (SELECT doc_id, lang FROM documents)
+             |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+             |       CAST(sum(n_words) AS BIGINT) AS n_words,
+             |       CAST(sum(n_subwords) AS BIGINT) AS n_subwords,
+             |       round(sum(n_subwords) / CAST(sum(n_words) AS DOUBLE), 6) AS fertility
+             |FROM per_doc JOIN lng USING (doc_id) GROUP BY lang""".stripMargin
+    b.toString
+  }
 }

@@ -85,6 +85,39 @@ object SparkEntry {
       require(rounds <= 10, s"SSSP took $rounds rounds, oracle budget is 10")
       res.select(col(ID), round(col("distance"), 6).as("distance"))
     },
+    "q_bfs_edges" -> q { (s, dir) =>
+      // BFS forest edges (reference bfs_edges, traversal/bfs.py:199):
+      // (predecessor → vertex) rows, deterministic min-predecessor tree
+      val g = Fixtures.supplierGraphUnd(s, dir)
+      val src = g.vertices.agg(min(ID)).first().getLong(0)
+      val res = Traversal.bfs(g, src).mat
+      require(res.agg(max("distance")).first().getInt(0) <= 12,
+        "BFS depth exceeds oracle budget 12")
+      res.filter(col("predecessor") =!= -1L)
+        .select(col("predecessor").as(SRC), col(ID).as(DST))
+    },
+    "q_shortest_path" -> q { (s, dir) =>
+      // shortest_path (reference sssp.py:263): the weighted-SSSP vertex
+      // sequence from the min-id source to the max-id vertex, one row per
+      // hop position, reconstructed by predecessor walk-back
+      val g = Fixtures.supplierGraphUnd(s, dir)
+      val src = g.vertices.agg(min(ID)).first().getLong(0)
+      val tgt = g.vertices.agg(max(ID)).first().getLong(0)
+      val (res, rounds) = Traversal.ssspWithRounds(g, src)
+      require(rounds <= 10, s"SSSP took $rounds rounds, oracle budget is 10")
+      MultiTraversal.extractBfsPaths(res.mat,
+        res.filter(col(ID) === tgt).select(ID), maxDepth = 200)
+    },
+    "q_replicate" -> q { (s, dir) =>
+      // replicate_edgelist (structure/replicate_edgelist.py): every worker
+      // gets the full edge list — in Spark terms, a broadcast of the edge
+      // frame. The gate pins both the values (identity) and that the
+      // broadcast hint actually survives analysis.
+      val r = graft.sources.Convert.replicate(Fixtures.supplierEdges(s, dir))
+      require(r.queryExecution.analyzed.toString.contains("ResolvedHint"),
+        "replicate must carry a broadcast hint")
+      r.select(SRC, DST, WEIGHT)
+    },
     "q_katz" -> q { (s, dir) =>
       val g = Fixtures.supplierGraphUnd(s, dir)
       Centrality.katz(g, alpha = 0.005, beta = 1.0, maxIter = 10, tol = -1.0)
@@ -410,6 +443,22 @@ object SparkEntry {
       // padding-minimizing batch formation: digit-count length buckets,
       // batches of 16 within each
       pipeline.TextAnalysis.lengthBatches(Fixtures.documents(s, dir), batchSize = 16)
+    },
+    "q_manifest" -> q { (s, dir) =>
+      // shard-writer integrity manifest: per-shard doc/token totals + an
+      // order-insensitive bit_xor placement checksum
+      pipeline.TextAnalysis.shardManifest(Fixtures.documents(s, dir), nShards = 8)
+    },
+    "q_dsir" -> q { (s, dir) =>
+      // DSIR importance weights: unigram log-likelihood ratio of the
+      // English slice vs the raw corpus, thresholded selection
+      pipeline.TextAnalysis.dsirWeights(Fixtures.documents(s, dir), targetLang = "en")
+    },
+    "q_fertility" -> q { (s, dir) =>
+      // tokenizer fertility per language from the trained BPE merges
+      val docs = Fixtures.documents(s, dir)
+      pipeline.Tokenizer.fertility(docs,
+        pipeline.Tokenizer.bpeTrain(docs, nMerges = 5))
     },
     "q_token_count" -> q { (s, dir) =>
       pipeline.TextAnalysis.tokenCounts(Fixtures.documents(s, dir))
@@ -1179,6 +1228,9 @@ object SparkEntry {
          |SELECT id FROM seed UNION SELECT id FROM h1 UNION SELECT id FROM h2""".stripMargin,
     "q_bfs" -> OracleSql.bfsSupplier(maxDepth = 12),
     "q_sssp" -> OracleSql.ssspSupplier(rounds = 10),
+    "q_bfs_edges" -> OracleSql.bfsEdgesSupplier(maxDepth = 12),
+    "q_shortest_path" -> OracleSql.shortestPathSupplier(rounds = 10),
+    "q_replicate" -> s"WITH $SUPP_EDGES_SQL\nSELECT src, dst, weight FROM supp_edges",
     "q_katz" -> OracleSql.katzSupplier(iters = 10, alpha = 0.005),
     "q_eigenvector" -> OracleSql.eigenvectorSupplier(iters = 10),
     "q_hits" -> OracleSql.hitsCustSupp(iters = 4),
@@ -1410,6 +1462,9 @@ object SparkEntry {
         |SELECT doc_id, bucket,
         |       CAST((row_number() OVER (PARTITION BY bucket ORDER BY pri, doc_id) - 1) // 16 AS BIGINT) AS batch
         |FROM p""".stripMargin,
+    "q_manifest" -> PipelineSql.shardManifest(nShards = 8),
+    "q_dsir" -> PipelineSql.dsir(targetLang = "en"),
+    "q_fertility" -> PipelineSql.fertility(nMerges = 5),
     "q_token_count" -> PipelineSql.tokenCounts,
     "q_quality" -> PipelineSql.quality,
     "q_langid" -> PipelineSql.langId,

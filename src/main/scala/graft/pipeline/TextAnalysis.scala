@@ -390,6 +390,62 @@ object TextAnalysis {
       .select(col(idCol), col("shard"), col("pos"))
   }
 
+  /** Shard manifest — the integrity record a corpus writer emits next to
+    * its shard files: per shard, the document count, the total token count,
+    * and an order-insensitive content checksum over the (doc_id, pos)
+    * placement. The checksum is a `bit_xor` fold of a 60-bit md5 prefix per
+    * placement row: XOR commutes, so no collect_list / no per-shard sort is
+    * ever needed and the aggregation is one map-side-combinable hash agg —
+    * at corpus scale each shard's digest costs the same as a count. A
+    * reader re-deriving the manifest from the shards proves both membership
+    * and position assignment without comparing row-by-row.
+    * Output (shard, n_docs, n_tokens, checksum). */
+  def shardManifest(docs: DataFrame, nShards: Int, idCol: String = "doc_id",
+                    textCol: String = "text", seed: Long = 42): DataFrame = {
+    val toks = docs.select(col(idCol),
+      size(tokens(col(textCol))).cast("long").as("n_toks"))
+    shardAssign(docs, nShards, idCol, seed)
+      .join(toks, idCol)
+      .select(col("shard"), col("n_toks"),
+        TextOps.hash60(concat_ws(":", col(idCol), col("pos"))).as("h"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("n_tokens"),
+        expr("bit_xor(h)").as("checksum"))
+  }
+
+  /** DSIR-style importance weighting (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling", arXiv:2302.03169): score
+    * every raw document by how much more likely its unigrams are under a
+    * target-domain distribution (here the `langCol = targetLang` slice of
+    * the corpus) than under the raw corpus distribution —
+    * log w(d) = Σ_{tokens t ∈ d} [ln p̂_tgt(t) − ln p̂_raw(t)], add-one
+    * smoothed over the joint vocabulary. Scale shape: one explode + one
+    * |V|-keyed hash agg builds the vocab likelihood table; scoring is a
+    * token equi-join back against it (hash-partitioned — a web-scale vocab
+    * needs no broadcast), and the three corpus scalars ride a broadcast
+    * 1-row cross join so the plan stays fully declarative. Selection is a
+    * threshold on the weight — never a global top-k sort.
+    * Output (doc_id, dsir_logw, selected). */
+  def dsirWeights(docs: DataFrame, targetLang: String = "en",
+                  idCol: String = "doc_id", textCol: String = "text",
+                  langCol: String = "lang"): DataFrame = {
+    val words = docs
+      .select(col(idCol), col(langCol), explode(tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) > 0)
+    val vocab = words.groupBy("w").agg(
+      count(lit(1)).cast("double").as("c_r"),
+      sum(when(col(langCol) === targetLang, 1L).otherwise(0L))
+        .cast("double").as("c_t")).mat
+    val stats = vocab.agg(sum("c_r").as("n_r"), sum("c_t").as("n_t"),
+      count(lit(1)).cast("double").as("v"))
+    words.join(vocab, "w").crossJoin(broadcast(stats))
+      .select(col(idCol),
+        (log((col("c_t") + 1.0) / (col("n_t") + col("v"))) -
+          log((col("c_r") + 1.0) / (col("n_r") + col("v")))).as("lw"))
+      .groupBy(idCol).agg(round(sum("lw"), 6).as("dsir_logw"))
+      .withColumn("selected", col("dsir_logw") > 0.0)
+  }
+
   /** Length-bucketed batch formation: group documents of similar length so
     * fixed-size training batches waste minimal padding. Bucket = decimal
     * digit count of `lenCol` (an order-of-magnitude bucket chosen because

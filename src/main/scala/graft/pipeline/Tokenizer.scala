@@ -87,4 +87,27 @@ object Tokenizer {
         size(filter(split(col("seq"), "/"), x => x =!= "")).cast("long").as("k"))
       .groupBy(idCol).agg(sum("k").as("n_subwords"))
   }
+
+  /** Tokenizer fertility per language: subword tokens emitted per word —
+    * the standard multi-lingual tokenizer health metric (a language whose
+    * fertility is 2× another's pays 2× the context budget per sentence).
+    * Joins the per-document post-BPE subword counts against the identically
+    * filtered word counts and aggregates per language: two corpus-keyed
+    * hash aggs plus one broadcastable doc-keyed join — nothing beyond the
+    * tokenize pass itself at scale.
+    * Output (lang, n_docs, n_words, n_subwords, fertility). */
+  def fertility(docs: DataFrame, mergeTable: DataFrame,
+                idCol: String = "doc_id", textCol: String = "text",
+                langCol: String = "lang"): DataFrame = {
+    val sub = bpeTokenCount(docs, mergeTable, idCol, textCol)
+    val wc = docs
+      .select(col(idCol), col(langCol), explode(tokens(col(textCol))).as("w"))
+      .filter(!col("w").contains("/") && length(col("w")) > 0)
+      .groupBy(col(idCol), col(langCol)).agg(count(lit(1)).as("n_words"))
+    wc.join(sub, idCol)
+      .groupBy(langCol)
+      .agg(count(lit(1)).as("n_docs"), sum("n_words").as("n_words"),
+        sum("n_subwords").as("n_subwords"),
+        round(sum("n_subwords") / sum("n_words").cast("double"), 6).as("fertility"))
+  }
 }

@@ -362,4 +362,48 @@ class PipelineSpec extends SparkSpec {
     // nearest neighbors of an even (label-0) vector are other label-0 vectors
     (0L until 6L).foreach(i => assert(pred(i) == i % 2, s"vec $i"))
   }
+
+  test("shard manifest: totals partition the corpus, checksum is order-insensitive") {
+    import spark.implicits._
+    val d = (0L until 60L).map(i => (i, s"w${i % 5} w${i % 3} w$i"))
+      .toDF("doc_id", "text")
+    val m = TextAnalysis.shardManifest(d, nShards = 4).collect()
+    assert(m.map(_.getLong(1)).sum == 60L)        // n_docs partitions
+    assert(m.map(_.getLong(2)).sum == 180L)       // 3 tokens per doc
+    // identical under a different physical layout (checksum must not
+    // depend on row order within the shard aggregation)
+    val m64 = TextAnalysis.shardManifest(d.repartition(64), nShards = 4)
+    assert(m64.collect().toSet == m.toSet)
+  }
+
+  test("DSIR weights favor target-language-typical documents") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "alpha alpha beta", "en"),
+      (2L, "alpha beta beta", "en"),
+      (3L, "gamma gamma delta", "fr"),
+      (4L, "gamma delta delta", "fr"),
+      (5L, "alpha beta", "fr")  // fr-labeled but en-typical content
+    ).toDF("doc_id", "text", "lang")
+    val w = TextAnalysis.dsirWeights(d, targetLang = "en")
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getBoolean(2))).toMap
+    assert(w(1L)._1 > w(3L)._1)  // en-typical beats fr-typical
+    assert(w(5L)._1 > w(3L)._1)  // scored on content, not on the label
+    assert(w(1L)._2 && !w(3L)._2)
+  }
+
+  test("fertility reflects per-language subword inflation after BPE") {
+    import spark.implicits._
+    // 'aa bb' compresses under the learned merges; 'xy zq' does not
+    val d = Seq(
+      (1L, "aabb aabb aabb", "en"), (2L, "aabb aabb", "en"),
+      (3L, "xqzv xqzv xqzv", "fr"), (4L, "xqzv zvxq", "fr")
+    ).toDF("doc_id", "text", "lang")
+    val merges = Tokenizer.bpeTrain(d, nMerges = 2)
+    val f = Tokenizer.fertility(d, merges)
+      .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
+    // en words collapse toward 1-2 subwords; fr words stay ~4 chars each
+    assert(f("en") < f("fr"))
+    assert(f("fr") >= 3.0)
+  }
 }

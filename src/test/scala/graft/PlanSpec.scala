@@ -173,4 +173,31 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"),
       "corpus-side cartesian crept into centroid assignment")
   }
+
+  test("DSIR scoring equi-joins the vocab and broadcasts only the 1-row stats") {
+    val docs = Fixtures.documents(spark, "/root/testdata/sf0.001")
+    val w = graft.pipeline.TextAnalysis.dsirWeights(docs)
+    w.collect()
+    val plan = planOf(w)
+    // the corpus scalars (n_r, n_t, |V|) ride a broadcast 1-row nested
+    // loop; the |V|-sized vocab likelihood table joins on the token key —
+    // a web-scale vocab must never force a cartesian
+    assert(!plan.contains("CartesianProduct"),
+      "DSIR scoring went cartesian:\n" + plan.take(1200))
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      "corpus scalars should broadcast as a 1-row frame:\n" + plan.take(1200))
+  }
+
+  test("shard manifest folds its checksum in one hash agg — no global sort") {
+    val docs = Fixtures.documents(spark, "/root/testdata/sf0.001")
+    val m = graft.pipeline.TextAnalysis.shardManifest(docs, nShards = 8)
+    m.collect()
+    val plan = planOf(m)
+    // bit_xor commutes: the digest must come out of a (map-side-combinable)
+    // hash aggregate keyed on the shard, with the only sort the per-shard
+    // window's local one — never a collect_list or a global order
+    assert(plan.contains("HashAggregate"), plan.take(1200))
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("collect_list"), "manifest materializes doc lists")
+  }
 }
