@@ -432,6 +432,107 @@ object OracleSql {
        |WHERE dv.d > 0
        |GROUP BY dv.id""".stripMargin
 
+  /** Structural bipartiteness oracle via the bipartite double cover: map
+    * each vertex v to (2v, 2v+1) and each undirected edge (u,v) to
+    * (2u,2v+1) and (2u+1,2v); the graph is bipartite iff no v has 2v and
+    * 2v+1 in the same double-cover component (an odd closed walk is exactly
+    * what merges them). Components by `rounds` unrolled min-label
+    * propagation — the engine's answer comes from msBFS parity coloring,
+    * the oracle's from an independent construction. Checks both the
+    * customer×supplier graph (bipartite by construction) and the supplier
+    * co-order graph (triangles ⇒ not). */
+  def isBipartiteSupplier(rounds: Int): String = {
+    val b = new StringBuilder
+    b ++= s"WITH $SUPP_EDGES_SQL,\n$CUSTSUPP_EDGES_SQL,\n"
+    for ((g, und) <- Seq(
+        "a" -> "SELECT src, dst FROM cs_edges UNION SELECT dst, src FROM cs_edges",
+        "b" -> "SELECT src, dst FROM supp_edges UNION SELECT dst, src FROM supp_edges")) {
+      b ++= s"""${g}_dc AS MATERIALIZED (
+        |  SELECT src * 2 AS s, dst * 2 + 1 AS t FROM ($und)
+        |  UNION ALL SELECT src * 2 + 1, dst * 2 FROM ($und)
+        |),
+        |${g}_l0 AS MATERIALIZED (
+        |  SELECT id, id AS l FROM (SELECT s AS id FROM ${g}_dc UNION SELECT t FROM ${g}_dc)
+        |),
+        |""".stripMargin
+      for (i <- 1 to rounds) {
+        b ++= s"""${g}_l$i AS MATERIALIZED (
+          |  SELECT n.id, least(n.l, coalesce(m.ml, n.l)) AS l
+          |  FROM ${g}_l${i - 1} n LEFT JOIN (
+          |    SELECT e.t AS id, min(x.l) AS ml
+          |    FROM ${g}_dc e JOIN ${g}_l${i - 1} x ON x.id = e.s GROUP BY 1
+          |  ) m ON m.id = n.id
+          |),
+          |""".stripMargin
+      }
+    }
+    b.setLength(b.length - 2) // drop trailing ",\n"
+    b ++= s"""
+      |SELECT 'cust_supp' AS graph,
+      |       NOT EXISTS (SELECT 1 FROM a_l$rounds x JOIN a_l$rounds y ON y.id = x.id + 1
+      |                   WHERE x.id % 2 = 0 AND x.l = y.l) AS is_bipartite
+      |UNION ALL
+      |SELECT 'supplier',
+      |       NOT EXISTS (SELECT 1 FROM b_l$rounds x JOIN b_l$rounds y ON y.id = x.id + 1
+      |                   WHERE x.id % 2 = 0 AND x.l = y.l)""".stripMargin
+    b.toString
+  }
+
+  /** Biclique-mining oracle (`experimental/structure/bicliques.py`): the
+    * identical degree-ordered candidate scan in plain SQL — co-occurrence
+    * counts via one src-keyed self-join, skip-same via lag, answers via
+    * row_number. `stats = true` emits the S table instead of B. */
+  def bicliquesSupplier(stats: Boolean, k: Int, support: Double,
+                        minFeatures: Int, minMachines: Int,
+                        maxIter: Int): String = {
+    val prelude =
+      s"""WITH $CUSTSUPP_EDGES_SQL,
+         |e AS MATERIALIZED (
+         |  SELECT src, dst, CASE WHEN src % 7 = 0 THEN 1 ELSE 0 END AS flag
+         |  FROM cs_edges),
+         |deg AS MATERIALIZED (SELECT dst, count(*) AS d FROM e GROUP BY 1),
+         |cand0 AS MATERIALIZED (SELECT dst, d FROM deg ORDER BY d DESC, dst LIMIT $maxIter),
+         |cand AS MATERIALIZED (
+         |  SELECT dst, d, row_number() OVER (ORDER BY d DESC, dst) AS ord,
+         |         lag(dst) OVER (ORDER BY d DESC, dst) AS pdst,
+         |         lag(d) OVER (ORDER BY d DESC, dst) AS pd
+         |  FROM cand0),
+         |co AS MATERIALIZED (
+         |  SELECT a.dst AS f, b.dst AS g, count(*) AS cnt
+         |  FROM e a JOIN cand c ON c.dst = a.dst JOIN e b ON b.src = a.src
+         |  GROUP BY 1, 2),
+         |kept AS MATERIALIZED (
+         |  SELECT co.f, co.g FROM co JOIN cand c ON c.dst = co.f
+         |  WHERE co.cnt >= CAST(floor(c.d * $support) AS BIGINT)),
+         |nf AS MATERIALIZED (SELECT f, count(*) AS nfeat FROM kept GROUP BY 1),
+         |qual AS MATERIALIZED (
+         |  SELECT c.dst AS f, c.ord FROM cand c
+         |  JOIN nf ON nf.f = c.dst
+         |  LEFT JOIN co pc ON pc.f = c.dst AND pc.g = c.pdst
+         |  WHERE NOT (c.pd IS NOT NULL AND c.pd = c.d
+         |             AND pc.cnt IS NOT NULL AND pc.cnt = c.d)
+         |    AND nf.nfeat > $minFeatures AND c.d >= $minMachines),
+         |ans0 AS MATERIALIZED (
+         |  SELECT f, CAST(row_number() OVER (ORDER BY ord) - 1 AS BIGINT) AS id
+         |  FROM qual),
+         |ans AS MATERIALIZED (SELECT * FROM ans0 WHERE id < $k),
+         |b AS MATERIALIZED (
+         |  SELECT id, e.src AS vert, CAST(0 AS BIGINT) AS type, e.flag
+         |  FROM ans JOIN e ON e.dst = ans.f
+         |  UNION ALL
+         |  SELECT id, kept.g AS vert, CAST(1 AS BIGINT) AS type, 0 AS flag
+         |  FROM ans JOIN kept ON kept.f = ans.f)""".stripMargin
+    if (stats)
+      s"""$prelude
+         |SELECT id, CAST(count(*) AS BIGINT) AS total,
+         |       CAST(sum(CASE WHEN type = 0 THEN 1 ELSE 0 END) AS BIGINT) AS machines,
+         |       CAST(sum(CASE WHEN type = 1 THEN 1 ELSE 0 END) AS BIGINT) AS features,
+         |       round(sum(CASE WHEN type = 0 THEN flag ELSE 0 END)
+         |             / CAST(count(*) AS DOUBLE), 6) AS bad_ratio
+         |FROM b GROUP BY id""".stripMargin
+    else s"$prelude\nSELECT id, vert, type FROM b"
+  }
+
   /** `shortest_path` walk-back oracle: SSSP distances unrolled (identical
     * to [[ssspSupplier]]), the engine's argmin predecessor re-derived as
     * pred(v) = min u with dist(u) + w(u,v) = dist(v) (fixture weights are

@@ -118,6 +118,33 @@ object SparkEntry {
         "replicate must carry a broadcast hint")
       r.select(SRC, DST, WEIGHT)
     },
+    "q_is_bipartite" -> q { (s, dir) =>
+      // structural is_bipartite (graph_classes.py answers from declaration;
+      // PropertyGraph.isBipartite is the structural check: per-component
+      // msBFS parity coloring + conflict scan). Two fixtures: the
+      // customer×supplier graph is bipartite by construction, the supplier
+      // co-order graph has triangles.
+      import s.implicits._
+      val bip = Fixtures.custSuppGraph(s, dir).isBipartite
+      val non = Fixtures.supplierGraph(s, dir).isBipartite
+      Seq(("cust_supp", bip), ("supplier", non)).toDF("graph", "is_bipartite")
+    },
+    "q_bicliques" -> q { (s, dir) =>
+      // EXPERIMENTAL find_bicliques (experimental/structure/bicliques.py):
+      // top-5 bicliques of the customer×supplier bipartite graph, flag =
+      // customers divisible by 7 marked "bad"
+      val e = Fixtures.custSuppEdges(s, dir)
+        .select(col(SRC), col(DST), (col(SRC) % 7 === 0).cast("long").as("flag"))
+      Bicliques.findBicliques(e, k = 5, support = 0.38, minFeatures = 1,
+        minMachines = 100, maxIter = 20)._1
+    },
+    "q_bicliques_stats" -> q { (s, dir) =>
+      // the S side of the same call: per-biclique sizes + bad-machine ratio
+      val e = Fixtures.custSuppEdges(s, dir)
+        .select(col(SRC), col(DST), (col(SRC) % 7 === 0).cast("long").as("flag"))
+      Bicliques.findBicliques(e, k = 5, support = 0.38, minFeatures = 1,
+        minMachines = 100, maxIter = 20)._2
+    },
     "q_katz" -> q { (s, dir) =>
       val g = Fixtures.supplierGraphUnd(s, dir)
       Centrality.katz(g, alpha = 0.005, beta = 1.0, maxIter = 10, tol = -1.0)
@@ -1231,6 +1258,11 @@ object SparkEntry {
     "q_bfs_edges" -> OracleSql.bfsEdgesSupplier(maxDepth = 12),
     "q_shortest_path" -> OracleSql.shortestPathSupplier(rounds = 10),
     "q_replicate" -> s"WITH $SUPP_EDGES_SQL\nSELECT src, dst, weight FROM supp_edges",
+    "q_is_bipartite" -> OracleSql.isBipartiteSupplier(rounds = 16),
+    "q_bicliques" -> OracleSql.bicliquesSupplier(stats = false, k = 5,
+      support = 0.38, minFeatures = 1, minMachines = 100, maxIter = 20),
+    "q_bicliques_stats" -> OracleSql.bicliquesSupplier(stats = true, k = 5,
+      support = 0.38, minFeatures = 1, minMachines = 100, maxIter = 20),
     "q_katz" -> OracleSql.katzSupplier(iters = 10, alpha = 0.005),
     "q_eigenvector" -> OracleSql.eigenvectorSupplier(iters = 10),
     "q_hits" -> OracleSql.hitsCustSupp(iters = 4),

@@ -180,4 +180,30 @@ class MiscSpec extends SparkSpec {
     val frac = e.count().toDouble / (200.0 * 199 / 2)
     assert(frac > 0.07 && frac < 0.13)
   }
+
+  test("bicliques: degree-ordered scan, support threshold, skip-same") {
+    import spark.implicits._
+    // 101:{1,2,3,4} 102:{1,2,3} 103:{4,5,6} 104:{4,5,6} — 104's machine set
+    // equals the immediately preceding candidate's (103), so it is skipped
+    val edges = Seq(
+      (1L, 101L), (2L, 101L), (3L, 101L), (4L, 101L),
+      (1L, 102L), (2L, 102L), (3L, 102L),
+      (4L, 103L), (5L, 103L), (6L, 103L),
+      (4L, 104L), (5L, 104L), (6L, 104L)
+    ).toDF("src", "dst").withColumn("flag", (col("src") === 1L).cast("long"))
+    val (b, s) = graft.algos.Bicliques.findBicliques(edges, k = -1,
+      support = 0.5, minFeatures = 1, minMachines = 2, maxIter = -1)
+    val byId = b.collect().groupBy(_.getLong(0))
+    assert(byId.keySet == Set(0L, 1L, 2L))
+    def verts(id: Long, tp: Long) =
+      byId(id).filter(_.getLong(2) == tp).map(_.getLong(1)).toSet
+    assert(verts(0L, 0L) == Set(1L, 2L, 3L, 4L) && verts(0L, 1L) == Set(101L, 102L))
+    assert(verts(1L, 0L) == Set(1L, 2L, 3L) && verts(1L, 1L) == Set(101L, 102L))
+    assert(verts(2L, 0L) == Set(4L, 5L, 6L) && verts(2L, 1L) == Set(101L, 103L, 104L))
+    val st = s.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toMap
+    assert(st(0L) == (6L, 4L, 2L, 0.166667))  // machine 1 is flagged: 1/6
+    assert(st(2L) == (6L, 3L, 3L, 0.0))
+  }
 }
