@@ -835,6 +835,43 @@ object PipelineSql {
        |    AS t(frame_id)""".stripMargin
   }
 
+  /** Gopher rule-battery oracle: the identical per-rule arithmetic over
+    * string_split tokens; verdicts compare the same 6-dp-rounded ratios. */
+  def gopherRules(minWords: Int, maxWords: Int): String = {
+    val stops = TextAnalysisStops.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH w AS MATERIALIZED (
+       |  SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents
+       |),
+       |m AS MATERIALIZED (
+       |  SELECT doc_id,
+       |         CAST(len(ws) AS BIGINT) AS n_words,
+       |         round(list_sum(list_transform(ws, x -> len(x)))
+       |               / CAST(len(ws) AS DOUBLE), 6) AS mean_word_len,
+       |         round((len(text) - len(replace(text, '#', ''))
+       |                + CAST(floor((len(text) - len(replace(text, '...', ''))) / 3.0) AS BIGINT))
+       |               / CAST(len(ws) AS DOUBLE), 6) AS symbol_ratio,
+       |         round(len(list_filter(ws, x -> regexp_matches(x, '[a-zA-Z]')))
+       |               / CAST(len(ws) AS DOUBLE), 6) AS alpha_word_ratio,
+       |         CAST(len(list_filter($stops, sw -> list_contains(ws, sw))) AS BIGINT) AS stop_hits
+       |  FROM w
+       |)
+       |SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_word_ratio,
+       |       stop_hits,
+       |       n_words BETWEEN $minWords AND $maxWords AS r_wordcount,
+       |       mean_word_len BETWEEN 3.0 AND 10.0 AS r_meanlen,
+       |       symbol_ratio <= 0.1 AS r_symbol,
+       |       alpha_word_ratio >= 0.8 AS r_alpha,
+       |       stop_hits >= 2 AS r_stopwords,
+       |       (n_words BETWEEN $minWords AND $maxWords)
+       |         AND (mean_word_len BETWEEN 3.0 AND 10.0)
+       |         AND symbol_ratio <= 0.1 AND alpha_word_ratio >= 0.8
+       |         AND stop_hits >= 2 AS keep
+       |FROM m""".stripMargin
+  }
+
+  private val TextAnalysisStops: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
   /** Shard-manifest oracle: the q_shard placement, then per shard a count,
     * a token total, and a bit_xor fold of the per-placement 60-bit hash
     * (order-insensitive, so no string_agg ordering is involved). */

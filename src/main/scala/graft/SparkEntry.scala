@@ -490,6 +490,10 @@ object SparkEntry {
     "q_token_count" -> q { (s, dir) =>
       pipeline.TextAnalysis.tokenCounts(Fixtures.documents(s, dir))
     },
+    "q_gopher_rules" -> q { (s, dir) =>
+      // the published Gopher hard-filter battery with per-rule verdicts
+      pipeline.TextAnalysis.gopherRules(Fixtures.documents(s, dir), minWords = 50)
+    },
     "q_quality" -> q { (s, dir) =>
       pipeline.TextAnalysis.qualityScore(Fixtures.documents(s, dir))
     },
@@ -1494,6 +1498,7 @@ object SparkEntry {
         |SELECT doc_id, bucket,
         |       CAST((row_number() OVER (PARTITION BY bucket ORDER BY pri, doc_id) - 1) // 16 AS BIGINT) AS batch
         |FROM p""".stripMargin,
+    "q_gopher_rules" -> PipelineSql.gopherRules(minWords = 50, maxWords = 100000),
     "q_manifest" -> PipelineSql.shardManifest(nShards = 8),
     "q_dsir" -> PipelineSql.dsir(targetLang = "en"),
     "q_fertility" -> PipelineSql.fertility(nMerges = 5),

@@ -79,6 +79,49 @@ object TextAnalysis {
           + when(meanLen.between(3.0, 8.0), 0.2).otherwise(0.0), 6).as("quality"))
   }
 
+  /** Required stopwords for the Gopher rule battery (Rae et al. 2021,
+    * Appendix A): a document must contain at least two of these. */
+  val GopherStopWords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher-style HARD rule battery (Rae et al. 2021, "Scaling Language
+    * Models: Methods, Analysis & Insights from Training Gopher", Appendix A
+    * — the published pretraining filter, as opposed to [[qualityScore]]'s
+    * blended score): word-count bounds, mean-word-length band [3,10],
+    * symbol-to-word ratio ≤ 0.1 (# and ellipsis), ≥80% of words containing
+    * an alphabetic character, and ≥2 required stopwords present. Emits the
+    * per-rule verdicts so a curation run can report WHY documents fell, not
+    * just how many. Pure codegen'd expressions — one scan, no shuffle, no
+    * UDFs; the line-level bullet/ellipsis rules are inapplicable to
+    * single-line documents and omitted.
+    * Output (doc_id, n_words, mean_word_len, symbol_ratio,
+    * alpha_word_ratio, stop_hits, r_wordcount, r_meanlen, r_symbol,
+    * r_alpha, r_stopwords, keep). */
+  def gopherRules(docs: DataFrame, minWords: Int = 50, maxWords: Int = 100000,
+                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val ws = tokens(col(textCol))
+    docs.select(col(idCol), ws.as("ws"), col(textCol).as("t"))
+      .select(col(idCol),
+        size(col("ws")).cast("long").as("n_words"),
+        round(expr("aggregate(ws, 0L, (a, w) -> a + length(w))") /
+          size(col("ws")).cast("double"), 6).as("mean_word_len"),
+        round((regexp_count(col("t"), lit("#")) +
+          regexp_count(col("t"), lit("\\.\\.\\."))) /
+          size(col("ws")).cast("double"), 6).as("symbol_ratio"),
+        round(size(expr("filter(ws, w -> w rlike '[a-zA-Z]')")) /
+          size(col("ws")).cast("double"), 6).as("alpha_word_ratio"),
+        size(filter(
+          array(GopherStopWords.map(lit): _*),
+          sw => array_contains(col("ws"), sw))).cast("long").as("stop_hits"))
+      .withColumn("r_wordcount", col("n_words").between(minWords, maxWords))
+      .withColumn("r_meanlen", col("mean_word_len").between(3.0, 10.0))
+      .withColumn("r_symbol", col("symbol_ratio") <= 0.1)
+      .withColumn("r_alpha", col("alpha_word_ratio") >= 0.8)
+      .withColumn("r_stopwords", col("stop_hits") >= 2L)
+      .withColumn("keep", col("r_wordcount") && col("r_meanlen") &&
+        col("r_symbol") && col("r_alpha") && col("r_stopwords"))
+  }
+
   /** Per-stratum quality-percentile filter: keep documents whose blended
     * quality score sits at or above the `minPct` percent_rank within their
     * stratum (deterministic tie-break by doc id, so every rank is unique

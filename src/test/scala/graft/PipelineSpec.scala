@@ -363,6 +363,22 @@ class PipelineSpec extends SparkSpec {
     (0L until 6L).foreach(i => assert(pred(i) == i % 2, s"vec $i"))
   }
 
+  test("gopher rules: each rule falls for its designed offender") {
+    import spark.implicits._
+    val good = (("alpha beta " * 25) + "the of and that").trim      // 54 words, stopwords ok
+    val short = "the of tiny doc"                                   // fails word count
+    val nostop = ("lorem ipsum " * 30).trim                         // no required stopwords
+    val symbols = (("# # # " * 20) + "the of " + ("w " * 40)).trim  // symbol-heavy
+    val d = Seq((1L, good), (2L, short), (3L, nostop), (4L, symbols))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.gopherRules(d, minWords = 50).collect()
+      .map(row => row.getLong(0) -> row).toMap
+    assert(r(1L).getAs[Boolean]("keep"))
+    assert(!r(2L).getAs[Boolean]("r_wordcount") && r(2L).getAs[Boolean]("r_stopwords"))
+    assert(!r(3L).getAs[Boolean]("r_stopwords") && r(3L).getAs[Boolean]("r_wordcount"))
+    assert(!r(4L).getAs[Boolean]("r_symbol") && !r(4L).getAs[Boolean]("keep"))
+  }
+
   test("shard manifest: totals partition the corpus, checksum is order-insensitive") {
     import spark.implicits._
     val d = (0L until 60L).map(i => (i, s"w${i % 5} w${i % 3} w$i"))
