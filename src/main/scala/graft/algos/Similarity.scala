@@ -79,7 +79,7 @@ object Similarity {
         val left = und.select(col(DST).as("m"), col(SRC).as("a"))
         val right = und.select(col(SRC).as("m"), col(DST).as("b"))
         val wedges = left.join(right, "m").filter(col("a") < col("b"))
-        if (bounds.getLong(0) >= 0 && bounds.getLong(1) < (1L << 31))
+        if (!bounds.isNullAt(0) && bounds.getLong(0) >= 0 && bounds.getLong(1) < (1L << 31))
           // single-long pair key through the Σ deg² hash agg
           wedges.select((shiftleft(col("a"), 32) + col("b")).as("p"))
             .groupBy("p").agg(count(lit(1)).as("i"))
@@ -156,7 +156,7 @@ object Similarity {
     val wedges = left.join(right, "m").filter(col("a") < col("b"))
     val bounds = und.agg(least(min(SRC), min(DST)), greatest(max(SRC), max(DST))).first()
     val inter =
-      if (bounds.getLong(0) >= 0 && bounds.getLong(1) < (1L << 31))
+      if (!bounds.isNullAt(0) && bounds.getLong(0) >= 0 && bounds.getLong(1) < (1L << 31))
         // min-weight sums don't decompose over the complement, but the
         // Σ deg² hash agg still runs on a single packed long key
         wedges.select((shiftleft(col("a"), 32) + col("b")).as("p"),

@@ -115,7 +115,7 @@ object Triangles {
     }
     val bounds = e.agg(least(min(SRC), min(DST)), greatest(max(SRC), max(DST))).first()
     val sup =
-      if (bounds.getLong(0) >= 0 && bounds.getLong(1) < (1L << 31)) {
+      if (!bounds.isNullAt(0) && bounds.getLong(0) >= 0 && bounds.getLong(1) < (1L << 31)) {
         // pack (src,dst) into one long: the Σ deg² wedge stream then probes
         // a single-long broadcast hash set and the O(#triangles) explode
         // aggregates on a single-long key — ~1.5x the struct-key pipeline

@@ -100,7 +100,8 @@ object Structure {
     val b = edges.select(col(SRC).as("mid"), col(DST).as("w"))
     val wedges = a.join(b, "mid").filter(col("v") =!= col("w"))
     val bounds = edges.agg(least(min(SRC), min(DST)), greatest(max(SRC), max(DST))).first()
-    if (bounds.getLong(0) >= 0 && bounds.getLong(1) < (1L << 31))
+    // empty edge list → null bounds: fall through to the generic pair path
+    if (!bounds.isNullAt(0) && bounds.getLong(0) >= 0 && bounds.getLong(1) < (1L << 31))
       wedges.select((shiftleft(col("v"), 32) + col("w")).as("p")).distinct()
         .select(shiftright(col("p"), 32).as(SRC),
           col("p").bitwiseAND(lit((1L << 32) - 1)).as(DST))
