@@ -1,0 +1,166 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.algos._
+import graft.core._
+import graft.core.Gr._
+
+/** Randomized cross-validation: the distributed algorithms vs in-memory
+  * brute force on seeded G(n,p) graphs — many topologies per algorithm,
+  * exact comparison per seed. Complements the hand-built fixtures (which
+  * pin KNOWN answers) by sweeping structures nobody thought to write down:
+  * isolated pockets, odd components, degree-1 chains, dense cores. */
+class RandomizedSpec extends SparkSpec {
+
+  private def randomEdges(n: Int, p: Double, seed: Long): Seq[(Long, Long)] = {
+    val rng = new scala.util.Random(seed)
+    for {
+      i <- 0 until n; j <- (i + 1) until n
+      if rng.nextDouble() < p
+    } yield (i.toLong, j.toLong)
+  }
+
+  private def adj(edges: Seq[(Long, Long)]): Map[Long, Set[Long]] = {
+    val m = scala.collection.mutable.Map.empty[Long, Set[Long]]
+    edges.foreach { case (a, b) =>
+      m(a) = m.getOrElse(a, Set.empty) + b
+      m(b) = m.getOrElse(b, Set.empty) + a
+    }
+    m.toMap
+  }
+
+  test("WCC equals brute-force min-label components on random graphs") {
+    for (seed <- 1L to 4L) {
+      val es = randomEdges(30, 0.08, seed)
+      if (es.nonEmpty) {
+        val a = adj(es)
+        // brute force: flood fill, component = min id reached
+        def flood(v: Long): Set[Long] = {
+          var seen = Set(v); var frontier = Set(v)
+          while (frontier.nonEmpty) {
+            frontier = frontier.flatMap(a.getOrElse(_, Set.empty)) -- seen
+            seen ++= frontier
+          }
+          seen
+        }
+        val expect = a.keys.map(v => v -> flood(v).min).toMap
+        val und = Structure.symmetrize(edgeDF(es))
+        val g = PropertyGraph(Structure.extractVertexList(und), und,
+          GraphProperties(directed = false))
+        val got = Components.wcc(g).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == expect, s"seed $seed")
+      }
+    }
+  }
+
+  test("BFS distances equal brute-force levels on random graphs") {
+    for (seed <- 1L to 4L) {
+      val es = randomEdges(30, 0.1, seed)
+      if (es.nonEmpty) {
+        val a = adj(es)
+        val src = a.keys.min
+        var dist = Map(src -> 0); var frontier = Set(src); var d = 0
+        while (frontier.nonEmpty) {
+          d += 1
+          frontier = frontier.flatMap(a.getOrElse(_, Set.empty))
+            .filterNot(dist.contains)
+          frontier.foreach(v => dist += v -> d)
+        }
+        val g = PropertyGraph(
+          Structure.extractVertexList(edgeDF(es)),
+          Structure.symmetrize(edgeDF(es)), GraphProperties(directed = false))
+        val got = Traversal.bfs(g, src).collect()
+          .map(r => r.getLong(0) -> r.getInt(1)).toMap
+        assert(got == dist, s"seed $seed")
+      }
+    }
+  }
+
+  test("per-vertex triangle counts equal brute force on random graphs") {
+    for (seed <- 1L to 4L) {
+      val es = randomEdges(24, 0.25, seed)
+      if (es.nonEmpty) {
+        val a = adj(es)
+        val expect = a.keys.map { v =>
+          val nb = a(v).toSeq
+          v -> nb.combinations(2).count { case Seq(x, y) => a(x).contains(y) }.toLong
+        }.toMap
+        val got = Triangles.countPerVertex(graphOf(es, directed = false))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == expect, s"seed $seed")
+      }
+    }
+  }
+
+  test("Jaccard all-pairs equals brute-force set math on random graphs") {
+    for (seed <- 1L to 3L) {
+      val es = randomEdges(20, 0.2, seed)
+      if (es.nonEmpty) {
+        val a = adj(es)
+        val expect = (for {
+          x <- a.keys.toSeq; y <- a.keys.toSeq if x < y
+          i = (a(x) intersect a(y)).size if i >= 1
+        } yield (x, y) -> i.toDouble / (a(x) union a(y)).size).toMap
+        val got = Similarity.allPairs(graphOf(es, directed = false), Similarity.Jaccard)
+          .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+        assert(got.keySet == expect.keySet, s"seed $seed pairs")
+        expect.foreach { case (k, v) =>
+          assert(math.abs(got(k) - v) < 1e-12, s"seed $seed $k") }
+      }
+    }
+  }
+
+  test("Boruvka MST weight equals Prim's on random weighted graphs") {
+    for (seed <- 1L to 4L) {
+      val rng = new scala.util.Random(seed)
+      // connected base path + random extras, distinct weights (no tie issues)
+      val base = (0 until 19).map(i => (i.toLong, (i + 1).toLong))
+      val extra = randomEdges(20, 0.15, seed + 100)
+      val es = (base ++ extra).distinct
+        .map { case (x, y) => (x, y, 1.0 + rng.nextInt(100000) / 7.0) }
+      val a = scala.collection.mutable.Map.empty[Long, List[(Long, Double)]]
+      es.foreach { case (x, y, w) =>
+        a(x) = (y, w) :: a.getOrElse(x, Nil)
+        a(y) = (x, w) :: a.getOrElse(y, Nil)
+      }
+      // Prim
+      var inTree = Set(0L); var total = 0.0
+      val pq = scala.collection.mutable.PriorityQueue.empty[(Double, Long)](
+        Ordering.by(-_._1))
+      a(0L).foreach { case (v, w) => pq.enqueue((w, v)) }
+      while (inTree.size < a.size && pq.nonEmpty) {
+        val (w, v) = pq.dequeue()
+        if (!inTree(v)) {
+          inTree += v; total += w
+          a(v).foreach { case (u, wu) => if (!inTree(u)) pq.enqueue((wu, u)) }
+        }
+      }
+      val mst = TreeDag.boruvkaMst(wGraphOf(es, directed = false))
+      val got = mst.agg(sum(WEIGHT)).first().getDouble(0)
+      assert(math.abs(got - total) < 1e-9, s"seed $seed: $got vs $total")
+    }
+  }
+
+  test("core numbers equal the sequential peel on random graphs") {
+    for (seed <- 1L to 3L) {
+      val es = randomEdges(24, 0.2, seed)
+      if (es.nonEmpty) {
+        var a = adj(es)
+        val core = scala.collection.mutable.Map.empty[Long, Long]
+        var k = 0L
+        while (a.nonEmpty) {
+          val victims = a.filter(_._2.size <= k).keys.toSet
+          if (victims.isEmpty) k += 1
+          else {
+            victims.foreach { v => core(v) = k }
+            a = (a -- victims).map { case (v, nb) => v -> (nb -- victims) }
+          }
+        }
+        val got = Components.coreNumber(graphOf(es, directed = false))
+          .collect().map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+        assert(got == core.toMap, s"seed $seed")
+      }
+    }
+  }
+}
