@@ -142,6 +142,78 @@ class RandomizedSpec extends SparkSpec {
     }
   }
 
+  test("SSSP distances equal Dijkstra on random weighted graphs") {
+    for (seed <- 1L to 4L) {
+      val rng = new scala.util.Random(seed)
+      val es = randomEdges(25, 0.12, seed)
+        .map { case (x, y) => (x, y, 1.0 + rng.nextInt(50)) }
+      if (es.nonEmpty) {
+        val a = scala.collection.mutable.Map.empty[Long, List[(Long, Double)]]
+        es.foreach { case (x, y, w) =>
+          a(x) = (y, w) :: a.getOrElse(x, Nil)
+          a(y) = (x, w) :: a.getOrElse(y, Nil)
+        }
+        val src = a.keys.min
+        val dist = scala.collection.mutable.Map(src -> 0.0)
+        val pq = scala.collection.mutable.PriorityQueue((0.0, src))(Ordering.by(-_._1))
+        while (pq.nonEmpty) {
+          val (d, v) = pq.dequeue()
+          if (d <= dist.getOrElse(v, Double.MaxValue)) {
+            a.getOrElse(v, Nil).foreach { case (u, w) =>
+              if (d + w < dist.getOrElse(u, Double.MaxValue)) {
+                dist(u) = d + w; pq.enqueue((d + w, u))
+              }
+            }
+          }
+        }
+        // sssp follows edges as given — pass the undirected (symmetrized) view
+        val got = Traversal.sssp(wGraphOf(es).symmetrized, src).collect()
+          .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+        assert(got.keySet == dist.keySet, s"seed $seed reach")
+        dist.foreach { case (v, d) =>
+          assert(math.abs(got(v) - d) < 1e-9, s"seed $seed v=$v") }
+      }
+    }
+  }
+
+  test("exact betweenness equals brute-force Brandes on random graphs") {
+    for (seed <- 1L to 3L) {
+      val es = randomEdges(16, 0.2, seed)
+      if (es.nonEmpty) {
+        val a = adj(es)
+        val bc = scala.collection.mutable.Map.empty[Long, Double].withDefaultValue(0.0)
+        for (s <- a.keys) {
+          // Brandes: BFS, sigma counts, dependency accumulation
+          val sigma = scala.collection.mutable.Map(s -> 1.0).withDefaultValue(0.0)
+          val dist = scala.collection.mutable.Map(s -> 0)
+          val order = scala.collection.mutable.ArrayBuffer(s)
+          var frontier = Seq(s)
+          while (frontier.nonEmpty) {
+            val next = scala.collection.mutable.LinkedHashSet.empty[Long]
+            for (v <- frontier; u <- a(v).toSeq.sorted) {
+              if (!dist.contains(u)) { dist(u) = dist(v) + 1; next += u }
+              if (dist(u) == dist(v) + 1) sigma(u) += sigma(v)
+            }
+            next.foreach(order += _)
+            frontier = next.toSeq
+          }
+          val delta = scala.collection.mutable.Map.empty[Long, Double].withDefaultValue(0.0)
+          for (v <- order.reverse; u <- a(v) if dist.get(u).contains(dist(v) - 1)) {
+            delta(u) += sigma(u) / sigma(v) * (1.0 + delta(v))
+          }
+          order.drop(1).foreach(v => bc(v) += delta(v))
+        }
+        // undirected: ordered-pair accumulation halved (engine convention)
+        val expect = a.keys.map(v => v -> bc(v) / 2.0).toMap
+        val got = Centrality.betweenness(graphOf(es, directed = false),
+          k = None, normalized = false).collect()
+          .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+        expect.foreach { case (v, x) =>
+          assert(math.abs(got(v) - x) < 1e-9, s"seed $seed v=$v: ${got(v)} vs $x") }
+      }
+    }
+  }
+
   test("core numbers equal the sequential peel on random graphs") {
     for (seed <- 1L to 3L) {
       val es = randomEdges(24, 0.2, seed)
