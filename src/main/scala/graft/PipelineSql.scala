@@ -835,10 +835,58 @@ object PipelineSql {
        |    AS t(frame_id)""".stripMargin
   }
 
+  /** Writer-path e2e oracle: exact-dedup canonical survivors → Gopher keep
+    * → shard placement → per-shard manifest, each stage the already-gated
+    * SQL composed. */
+  def writerE2e(minWords: Int, nShards: Int,
+                stopWords: Seq[String] = TextAnalysisStops,
+                minStopHits: Int = 2): String =
+    s"""WITH h AS MATERIALIZED (SELECT doc_id, md5(text) AS grp FROM documents),
+       |canon AS MATERIALIZED (SELECT min(doc_id) AS doc_id FROM h GROUP BY grp),
+       |gq AS MATERIALIZED (
+       |  SELECT doc_id FROM (
+       |    SELECT doc_id,
+       |           CAST(len(ws) AS BIGINT) AS n_words,
+       |           round(list_sum(list_transform(ws, x -> len(x)))
+       |                 / CAST(len(ws) AS DOUBLE), 6) AS mean_word_len,
+       |           round((len(text) - len(replace(text, '#', ''))
+       |                  + CAST(floor((len(text) - len(replace(text, '...', ''))) / 3.0) AS BIGINT))
+       |                 / CAST(len(ws) AS DOUBLE), 6) AS symbol_ratio,
+       |           round(len(list_filter(ws, x -> regexp_matches(x, '[a-zA-Z]')))
+       |                 / CAST(len(ws) AS DOUBLE), 6) AS alpha_word_ratio,
+       |           CAST(len(list_filter(${stopWords.map(w => s"'$w'").mkString("[", ", ", "]")},
+       |                sw -> list_contains(ws, sw))) AS BIGINT) AS stop_hits
+       |    FROM (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents)
+       |  ) WHERE n_words BETWEEN $minWords AND 100000
+       |      AND mean_word_len BETWEEN 3.0 AND 10.0
+       |      AND symbol_ratio <= 0.1 AND alpha_word_ratio >= 0.8 AND stop_hits >= $minStopHits
+       |),
+       |sel AS MATERIALIZED (
+       |  SELECT d.doc_id, d.text FROM documents d
+       |  JOIN canon USING (doc_id) JOIN gq USING (doc_id)
+       |),
+       |p AS MATERIALIZED (
+       |  SELECT doc_id, ${h60("concat_ws('|', 'shard', doc_id, 42)")} AS pri,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+       |  FROM sel
+       |),
+       |placed AS MATERIALIZED (
+       |  SELECT doc_id, pri % $nShards AS shard, n_toks,
+       |         CAST(row_number() OVER (PARTITION BY pri % $nShards
+       |                                 ORDER BY pri, doc_id) - 1 AS BIGINT) AS pos
+       |  FROM p
+       |)
+       |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+       |       bit_xor(${h60("concat_ws(':', doc_id, pos)")}) AS checksum
+       |FROM placed GROUP BY shard""".stripMargin
+
   /** Gopher rule-battery oracle: the identical per-rule arithmetic over
     * string_split tokens; verdicts compare the same 6-dp-rounded ratios. */
-  def gopherRules(minWords: Int, maxWords: Int): String = {
-    val stops = TextAnalysisStops.map(w => s"'$w'").mkString("[", ", ", "]")
+  def gopherRules(minWords: Int, maxWords: Int,
+                  stopWords: Seq[String] = TextAnalysisStops,
+                  minStopHits: Int = 2): String = {
+    val stops = stopWords.map(w => s"'$w'").mkString("[", ", ", "]")
     s"""WITH w AS MATERIALIZED (
        |  SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents
        |),
@@ -861,11 +909,11 @@ object PipelineSql {
        |       mean_word_len BETWEEN 3.0 AND 10.0 AS r_meanlen,
        |       symbol_ratio <= 0.1 AS r_symbol,
        |       alpha_word_ratio >= 0.8 AS r_alpha,
-       |       stop_hits >= 2 AS r_stopwords,
+       |       stop_hits >= $minStopHits AS r_stopwords,
        |       (n_words BETWEEN $minWords AND $maxWords)
        |         AND (mean_word_len BETWEEN 3.0 AND 10.0)
        |         AND symbol_ratio <= 0.1 AND alpha_word_ratio >= 0.8
-       |         AND stop_hits >= 2 AS keep
+       |         AND stop_hits >= $minStopHits AS keep
        |FROM m""".stripMargin
   }
 

@@ -492,7 +492,25 @@ object SparkEntry {
     },
     "q_gopher_rules" -> q { (s, dir) =>
       // the published Gopher hard-filter battery with per-rule verdicts
-      pipeline.TextAnalysis.gopherRules(Fixtures.documents(s, dir), minWords = 50)
+      // required-stopword list adapted to the synthetic corpus vocabulary
+      // (the paper's English list is the function default)
+      pipeline.TextAnalysis.gopherRules(Fixtures.documents(s, dir), minWords = 50,
+        stopWords = Seq("the", "a"), minStopHits = 2)
+    },
+    "q_writer_e2e" -> q { (s, dir) =>
+      // the corpus-WRITING story composed end-to-end (complement of
+      // q_pipeline_e2e's filter path): exact-dedup canonical survivors →
+      // Gopher hard filter → deterministic shard placement → per-shard
+      // integrity manifest. Every stage is the already-gated operator; the
+      // composition is what a shard writer runs before publishing.
+      val docs = Fixtures.documents(s, dir)
+      val canon = pipeline.Dedup.exact(docs)
+        .filter(col("is_canonical")).select("doc_id")
+      val kept = pipeline.TextAnalysis.gopherRules(docs, minWords = 50,
+          stopWords = Seq("the", "a"), minStopHits = 2)
+        .filter(col("keep")).select("doc_id")
+      val sel = docs.join(canon, "doc_id").join(kept, Seq("doc_id"), "left_semi")
+      pipeline.TextAnalysis.shardManifest(sel, nShards = 4)
     },
     "q_quality" -> q { (s, dir) =>
       pipeline.TextAnalysis.qualityScore(Fixtures.documents(s, dir))
@@ -1498,7 +1516,10 @@ object SparkEntry {
         |SELECT doc_id, bucket,
         |       CAST((row_number() OVER (PARTITION BY bucket ORDER BY pri, doc_id) - 1) // 16 AS BIGINT) AS batch
         |FROM p""".stripMargin,
-    "q_gopher_rules" -> PipelineSql.gopherRules(minWords = 50, maxWords = 100000),
+    "q_gopher_rules" -> PipelineSql.gopherRules(minWords = 50, maxWords = 100000,
+      stopWords = Seq("the", "a"), minStopHits = 2),
+    "q_writer_e2e" -> PipelineSql.writerE2e(minWords = 50, nShards = 4,
+      stopWords = Seq("the", "a"), minStopHits = 2),
     "q_manifest" -> PipelineSql.shardManifest(nShards = 8),
     "q_dsir" -> PipelineSql.dsir(targetLang = "en"),
     "q_fertility" -> PipelineSql.fertility(nMerges = 5),

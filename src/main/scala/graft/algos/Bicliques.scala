@@ -39,6 +39,17 @@ object Bicliques {
     *         bad machines over total vertices, matching the reference's
     *         code (its docstring says machines; its code divides by total).
     */
+  /** co(f, g) = |M(f) ∩ M(g)| for every candidate f — one equi-join on the
+    * machine key against the BROADCAST candidate list; g ranges over all
+    * features any of f's machines touch (includes g = f, whose count is
+    * deg(f), mirroring the reference's ic). Package-visible so PlanSpec can
+    * pin the join shape pre-materialization. */
+  private[graft] def coOccurrence(e: DataFrame, cand: DataFrame): DataFrame =
+    e.select(SRC, DST)
+      .join(broadcast(cand.select(col(DST))), DST)
+      .join(e.select(col(SRC), col(DST).as("g")), SRC)
+      .groupBy(col(DST).as("f"), col("g")).agg(count(lit(1)).as("cnt"))
+
   def findBicliques(edges: DataFrame, k: Int, support: Double = 1.0,
                     minFeatures: Int = 1, minMachines: Int = 10,
                     maxIter: Int = -1,
@@ -54,14 +65,7 @@ object Bicliques {
       .withColumn("pdst", lag(col(DST), 1).over(ordW))
       .withColumn("pd", lag(col("d"), 1).over(ordW))
       .mat
-    // co(f, g) = |M(f) ∩ M(g)| for every candidate f — one equi-join on the
-    // machine key; g ranges over all features any of f's machines touch
-    // (includes g = f, whose count is deg(f), mirroring the reference's ic)
-    val co = e.select(SRC, DST)
-      .join(broadcast(cand.select(col(DST))), DST)
-      .join(e.select(col(SRC), col(DST).as("g")), SRC)
-      .groupBy(col(DST).as("f"), col("g")).agg(count(lit(1)).as("cnt"))
-      .mat
+    val co = coOccurrence(e, cand).mat
     // kept features per candidate: overlap ≥ int(deg(f)·support)
     val kept = co
       .join(broadcast(cand.select(col(DST).as("f"), col("d"))), "f")

@@ -98,6 +98,7 @@ object TextAnalysis {
     * alpha_word_ratio, stop_hits, r_wordcount, r_meanlen, r_symbol,
     * r_alpha, r_stopwords, keep). */
   def gopherRules(docs: DataFrame, minWords: Int = 50, maxWords: Int = 100000,
+                  stopWords: Seq[String] = GopherStopWords, minStopHits: Int = 2,
                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val ws = tokens(col(textCol))
     docs.select(col(idCol), ws.as("ws"), col(textCol).as("t"))
@@ -111,13 +112,13 @@ object TextAnalysis {
         round(size(expr("filter(ws, w -> w rlike '[a-zA-Z]')")) /
           size(col("ws")).cast("double"), 6).as("alpha_word_ratio"),
         size(filter(
-          array(GopherStopWords.map(lit): _*),
+          array(stopWords.map(lit): _*),
           sw => array_contains(col("ws"), sw))).cast("long").as("stop_hits"))
       .withColumn("r_wordcount", col("n_words").between(minWords, maxWords))
       .withColumn("r_meanlen", col("mean_word_len").between(3.0, 10.0))
       .withColumn("r_symbol", col("symbol_ratio") <= 0.1)
       .withColumn("r_alpha", col("alpha_word_ratio") >= 0.8)
-      .withColumn("r_stopwords", col("stop_hits") >= 2L)
+      .withColumn("r_stopwords", col("stop_hits") >= minStopHits.toLong)
       .withColumn("keep", col("r_wordcount") && col("r_meanlen") &&
         col("r_symbol") && col("r_alpha") && col("r_stopwords"))
   }

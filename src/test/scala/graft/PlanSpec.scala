@@ -174,6 +174,20 @@ class PlanSpec extends SparkSpec {
       "corpus-side cartesian crept into centroid assignment")
   }
 
+  test("biclique co-occurrence broadcasts the candidate list — equi-joins only") {
+    val e = edgeDF(Seq((1L, 101L), (2L, 101L), (1L, 102L), (2L, 102L), (3L, 103L)))
+    val cand = edgeDF(Seq((101L, 102L))).select(col(SRC).as(DST))
+    val co = graft.algos.Bicliques.coOccurrence(e, cand)
+    co.collect()
+    val plan = planOf(co)
+    // the corpus-sized edge frame equi-joins the broadcast ≤maxIter
+    // candidate list on the feature key, then itself on the machine key —
+    // never a cartesian
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1200))
+    assert(!plan.contains("CartesianProduct"),
+      "biclique candidate sweep went cartesian")
+  }
+
   test("DSIR scoring equi-joins the vocab and broadcasts only the 1-row stats") {
     val docs = Fixtures.documents(spark, "/root/testdata/sf0.001")
     val w = graft.pipeline.TextAnalysis.dsirWeights(docs)
