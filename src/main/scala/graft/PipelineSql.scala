@@ -835,6 +835,30 @@ object PipelineSql {
        |    AS t(frame_id)""".stripMargin
   }
 
+  /** Sessionization oracle: the identical gaps-and-islands window over
+    * exact epoch-microsecond timestamps, rolled up per (user, session). */
+  def sessionStats(gapSeconds: Long): String = {
+    val gapUs = gapSeconds * 1000000L
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT event_id, user_id, epoch_us(ts) AS ts_us, value FROM events
+       |),
+       |f AS MATERIALIZED (
+       |  SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+       |                 OR ts_us - lag(ts_us) OVER w > $gapUs THEN 1 ELSE 0 END AS new_s
+       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+       |),
+       |g AS MATERIALIZED (
+       |  SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+       |  FROM f
+       |)
+       |SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events,
+       |       CAST(min(ts_us) AS BIGINT) AS start_us,
+       |       CAST(max(ts_us) AS BIGINT) AS end_us,
+       |       round(sum(value), 6) AS sum_value
+       |FROM g GROUP BY 1, 2""".stripMargin
+  }
+
   /** Writer-path e2e oracle: exact-dedup canonical survivors → Gopher keep
     * → shard placement → per-shard manifest, each stage the already-gated
     * SQL composed. */

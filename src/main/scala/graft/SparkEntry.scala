@@ -497,6 +497,11 @@ object SparkEntry {
       pipeline.TextAnalysis.gopherRules(Fixtures.documents(s, dir), minWords = 50,
         stopWords = Seq("the", "a"), minStopHits = 2)
     },
+    "q_sessionize" -> q { (s, dir) =>
+      // gaps-and-islands sessionization of the events stream: 4-hour gap,
+      // per-user windows, session-level rollup
+      pipeline.Events.sessionStats(Tables(s, dir, "events"), gapSeconds = 14400L)
+    },
     "q_writer_e2e" -> q { (s, dir) =>
       // the corpus-WRITING story composed end-to-end (complement of
       // q_pipeline_e2e's filter path): exact-dedup canonical survivors →
@@ -1520,6 +1525,7 @@ object SparkEntry {
       stopWords = Seq("the", "a"), minStopHits = 2),
     "q_writer_e2e" -> PipelineSql.writerE2e(minWords = 50, nShards = 4,
       stopWords = Seq("the", "a"), minStopHits = 2),
+    "q_sessionize" -> PipelineSql.sessionStats(gapSeconds = 14400L),
     "q_manifest" -> PipelineSql.shardManifest(nShards = 8),
     "q_dsir" -> PipelineSql.dsir(targetLang = "en"),
     "q_fertility" -> PipelineSql.fertility(nMerges = 5),
