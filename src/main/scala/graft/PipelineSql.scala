@@ -859,6 +859,43 @@ object PipelineSql {
        |FROM g GROUP BY 1, 2""".stripMargin
   }
 
+  /** Strict-order funnel oracle: chained conditional min aggregations. */
+  def funnel(steps: Seq[String]): String = {
+    val b = new StringBuilder
+    b ++= """WITH e AS MATERIALIZED (
+            |  SELECT user_id, event_type AS et, epoch_us(ts) AS ts_us FROM events
+            |),
+            |u AS MATERIALIZED (SELECT DISTINCT user_id FROM e),
+            |""".stripMargin
+    for ((step, i) <- steps.zipWithIndex) {
+      val prev = if (i == 0) "" else s"JOIN s${i - 1} USING (user_id)"
+      val gate = if (i == 0) "" else s"AND ts_us > t_${steps(i - 1)}"
+      b ++= s"""s$i AS MATERIALIZED (
+               |  SELECT e.user_id, min(ts_us) AS t_$step FROM e $prev
+               |  WHERE et = '$step' $gate GROUP BY 1
+               |),
+               |""".stripMargin
+    }
+    b.setLength(b.length - 2)
+    val stage = steps.map(s => s"(CASE WHEN t_$s IS NOT NULL THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    b ++= s"""
+      |SELECT u.user_id, ${steps.map(s => s"t_$s").mkString(", ")},
+      |       CAST($stage AS BIGINT) AS stage
+      |FROM u ${steps.indices.map(i => s"LEFT JOIN s$i USING (user_id)").mkString(" ")}""".stripMargin
+    b.toString
+  }
+
+  /** Weekly retention-cohort oracle: engine-exact integer week arithmetic. */
+  val retention: String =
+    """WITH e AS MATERIALIZED (
+      |  SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS week FROM events
+      |),
+      |c AS MATERIALIZED (SELECT user_id, min(week) AS cohort_week FROM e GROUP BY 1)
+      |SELECT cohort_week, week - cohort_week AS week_offset,
+      |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      |FROM e JOIN c USING (user_id) GROUP BY 1, 2""".stripMargin
+
   /** Writer-path e2e oracle: exact-dedup canonical survivors → Gopher keep
     * → shard placement → per-shard manifest, each stage the already-gated
     * SQL composed. */

@@ -502,6 +502,16 @@ object SparkEntry {
       // per-user windows, session-level rollup
       pipeline.Events.sessionStats(Tables(s, dir, "events"), gapSeconds = 14400L)
     },
+    "q_funnel" -> q { (s, dir) =>
+      // strict-order funnel view → click → purchase: chained user-keyed
+      // conditional min aggregations, no per-user sort
+      pipeline.Events.funnel(Tables(s, dir, "events"),
+        steps = Seq("view", "click", "purchase"))
+    },
+    "q_retention" -> q { (s, dir) =>
+      // weekly retention cohorts over first-activity week
+      pipeline.Events.retention(Tables(s, dir, "events"))
+    },
     "q_writer_e2e" -> q { (s, dir) =>
       // the corpus-WRITING story composed end-to-end (complement of
       // q_pipeline_e2e's filter path): exact-dedup canonical survivors →
@@ -1526,6 +1536,8 @@ object SparkEntry {
     "q_writer_e2e" -> PipelineSql.writerE2e(minWords = 50, nShards = 4,
       stopWords = Seq("the", "a"), minStopHits = 2),
     "q_sessionize" -> PipelineSql.sessionStats(gapSeconds = 14400L),
+    "q_funnel" -> PipelineSql.funnel(Seq("view", "click", "purchase")),
+    "q_retention" -> PipelineSql.retention,
     "q_manifest" -> PipelineSql.shardManifest(nShards = 8),
     "q_dsir" -> PipelineSql.dsir(targetLang = "en"),
     "q_fertility" -> PipelineSql.fertility(nMerges = 5),
