@@ -267,6 +267,15 @@ object Fixtures {
   def documents(spark: SparkSession, dir: String): DataFrame = Tables(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = Tables(spark, dir, "embeddings")
 
+  /** Corpus-trained BPE merge table, cached per (session, dir):
+    * q_bpe_train, q_bpe_tokens and q_fertility all consume the same
+    * deterministic 5-merge table — train it once per session, exactly as a
+    * real pipeline trains a tokenizer once and ships the artifact. */
+  def bpeMerges(spark: SparkSession, dir: String): DataFrame =
+    cached(spark, s"bpe:$dir") {
+      graft.pipeline.Tokenizer.bpeTrain(documents(spark, dir), nMerges = 5)
+    }
+
   /** events.parquet carries a TIMESTAMP(NANOS) column (pandas-written), which
     * Spark's Parquet reader rejects by default — read nanos as raw long. */
   def events(spark: SparkSession, dir: String): DataFrame = {

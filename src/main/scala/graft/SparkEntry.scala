@@ -483,9 +483,8 @@ object SparkEntry {
     },
     "q_fertility" -> q { (s, dir) =>
       // tokenizer fertility per language from the trained BPE merges
-      val docs = Fixtures.documents(s, dir)
-      pipeline.Tokenizer.fertility(docs,
-        pipeline.Tokenizer.bpeTrain(docs, nMerges = 5))
+      pipeline.Tokenizer.fertility(Fixtures.documents(s, dir),
+        Fixtures.bpeMerges(s, dir))
     },
     "q_token_count" -> q { (s, dir) =>
       pipeline.TextAnalysis.tokenCounts(Fixtures.documents(s, dir))
@@ -591,7 +590,7 @@ object SparkEntry {
     },
     "q_bpe_train" -> q { (s, dir) =>
       // BPE tokenizer training: first 5 learned merges + their frequencies
-      pipeline.Tokenizer.bpeTrain(Fixtures.documents(s, dir), nMerges = 5)
+      Fixtures.bpeMerges(s, dir)
     },
     "q_edit_dist" -> q { (s, dir) =>
       // near-dup precision pass: Levenshtein over LSH candidate pairs only
@@ -610,9 +609,8 @@ object SparkEntry {
     },
     "q_bpe_tokens" -> q { (s, dir) =>
       // apply the learned merges: post-BPE subword counts per document
-      val docs = Fixtures.documents(s, dir)
-      pipeline.Tokenizer.bpeTokenCount(docs,
-        pipeline.Tokenizer.bpeTrain(docs, nMerges = 5))
+      pipeline.Tokenizer.bpeTokenCount(Fixtures.documents(s, dir),
+        Fixtures.bpeMerges(s, dir))
     },
     "q_pipeline_e2e" -> q { (s, dir) =>
       // the COMPOSED training-data story, one gated query: exact-dedup

@@ -363,6 +363,30 @@ class PipelineSpec extends SparkSpec {
     (0L until 6L).foreach(i => assert(pred(i) == i % 2, s"vec $i"))
   }
 
+  test("funnel order is strict; sessionize splits on the gap") {
+    import spark.implicits._
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def t(mins: Int) = new java.sql.Timestamp(base.getTime + mins * 60000L)
+    // user 1: view→click→purchase in order (stage 3)
+    // user 2: click BEFORE its only view — click must not count (stage 1)
+    // user 3: no view at all (stage 0)
+    val ev = Seq(
+      (1L, 1L, "view", t(0)), (2L, 1L, "click", t(10)), (3L, 1L, "purchase", t(20)),
+      (4L, 2L, "click", t(0)), (5L, 2L, "view", t(10)),
+      (6L, 3L, "purchase", t(0))
+    ).toDF("event_id", "user_id", "event_type", "ts").withColumn("value", lit(1.0))
+    val f = Events.funnel(ev, Seq("view", "click", "purchase"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("stage")).toMap
+    assert(f == Map(1L -> 3L, 2L -> 1L, 3L -> 0L))
+    // sessionize: 10-min events with a 2-hour hole → two sessions
+    val ev2 = Seq((1L, 9L, "view", t(0)), (2L, 9L, "view", t(10)),
+      (3L, 9L, "view", t(140))).toDF("event_id", "user_id", "event_type", "ts")
+      .withColumn("value", lit(1.0))
+    val sess = Events.sessionStats(ev2, gapSeconds = 3600)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(sess == Map(1L -> 2L, 2L -> 1L))
+  }
+
   test("gopher rules: each rule falls for its designed offender") {
     import spark.implicits._
     val good = (("alpha beta " * 25) + "the of and that").trim      // 54 words, stopwords ok
