@@ -214,6 +214,51 @@ class RandomizedSpec extends SparkSpec {
     }
   }
 
+  test("PageRank, Katz and eigenvector match in-memory power iteration on random graphs") {
+    for (seed <- 1L to 3L) {
+      val es = randomEdges(25, 0.12, seed)
+      if (es.nonEmpty) {
+        val a = adj(es)
+        val n = a.size
+        val und = Structure.symmetrize(edgeDF(es))
+        val g = PropertyGraph(Structure.extractVertexList(und), und,
+          GraphProperties(directed = false))
+        // --- PageRank: pr' = α·Σ pr(u)/deg(u) + (1−α)/n, 8 fixed iters
+        val alpha = 0.85
+        var pr = a.keys.map(_ -> 1.0 / n).toMap
+        for (_ <- 1 to 8)
+          pr = a.keys.map { v =>
+            v -> (alpha * a(v).toSeq.map(u => pr(u) / a(u).size).sum + (1 - alpha) / n)
+          }.toMap
+        val gotPr = PageRank.runFixed(g, iters = 8).collect()
+          .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+        pr.foreach { case (v, x) =>
+          assert(math.abs(gotPr(v) - x) < 1e-8, s"pagerank seed $seed v=$v") }
+        // --- Katz: c' = αk·Σ_in c + β, 8 iters, final L2 normalization
+        val (ak, beta) = (0.05, 1.0)
+        var kz = a.keys.map(_ -> beta).toMap
+        for (_ <- 1 to 8)
+          kz = a.keys.map(v => v -> (ak * a(v).toSeq.map(kz).sum + beta)).toMap
+        val kNorm = math.sqrt(kz.values.map(x => x * x).sum)
+        val gotK = Centrality.katz(g, alpha = ak, beta = beta, maxIter = 8, tol = -1.0)
+          .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+        kz.foreach { case (v, x) =>
+          assert(math.abs(gotK(v) - x / kNorm) < 1e-8, s"katz seed $seed v=$v") }
+        // --- eigenvector: per-round in-sum + L2 normalization, 8 iters
+        var ec = a.keys.map(_ -> 1.0 / math.sqrt(n.toDouble)).toMap
+        for (_ <- 1 to 8) {
+          val raw = a.keys.map(v => v -> a(v).toSeq.map(ec).sum).toMap
+          val norm = math.sqrt(raw.values.map(x => x * x).sum)
+          ec = raw.map { case (v, x) => v -> x / (if (norm == 0) 1.0 else norm) }
+        }
+        val gotE = Centrality.eigenvector(g, maxIter = 8, tol = -1.0).collect()
+          .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+        ec.foreach { case (v, x) =>
+          assert(math.abs(gotE(v) - x) < 1e-8, s"eigen seed $seed v=$v") }
+      }
+    }
+  }
+
   test("core numbers equal the sequential peel on random graphs") {
     for (seed <- 1L to 3L) {
       val es = randomEdges(24, 0.2, seed)
