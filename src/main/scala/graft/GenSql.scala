@@ -25,6 +25,22 @@ object GenSql {
        |FROM u GROUP BY edge_id""".stripMargin
   }
 
+  /** Batched-RMAT oracle: the scale draws come from the same pure-JVM md5
+    * as the generator ([[gen.Generators.rmatScales]]), then one unrolled
+    * per-graph RMAT block each, unioned. */
+  def rmatMulti(nLists: Int, minScale: Int, maxScale: Int,
+                edgeFactor: Int = 16, seed: Long = 42,
+                powerLaw: Boolean = false): String = {
+    val scales = gen.Generators.rmatScales(nLists, minScale, maxScale, seed, powerLaw)
+    scales.zipWithIndex.map { case (sc, i) =>
+      val inner = rmat(sc, edgeFactor.toLong << sc, seed = seed + 1000L * (i + 1))
+        .replace("\n", "\n  ")
+      s"""SELECT CAST($i AS BIGINT) AS graph_id, edge_id, src, dst FROM (
+         |  $inner
+         |)""".stripMargin
+    }.mkString("\nUNION ALL\n")
+  }
+
   def rmatScrambled(scale: Int, numEdges: Long, seed: Long = 42): String =
     s"""WITH base AS MATERIALIZED (${rmat(scale, numEdges).replace("\n", "\n  ")})
        |SELECT edge_id,

@@ -938,6 +938,12 @@ object SparkEntry {
     "q_rmat_bipartite" -> q { (s, _) =>
       gen.Generators.bipartiteRmat(s, srcScale = 8, dstScale = 5, numEdges = 512)
     },
+    "q_rmat_multi" -> q { (s, _) =>
+      // generate_rmat_edgelists: 3 graphs, scales drawn uniformly from
+      // [4,6], 4 edges per vertex, independent seed streams
+      gen.Generators.rmatMulti(s, nLists = 3, minScale = 4, maxScale = 6,
+        edgeFactor = 4)
+    },
     "q_wcc_star" -> q { (s, _) =>
       // large-star/small-star WCC on its worst-case input: a 4000-vertex
       // path (diameter 3999 — label propagation would need 4000 rounds);
@@ -1688,6 +1694,8 @@ object SparkEntry {
     "q_gen_grid" -> GenSql.grid2d(10, 10),
     "q_gen_mesh3d" -> GenSql.mesh3d(4, 3, 5, base = 10),
     "q_rmat_bipartite" -> GenSql.bipartiteRmat(srcScale = 8, dstScale = 5, numEdges = 512),
+    "q_rmat_multi" -> GenSql.rmatMulti(nLists = 3, minScale = 4, maxScale = 6,
+      edgeFactor = 4),
     "q_gen_complete" -> GenSql.complete(30),
     "q_uniform_walks" -> SamplingSql.uniformWalks(nWalks = 5, depth = 4, seed = 42),
     "q_biased_walks" -> SamplingSql.biasedWalks(nWalks = 5, depth = 4, seed = 42),

@@ -48,6 +48,49 @@ object Generators {
     base.select(col("edge_id"), srcExpr.as(SRC), dstExpr.as(DST))
   }
 
+  /** Deterministic per-graph scale draws for [[rmatMulti]] — pure JVM md5
+    * (no Spark, no DuckDB), so the Spark generator and the SQL oracle
+    * compute the same scales from the same parameters. `powerLaw` realizes
+    * the reference's POWER_LAW size distribution as inverse-CDF over
+    * geometric weights 2^-(s-minScale); UNIFORM is a plain modulus. */
+  private[graft] def rmatScales(nLists: Int, minScale: Int, maxScale: Int,
+                                seed: Long, powerLaw: Boolean): Seq[Int] = {
+    val span = maxScale - minScale + 1
+    (0 until nLists).map { i =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"rmats|$i|$seed".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      val h = java.lang.Long.parseLong(hex, 16)
+      if (!powerLaw) minScale + (h % span).toInt
+      else {
+        // weights 2^-(k): CDF cut points at 1-2^-(k+1) of the total
+        val total = (1L << span) - 1
+        val u = h % total
+        var k = 0; var acc = (1L << (span - 1))
+        while (u >= acc && k < span - 1) { k += 1; acc += (1L << (span - 1 - k)) }
+        minScale + k
+      }
+    }
+  }
+
+  /** Batched RMAT (`generate_rmat_edgelists`,
+    * `pylibcugraph/generate_rmat_edgelists.pyx:57`;
+    * `graph_generators.hpp:205`): `nLists` independent RMAT graphs whose
+    * scales are drawn from [minScale, maxScale] under a UNIFORM or
+    * POWER_LAW size distribution, each with edges = edgeFactor·2^scale and
+    * its own seed stream. One union of pure projections — still zero
+    * shuffles. Output (graph_id, edge_id, src, dst). */
+  def rmatMulti(spark: SparkSession, nLists: Int, minScale: Int, maxScale: Int,
+                edgeFactor: Int = 16, seed: Long = 42,
+                powerLaw: Boolean = false, fastHash: Boolean = false): DataFrame = {
+    val scales = rmatScales(nLists, minScale, maxScale, seed, powerLaw)
+    scales.zipWithIndex.map { case (sc, i) =>
+      rmat(spark, sc, edgeFactor.toLong << sc, seed = seed + 1000L * (i + 1),
+        fastHash = fastHash)
+        .select(lit(i.toLong).as("graph_id"), col("edge_id"), col(SRC), col(DST))
+    }.reduce(_ unionByName _)
+  }
+
   /** Erdős–Rényi G(n,p): each ordered pair i<j kept iff its hash draw < p.
     * The pair stream is `range(n·(n−1)/2)` with the pair index INVERTED back
     * to (i, j) — pure projection, no join, no quadratic shuffle/broadcast
