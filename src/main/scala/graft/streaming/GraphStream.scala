@@ -42,6 +42,25 @@ object GraphStream {
       .select(col("window.start").as("window_start"), col(ID), col("degree"))
   }
 
+  /** Streaming sessionization — the Structured-Streaming cousin of
+    * `pipeline.Events.sessionStats`, via the built-in `session_window`
+    * (state is per open session, closed and emitted once the watermark
+    * passes the session end). Semantics match the batch gaps-and-islands
+    * up to the boundary convention (`session_window` closes at gap ≥ dur,
+    * the batch op at gap > dur) and session identity (window start rather
+    * than a per-user ordinal).
+    * Output (user_id, session_start, n_events, sum_value). */
+  def streamingSessionStats(events: DataFrame, gapSeconds: Long,
+                            watermark: String = "1 hour",
+                            userCol: String = "user_id", tsCol: String = "ts")
+      : DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(col(userCol), session_window(col(tsCol), s"$gapSeconds seconds"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 6).as("sum_value"))
+      .select(col(userCol), col("session_window.start").as("session_start"),
+        col("n_events"), col("sum_value"))
+
   /** Per-vertex running summary maintained with keyed state: total degree,
     * weight sum, min/max neighbor — `mapGroupsWithState` over the incoming
     * edge stream keyed by source vertex (reference capability analogue:

@@ -177,4 +177,36 @@ class StreamingSpec extends SparkSpec {
       assert(rows(1L) == 2L) // vertex 1 has degree 2 in the first window
     } finally q.stop()
   }
+
+  test("streaming session_window equals the batch gaps-and-islands rollup") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+    def ts(m: Int) = new java.sql.Timestamp(
+      java.sql.Timestamp.valueOf("2026-01-01 00:00:00").getTime + m * 60000L)
+    // user 1: events at 0,10min then a 3h hole then 200min; user 2: one event
+    val data = Seq((1L, ts(0), 1.0), (1L, ts(10), 2.0), (1L, ts(200), 4.0),
+      (2L, ts(5), 8.0))
+    val input = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val stream = GraphStream.streamingSessionStats(
+      input.toDF().toDF("user_id", "ts", "value"), gapSeconds = 3600)
+    val q = stream.writeStream.format("memory").queryName("sess")
+      .outputMode("append").start()
+    try {
+      input.addData(data: _*)
+      q.processAllAvailable()
+      // flush event far in the future advances the watermark → all real
+      // sessions close and emit
+      input.addData((9L, ts(10000), 0.0))
+      q.processAllAvailable()
+      val got = sp.sql("select * from sess").collect()
+        .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3))).toSet
+      // batch reference on the same rows (session id → (n_events, value))
+      val batch = graft.pipeline.Events.sessionStats(
+        data.toDF("user_id", "ts", "value")
+          .withColumn("event_id", col("value").cast("long")), gapSeconds = 3600)
+        .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(5))).toSet
+      assert(got == batch, s"streaming $got vs batch $batch")
+    } finally q.stop()
+  }
 }
