@@ -652,9 +652,12 @@ object MiscSql {
         |  SELECT l.c, sum(k.k) AS tot FROM ${pfx}$p l JOIN ${pfx}ki k ON k.id = l.id GROUP BY 1
         |),
         |${pfx}nbr$i AS MATERIALIZED (
-        |  SELECT u.src AS id, l.c AS nc, sum(u.weight) AS w_in
-        |  FROM $edges u JOIN ${pfx}$p l ON l.id = u.dst
-        |  WHERE u.src <> u.dst GROUP BY 1, 2
+        |  SELECT id, nc, sum(w_in) AS w_in FROM (
+        |    SELECT u.src AS id, l.c AS nc, u.weight AS w_in
+        |    FROM $edges u JOIN ${pfx}$p l ON l.id = u.dst WHERE u.src <> u.dst
+        |    UNION ALL
+        |    SELECT id, c AS nc, CAST(0 AS DOUBLE) FROM ${pfx}$p
+        |  ) GROUP BY 1, 2
         |),
         |${pfx}cand$i AS MATERIALIZED (
         |  SELECT n.id, n.nc, cur.c AS c_cur,
@@ -844,9 +847,13 @@ object MiscSql {
         |  FROM l$p l JOIN kir k ON k.run = l.run AND k.id = l.id GROUP BY 1, 2
         |),
         |nbr$i AS MATERIALIZED (
-        |  SELECT e.run, e.src AS id, l.c AS nc, sum(e.weight) AS w_in
-        |  FROM eR e JOIN l$p l ON l.run = e.run AND l.id = e.dst
-        |  WHERE e.src <> e.dst GROUP BY 1, 2, 3
+        |  SELECT run, id, nc, sum(w_in) AS w_in FROM (
+        |    SELECT e.run, e.src AS id, l.c AS nc, e.weight AS w_in
+        |    FROM eR e JOIN l$p l ON l.run = e.run AND l.id = e.dst
+        |    WHERE e.src <> e.dst
+        |    UNION ALL
+        |    SELECT run, id, c AS nc, CAST(0 AS DOUBLE) FROM l$p
+        |  ) GROUP BY 1, 2, 3
         |),
         |cand$i AS MATERIALIZED (
         |  SELECT n.run, n.id, n.nc, cur.c AS c_cur,

@@ -163,10 +163,25 @@ object Community {
     // plateaus (non-decreasing while nonzero — the oscillation signature),
     // then rounds switch to the masked regime where only vertices with
     // (id+round) parity may move. Converged = one zero-move full round, or
-    // two consecutive zero-move parity rounds (one per parity class).
+    // maskMod consecutive zero-move masked rounds (one per residue class).
+    // Parity itself can still churn (same-parity neighbors co-moving in a
+    // cycle — observed on small G(n,p) graphs by RandomizedSpec): after
+    // `StallLimit` consecutive nonzero masked rounds the residue modulus
+    // DOUBLES, shrinking the simultaneous-mover set toward one-at-a-time,
+    // whose strict-gain moves monotonically raise Q and must terminate.
+    // Above modulus 2 the m-consecutive-zero-rounds certificate would cost
+    // m rounds, so after two zero masked rounds ONE free probe round
+    // certifies instead: zero probe moves = global single-move optimality;
+    // nonzero = the free round re-perturbed, escalate the modulus and keep
+    // masking. Gated fixtures converge in plain parity mode well before
+    // StallLimit, so their unrolled oracles are untouched.
+    val StallLimit = 8
     var parityMode = false
+    var maskMod = 2L
+    var stall = 0
+    var probe = false
     var prevMoved = Long.MaxValue
-    while (zeroStreak < 2 && it < maxIter) {
+    while (zeroStreak < maskMod && it < maxIter) {
       it += 1
       // tot_c = Σ k_i over community members
       val tot = labels.join(ki, Seq("run", ID))
@@ -181,8 +196,18 @@ object Community {
       val eWithC =
         if (nState <= 5000000L) eNoSelf.join(broadcast(lblState), Seq("run", DST))
         else graft.prims.Skew.saltedJoin(eNoSelf, lblState, Seq("run", DST))
+      // every vertex gets an explicit own-community candidate row (w_in 0
+      // merged into the real intra weight when present): without it a
+      // vertex with NO intra-community neighbors — possible mid-flight
+      // under synchronous moves — had its stay gain coalesced to 0 where
+      // the true value is −res·k·(tot−k)/m2 < 0, overstating "stay" and
+      // blocking strictly-improving moves (caught by RandomizedSpec's
+      // single-move local-optimality sweep; oracles mirror the same row)
       val nbrC = eWithC
         .groupBy(col("run"), col(SRC).as(ID), col("nc")).agg(sum(WEIGHT).as("w_in"))
+        .unionByName(labels.select(col("run"), col(ID),
+          col("community").as("nc"), lit(0.0).as("w_in")))
+        .groupBy(col("run"), col(ID), col("nc")).agg(sum("w_in").as("w_in"))
       val cur = labels.join(ki, Seq("run", ID))
       // candidate move gain (standard Louvain delta, constant terms dropped):
       //   gain(v→c) = w_in(v,c) − resolution · k_v · tot_c' / m2
@@ -220,7 +245,8 @@ object Community {
       // so the moved count is a scan of the cached frame — one job per
       // round, not a second join+count job
       val mayMove =
-        if (parityMode) pmod(col(ID) + lit(it), lit(2)) === 0 else lit(true)
+        if (parityMode && !probe) pmod(col(ID) + lit(it), lit(maskMod)) === 0
+        else lit(true)
       val nextC = labels.join(graft.prims.Hint.state(best, nState),
           Seq("run", ID), "left")
         .select(col("run"), col(ID), col("community").as("old"),
@@ -230,11 +256,21 @@ object Community {
         .mat
       moved = nextC.filter(col("community") =!= col("old")).count()
       if (!parityMode) {
-        if (moved == 0) zeroStreak = 2 // everyone was free to move; done
+        if (moved == 0) zeroStreak = Int.MaxValue // free full round; done
         else parityMode = true // escalate after the opening mass-move round
         prevMoved = moved
+      } else if (probe) {
+        probe = false
+        if (moved == 0) zeroStreak = Int.MaxValue // certified optimal
+        else { maskMod *= 2; stall = 0; zeroStreak = 0 }
       } else {
         zeroStreak = if (moved == 0) zeroStreak + 1 else 0
+        stall = if (moved == 0) 0 else stall + 1
+        if (stall >= StallLimit) { maskMod *= 2; stall = 0; zeroStreak = 0 }
+        // cheap certificate at escalated masks: two settled masked rounds
+        // → one free probe round decides (plain parity keeps its exact
+        // 2-zero-rounds exit, which gated oracles unroll)
+        if (maskMod > 2 && zeroStreak >= 2) probe = true
       }
       labels = nextC.select(col("run"), col(ID), col("community"))
     }

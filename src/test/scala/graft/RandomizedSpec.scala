@@ -259,6 +259,69 @@ class RandomizedSpec extends SparkSpec {
     }
   }
 
+  test("Louvain labels are single-move locally optimal on random graphs") {
+    for (seed <- 1L to 3L) {
+      val es = randomEdges(20, 0.2, seed)
+      if (es.nonEmpty) {
+        val und = Structure.symmetrize(wEdgeDF(es.map { case (a, b) => (a, b, 1.0) }))
+        val g = PropertyGraph(Structure.extractVertexList(und), und,
+          GraphProperties(directed = false, weighted = true))
+        // one level: multi-level contraction can break ORIGINAL-vertex
+        // single-move optimality (the invariant holds per level, at that
+        // level's granularity), so the property is asserted where Louvain
+        // guarantees it — a CONVERGED level-1 move phase (rounds under the
+        // budget; a capped exit leaves labels mid-flight)
+        val (lblDf, rounds) = Community.oneLevelWithRounds(g, maxIter = 150)
+        assert(rounds < 150, s"seed $seed: move phase did not converge")
+        val labels = lblDf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val a = adj(es)
+        val m2 = 2.0 * es.size // Σ of symmetrized weights
+        def deg(v: Long) = a(v).size.toDouble
+        def modularity(lbl: Map[Long, Long]): Double = {
+          val inW = es.filter { case (x, y) => lbl(x) == lbl(y) }.size * 2.0
+          // keys is a Set — map through toSeq or equal degrees collapse
+          val tot = lbl.groupBy(_._2).values
+            .map(c => c.keys.toSeq.map(deg).sum).map(t => t * t).sum
+          inW / m2 - tot / (m2 * m2)
+        }
+        val q0 = modularity(labels)
+        // no single-vertex move to a neighboring community may improve Q
+        for (v <- a.keys; c <- (a(v).map(labels) + labels(v)) if c != labels(v)) {
+          val q1 = modularity(labels + (v -> c))
+          assert(q1 <= q0 + 1e-9, s"seed $seed: moving $v to $c gains ${q1 - q0}")
+        }
+      }
+    }
+  }
+
+  test("HITS matches in-memory sum-normalized half-rounds on random graphs") {
+    for (seed <- 1L to 3L) {
+      val es = randomEdges(20, 0.15, seed)
+      if (es.nonEmpty) {
+        // directed: keep the canonical orientation
+        val out = es.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+        val in = es.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+        val vs = (es.map(_._1) ++ es.map(_._2)).distinct
+        var hub = vs.map(_ -> 1.0).toMap
+        var auth = vs.map(_ -> 1.0).toMap
+        for (_ <- 1 to 6) {
+          val a0 = vs.map(v => v -> in.getOrElse(v, Set.empty).toSeq.map(hub).sum).toMap
+          val an = a0.values.sum
+          auth = a0.map { case (v, x) => v -> x / (if (an == 0) 1.0 else an) }
+          val h0 = vs.map(v => v -> out.getOrElse(v, Set.empty).toSeq.map(auth).sum).toMap
+          val hn = h0.values.sum
+          hub = h0.map { case (v, x) => v -> x / (if (hn == 0) 1.0 else hn) }
+        }
+        val got = Centrality.hits(graphOf(es), maxIter = 6, tol = -1.0).collect()
+          .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+        vs.foreach { v =>
+          assert(math.abs(got(v)._1 - hub(v)) < 1e-8, s"hub seed $seed v=$v")
+          assert(math.abs(got(v)._2 - auth(v)) < 1e-8, s"auth seed $seed v=$v")
+        }
+      }
+    }
+  }
+
   test("core numbers equal the sequential peel on random graphs") {
     for (seed <- 1L to 3L) {
       val es = randomEdges(24, 0.2, seed)
