@@ -204,7 +204,7 @@ object Community {
       // blocking strictly-improving moves (caught by RandomizedSpec's
       // single-move local-optimality sweep; oracles mirror the same row)
       val nbrC = eWithC
-        .groupBy(col("run"), col(SRC).as(ID), col("nc")).agg(sum(WEIGHT).as("w_in"))
+        .select(col("run"), col(SRC).as(ID), col("nc"), col(WEIGHT).as("w_in"))
         .unionByName(labels.select(col("run"), col(ID),
           col("community").as("nc"), lit(0.0).as("w_in")))
         .groupBy(col("run"), col(ID), col("nc")).agg(sum("w_in").as("w_in"))
