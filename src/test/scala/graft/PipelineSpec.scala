@@ -363,6 +363,45 @@ class PipelineSpec extends SparkSpec {
     (0L until 6L).foreach(i => assert(pred(i) == i % 2, s"vec $i"))
   }
 
+  test("pipeline invariants: dedup idempotence, pack offsets bounded, shard positions contiguous") {
+    import spark.implicits._
+    val d = (0L until 80L).map { i =>
+      (i, if (i % 4 == 0) "dup dup dup text" else s"uniq $i text w${i % 9} " * (1 + (i % 5).toInt))
+    }.toDF("doc_id", "text")
+    // dedup of the canonical survivors is the identity (no remaining dups)
+    val canon = Dedup.exact(d).filter(col("is_canonical"))
+      .select("doc_id").join(d, "doc_id")
+    val again = Dedup.exact(canon)
+    assert(again.filter(!col("is_canonical")).count() == 0)
+    assert(again.agg(max("grp_size")).first().getLong(0) == 1L)
+    // packing: every start offset lies inside the context budget, and
+    // within a bucket the (chunk, offset) starts are exactly the exclusive
+    // prefix sums of n_tokens (chunk*budget + offset reconstructs them)
+    val packed = TextAnalysis.packChunks(d, budget = 32L)
+    assert(packed.filter(col("offset") >= 32L || col("offset") < 0L).count() == 0)
+    val starts = packed.select(col("bucket"),
+        (col("chunk") * 32L + col("offset")).as("cum"), col("n_tokens"))
+    val perBucket = starts.groupBy("bucket")
+      .agg(min("cum").as("mn"), max("cum").as("mxStart"),
+        sum("n_tokens").as("totTok"), count(lit(1)).as("n"))
+      .collect()
+    perBucket.foreach { r =>
+      assert(r.getLong(1) == 0L) // first doc of a bucket starts at 0
+      // last start + its doc = total tokens: verified via distinct sums
+    }
+    val cumSet = starts.collect().groupBy(_.getLong(0)).forall { case (_, rows) =>
+      val sorted = rows.map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+      sorted.zip(sorted.scanLeft(0L)(_ + _._2)).forall { case ((c, _), exp) => c == exp }
+    }
+    assert(cumSet, "offsets are not the exclusive prefix sums")
+    // shard positions are 0..n-1 contiguous per shard
+    val sh = TextAnalysis.shardAssign(d, nShards = 4)
+    val bad = sh.groupBy("shard")
+      .agg(min("pos").as("mn"), max("pos").as("mx"), count(lit(1)).as("n"))
+      .filter(col("mn") =!= 0L || col("mx") =!= col("n") - 1)
+    assert(bad.count() == 0)
+  }
+
   test("funnel order is strict; sessionize splits on the gap") {
     import spark.implicits._
     val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
