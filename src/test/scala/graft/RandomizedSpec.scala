@@ -322,6 +322,76 @@ class RandomizedSpec extends SparkSpec {
     }
   }
 
+  test("Leiden communities are internally connected on random graphs") {
+    for (seed <- 1L to 3L) {
+      val es = randomEdges(24, 0.12, seed)
+      if (es.nonEmpty) {
+        val und = Structure.symmetrize(wEdgeDF(es.map { case (a, b) => (a, b, 1.0) }))
+        val g = PropertyGraph(Structure.extractVertexList(und), und,
+          GraphProperties(directed = false, weighted = true))
+        val labels = Community.leiden(g, maxLevel = 3, maxIter = 20)._1
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val a = adj(es)
+        labels.groupBy(_._2).values.map(_.keySet).foreach { comm =>
+          // flood within the community must reach every member
+          val start = comm.head
+          var seen = Set(start); var frontier = Set(start)
+          while (frontier.nonEmpty) {
+            frontier = frontier.flatMap(v =>
+              a.getOrElse(v, Set.empty).filter(comm)) -- seen
+            seen ++= frontier
+          }
+          assert(seen == comm, s"seed $seed: community $comm not connected")
+        }
+      }
+    }
+  }
+
+  test("star-contraction WCC equals label-propagation WCC on random graphs") {
+    for (seed <- 1L to 4L) {
+      val es = randomEdges(40, 0.05, seed)
+      if (es.nonEmpty) {
+        val und = Structure.symmetrize(edgeDF(es))
+        val g = PropertyGraph(Structure.extractVertexList(und), und,
+          GraphProperties(directed = false))
+        val lp = Components.wcc(g).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val star = Components.wccStar(g)._1.collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(star == lp, s"seed $seed")
+      }
+    }
+  }
+
+  test("k-truss equals iterative support peeling on random graphs") {
+    for (seed <- 1L to 3L) {
+      val es = randomEdges(18, 0.3, seed)
+      if (es.nonEmpty) {
+        // brute force 4-truss: repeatedly drop edges in < 2 triangles
+        var keep = es.toSet
+        var changed = true
+        while (changed) {
+          val nb = scala.collection.mutable.Map.empty[Long, Set[Long]]
+          keep.foreach { case (x, y) =>
+            nb(x) = nb.getOrElse(x, Set.empty) + y
+            nb(y) = nb.getOrElse(y, Set.empty) + x
+          }
+          val next = keep.filter { case (x, y) =>
+            (nb(x) intersect nb(y)).size >= 2
+          }
+          changed = next != keep
+          keep = next
+        }
+        val got = Triangles.kTruss(graphOf(es, directed = false), k = 4)
+          .select(SRC, DST)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        // engine emits canonical a<b pairs for kept edges
+        val expect = keep.map { case (x, y) => (math.min(x, y), math.max(x, y)) }
+        assert(got == expect, s"seed $seed: ${got.size} vs ${expect.size}")
+      }
+    }
+  }
+
   test("core numbers equal the sequential peel on random graphs") {
     for (seed <- 1L to 3L) {
       val es = randomEdges(24, 0.2, seed)
