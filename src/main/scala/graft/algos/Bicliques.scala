@@ -29,16 +29,6 @@ import graft.core.Gr
 object Bicliques {
   import Gr._
 
-  /** @param edges   bipartite edge list (src = machine, dst = feature),
-    *                plus `flagCol` marking bad machines (0/1)
-    * @param k       stop after k bicliques (-1 = no cap)
-    * @param support fraction of deg(f) a feature's overlap must reach
-    * @param maxIter scan only the maxIter highest-degree features (-1 = all)
-    * @return (B, S): B = (id, vert, type 0=machine|1=feature),
-    *         S = (id, total, machines, features, bad_ratio) — ratio is
-    *         bad machines over total vertices, matching the reference's
-    *         code (its docstring says machines; its code divides by total).
-    */
   /** co(f, g) = |M(f) ∩ M(g)| for every candidate f — one equi-join on the
     * machine key against the BROADCAST candidate list; g ranges over all
     * features any of f's machines touch (includes g = f, whose count is
@@ -50,6 +40,16 @@ object Bicliques {
       .join(e.select(col(SRC), col(DST).as("g")), SRC)
       .groupBy(col(DST).as("f"), col("g")).agg(count(lit(1)).as("cnt"))
 
+  /** @param edges   bipartite edge list (src = machine, dst = feature),
+    *                plus `flagCol` marking bad machines (0/1)
+    * @param k       stop after k bicliques (-1 = no cap)
+    * @param support fraction of deg(f) a feature's overlap must reach
+    * @param maxIter scan only the maxIter highest-degree features (-1 = all)
+    * @return (B, S): B = (id, vert, type 0=machine|1=feature),
+    *         S = (id, total, machines, features, bad_ratio) — ratio is
+    *         bad machines over total vertices, matching the reference's
+    *         code (its docstring says machines; its code divides by total).
+    */
   def findBicliques(edges: DataFrame, k: Int, support: Double = 1.0,
                     minFeatures: Int = 1, minMachines: Int = 10,
                     maxIter: Int = -1,
