@@ -322,6 +322,58 @@ class RandomizedSpec extends SparkSpec {
     }
   }
 
+  test("SCC equals Kosaraju min-label components on random directed graphs") {
+    for (seed <- 1L to 3L) {
+      val rng = new scala.util.Random(seed)
+      val es = for { i <- 0 until 18; j <- 0 until 18
+                     if i != j && rng.nextDouble() < 0.12 }
+        yield (i.toLong, j.toLong)
+      if (es.nonEmpty) {
+        val out = es.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+        val in = es.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+        val vs = (es.map(_._1) ++ es.map(_._2)).distinct
+        def reach(v: Long, nbrs: Map[Long, Set[Long]]): Set[Long] = {
+          var seen = Set(v); var fr = Set(v)
+          while (fr.nonEmpty) {
+            fr = fr.flatMap(nbrs.getOrElse(_, Set.empty)) -- seen; seen ++= fr
+          }
+          seen
+        }
+        val expect = vs.map { v =>
+          v -> (reach(v, out) intersect reach(v, in)).min
+        }.toMap
+        val got = Components.scc(graphOf(es)).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        // engine components must partition identically (labels may differ);
+        // both sides canonicalize to the min member, so compare directly
+        assert(got == expect, s"seed $seed")
+      }
+    }
+  }
+
+  test("vertex coloring is proper and matching is maximal on random graphs") {
+    for (seed <- 1L to 3L) {
+      val es = randomEdges(22, 0.18, seed)
+      if (es.nonEmpty) {
+        val a = adj(es)
+        val colors = Misc.vertexColoring(graphOf(es, directed = false))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        es.foreach { case (x, y) =>
+          assert(colors(x) != colors(y), s"seed $seed: improper edge ($x,$y)") }
+        val m = Misc.weightedMatching(
+          wGraphOf(es.map { case (x, y) => (x, y, 1.0) }, directed = false),
+          rounds = 15)
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+        val matched = m.flatMap(p => Seq(p._1, p._2))
+        assert(matched.distinct.size == matched.size, s"seed $seed: vertex reused")
+        // maximality: no edge with both endpoints unmatched
+        val free = a.keySet -- matched.toSet
+        es.foreach { case (x, y) =>
+          assert(!(free(x) && free(y)), s"seed $seed: augmentable edge ($x,$y)") }
+      }
+    }
+  }
+
   test("Leiden communities are internally connected on random graphs") {
     for (seed <- 1L to 3L) {
       val es = randomEdges(24, 0.12, seed)
