@@ -322,6 +322,38 @@ class RandomizedSpec extends SparkSpec {
     }
   }
 
+  test("neighbor sampling and negative sampling hold their contracts on random graphs") {
+    val sp = spark
+    import sp.implicits._
+    for (seed <- 1L to 3L) {
+      val es = randomEdges(25, 0.15, seed + 10)
+      if (es.nonEmpty) {
+        val dirEdges = edgeDF(es)
+        val eSet = es.toSet
+        val seeds = Seq((0L, es.head._1), (1L, es.last._1)).toDF("batch_id", "vertex")
+        val sampled = graft.sampling.NeighborSampling.homogeneous(
+          dirEdges, seeds, fanouts = Seq(3, 2), seed = seed).collect()
+        // every sampled edge exists in the graph
+        sampled.foreach { r =>
+          assert(eSet((r.getLong(2), r.getLong(3))), s"seed $seed: fake edge") }
+        // per (batch, hop, src) at most the hop's fanout
+        val byKey = sampled.groupBy(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        byKey.foreach { case ((_, hop, _), rows) =>
+          assert(rows.size <= (if (hop == 0) 3 else 2), s"seed $seed: fanout") }
+        // negative samples: valid vertices, never an existing edge
+        val verts = Structure.extractVertexList(dirEdges)
+        val vSet = verts.collect().map(_.getLong(0)).toSet
+        val neg = graft.sampling.NeighborSampling.negative(
+          dirEdges, verts, n = 30, seed = seed).collect()
+        neg.foreach { r =>
+          val (s2, d) = (r.getLong(1), r.getLong(2))
+          assert(vSet(s2) && vSet(d) && s2 != d && !eSet((s2, d)),
+            s"seed $seed: bad negative ($s2,$d)")
+        }
+      }
+    }
+  }
+
   test("SCC equals Kosaraju min-label components on random directed graphs") {
     for (seed <- 1L to 3L) {
       val rng = new scala.util.Random(seed)
