@@ -108,6 +108,28 @@ object SparkEntry {
       MultiTraversal.extractBfsPaths(res.mat,
         res.filter(col(ID) === tgt).select(ID), maxDepth = 200)
     },
+    "q_shortest_path_length" -> q { (s, dir) =>
+      // shortest_path_length (reference sssp.py:289): SSSP distance to one
+      // target — the min-id source to the max-id vertex
+      val g = Fixtures.supplierGraphUnd(s, dir)
+      val src = g.vertices.agg(min(ID)).first().getLong(0)
+      val tgt = g.vertices.agg(max(ID)).first().getLong(0)
+      val (res, rounds) = Traversal.ssspWithRounds(g, src)
+      require(rounds <= 10, s"SSSP took $rounds rounds, oracle budget is 10")
+      res.filter(col(ID) === tgt)
+        .select(col(ID), round(col("distance"), 6).as("distance"))
+    },
+    "q_remove_multi" -> q { (s, dir) =>
+      // remove_multi_edges with keep_min_value_edge
+      // (graph_functions.hpp:1131): collapse the lineitem-row multigraph,
+      // keeping the minimum-weight parallel edge
+      val li = Tables(s, dir, "lineitem")
+      val o = Tables(s, dir, "orders")
+      val raw = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .select(col("o_custkey").as(SRC), (col("l_suppkey") + 100000L).as(DST),
+          col("l_extendedprice").as(WEIGHT))
+      Structure.removeMultiEdges(raw, keepMinWeight = true)
+    },
     "q_replicate" -> q { (s, dir) =>
       // replicate_edgelist (structure/replicate_edgelist.py): every worker
       // gets the full edge list — in Spark terms, a broadcast of the edge
@@ -1297,6 +1319,13 @@ object SparkEntry {
     "q_bfs" -> OracleSql.bfsSupplier(maxDepth = 12),
     "q_sssp" -> OracleSql.ssspSupplier(rounds = 10),
     "q_bfs_edges" -> OracleSql.bfsEdgesSupplier(maxDepth = 12),
+    "q_shortest_path_length" -> (OracleSql.ssspSupplier(rounds = 10) +
+      "\nWHERE id = (SELECT max(id) FROM (SELECT src AS id FROM supp_edges UNION SELECT dst FROM supp_edges))"),
+    "q_remove_multi" ->
+      """SELECT o_custkey AS src, l_suppkey + 100000 AS dst,
+        |       min(l_extendedprice) AS weight
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1, 2""".stripMargin,
     "q_shortest_path" -> OracleSql.shortestPathSupplier(rounds = 10),
     "q_replicate" -> s"WITH $SUPP_EDGES_SQL\nSELECT src, dst, weight FROM supp_edges",
     "q_is_bipartite" -> OracleSql.isBipartiteSupplier(rounds = 16),
