@@ -144,14 +144,25 @@ object Community {
   private def oneLevelKeyedCounted(undK: DataFrame, maxIter: Int,
                                    resolution: Double): (DataFrame, Int, Long) = {
     val e = undK.mat
-    val m2 = e.groupBy("run").agg(sum(WEIGHT).as("m2")).mat
+    // per-run 2m normalizer: ONE row per ensemble run (bounded by the
+    // ensemble size at any graph scale), so it is collected once into a
+    // literal map lookup instead of broadcast-joined — one fewer broadcast
+    // build job in every round
+    val m2Map: Map[Long, Double] = e.groupBy("run").agg(sum(WEIGHT).as("m2"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val m2Col = element_at(typedlit(m2Map), col("run"))
     // k_i: weighted degree (self-loops count fully toward k_i here since the
     // coarsened graph stores c->c weight once per direction pair)
     val ki = e.groupBy(col("run"), col(SRC).as(ID)).agg(sum(WEIGHT).as("k")).mat
     // per-(run,vertex) state size — broadcast it into the edge join when
     // small (prims.Hint.state) so each round scans edges in place
     val nState = ki.count()
-    var labels = ki.select(col("run"), col(ID), col(ID).as("community")).mat
+    // the loop state carries k ALONGSIDE the label: every consumer of the
+    // old per-round labels⋈ki join (community totals, candidate scoring)
+    // now reads one checkpointed frame — two recomputed join subplans per
+    // round gone. Values are identical; all gated fixtures carry
+    // integer-valued weights, so every reordered sum stays bit-exact.
+    var state = ki.select(col("run"), col(ID), col(ID).as("community"), col("k")).mat
     var moved = 1L
     var zeroStreak = 0
     var it = 0
@@ -183,58 +194,67 @@ object Community {
     var prevMoved = Long.MaxValue
     while (zeroStreak < maskMod && it < maxIter) {
       it += 1
-      // tot_c = Σ k_i over community members
-      val tot = labels.join(ki, Seq("run", ID))
-        .groupBy("run", "community").agg(sum("k").as("tot"))
+      // tot_c = Σ k_i over community members — derived from the state frame
+      val tot = state.groupBy("run", "community").agg(sum("k").as("tot"))
+        .select(col("run"), col("community").as("nc"), col("tot"))
       // per-vertex weight to each neighboring community (self-loops excluded
       // from candidate weights — a vertex always "links" to its own c).
       // Small state broadcasts; past the broadcast gate the edge side is
       // salted so a hub vertex's rows spread across tasks instead of
       // landing on one reducer (power-law degree skew).
-      val lblState = labels.select(col("run"), col(ID).as(DST), col("community").as("nc"))
+      val dstState = state.select(col("run"), col(ID).as(DST), col("community").as("nc"))
       val eNoSelf = e.filter(col(SRC) =!= col(DST))
       val eWithC =
-        if (nState <= 5000000L) eNoSelf.join(broadcast(lblState), Seq("run", DST))
-        else graft.prims.Skew.saltedJoin(eNoSelf, lblState, Seq("run", DST))
-      // every vertex gets an explicit own-community candidate row (w_in 0
+        if (nState <= 5000000L) eNoSelf.join(broadcast(dstState), Seq("run", DST))
+        else graft.prims.Skew.saltedJoin(eNoSelf, dstState, Seq("run", DST))
+      // ONE exchange per round: the candidate stream is hash-partitioned by
+      // (run, vertex) up front, which simultaneously satisfies the
+      // (run,id,nc) aggregation, the per-vertex k/c_cur window fill, AND
+      // the per-vertex best-move aggregation below — the raw edge stream
+      // crosses the network once (the old shape shuffled it twice:
+      // partial-agged on (run,id,nc), then re-exchanged on (run,id)).
+      //
+      // Every vertex gets an explicit own-community candidate row (w_in 0
       // merged into the real intra weight when present): without it a
       // vertex with NO intra-community neighbors — possible mid-flight
       // under synchronous moves — had its stay gain coalesced to 0 where
       // the true value is −res·k·(tot−k)/m2 < 0, overstating "stay" and
       // blocking strictly-improving moves (caught by RandomizedSpec's
-      // single-move local-optimality sweep; oracles mirror the same row)
-      val nbrC = eWithC
-        .select(col("run"), col(SRC).as(ID), col("nc"), col(WEIGHT).as("w_in"))
-        .unionByName(labels.select(col("run"), col(ID),
-          col("community").as("nc"), lit(0.0).as("w_in")))
-        .groupBy(col("run"), col(ID), col("nc")).agg(sum("w_in").as("w_in"))
-      val cur = labels.join(ki, Seq("run", ID))
+      // single-move local-optimality sweep; oracles mirror the same row).
+      // The own row is also the only one carrying (c_cur, k); the
+      // whole-partition window max spreads them to the vertex's other
+      // candidates, replacing the old second state join.
+      val cands = eWithC
+        .select(col("run"), col(SRC).as(ID), col("nc"), col(WEIGHT).as("w_in"),
+          lit(null).cast("double").as("k"), lit(null).cast("long").as("c_cur"))
+        .unionByName(state.select(col("run"), col(ID),
+          col("community").as("nc"), lit(0.0).as("w_in"),
+          col("k"), col("community").as("c_cur")))
+        .repartition(col("run"), col(ID))
+        .groupBy(col("run"), col(ID), col("nc"))
+        .agg(sum("w_in").as("w_in"), max("k").as("k"), max("c_cur").as("c_cur"))
+      val wv = Window.partitionBy(col("run"), col(ID))
       // candidate move gain (standard Louvain delta, constant terms dropped):
       //   gain(v→c) = w_in(v,c) − resolution · k_v · tot_c' / m2
       // where tot_c' excludes v itself when c is v's current community.
-      // the candidate chain's small sides (per-vertex current state,
-      // per-community totals — both ≤ nState rows) ride the same
-      // size-gated broadcast as the edge-side label join: under the gate a
-      // round's candidate scoring is ONE shuffle (the nbrC aggregation)
-      // instead of three (join routing only — per-row gains are identical
-      // either way, so the exact gates are unaffected)
-      val cand = nbrC
-        .join(graft.prims.Hint.state(
-          cur.select(col("run"), col(ID), col("community").as("c_cur"), col("k")),
-          nState), Seq("run", ID))
-        .join(graft.prims.Hint.state(
-          tot.withColumnRenamed("community", "nc"), nState), Seq("run", "nc"))
-        .join(broadcast(m2), "run")
+      // The per-community totals (≤ nState rows) ride the same size-gated
+      // broadcast as the edge-side label join, so none of this disturbs
+      // the (run,id) partitioning (join routing only — per-row gains are
+      // identical either way, so the exact gates are unaffected).
+      val scored = cands
+        .withColumn("k", max("k").over(wv))
+        .withColumn("c_cur", max("c_cur").over(wv))
+        .join(graft.prims.Hint.state(tot, nState), Seq("run", "nc"))
         .select(col("run"), col(ID), col("nc"), col("c_cur"), col("k"),
           (col("w_in") - lit(resolution) * col("k") *
-            (when(col("nc") === col("c_cur"), col("tot") - col("k")).otherwise(col("tot"))) / col("m2")).as("gain"))
+            (when(col("nc") === col("c_cur"), col("tot") - col("k")).otherwise(col("tot"))) / m2Col).as("gain"))
       // per-vertex best move via hash-agg max_by (tie-break: max gain, then
-      // min community id via negation) — a partial+final aggregation instead
-      // of the window sort. The stay-at-home gain rides the SAME
-      // aggregation (cand is consumed exactly once per round; a separate
+      // min community id via negation) — rides the SAME (run,id)
+      // partitioning, no exchange. The stay-at-home gain rides the SAME
+      // aggregation (scored is consumed exactly once per round; a separate
       // stayGain branch would recompute the whole neighbor-community
       // pipeline a second time).
-      val best = cand.groupBy(col("run"), col(ID))
+      val best = scored.groupBy(col("run"), col(ID))
         .agg(max_by(struct(col("nc"), col("gain")),
           struct(col("gain"), -col("nc"))).as("b"),
           max(when(col("nc") === col("c_cur"), col("gain"))).as("stay_gain"))
@@ -247,12 +267,13 @@ object Community {
       val mayMove =
         if (parityMode && !probe) pmod(col(ID) + lit(it), lit(maskMod)) === 0
         else lit(true)
-      val nextC = labels.join(graft.prims.Hint.state(best, nState),
+      val nextC = state.join(graft.prims.Hint.state(best, nState),
           Seq("run", ID), "left")
         .select(col("run"), col(ID), col("community").as("old"),
           when(col("nc").isNotNull && mayMove &&
                col("gain") > coalesce(col("stay_gain"), lit(0.0)) + lit(1e-12), col("nc"))
-            .otherwise(col("community")).as("community"))
+            .otherwise(col("community")).as("community"),
+          col("k"))
         .mat
       moved = nextC.filter(col("community") =!= col("old")).count()
       if (!parityMode) {
@@ -272,9 +293,9 @@ object Community {
         // 2-zero-rounds exit, which gated oracles unroll)
         if (maskMod > 2 && zeroStreak >= 2) probe = true
       }
-      labels = nextC.select(col("run"), col(ID), col("community"))
+      state = nextC.select(col("run"), col(ID), col("community"), col("k"))
     }
-    (labels, it, nState)
+    (state.select(col("run"), col(ID), col("community")), it, nState)
   }
 
   /** Co-clustering vote table of the batched ECG ensemble: `ensembleSize`
