@@ -14,6 +14,18 @@ object Tables {
     spark.read.parquet(s"$dir/$name.parquet")
 }
 
+object StreamTables {
+  /** The driver table as a Structured-Streaming file source. The testdata
+    * tables are single parquet FILES, but the streaming file source only
+    * lists directories — so stream the parent dir with a glob filter
+    * pinned to the one table. */
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.readStream
+      .schema(Tables(spark, dir, name).schema)
+      .option("pathGlobFilter", s"$name.parquet")
+      .parquet(dir)
+}
+
 object Fixtures {
   import Gr._
 

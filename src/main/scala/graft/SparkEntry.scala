@@ -1277,6 +1277,53 @@ object SparkEntry {
         Fixtures.supplierSimDeg(s, dir), Similarity.Sorensen, Fixtures.supplierSimNV(s, dir))
       r.select(col(SRC), col(DST), round(col("sorensen_coeff"), 6).as("sorensen_coeff"))
     },
+    // ---- Structured Streaming gates (extension surface, SURVEY §2.9) ----
+    // Each runs an ACTUAL streaming execution to completion (parquet file
+    // source → Trigger.AvailableNow → memory sink) and returns the final
+    // table; aggregations are order-insensitive so the result is
+    // micro-batch-split-invariant and exactly gateable in DuckDB.
+    "q_stream_dedup" -> q { (s, dir) =>
+      // streaming twin of q_dedup_exact: stateful group-by content hash
+      val stream = StreamTables(s, dir, "documents")
+      graft.streaming.GraphStream.runToCompletion(
+        stream.groupBy(md5(col("text")).as("content_hash"))
+          .agg(count(lit(1)).as("n_copies"), min("doc_id").as("survivor")),
+        mode = "complete")
+    },
+    "q_stream_window_counts" -> q { (s, dir) =>
+      // watermarked tumbling-window event rollup over the events stream;
+      // value steps are hundredths (inexact in binary) so sums are rounded
+      // at 6 dp on both sides — accumulated double error is ~1e-12. The
+      // parquet ts is NTZ; the watermark clock needs an instant — cast in
+      // the session TZ (UTC), matching DuckDB's naive epoch().
+      val stream = StreamTables(s, dir, "events")
+        .withColumn("ts", col("ts").cast("timestamp"))
+      graft.streaming.GraphStream.runToCompletion(
+        stream.withWatermark("ts", "1 hour")
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n_events"), round(sum("value"), 6).as("sum_value")),
+        mode = "complete")
+        .select(unix_timestamp(col("window.start")).as("window_start"),
+          col("event_type"), col("n_events"), col("sum_value"))
+    },
+    "q_stream_vertex_summary" -> q { (s, dir) =>
+      // keyed-state path (mapGroupsWithState): per-supplier running summary
+      // over the lineitem edge stream; the final state per key is the row
+      // with the largest degree (degree is strictly monotone in the fold),
+      // so the update-mode sink collapses deterministically even if the
+      // source split into several micro-batches. l_quantity is integral —
+      // every weight sum is exact.
+      val stream = StreamTables(s, dir, "lineitem")
+        .select(col("l_suppkey").as(SRC), col("l_partkey").as(DST),
+          col("l_quantity").cast("double").as(WEIGHT))
+      graft.streaming.GraphStream.runToCompletion(
+        graft.streaming.GraphStream.runningVertexSummary(stream), mode = "update")
+        .groupBy("id")
+        .agg(max(struct(col("degree"), col("weightSum"), col("minNbr"), col("maxNbr"))).as("f"))
+        .select(col("id"), col("f.degree").as("degree"),
+          col("f.weightSum").as("weight_sum"),
+          col("f.minNbr").as("min_nbr"), col("f.maxNbr").as("max_nbr"))
+    },
   )
 
   import Fixtures._
@@ -1841,6 +1888,19 @@ object SparkEntry {
     "q_overlap" -> similaritySql("round(CAST(i.i AS DOUBLE) / least(da.d, db.d), 6)", "overlap_coeff"),
     "q_cosine" -> similaritySql("round(CAST(i.i AS DOUBLE) / sqrt(CAST(da.d AS DOUBLE) * db.d), 6)", "cosine_coeff"),
     "q_sorensen" -> similaritySql("round(2.0 * i.i / (da.d + db.d), 6)", "sorensen_coeff"),
+    "q_stream_dedup" ->
+      """SELECT md5(text) AS content_hash, count(*) AS n_copies,
+        |       min(doc_id) AS survivor
+        |FROM documents GROUP BY 1""".stripMargin,
+    "q_stream_window_counts" ->
+      """SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start,
+        |       event_type, count(*) AS n_events, round(sum(value), 6) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_stream_vertex_summary" ->
+      """SELECT l_suppkey AS id, CAST(count(*) AS BIGINT) AS degree,
+        |       sum(CAST(l_quantity AS DOUBLE)) AS weight_sum,
+        |       min(l_partkey) AS min_nbr, max(l_partkey) AS max_nbr
+        |FROM lineitem GROUP BY 1""".stripMargin,
   )
 
   private def similarityWeightedSql(scoreExpr: String, name: String): String =

@@ -264,4 +264,22 @@ object GraphStream {
       .option("path", outPath)
       .option("checkpointLocation", checkpoint)
       .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(triggerSeconds * 1000))
+
+  /** Run a streaming DataFrame to completion over its (finite) file source
+    * and return the final result as a batch DataFrame: `Trigger
+    * .AvailableNow` drains every pending file, the memory sink holds the
+    * last emitted table. This is what lets the driver's DuckDB gate compare
+    * an actual Structured-Streaming execution (file source → watermark/
+    * stateful op → sink) against batch SQL — the gated streaming queries
+    * all use ORDER-INSENSITIVE aggregations, so the result is deterministic
+    * no matter how the source splits micro-batches. */
+  def runToCompletion(df: DataFrame, mode: String): DataFrame = {
+    val qn = "sg_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val sq = df.writeStream.format("memory").queryName(qn)
+      .outputMode(mode)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    sq.awaitTermination()
+    df.sparkSession.table(qn)
+  }
 }
