@@ -267,15 +267,18 @@ object Community {
       val mayMove =
         if (parityMode && !probe) pmod(col(ID) + lit(it), lit(maskMod)) === 0
         else lit(true)
-      val nextC = state.join(graft.prims.Hint.state(best, nState),
-          Seq("run", ID), "left")
-        .select(col("run"), col(ID), col("community").as("old"),
-          when(col("nc").isNotNull && mayMove &&
-               col("gain") > coalesce(col("stay_gain"), lit(0.0)) + lit(1e-12), col("nc"))
-            .otherwise(col("community")).as("community"),
-          col("k"))
-        .mat
-      moved = nextC.filter(col("community") =!= col("old")).count()
+      // the moved count rides the materialization job itself (observe
+      // metric) — no separate per-round count scan
+      val (nextC, movedNow) = graft.prims.Iterate.materializeCount(
+        state.join(graft.prims.Hint.state(best, nState), Seq("run", ID), "left")
+          .select(col("run"), col(ID), col("community").as("old"),
+            when(col("nc").isNotNull && mayMove &&
+                 col("gain") > coalesce(col("stay_gain"), lit(0.0)) + lit(1e-12), col("nc"))
+              .otherwise(col("community")).as("community"),
+            col("k")),
+        sum(when(col("community") =!= col("old"), 1L).otherwise(0L)),
+        _.filter(col("community") =!= col("old")).count())
+      moved = movedNow
       if (!parityMode) {
         if (moved == 0) zeroStreak = Int.MaxValue // free full round; done
         else parityMode = true // escalate after the opening mass-move round

@@ -45,13 +45,15 @@ object Components {
       it += 1
       val nbrMin = und.join(graft.prims.Hint.state(labels.withColumnRenamed(ID, SRC), nV), SRC)
         .groupBy(col(DST).as(ID)).agg(min("component").as("nbr_min"))
-      // one materialization carries both the new label and the old one, so
-      // the convergence count is a scan of the cached frame, not a re-join
-      val joined = labels.join(graft.prims.Hint.state(nbrMin, nV), Seq(ID), "left")
-        .select(col(ID), col("component").as("old"),
-          least(col("component"), coalesce(col("nbr_min"), col("component"))).as("component"))
-        .mat
-      changed = joined.filter(col("component") < col("old")).count()
+      // the convergence count rides the materialization job (observe
+      // metric) — one job per round, no separate count scan
+      val (joined, ch) = graft.prims.Iterate.materializeCount(
+        labels.join(graft.prims.Hint.state(nbrMin, nV), Seq(ID), "left")
+          .select(col(ID), col("component").as("old"),
+            least(col("component"), coalesce(col("nbr_min"), col("component"))).as("component")),
+        sum(when(col("component") < col("old"), 1L).otherwise(0L)),
+        _.filter(col("component") < col("old")).count())
+      changed = ch
       labels = joined.select(col(ID), col("component"))
     }
     if (changed > 0) {
@@ -101,13 +103,14 @@ object Components {
       // (including hi) folds onto the minimum
       val hiAdj = ls.select(col(DST).as("hi"), col(SRC).as("lo"))
       val sMin = hiAdj.groupBy("hi").agg(min("lo").as("m"))
-      val ss = hiAdj.join(st(sMin), "hi")
-        .select(col("lo").as(SRC), col("m").as(DST))
-        .filter(col(SRC) =!= col(DST))
-        .select(least(col(SRC), col(DST)).as(SRC), greatest(col(SRC), col(DST)).as(DST))
-        .union(sMin.select(col("m").as(SRC), col("hi").as(DST)))
-        .distinct().mat
-      val nNew = ss.count()
+      val (ss, nNew) = graft.prims.Iterate.materializeCount(
+        hiAdj.join(st(sMin), "hi")
+          .select(col("lo").as(SRC), col("m").as(DST))
+          .filter(col(SRC) =!= col(DST))
+          .select(least(col(SRC), col(DST)).as(SRC), greatest(col(SRC), col(DST)).as(DST))
+          .union(sMin.select(col("m").as(SRC), col("hi").as(DST)))
+          .distinct(),
+        count(lit(1)), _.count())
       // fixpoint: the pair set reproduces itself (star forest); the
       // exceptAll job only runs once counts stop changing
       done = nNew == nPairs && ss.exceptAll(pairs).isEmpty
@@ -191,12 +194,18 @@ object Components {
         var first = true
         var cascade = 0
         while (!stable) {
-          val deg = if (first) deg0
-            else verts.join(degOf(remaining), Seq(ID), "left")
-              .select(col(ID), coalesce(col("degree"), lit(0L)).as("degree")).mat
+          // round 1 is always productive (k = minDeg+1, so the min-degree
+          // vertices peel) — its weak-set check is skipped; later rounds
+          // read the weak count off the degree materialization job itself
+          val (deg, nWeak) = if (first) (deg0, -1L)
+            else graft.prims.Iterate.materializeCount(
+              verts.join(degOf(remaining), Seq(ID), "left")
+                .select(col(ID), coalesce(col("degree"), lit(0L)).as("degree")),
+              sum(when(col("degree") < k, 1L).otherwise(0L)),
+              _.filter(col("degree") < k).count())
           first = false
           val weak = deg.filter(col("degree") < k).select(ID)
-          if (weak.isEmpty) stable = true
+          if (nWeak == 0) stable = true
           else {
             cascade += 1
             maxCore = math.max(maxCore, k - 1)
@@ -342,9 +351,11 @@ object Components {
         t += 1
         val hasOut = edges.select(col(SRC).as(ID)).distinct()
         val hasIn = edges.select(col(DST).as(ID)).distinct()
-        val dead = verts.join(hasOut, Seq(ID), "left_anti")
-          .union(verts.join(hasIn, Seq(ID), "left_anti")).distinct().mat
-        trimmed = dead.count()
+        val (dead, nDead) = graft.prims.Iterate.materializeCount(
+          verts.join(hasOut, Seq(ID), "left_anti")
+            .union(verts.join(hasIn, Seq(ID), "left_anti")).distinct(),
+          count(lit(1)), _.count())
+        trimmed = nDead
         if (trimmed > 0) {
           result = result.union(dead.select(col(ID), col(ID).as("component"))).mat
           verts = verts.join(dead, Seq(ID), "left_anti").mat
@@ -394,11 +405,13 @@ object Components {
       sweep += 1
       val nbrMin = e.join(labels.withColumnRenamed(ID, SRC), SRC)
         .groupBy(col(DST).as(ID)).agg(min("ml").as("nm"))
-      val joined = labels.join(nbrMin, Seq(ID), "left")
-        .select(col(ID), col("ml").as("old"),
-          least(col("ml"), coalesce(col("nm"), col("ml"))).as("ml"))
-        .mat
-      changed = joined.filter(col("ml") < col("old")).count()
+      val (joined, ch) = graft.prims.Iterate.materializeCount(
+        labels.join(nbrMin, Seq(ID), "left")
+          .select(col(ID), col("ml").as("old"),
+            least(col("ml"), coalesce(col("nm"), col("ml"))).as("ml")),
+        sum(when(col("ml") < col("old"), 1L).otherwise(0L)),
+        _.filter(col("ml") < col("old")).count())
+      changed = ch
       labels = joined.select(col(ID), col("ml"))
     }
     (labels, changed == 0)
@@ -430,8 +443,10 @@ object Components {
         var rounds = 0
         while (changed > 0) {
           rounds += 1
-          val weak = undirDegrees(e).filter(col("degree") < k).select(ID).mat
-          changed = weak.count()
+          val (weak, nWeak) = graft.prims.Iterate.materializeCount(
+            undirDegrees(e).filter(col("degree") < k).select(ID),
+            count(lit(1)), _.count())
+          changed = nWeak
           if (changed > 0) {
             e = e.join(weak.withColumnRenamed(ID, SRC), Seq(SRC), "left_anti")
               .join(weak.withColumnRenamed(ID, DST), Seq(DST), "left_anti")

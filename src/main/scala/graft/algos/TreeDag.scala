@@ -40,12 +40,13 @@ object TreeDag {
     var round = 0
     while (more && round < 64) {
       round += 1
-      val e = canon
-        .join(st(comp.select(col(ID).as(SRC), col("comp").as("c_src"))), SRC)
-        .join(st(comp.select(col(ID).as(DST), col("comp").as("c_dst"))), DST)
-        .filter(col("c_src") =!= col("c_dst"))
-        .mat
-      if (e.isEmpty) more = false
+      val (e, nCross) = graft.prims.Iterate.materializeCount(
+        canon
+          .join(st(comp.select(col(ID).as(SRC), col("comp").as("c_src"))), SRC)
+          .join(st(comp.select(col(ID).as(DST), col("comp").as("c_dst"))), DST)
+          .filter(col("c_src") =!= col("c_dst")),
+        count(lit(1)), _.count())
+      if (nCross == 0) more = false
       else {
         // per-component min edge, deterministic tie-break
         val key = struct(col(WEIGHT), col(SRC), col(DST))
@@ -89,14 +90,15 @@ object TreeDag {
     while (n > 0 && lvl < maxRounds) {
       val withIn = remainingV.join(
         remainingE.groupBy(col(DST).as(ID)).agg(count(lit(1)).as("ind")), Seq(ID), "left")
-      val zero = withIn.filter(col("ind").isNull).select(ID).mat
-      if (zero.isEmpty)
+      val (zero, nZero) = graft.prims.Iterate.materializeCount(
+        withIn.filter(col("ind").isNull).select(ID), count(lit(1)), _.count())
+      if (nZero == 0)
         throw new IllegalArgumentException("topological_sort: graph has a cycle")
       out = out.union(zero.withColumn("level", lit(lvl))).mat
       remainingV = remainingV.join(zero, Seq(ID), "left_anti").mat
       remainingE = remainingE.join(zero.withColumnRenamed(ID, SRC), Seq(SRC), "left_anti")
         .mat
-      n -= zero.count()
+      n -= nZero
       lvl += 1
     }
     out

@@ -66,6 +66,26 @@ object Iterate {
     ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
   }
 
+  /** Materialize AND read a scalar aggregate of the frame in the SAME job:
+    * the metric rides the eager-checkpoint action as an `observe` node
+    * (codegen'd accumulator, zero extra pass), replacing the separate
+    * convergence-count scan every iterative loop used to pay per round.
+    * Falls back to a plain scan if the metrics event doesn't surface
+    * within the timeout (listener-bus delivery is async). */
+  def materializeCount(df: DataFrame, metric: Column,
+                       fallback: DataFrame => Long): (DataFrame, Long) = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val obs = org.apache.spark.sql.Observation()
+    val ck = materialize(df.observe(obs, metric.as("_m")))
+    val v = try {
+      val m = Await.result(Future(obs.get), 30.seconds)
+      Option(m("_m")).map(_.asInstanceOf[Number].longValue).getOrElse(0L)
+    } catch { case _: java.util.concurrent.TimeoutException => fallback(ck) }
+    (ck, v)
+  }
+
   /** Iteration driver for fixed-point DataFrame loops.
     *
     * Each step maps the current state DataFrame to the next; every
