@@ -172,16 +172,24 @@ object Centrality {
     var more = true
     while (more) {
       level += 1
-      val next = st(frontier.withColumnRenamed(ID, SRC)).join(e, SRC)
-        .select(col("root"), col(DST).as(ID), col("sigma"))
-        .join(st(settled.select(col("root"), col(ID)).withColumn("_seen", lit(1))),
-          Seq("root", ID), "left_anti")
-        .groupBy("root", ID).agg(sum("sigma").as("sigma"))
-        .withColumn("dist", lit(level))
-        .select("root", ID, "dist", "sigma")
-        .mat
-      if (next.isEmpty) more = false
+      // frontier-size check rides the materialization job; `settled` stays
+      // a lazy union of the per-level checkpointed frames (re-copying the
+      // whole reach set every level was O(levels × |settled|) for nothing
+      // — each member is already partition-local)
+      val (next, nNext) = graft.prims.Iterate.materializeCount(
+        st(frontier.withColumnRenamed(ID, SRC)).join(e, SRC)
+          .select(col("root"), col(DST).as(ID), col("sigma"))
+          .join(st(settled.select(col("root"), col(ID)).withColumn("_seen", lit(1))),
+            Seq("root", ID), "left_anti")
+          .groupBy("root", ID).agg(sum("sigma").as("sigma"))
+          .withColumn("dist", lit(level))
+          .select("root", ID, "dist", "sigma"),
+        count(lit(1)), _.count())
+      if (nNext == 0) more = false
       else {
+        // settled IS re-materialized: the backward sweep filters it once
+        // per level and the anti-join broadcasts it every forward level —
+        // a single compact RDD beats a growing union chain for both
         settled = settled.union(next).mat
         frontier = next
       }
@@ -269,14 +277,17 @@ object Centrality {
     var more = true
     while (more) {
       level += 1
-      val next = st(frontier.withColumnRenamed(ID, SRC)).join(e, SRC)
-        .select(col("root"), col(DST).as(ID), col("sigma"))
-        .join(st(settled.select(col("root"), col(ID))), Seq("root", ID), "left_anti")
-        .groupBy("root", ID).agg(sum("sigma").as("sigma"))
-        .withColumn("dist", lit(level))
-        .select("root", ID, "dist", "sigma")
-        .mat
-      if (next.isEmpty) more = false
+      // same shape as the vertex variant: count rides the materialization,
+      // settled stays a lazy union of checkpointed level frames
+      val (next, nNext) = graft.prims.Iterate.materializeCount(
+        st(frontier.withColumnRenamed(ID, SRC)).join(e, SRC)
+          .select(col("root"), col(DST).as(ID), col("sigma"))
+          .join(st(settled.select(col("root"), col(ID))), Seq("root", ID), "left_anti")
+          .groupBy("root", ID).agg(sum("sigma").as("sigma"))
+          .withColumn("dist", lit(level))
+          .select("root", ID, "dist", "sigma"),
+        count(lit(1)), _.count())
+      if (nNext == 0) more = false
       else { settled = settled.union(next).mat; frontier = next }
     }
     var delta = settled.select(col("root"), col(ID), lit(0.0).as("delta")).mat

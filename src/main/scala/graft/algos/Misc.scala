@@ -50,13 +50,16 @@ object Misc {
         .filter(col("nb").isNull ||
           struct(col("p"), col(ID)) < col("nb"))
         .select(ID).mat
-      mis = mis.union(winners).mat
-      // drop winners and their neighbors from the arena
+      mis = mis.union(winners) // lazy union of checkpointed round frames
+      // drop winners and their neighbors from the arena; the remaining
+      // count rides the materialization job
       val killed = winners.union(
         und.join(winners.withColumnRenamed(ID, SRC), SRC).select(col(DST).as(ID)))
         .distinct()
-      rem = rem.join(killed, Seq(ID), "left_anti").mat
-      nRem = rem.count()
+      val (rem2, nR) = graft.prims.Iterate.materializeCount(
+        rem.join(killed, Seq(ID), "left_anti"), count(lit(1)), _.count())
+      rem = rem2
+      nRem = nR
     }
     (mis.select(ID), rounds)
   }
@@ -90,10 +93,12 @@ object Misc {
       val (m0, rounds) = misWithRounds(sub, seed + color)
       maxRounds = math.max(maxRounds, rounds)
       val m = m0.withColumn("color", lit(color.toLong))
-      colored = if (colored == null) m else colored.union(m).mat
-      remV = remV.join(m.select(ID), Seq(ID), "left_anti").mat
+      colored = if (colored == null) m else colored.union(m)
+      val (remV2, nR) = graft.prims.Iterate.materializeCount(
+        remV.join(m.select(ID), Seq(ID), "left_anti"), count(lit(1)), _.count())
+      remV = remV2
       color += 1
-      nRem = remV.count()
+      nRem = nR
     }
     (colored, color, maxRounds)
   }
@@ -114,7 +119,7 @@ object Misc {
       val matched = best.join(b2, col("m") === col("b_src") && col("b_m") === col(SRC))
         .filter(col(SRC) < col("m"))
         .select(col(SRC), col("m").as(DST)).mat
-      pairs = if (pairs == null) matched else pairs.union(matched).mat
+      pairs = if (pairs == null) matched else pairs.union(matched)
       val mv = pairs.select(col(SRC).as(ID)).union(pairs.select(col(DST).as(ID))).distinct()
       remE = remE
         .join(mv.withColumnRenamed(ID, SRC), Seq(SRC), "left_anti")
@@ -256,8 +261,10 @@ object Misc {
     var round = 0
     var done = false
     while (!done && round < maxRounds) {
-      val unassigned = persons.join(assign.select("i"), Seq("i"), "left_anti").mat
-      if (unassigned.isEmpty) done = true
+      val (unassigned, nUn) = graft.prims.Iterate.materializeCount(
+        persons.join(assign.select("i"), Seq("i"), "left_anti"),
+        count(lit(1)), _.count())
+      if (nUn == 0) done = true
       else {
         round += 1
         val cand = vals.join(unassigned, "i").join(prices, "j")

@@ -36,15 +36,18 @@ object MultiTraversal {
     var n = 1L
     while (n > 0 && depth < depthLimit) {
       depth += 1
-      val next = e.join(graft.prims.Hint.state(frontier.withColumnRenamed(ID, SRC), n), SRC)
-        .groupBy(col("source"), col(DST).as(ID)).agg(min(SRC).as("predecessor"))
-        .join(settled.select("source", ID), Seq("source", ID), "left_anti")
-        .withColumn("distance", lit(depth))
-        .select("source", ID, "distance", "predecessor")
-        .mat
-      n = next.count()
+      // frontier size rides the materialization job; settled stays a lazy
+      // union of the per-depth checkpointed frames
+      val (next, nNext) = graft.prims.Iterate.materializeCount(
+        e.join(graft.prims.Hint.state(frontier.withColumnRenamed(ID, SRC), n), SRC)
+          .groupBy(col("source"), col(DST).as(ID)).agg(min(SRC).as("predecessor"))
+          .join(settled.select("source", ID), Seq("source", ID), "left_anti")
+          .withColumn("distance", lit(depth))
+          .select("source", ID, "distance", "predecessor"),
+        count(lit(1)), _.count())
+      n = nNext
       if (n > 0) {
-        settled = settled.union(next).mat
+        settled = settled.union(next)
         frontier = next.select("source", ID)
       }
     }
@@ -103,12 +106,14 @@ object MultiTraversal {
       val best = cand.groupBy("source", ID).agg(min("distance").as("distance"))
       val next = dist.union(best)
         .groupBy("source", ID).agg(min("distance").as("distance")).mat
-      val imp = next.join(
-          dist.select(col("source"), col(ID), col("distance").as("d_old")),
-          Seq("source", ID), "left")
-        .filter(col("d_old").isNull || col("distance") < col("d_old"))
-        .select("source", ID, "distance").mat
-      nImp = imp.count()
+      val (imp, nI) = graft.prims.Iterate.materializeCount(
+        next.join(
+            dist.select(col("source"), col(ID), col("distance").as("d_old")),
+            Seq("source", ID), "left")
+          .filter(col("d_old").isNull || col("distance") < col("d_old"))
+          .select("source", ID, "distance"),
+        count(lit(1)), _.count())
+      nImp = nI
       dist = next
       improved = imp
     }

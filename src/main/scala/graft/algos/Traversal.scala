@@ -36,15 +36,18 @@ object Traversal {
     var frontierCount = 1L
     while (frontierCount > 0 && depth < depthLimit) {
       depth += 1
-      val next = e.join(Hint.state(frontier.withColumnRenamed(ID, SRC), frontierCount), SRC)
-        .groupBy(col(DST).as(ID)).agg(min(SRC).as("predecessor"))
-        .join(settled.select(ID), Seq(ID), "left_anti")
-        .withColumn("distance", lit(depth))
-        .select(ID, "distance", "predecessor")
-        .mat
-      frontierCount = next.count()
+      // frontier size rides the materialization job; settled stays a lazy
+      // union of the per-depth checkpointed frames
+      val (next, nNext) = graft.prims.Iterate.materializeCount(
+        e.join(Hint.state(frontier.withColumnRenamed(ID, SRC), frontierCount), SRC)
+          .groupBy(col(DST).as(ID)).agg(min(SRC).as("predecessor"))
+          .join(settled.select(ID), Seq(ID), "left_anti")
+          .withColumn("distance", lit(depth))
+          .select(ID, "distance", "predecessor"),
+        count(lit(1)), _.count())
+      frontierCount = nNext
       if (frontierCount > 0) {
-        settled = settled.union(next).mat
+        settled = settled.union(next)
         frontier = next.select(ID)
       }
     }
@@ -84,12 +87,13 @@ object Traversal {
         .groupBy(ID).agg(min(struct(col("distance"), col("predecessor"))).as("s"))
         .select(col(ID), col("s.distance").as("distance"), col("s.predecessor").as("predecessor"))
         .mat
-      val imp = next.join(dist.withColumnRenamed("distance", "d_old")
-          .select(ID, "d_old"), Seq(ID), "left")
-        .filter(col("d_old").isNull || col("distance") < col("d_old"))
-        .select(ID, "distance", "predecessor")
-        .mat
-      nImproved = imp.count()
+      val (imp, nI) = graft.prims.Iterate.materializeCount(
+        next.join(dist.withColumnRenamed("distance", "d_old")
+            .select(ID, "d_old"), Seq(ID), "left")
+          .filter(col("d_old").isNull || col("distance") < col("d_old"))
+          .select(ID, "distance", "predecessor"),
+        count(lit(1)), _.count())
+      nImproved = nI
       dist = next
       improved = imp
     }

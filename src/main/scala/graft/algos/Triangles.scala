@@ -187,8 +187,10 @@ object Triangles {
     var done = false
     while (!done && it < maxIter) {
       it += 1
-      val del = alive.filter(col("support") < k - 2).select(SRC, DST).mat
-      if (del.isEmpty) done = true
+      val (del, nDel) = graft.prims.Iterate.materializeCount(
+        alive.filter(col("support") < k - 2).select(SRC, DST),
+        count(lit(1)), _.count())
+      if (nDel == 0) done = true
       else {
         val e = alive.select(SRC, DST) // edge set at the start of the round
         // each pattern SEEDS from del — |del| ⋈ E on one vertex key, then a
