@@ -360,6 +360,42 @@ object PipelineSql {
     b.toString
   }
 
+  /** Exact oracle for `Ann.knnGraph`: the identical k-means unroll as
+    * [[embedDupIvf]], then per-vector top-k among SAME-CELL neighbors. */
+  def knnGraph(k: Int, nlist: Int, iters: Int, dim: Int): String = {
+    val avgList = "[" + (1 to dim).map(i => s"avg(v[$i])").mkString(", ") + "]"
+    def assign(cents: String, name: String): String =
+      s"""$name AS MATERIALIZED (
+         |  SELECT vec_id, v, nrm, cid FROM (
+         |    SELECT e.vec_id, e.v, e.nrm, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY list_dot_product(e.v, c.cv) DESC, c.cid) AS rn
+         |    FROM e CROSS JOIN $cents c) t WHERE rn = 1)""".stripMargin
+    val b = new StringBuilder
+    b ++= s"WITH $EMB_NORM,\n"
+    b ++= s"""c0 AS MATERIALIZED (
+             |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) - 1 AS cid,
+             |         v AS cv
+             |  FROM (SELECT * FROM e ORDER BY vec_id LIMIT $nlist)),
+             |""".stripMargin
+    for (i <- 1 to iters) {
+      b ++= assign(s"c${i - 1}", s"a$i") + ",\n"
+      b ++= s"c$i AS MATERIALIZED (SELECT cid, $avgList AS cv FROM a$i GROUP BY cid),\n"
+    }
+    b ++= assign(s"c$iters", "bucketed") + ",\n"
+    b ++= s"""ranked AS MATERIALIZED (
+             |  SELECT a.vec_id, b.vec_id AS neighbor_id,
+             |    round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine,
+             |    row_number() OVER (PARTITION BY a.vec_id
+             |      ORDER BY round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) DESC,
+             |               b.vec_id) AS rank
+             |  FROM bucketed a JOIN bucketed b
+             |    ON a.cid = b.cid AND a.vec_id <> b.vec_id)
+             |SELECT vec_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
+             |FROM ranked WHERE rank <= $k""".stripMargin
+    b.toString
+  }
+
   /** Exact PQ-ADC oracle: unrolls `Ann.pqTopK` — per-subspace k-means
     * (init = first `ksub` vectors by vec_id, argmin-L2 assignment with
     * lowest-cid tie-break, per-dim avg updates, `iters` rounds), the

@@ -438,6 +438,13 @@ object SparkEntry {
       val emb = Fixtures.embeddings(s, dir)
       pipeline.Ann.ivfTopK(emb, emb.filter(col("vec_id") < 5), k = 10)
     },
+    "q_knn_graph" -> q { (s, dir) =>
+      // corpus→corpus k-NN graph: IVF cell-bucketed exact-cosine top-k
+      // (the scale shape for billion-vector similarity graphs — centroid
+      // broadcast + cell equi-join, never an all-pairs self-join); the
+      // DuckDB oracle unrolls the identical deterministic pipeline
+      pipeline.Ann.knnGraph(Fixtures.embeddings(s, dir), k = 5)
+    },
     "q_incremental_dedup" -> q { (s, dir) =>
       // nightly-ingest shape: even doc_ids are the standing corpus, odd
       // doc_ids the incoming batch
@@ -1539,6 +1546,7 @@ object SparkEntry {
     "q_ann_pq" -> PipelineSql.annPq(nQueries = 5, k = 10, m = 8, ksub = 16,
       iters = 2, dim = 64),
     "q_embed_dup_ivf" -> PipelineSql.embedDupIvf(0.4, nlist = 16, iters = 3, dim = 64),
+    "q_knn_graph" -> PipelineSql.knnGraph(k = 5, nlist = 16, iters = 3, dim = 64),
     "q_incremental_dedup" -> PipelineSql.incrementalDedup(bands = 4, rowsPerBand = 2),
     "q_dedup_clusters" ->
       s"""WITH RECURSIVE pr AS MATERIALIZED (${PipelineSql.lshPairs(bands = 4, rowsPerBand = 2, threshold = 0.2)}),

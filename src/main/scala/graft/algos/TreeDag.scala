@@ -56,24 +56,42 @@ object TreeDag {
           .select(col("k.src").as(SRC), col("k.dst").as(DST), col("k.weight").as(WEIGHT))
           .distinct()
           .mat
-        mst = mst.union(chosen).mat
-        // merge components: WCC over the component-contraction graph
-        // no hint on these two: `chosen` (≤ #components rows) is the small
-        // side here — AQE broadcasts it from runtime sizes; hinting comp
+        mst = mst.union(chosen) // lazy: only read after the loop
+        // merge components along the chosen star forest — a lean min-label
+        // propagation over ONLY the touched components (≤ 2·|chosen| ids;
+        // untouched components keep their label through the left join
+        // below). A full Components.wcc call here re-paid symmetrize,
+        // vertex-count, and label-init jobs every Borůvka round.
+        // no hint on the cg joins: `chosen` (≤ #components rows) is the
+        // small side — AQE broadcasts it from runtime sizes; hinting comp
         // would broadcast the bigger side
         val cg = chosen
           .join(comp.select(col(ID).as(SRC), col("comp").as("ca")), SRC)
           .join(comp.select(col(ID).as(DST), col("comp").as("cb")), DST)
           .select(col("ca").as(SRC), col("cb").as(DST))
-        val cgVerts = comp.select(col("comp").as(ID)).distinct()
-        val merged = Components.wcc(
-          graft.core.PropertyGraph(cgVerts, cg, g.props.copy(directed = false)))
-        comp = comp.join(st(merged.withColumnRenamed(ID, "comp")), "comp")
-          .select(col(ID), col("component").as("comp"))
+        val cgSym = cg.union(cg.select(col(DST).as(SRC), col(SRC).as(DST))).mat
+        var lbl = cgSym.select(col(SRC).as(ID)).distinct()
+          .select(col(ID), col(ID).as("ml")).mat
+        var ch = 1L
+        while (ch > 0) {
+          val nbrMin = cgSym.join(st(lbl.withColumnRenamed(ID, SRC)), SRC)
+            .groupBy(col(DST).as(ID)).agg(min("ml").as("nm"))
+          val (nxt, c) = graft.prims.Iterate.materializeCount(
+            lbl.join(st(nbrMin), Seq(ID), "left")
+              .select(col(ID), col("ml").as("old"),
+                least(col("ml"), coalesce(col("nm"), col("ml"))).as("ml")),
+            sum(when(col("ml") < col("old"), 1L).otherwise(0L)),
+            _.filter(col("ml") < col("old")).count())
+          ch = c
+          lbl = nxt.select(col(ID), col("ml"))
+        }
+        comp = comp.join(st(lbl.withColumnRenamed(ID, "comp")), Seq("comp"), "left")
+          .select(col(ID), coalesce(col("ml"), col("comp")).as("comp"))
           .mat
       }
     }
-    (if (maximum) mst.withColumn(WEIGHT, -col(WEIGHT)) else mst, round)
+    val mstOut = mst.mat
+    (if (maximum) mstOut.withColumn(WEIGHT, -col(WEIGHT)) else mstOut, round)
   }
 
   /** Topological levels of a DAG by zero-in-degree peeling: level(v) =

@@ -263,4 +263,30 @@ object Ann {
         row_number().over(org.apache.spark.sql.expressions.Window
           .partitionBy("query_id").orderBy(desc("cosine"), col("neighbor_id"))))
   }
+
+  /** IVF-bucketed k-NN GRAPH over the whole corpus (corpus→corpus top-k):
+    * deterministic k-means cells, exact cosine WITHIN each cell only,
+    * top-k neighbors per vector — the shape for building a similarity
+    * graph over billions of embeddings (one centroid broadcast + one
+    * equi-join on cell id; never an all-pairs self-join). A vector alone
+    * in its cell emits no edges, like the bucketed near-dup kernels; the
+    * output edge list feeds the graph half of the engine directly (WCC →
+    * semantic clusters, PageRank → centrality-weighted sampling).
+    * Output (vec_id, neighbor_id, cosine, rank). */
+  def knnGraph(emb: DataFrame, k: Int, nlist: Int = 16, iters: Int = 3,
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val e = withNorm(emb, idCol, vecCol).mat
+    val cents = kmeansCentroids(emb, nlist, iters, idCol, vecCol).mat
+    val bucketed = assignFused(e, cents, idCol, Seq("v", "nrm")).mat
+    val nbr = bucketed.select(col(idCol).as("neighbor_id"), col("v").as("nv"),
+      col("nrm").as("nn"), col("cid").as("ncid"))
+    val scored = bucketed.join(nbr,
+        col("cid") === col("ncid") && col(idCol) =!= col("neighbor_id"))
+      .select(col(idCol), col("neighbor_id"),
+        round(cosine(col("v"), col("nv"), col("nrm"), col("nn")), 6).as("cosine"))
+    TopK.perKey(scored, Seq(idCol), Seq(desc("cosine"), col("neighbor_id")), k)
+      .withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(idCol).orderBy(desc("cosine"), col("neighbor_id"))))
+  }
 }
