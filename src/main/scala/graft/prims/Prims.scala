@@ -66,24 +66,31 @@ object Iterate {
     ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
   }
 
-  /** Materialize AND read a scalar aggregate of the frame in the SAME job:
-    * the metric rides the eager-checkpoint action as an `observe` node
-    * (codegen'd accumulator, zero extra pass), replacing the separate
-    * convergence-count scan every iterative loop used to pay per round.
-    * Falls back to a plain scan if the metrics event doesn't surface
-    * within the timeout (listener-bus delivery is async). */
+  /** Materialize a loop-state frame and read its convergence scalar.
+    *
+    * Default path: eager checkpoint, then `scan` over the cached partitions
+    * — a ~50ms job on a materialized frame. An `observe`-metric variant
+    * that rides the checkpoint action itself (zero extra job) is kept
+    * behind GRAFT_OBSERVE=1 for re-testing: a same-host A/B on the ECG
+    * ensemble measured it consistently SLOWER (46.3s vs 43.0s despite 42
+    * fewer jobs — the CollectMetrics node taxes every checkpoint pass more
+    * than the cached count scans cost, and the `Observation` listener-bus
+    * variant was worse still, blocking 100ms+ per round on async event
+    * delivery). The cheap-job orthodoxy lost to measurement here; keep the
+    * scan unless a future Spark makes CollectMetrics codegen-transparent. */
   def materializeCount(df: DataFrame, metric: Column,
-                       fallback: DataFrame => Long): (DataFrame, Long) = {
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration._
-    import scala.concurrent.ExecutionContext.Implicits.global
-    val obs = org.apache.spark.sql.Observation()
-    val ck = materialize(df.observe(obs, metric.as("_m")))
-    val v = try {
-      val m = Await.result(Future(obs.get), 30.seconds)
-      Option(m("_m")).map(_.asInstanceOf[Number].longValue).getOrElse(0L)
-    } catch { case _: java.util.concurrent.TimeoutException => fallback(ck) }
-    (ck, v)
+                       scan: DataFrame => Long): (DataFrame, Long) = {
+    if (sys.env.contains("GRAFT_OBSERVE")) {
+      val named = df.observe("_graft_mc", metric.as("_m"))
+      val ck = materialize(named)
+      named.queryExecution.observedMetrics.get("_graft_mc") match {
+        case Some(row) =>
+          return (ck, Option(row.getAs[Any]("_m")).map(_.asInstanceOf[Number].longValue).getOrElse(0L))
+        case None => return (ck, scan(ck))
+      }
+    }
+    val ck = materialize(df)
+    (ck, scan(ck))
   }
 
   /** Iteration driver for fixed-point DataFrame loops.

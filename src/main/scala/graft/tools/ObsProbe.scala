@@ -11,17 +11,24 @@ object ObsProbe {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val obs = Observation()
     val df = spark.range(1000).toDF("id")
-      .observe(obs, sum(when(col("id") % 7 === 0, 1L).otherwise(0L)).as("m"))
+      .observe("probe", sum(when(col("id") % 7 === 0, 1L).otherwise(0L)).as("m"))
     val t0 = System.nanoTime()
     val ck = graft.prims.Iterate.materialize(df)
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration._
-    import scala.concurrent.ExecutionContext.Implicits.global
-    val got = try Some(Await.result(Future(obs.get), 5.seconds)("m"))
-              catch { case _: Throwable => None }
+    // synchronous read off the executed plan's accumulator — no listener bus
+    val got = df.queryExecution.observedMetrics.get("probe").map(_.getAs[Any]("m"))
     println(s"[obsprobe] metric=$got ckRows=${ck.count()} t=${(System.nanoTime() - t0) / 1e6}ms")
+    // timing loop: 20 materializeCount-style rounds to expose per-round latency
+    var cur = ck
+    val t1 = System.nanoTime()
+    for (i <- 1 to 20) {
+      val nx = cur.withColumn("id", col("id") + 1)
+        .observe(s"p$i", sum(when(col("id") % 7 === 0, 1L).otherwise(0L)).as("m"))
+      cur = graft.prims.Iterate.materialize(nx)
+      val v = nx.queryExecution.observedMetrics.get(s"p$i").map(_.getAs[Any]("m"))
+      require(v.isDefined, s"round $i metric missing")
+    }
+    println(f"[obsprobe] 20 rounds sync-read t=${(System.nanoTime() - t1) / 1e6}%.0fms")
     spark.stop()
   }
 }

@@ -133,6 +133,21 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan.take(1200))
   }
 
+  test("knnGraph pairs vectors by an equi-join on the cell id — never all-pairs") {
+    val emb = Fixtures.embeddings(spark, "/root/testdata/sf0.001")
+    val g = graft.pipeline.Ann.knnGraph(emb, k = 3, nlist = 4, iters = 1)
+    g.collect()
+    val plan = planOf(g)
+    // the pair scoring must route through a hash join keyed on the cell id;
+    // a nested-loop/cartesian pairing here is the all-pairs blowup the IVF
+    // bucketing exists to prevent (the only cross join in the operator is
+    // the bounded corpus × nlist-centroid assignment, which materializes
+    // before this final plan)
+    assert(plan.contains("HashJoin"), plan.take(1500))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "knnGraph pair generation went all-pairs:\n" + plan.take(1500))
+  }
+
   test("PMI pair generation is an equi-join on doc+position — no square enumeration") {
     // the pair frame materializes mid-operator, so its join shape is not in
     // the FINAL executed plan — capture every plan the operator runs
