@@ -279,6 +279,13 @@ object Fixtures {
   def documents(spark: SparkSession, dir: String): DataFrame = Tables(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = Tables(spark, dir, "embeddings")
 
+  /** Shared IVF k-NN similarity graph over the embeddings table (k=5):
+    * q_knn_graph gates the edge list itself, q_knn_components the WCC
+    * clusters over it — one k-means + one cell self-join per session. */
+  def knnEdges(spark: SparkSession, dir: String): DataFrame =
+    cached(spark, s"knn:$dir")(
+      graft.pipeline.Ann.knnGraph(embeddings(spark, dir), k = 5))
+
   /** Corpus-trained BPE merge table, cached per (session, dir):
     * q_bpe_train, q_bpe_tokens and q_fertility all consume the same
     * deterministic 5-merge table — train it once per session, exactly as a

@@ -396,6 +396,36 @@ object PipelineSql {
     b.toString
   }
 
+  /** Oracle for `q_knn_components`: the [[knnGraph]] unroll, symmetrized
+    * into an undirected edge set, then `rounds` unrolled min-label WCC
+    * iterations over ALL vec_ids (isolated vectors keep their own id;
+    * extra rounds past the fixpoint are idempotent). */
+  def knnComponents(k: Int, nlist: Int, iters: Int, dim: Int, rounds: Int): String = {
+    val base = knnGraph(k, nlist, iters, dim)
+    val b = new StringBuilder
+    // reuse the knn unroll as a prefix: strip its final SELECT into a CTE
+    val idx = base.lastIndexOf("SELECT vec_id, neighbor_id")
+    b ++= base.substring(0, idx)
+    b ++= s""",knn AS MATERIALIZED (
+             |  SELECT vec_id AS src, neighbor_id AS dst FROM ranked WHERE rank <= $k),
+             |sym AS MATERIALIZED (
+             |  SELECT src, dst FROM knn UNION SELECT dst, src FROM knn),
+             |l0 AS MATERIALIZED (SELECT vec_id AS id, vec_id AS component FROM e),
+             |""".stripMargin
+    for (i <- 1 to rounds) {
+      b ++= s"""l$i AS MATERIALIZED (
+               |  SELECT v.id, least(v.component, coalesce(m.nbr_min, v.component)) AS component
+               |  FROM l${i - 1} v LEFT JOIN (
+               |    SELECT u.dst AS id, min(p.component) AS nbr_min
+               |    FROM sym u JOIN l${i - 1} p ON p.id = u.src GROUP BY 1
+               |  ) m ON m.id = v.id
+               |)""".stripMargin
+      b ++= (if (i < rounds) ",\n" else "\n")
+    }
+    b ++= s"SELECT id AS vec_id, component FROM l$rounds"
+    b.toString
+  }
+
   /** Exact PQ-ADC oracle: unrolls `Ann.pqTopK` — per-subspace k-means
     * (init = first `ksub` vectors by vec_id, argmin-L2 assignment with
     * lowest-cid tie-break, per-dim avg updates, `iters` rounds), the

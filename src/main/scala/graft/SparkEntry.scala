@@ -443,7 +443,22 @@ object SparkEntry {
       // (the scale shape for billion-vector similarity graphs — centroid
       // broadcast + cell equi-join, never an all-pairs self-join); the
       // DuckDB oracle unrolls the identical deterministic pipeline
-      pipeline.Ann.knnGraph(Fixtures.embeddings(s, dir), k = 5)
+      Fixtures.knnEdges(s, dir)
+    },
+    "q_knn_components" -> q { (s, dir) =>
+      // the composition the knn graph exists for: semantic clusters =
+      // connected components OVER the similarity graph (SemDeDup's
+      // cluster-then-prune shape) — the pipeline half hands an edge list
+      // to the graph half in one line. Oracle: k-means + knn unroll, then
+      // 12 unrolled min-label rounds (idempotent past fixpoint).
+      val knn = Fixtures.knnEdges(s, dir)
+      val g = graft.core.PropertyGraph(
+        Fixtures.embeddings(s, dir).select(col("vec_id").as(ID)),
+        Structure.symmetrize(knn.select(col("vec_id").as(SRC), col("neighbor_id").as(DST))),
+        graft.core.GraphProperties(directed = false))
+      val (labels, rounds) = Components.wccWithRounds(g)
+      require(rounds <= 12, s"knn-component propagation took $rounds rounds, oracle unrolls 12")
+      labels.select(col(ID).as("vec_id"), col("component"))
     },
     "q_incremental_dedup" -> q { (s, dir) =>
       // nightly-ingest shape: even doc_ids are the standing corpus, odd
@@ -1547,6 +1562,8 @@ object SparkEntry {
       iters = 2, dim = 64),
     "q_embed_dup_ivf" -> PipelineSql.embedDupIvf(0.4, nlist = 16, iters = 3, dim = 64),
     "q_knn_graph" -> PipelineSql.knnGraph(k = 5, nlist = 16, iters = 3, dim = 64),
+    "q_knn_components" -> PipelineSql.knnComponents(k = 5, nlist = 16, iters = 3,
+      dim = 64, rounds = 12),
     "q_incremental_dedup" -> PipelineSql.incrementalDedup(bands = 4, rowsPerBand = 2),
     "q_dedup_clusters" ->
       s"""WITH RECURSIVE pr AS MATERIALIZED (${PipelineSql.lshPairs(bands = 4, rowsPerBand = 2, threshold = 0.2)}),

@@ -272,6 +272,12 @@ object Ann {
     * in its cell emits no edges, like the bucketed near-dup kernels; the
     * output edge list feeds the graph half of the engine directly (WCC →
     * semantic clusters, PageRank → centrality-weighted sampling).
+    *
+    * Scale note: a cell of size s costs s² candidate rows, so at corpus
+    * scale pick nlist ≈ N / targetCellSize (the standard IVF sizing —
+    * e.g. N=10⁹, cells of ~1k → nlist=10⁶) and AQE's skew split handles
+    * residual imbalance; the oversized-natural-cluster failure mode is
+    * bounded by the k-means balance, not by the join shape.
     * Output (vec_id, neighbor_id, cosine, rank). */
   def knnGraph(emb: DataFrame, k: Int, nlist: Int = 16, iters: Int = 3,
                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
