@@ -54,6 +54,46 @@ class RandomizedSpec extends SparkSpec {
     }
   }
 
+  test("parity-fixpoint isBipartite equals brute-force 2-coloring on random graphs") {
+    // the one-pass min-(label,parity) fixpoint is a novel formulation —
+    // cross-check against textbook BFS 2-coloring on three families:
+    // G(n,p) (usually odd-cycled), random bipartite (always bipartite),
+    // and random bipartite plus one intra-side edge (never bipartite)
+    def brute(es: Seq[(Long, Long)]): Boolean = {
+      val a = adj(es)
+      val color = scala.collection.mutable.Map.empty[Long, Int]
+      var ok = true
+      for (v <- a.keys if !color.contains(v)) {
+        color(v) = 0
+        var frontier = List(v)
+        while (frontier.nonEmpty && ok) {
+          frontier = frontier.flatMap { u =>
+            a.getOrElse(u, Set.empty).toList.flatMap { w =>
+              if (!color.contains(w)) { color(w) = 1 - color(u); Some(w) }
+              else { if (color(w) == color(u)) ok = false; None }
+            }
+          }
+        }
+      }
+      ok
+    }
+    def check(es: Seq[(Long, Long)], tag: String): Unit = if (es.nonEmpty) {
+      val und = Structure.symmetrize(edgeDF(es))
+      val g = PropertyGraph(Structure.extractVertexList(und), und,
+        GraphProperties(directed = false))
+      assert(g.isBipartite == brute(es), tag)
+    }
+    for (seed <- 1L to 3L) {
+      check(randomEdges(24, 0.09, seed), s"gnp seed $seed")
+      // random bipartite: left ids 0..11, right 12..23
+      val rng = new scala.util.Random(seed * 7 + 1)
+      val bip = for { i <- 0L until 12L; j <- 12L until 24L
+                      if rng.nextDouble() < 0.15 } yield (i, j)
+      check(bip, s"bipartite seed $seed")
+      if (bip.nonEmpty) check(bip :+ ((2L, 5L)), s"odd-cycled seed $seed")
+    }
+  }
+
   test("BFS distances equal brute-force levels on random graphs") {
     for (seed <- 1L to 4L) {
       val es = randomEdges(30, 0.1, seed)
