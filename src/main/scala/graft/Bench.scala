@@ -1,6 +1,44 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** Nominal seconds for [[calibrationProbe]] on an idle local[32] host —
+    * measured round-7 via tools.CalibProbe (4 reps: 4.9-6.1s, median ~5.5
+    * after the in-probe JIT warmup). `host_index` = probe/nominal; the
+    * idle-host noise band is ~0.9-1.3, so an index above ~1.8 means the
+    * capture window was degraded (the r6 artifact was 2.3× on
+    * byte-identical code) and the round's totals should be read against
+    * the calibration, not trusted raw. */
+  val CalibNominalSec = 5.5
+
+  /** Fixed, code-independent workload: 10 PageRank iterations on a cached
+    * RMAT scale-16 / edgefactor-16 graph (≈1M edges). The graph build and
+    * materialization happen OFF the probe clock, so the probe measures the
+    * host's shuffle/agg throughput on a pinned plan — run before and after
+    * the sweep, it bounds how much of a bench total is the machine, not the
+    * code. */
+  def calibrationProbe(spark: SparkSession): Double = {
+    import graft.core.{Gr, PropertyGraph, Structure, GraphProperties}
+    import graft.prims.Mat._
+    import org.apache.spark.sql.functions._
+    import Gr._
+    val raw = gen.Generators.rmat(spark, 16, 1L << 20, fastHash = true)
+      .select(SRC, DST)
+    val und = Structure.canonicalize(raw).withColumn(WEIGHT, lit(1.0)).mat
+    val sym = Structure.symmetrize(und).mat
+    val verts = Structure.extractVertexList(und).mat
+    val g = PropertyGraph(verts, sym, GraphProperties(directed = false, weighted = true))
+    g.edges.count() // force materialization off the clock
+    // untimed 2-iteration pass first: codegen + JIT compilation of the PR
+    // plan otherwise lands in the pre-probe only, skewing pre vs post
+    algos.PageRank.runFixed(g, iters = 2)
+      .write.format("noop").mode("overwrite").save()
+    val t0 = System.nanoTime()
+    algos.PageRank.runFixed(g, iters = 10)
+      .write.format("noop").mode("overwrite").save()
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -22,6 +60,11 @@ object Bench {
     // touches it first, which moves across rounds as the name set changes.
     // Subset runs skip the prewarm — they exist to see one query's full
     // isolated cost.
+    // pre-sweep calibration (skipped on subset runs): a pinned workload
+    // whose cost is code-independent across rounds — see calibrationProbe
+    val calibPre = if (subset.isEmpty) calibrationProbe(spark) else 0.0
+    if (subset.isEmpty)
+      System.err.println(f"[bench] calibration pre t=$calibPre%.1fs")
     val warmSec = if (subset.isEmpty) {
       val t0 = System.nanoTime()
       Fixtures.prewarm(spark, sfDir)
@@ -65,10 +108,18 @@ object Bench {
       .mkString("{", ",", "}")
     val starts = results.map { case (k, _, s) => s"\"" + k + "\":" + s }
       .mkString("{", ",", "}")
+    val calibPost = if (subset.isEmpty) calibrationProbe(spark) else 0.0
+    if (subset.isEmpty)
+      System.err.println(f"[bench] calibration post t=$calibPost%.1fs")
+    // host_index: mean probe time over the pinned nominal — >~1.5 flags a
+    // degraded capture window (r6's 1125s artifact would have carried ~3)
+    val hostIndex = if (subset.isEmpty)
+      ((calibPre + calibPost) / 2.0) / CalibNominalSec else 0.0
     // total stays honest: prewarm seconds are part of the run, reported
-    // both inside the total and as their own field
+    // both inside the total and as their own field (calibration probes are
+    // excluded from the total — they measure the host, not the code)
     val total = results.map(_._2).sum + warmSec
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"started":$starts,"fixture_warm":$warmSec,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"started":$starts,"fixture_warm":$warmSec,"calib_pre":$calibPre,"calib_post":$calibPost,"host_index":$hostIndex,"sf":"$sfDir"}"""
     println(line)
     // the stdout contract above is the driver's; ALSO persist the complete
     // JSON to a file — BENCH_r05.json reached the repo truncated mid-object

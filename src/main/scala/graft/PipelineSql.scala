@@ -403,8 +403,12 @@ object PipelineSql {
   def knnComponents(k: Int, nlist: Int, iters: Int, dim: Int, rounds: Int): String = {
     val base = knnGraph(k, nlist, iters, dim)
     val b = new StringBuilder
-    // reuse the knn unroll as a prefix: strip its final SELECT into a CTE
+    // reuse the knn unroll as a prefix: strip its final SELECT into a CTE.
+    // The marker is coupled to knnGraph's final SELECT wording — fail loud
+    // if a rewording ever breaks it (idx -1 would silently corrupt the SQL)
     val idx = base.lastIndexOf("SELECT vec_id, neighbor_id")
+    require(idx >= 0,
+      "knnComponents: knnGraph's final SELECT marker not found — update the marker")
     b ++= base.substring(0, idx)
     b ++= s""",knn AS MATERIALIZED (
              |  SELECT vec_id AS src, neighbor_id AS dst FROM ranked WHERE rank <= $k),
@@ -696,7 +700,7 @@ object PipelineSql {
        |  round(least(n / 200.0, 1.0) * 0.3 + ttr * 0.3 + least(stopr * 4.0, 1.0) * 0.2
        |        + CASE WHEN meanlen BETWEEN 3.0 AND 8.0 THEN 0.2 ELSE 0.0 END, 6) AS q
        |  FROM f),
-       |ag AS (SELECT source, count(*) AS n_docs, sum(n_tok) AS n_tokens,
+       |ag AS (SELECT source, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
        |       round(avg(q), 6) AS mean_quality FROM base GROUP BY 1),
        |r AS (SELECT source, n_chars,
        |      row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,

@@ -362,6 +362,50 @@ object SamplingSql {
         |  CAST(row_number() OVER (PARTITION BY batch_id ORDER BY hop, src_r, dst_r) - 1 AS BIGINT) AS pos
         |FROM csr""".stripMargin
 
+  /** DCSR offsets (src major, doubly compressed): only majors with ≥1
+    * sampled edge, running offset over major_r order per batch. */
+  def sampleDcsr(nBatches: Int, fanouts: Seq[Int], seed: Long): String =
+    renumberChain(nBatches, fanouts, seed) + ",\n" +
+      """edg AS MATERIALIZED (
+        |  SELECT s.batch_id, a.r AS src_r, b.r AS dst_r
+        |  FROM sfinal s
+        |  JOIN ranked a ON a.batch_id = s.batch_id AND a.v = s.src
+        |  JOIN ranked b ON b.batch_id = s.batch_id AND b.v = s.dst
+        |),
+        |deg AS MATERIALIZED (
+        |  SELECT batch_id, src_r AS major_r, count(*) AS degree
+        |  FROM edg GROUP BY 1, 2
+        |)
+        |SELECT batch_id, CAST(major_r AS BIGINT) AS major_r,
+        |  CAST(coalesce(sum(degree) OVER (PARTITION BY batch_id ORDER BY major_r
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS offset_start,
+        |  CAST(degree AS BIGINT) AS degree
+        |FROM deg""".stripMargin
+
+  /** CSC offsets (dst major, dense): one slot per major id in
+    * [0, max major] per batch, zero-degree slots carry the running offset. */
+  def sampleCsc(nBatches: Int, fanouts: Seq[Int], seed: Long): String =
+    renumberChain(nBatches, fanouts, seed) + ",\n" +
+      """edg AS MATERIALIZED (
+        |  SELECT s.batch_id, a.r AS src_r, b.r AS dst_r
+        |  FROM sfinal s
+        |  JOIN ranked a ON a.batch_id = s.batch_id AND a.v = s.src
+        |  JOIN ranked b ON b.batch_id = s.batch_id AND b.v = s.dst
+        |),
+        |deg AS MATERIALIZED (
+        |  SELECT batch_id, dst_r AS major_r, count(*) AS degree
+        |  FROM edg GROUP BY 1, 2
+        |),
+        |dense AS MATERIALIZED (
+        |  SELECT batch_id, unnest(generate_series(0, mx)) AS major_r
+        |  FROM (SELECT batch_id, max(dst_r) AS mx FROM edg GROUP BY 1)
+        |)
+        |SELECT d.batch_id, CAST(d.major_r AS BIGINT) AS major_r,
+        |  CAST(coalesce(sum(coalesce(g.degree, 0)) OVER (PARTITION BY d.batch_id
+        |    ORDER BY d.major_r ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS offset_start,
+        |  CAST(coalesce(g.degree, 0) AS BIGINT) AS degree
+        |FROM dense d LEFT JOIN deg g ON g.batch_id = d.batch_id AND g.major_r = d.major_r""".stripMargin
+
   /** retain_seeds renumber map: seeds always present and ranked FIRST. */
   def sampleRenumberSeeds(nBatches: Int, fanouts: Seq[Int], seed: Long): String =
     renumberChain(nBatches, fanouts, seed) + ",\n" +

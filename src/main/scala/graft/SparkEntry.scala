@@ -20,7 +20,10 @@ object SparkEntry {
     * build the supplier co-order graph and rank suppliers by PageRank. */
   def entry(spark: SparkSession): DataFrame = {
     val g = Fixtures.supplierGraphUnd(spark, "/root/testdata/sf0.001")
-    PageRank.run(g, maxIter = 20).orderBy(desc("pagerank"))
+    // WithStatus: 20 rounds is a smoke budget, not a tolerance contract —
+    // run() would now throw FailedToConvergeException per the reference's
+    // fail_on_nonconvergence=True default (alpha^20 ≈ 0.04 > 1e-5).
+    PageRank.runWithStatus(g, maxIter = 20)._1.orderBy(desc("pagerank"))
   }
 
   private def q(f: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame = f
@@ -1109,6 +1112,24 @@ object SparkEntry {
         sampling.NeighborSampling.renumberSampled(
           sampling.NeighborSampling.homogeneous(und, seeds, fanouts = Seq(2, 2))))
     },
+    "q_sample_dcsr" -> q { (s, dir) =>
+      val und = Fixtures.supplierGraphUnd(s, dir).edges
+      val seeds = Fixtures.seedVertices(s, dir, 3)
+        .select(col(ID).as("batch_id"), col(ID).as("vertex"))
+      sampling.NeighborSampling.compressSampledOffsets(
+        sampling.NeighborSampling.renumberSampled(
+          sampling.NeighborSampling.homogeneous(und, seeds, fanouts = Seq(2, 2))),
+        srcIsMajor = true, doublyCompress = true)
+    },
+    "q_sample_csc" -> q { (s, dir) =>
+      val und = Fixtures.supplierGraphUnd(s, dir).edges
+      val seeds = Fixtures.seedVertices(s, dir, 3)
+        .select(col(ID).as("batch_id"), col(ID).as("vertex"))
+      sampling.NeighborSampling.compressSampledOffsets(
+        sampling.NeighborSampling.renumberSampled(
+          sampling.NeighborSampling.homogeneous(und, seeds, fanouts = Seq(2, 2))),
+        srcIsMajor = false, doublyCompress = false)
+    },
     "q_sample_renumber_seeds" -> q { (s, dir) =>
       val und = Fixtures.supplierGraphUnd(s, dir).edges
       val seeds = Fixtures.seedVertices(s, dir, 3)
@@ -1847,6 +1868,8 @@ object SparkEntry {
       fanouts = Map(0 -> Seq(2, 2), 1 -> Seq(1, 1)), seed = 42),
     "q_negative_sample" -> SamplingSql.negativeSample(n = 200, seed = 42),
     "q_sample_csr" -> SamplingSql.sampleCsr(nBatches = 3, fanouts = Seq(2, 2), seed = 42),
+    "q_sample_dcsr" -> SamplingSql.sampleDcsr(nBatches = 3, fanouts = Seq(2, 2), seed = 42),
+    "q_sample_csc" -> SamplingSql.sampleCsc(nBatches = 3, fanouts = Seq(2, 2), seed = 42),
     "q_sample_renumber_seeds" -> SamplingSql.sampleRenumberSeeds(nBatches = 3, fanouts = Seq(2, 2), seed = 42),
     "q_negative_biased" -> SamplingSql.negativeBiasedSample(n = 200, seed = 42),
     "q_select_random_vertices" -> SamplingSql.selectRandomVertices(k = 10, seed = 42),

@@ -24,10 +24,26 @@ object Centrality {
   import Gr._
 
   /** Katz centrality: c ← alpha·(Aᵀ c) + beta, fixed iterations or L1 tol.
-    * Reference defaults (`katz_centrality.py:10`): beta=1.0, tol=1e-6. */
+    * Reference defaults (`katz_centrality.py:10`): beta=1.0, tol=1e-6.
+    * @throws graft.core.FailedToConvergeException when `tol > 0` and the
+    *         solver hits `maxIter` above tolerance (the reference raises
+    *         from the C++ layer; same contract as PageRank's
+    *         `fail_on_nonconvergence=True`). [[katzWithStatus]] returns the
+    *         flag instead. */
   def katz(g: PropertyGraph, alpha: Double, beta: Double = 1.0,
            maxIter: Int = 100, tol: Double = 1e-6,
            normalized: Boolean = true, nstart: Option[DataFrame] = None): DataFrame = {
+    val (df, converged) = katzWithStatus(g, alpha, beta, maxIter, tol, normalized, nstart)
+    if (!converged)
+      throw new graft.core.FailedToConvergeException(
+        s"Katz did not reach tol=$tol within maxIter=$maxIter")
+    df
+  }
+
+  /** (katz, converged) tuple form — never throws on a tolerance miss. */
+  def katzWithStatus(g: PropertyGraph, alpha: Double, beta: Double = 1.0,
+           maxIter: Int = 100, tol: Double = 1e-6,
+           normalized: Boolean = true, nstart: Option[DataFrame] = None): (DataFrame, Boolean) = {
     val verts = g.vertices.select(ID).mat
     val nV = verts.count()
     val e = g.edges.select(SRC, DST).mat
@@ -49,12 +65,13 @@ object Centrality {
       cur.join(prev.withColumnRenamed("katz", "prev"), ID)
         .agg(sum(abs(col("katz") - col("prev")))).first().getDouble(0) < tol
     }
-    val res = Iterate.loop(init, maxIter, step, conv, checkpointEvery = 1)
-    if (!normalized) res
+    val (res, converged, _) = Iterate.loopWithStatus(init, maxIter, step, conv, checkpointEvery = 1)
+    val out = if (!normalized) res
     else {
       val norm = res.agg(sqrt(sum(col("katz") * col("katz")))).first().getDouble(0)
       res.select(col(ID), (col("katz") / norm).as("katz"))
     }
+    (out, converged)
   }
 
   /** Eigenvector centrality — power iteration with L2 normalization per

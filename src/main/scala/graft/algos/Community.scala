@@ -64,6 +64,18 @@ object Community {
     val base = Structure.removeSelfLoops(
       Structure.symmetrize(g.weightedEdges.select(SRC, DST, WEIGHT), sumWeights = false))
       .mat
+    louvainPrepared(base, maxLevel, maxIter, resolution, threshold)
+  }
+
+  /** [[louvainWithLevels]] on an ALREADY-prepared base: symmetrized (both
+    * directions present), self-loop-free, materialized. Skips the
+    * symmetrize shuffle — the ECG final pass feeds its reweighted ensemble
+    * frame here directly (it is symmetric by construction: votes are
+    * aggregated per direction of the symmetrized ensemble edge list), where
+    * re-symmetrizing would re-shuffle 2E rows for an identical result. */
+  def louvainPrepared(base: DataFrame, maxLevel: Int = 10, maxIter: Int = 20,
+                      resolution: Double = 1.0,
+                      threshold: Double = 1e-7): (DataFrame, Double, Int) = {
     // labels carried across levels: id -> community in the ORIGINAL graph
     var flat = Structure.extractVertexList(base)
       .select(col(ID), col(ID).as("louvain")).mat
@@ -148,7 +160,11 @@ object Community {
     // ensemble size at any graph scale), so it is collected once into a
     // literal map lookup instead of broadcast-joined — one fewer broadcast
     // build job in every round
-    val m2Map: Map[Long, Double] = e.groupBy("run").agg(sum(WEIGHT).as("m2"))
+    // explicit casts keep the collect type-safe for any caller passing an
+    // int run key or integer weights (getLong/getDouble would CCE)
+    val m2Map: Map[Long, Double] = e.groupBy("run")
+      .agg(sum(WEIGHT).cast("double").as("m2"))
+      .select(col("run").cast("long"), col("m2"))
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     val m2Col = element_at(typedlit(m2Map), col("run"))
     // k_i: weighted degree (self-loops count fully toward k_i here since the
@@ -359,11 +375,13 @@ object Community {
     * integral-units form ([[ecgReweight]] — scale-invariant, exact-gateable). */
   def ecg(g: PropertyGraph, ensembleSize: Int = 8, minWeight: Double = 0.05,
           seed: Long = 42, finalMaxLevel: Int = 2): (DataFrame, Double) = {
-    val reweighted = ecgReweight(ecgVotes(g, ensembleSize, seed), ensembleSize, minWeight)
-    val g2 = PropertyGraph(Structure.extractVertexList(reweighted), reweighted,
-      g.props.copy(weighted = true, directed = false))
+    // reweighted inherits the vote table's symmetry (votes are per
+    // direction of the symmetrized ensemble edges) and has no self-loops,
+    // so the final pass takes it as a prepared base — no re-symmetrize
+    val reweighted = ecgReweight(ecgVotes(g, ensembleSize, seed), ensembleSize, minWeight).mat
     // bounded final pass: the ensemble already did the exploration
-    louvain(g2, maxLevel = finalMaxLevel, maxIter = 8)
+    val (f, q, _) = louvainPrepared(reweighted, maxLevel = finalMaxLevel, maxIter = 8)
+    (f, q)
   }
 
   /** Leiden = Louvain + a refinement pass constraining communities to be

@@ -119,7 +119,10 @@ object Misc {
       val matched = best.join(b2, col("m") === col("b_src") && col("b_m") === col(SRC))
         .filter(col(SRC) < col("m"))
         .select(col(SRC), col("m").as(DST)).mat
-      pairs = if (pairs == null) matched else pairs.union(matched)
+      // compact per round: `pairs` feeds the mv anti-joins below, so a lazy
+      // union chain would replan r frames in round r (matched is tiny —
+      // the checkpoint is one cheap job per round)
+      pairs = if (pairs == null) matched else pairs.union(matched).mat
       val mv = pairs.select(col(SRC).as(ID)).union(pairs.select(col(DST).as(ID))).distinct()
       remE = remE
         .join(mv.withColumnRenamed(ID, SRC), Seq(SRC), "left_anti")

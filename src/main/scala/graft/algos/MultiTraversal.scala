@@ -34,6 +34,7 @@ object MultiTraversal {
     var frontier = settled.select("source", ID)
     var depth = 0
     var n = 1L
+    var chainLen = 0
     while (n > 0 && depth < depthLimit) {
       depth += 1
       // frontier size rides the materialization job; settled stays a lazy
@@ -48,6 +49,10 @@ object MultiTraversal {
       n = nNext
       if (n > 0) {
         settled = settled.union(next)
+        chainLen += 1
+        // periodic compaction: the per-depth anti-join replans the whole
+        // settled chain — O(depth²) planning on high-diameter graphs
+        if (chainLen >= 8) { settled = settled.mat; chainLen = 0 }
         frontier = next.select("source", ID)
       }
     }

@@ -22,10 +22,27 @@ import graft.prims.{Iterate, Hint}
 object PageRank {
   import Gr._
 
-  /** @return DataFrame(id, pagerank) summing to 1 (within fp error). */
+  /** @return DataFrame(id, pagerank) summing to 1 (within fp error).
+    * @throws graft.core.FailedToConvergeException when `tol > 0` and the L1
+    *         delta is still above `tol` after `maxIter` rounds — the
+    *         reference's `fail_on_nonconvergence=True` default
+    *         (`link_analysis/pagerank.py:78`). Use [[runWithStatus]] for
+    *         the `fail_on_nonconvergence=False` tuple form. */
   def run(g: PropertyGraph, alpha: Double = 0.85, tol: Double = 1e-5,
           maxIter: Int = 100, personalization: Option[DataFrame] = None,
           weighted: Boolean = false, nstart: Option[DataFrame] = None): DataFrame = {
+    val (df, converged) = runWithStatus(g, alpha, tol, maxIter, personalization, weighted, nstart)
+    if (!converged)
+      throw new graft.core.FailedToConvergeException(
+        s"PageRank did not reach tol=$tol within maxIter=$maxIter")
+    df
+  }
+
+  /** `fail_on_nonconvergence=False` form: (ranks, converged) — never throws
+    * on a tolerance miss (`pagerank.py:182-186`). */
+  def runWithStatus(g: PropertyGraph, alpha: Double = 0.85, tol: Double = 1e-5,
+                    maxIter: Int = 100, personalization: Option[DataFrame] = None,
+                    weighted: Boolean = false, nstart: Option[DataFrame] = None): (DataFrame, Boolean) = {
     val spark = g.spark
     val verts = g.vertices.select(ID).mat
     val nV = verts.count().toDouble
@@ -85,9 +102,10 @@ object PageRank {
       cur.join(prev.withColumnRenamed("pagerank", "prev"), ID)
         .agg(sum(abs(col("pagerank") - col("prev")))).first().getDouble(0) < tol
     }
-    val result = Iterate.loop(init, maxIter, step, conv, checkEvery = 1, checkpointEvery = 1)
+    val (result, converged, _) =
+      Iterate.loopWithStatus(init, maxIter, step, conv, checkEvery = 1, checkpointEvery = 1)
 
-    result.select(col(ID), col("pagerank"))
+    (result.select(col(ID), col("pagerank")), converged)
   }
 
   /** Fixed-iteration variant (no convergence job per round) — used by the

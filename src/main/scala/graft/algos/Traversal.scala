@@ -34,6 +34,7 @@ object Traversal {
     var frontier = settled.select(ID)
     var depth = 0
     var frontierCount = 1L
+    var chainLen = 0
     while (frontierCount > 0 && depth < depthLimit) {
       depth += 1
       // frontier size rides the materialization job; settled stays a lazy
@@ -48,11 +49,22 @@ object Traversal {
       frontierCount = nNext
       if (frontierCount > 0) {
         settled = settled.union(next)
+        chainLen += 1
+        // compact the lazy union chain periodically: each member is
+        // checkpointed, but the per-level anti-join replans the whole
+        // chain — O(depth²) cumulative planning on high-diameter graphs
+        // (line graphs) without this re-materialization
+        if (chainLen >= CompactEvery) { settled = settled.mat; chainLen = 0 }
         frontier = next.select(ID)
       }
     }
     settled
   }
+
+  /** Union-chain compaction period for accumulator frames in level loops —
+    * long enough that the extra checkpoint job is amortized, short enough
+    * that plan size stays O(CompactEvery) per round. */
+  private val CompactEvery = 8
 
   /** Single-source shortest paths over non-negative weights — Bellman-Ford
     * style rounds (every round relaxes all edges out of improved vertices),

@@ -156,6 +156,13 @@ final case class PropertyGraph(
   }
 }
 
+/** Raised by tolerance-driven solvers (PageRank, Katz) that hit `maxIter`
+  * without meeting `tol` — the reference's `FailedToConvergeError`
+  * (`cugraph/exceptions.py`, surfaced via `fail_on_nonconvergence=True` in
+  * `link_analysis/pagerank.py:78`). Callers who want the flag instead use
+  * the `*WithStatus` variants. */
+final class FailedToConvergeException(msg: String) extends RuntimeException(msg)
+
 /** Column-name constants (reference pins these at `simpleGraph.py:36-40`). */
 object Gr {
   val SRC = "src"

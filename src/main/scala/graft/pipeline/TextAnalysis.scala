@@ -298,7 +298,10 @@ object TextAnalysis {
     val med = base
       .withColumn("rn", row_number().over(w))
       .withColumn("nn", count(lit(1)).over(Window.partitionBy(byCol)))
-      .filter(col("rn") === (col("nn") + 1) / 2)
+      // floor(): Spark's `/` on integer columns is DOUBLE division, so for
+      // an even-sized group (nn+1)/2 is fractional and would match no row,
+      // silently dropping that group. floor matches the oracle's integer //.
+      .filter(col("rn") === floor((col("nn") + 1) / 2))
       .select(col(byCol), col(lenCol).cast("long").as("median_chars"))
     agg.join(med, byCol)
   }

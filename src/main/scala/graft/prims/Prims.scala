@@ -106,7 +106,19 @@ object Iterate {
            step: (DataFrame, Int) => DataFrame,
            converged: (DataFrame, DataFrame) => Boolean = null,
            checkEvery: Int = 1,
-           checkpointEvery: Int = 3): DataFrame = {
+           checkpointEvery: Int = 3): DataFrame =
+    loopWithStatus(init, maxIter, step, converged, checkEvery, checkpointEvery)._1
+
+  /** [[loop]] plus the convergence outcome: (final state, converged,
+    * iterations run). With no `converged` predicate (fixed-iteration mode)
+    * the flag is vacuously true — there is no tolerance contract to miss.
+    * Feeds the reference's `fail_on_nonconvergence` surface
+    * (`link_analysis/pagerank.py:78`). */
+  def loopWithStatus(init: DataFrame, maxIter: Int,
+                     step: (DataFrame, Int) => DataFrame,
+                     converged: (DataFrame, DataFrame) => Boolean = null,
+                     checkEvery: Int = 1,
+                     checkpointEvery: Int = 3): (DataFrame, Boolean, Int) = {
     var cur = materialize(init)
     var it = 0
     var done = false
@@ -119,7 +131,7 @@ object Iterate {
       cur = nxt
       it += 1
     }
-    cur
+    (cur, converged == null || done, it)
   }
 }
 

@@ -311,6 +311,46 @@ object NeighborSampling {
       .select(col("batch_id"), col("hop"), col("src_r"), col("dst_r"),
         col("pos").cast("long").as("pos"))
 
+  /** Offset-array view of the compressed sampled output — the reference's
+    * remaining compression formats (`sampling_functions.hpp:919-983`:
+    * `src_is_major` picks CSR/DCSR vs CSC/DCSC, `doubly_compress` picks
+    * dense-offsets vs majors-with-neighbors-only). Relational encoding:
+    * one row per offset-array slot, per batch —
+    * `doubly=true` (DCSR/DCSC): only majors with ≥1 sampled edge, with
+    * their running offset and degree; `doubly=false` (CSR/CSC): major ids
+    * densified to [0, max major] per batch, zero-degree majors carrying
+    * the running offset (the offsets array is non-decreasing and directly
+    * reconstructable). Offsets follow major_r order — consistent with
+    * [[compressSampled]]'s pos for the per-batch (vertex-sorted) renumber
+    * convention of [[renumberSampled]].
+    * Output: (batch_id, major_r, offset_start, degree). */
+  def compressSampledOffsets(renumbered: DataFrame, srcIsMajor: Boolean = true,
+                             doublyCompress: Boolean = true): DataFrame = {
+    val major = if (srcIsMajor) col("src_r") else col("dst_r")
+    val deg = renumbered.groupBy(col("batch_id"), major.as("major_r"))
+      .agg(count(lit(1)).cast("long").as("degree"))
+    val w = Window.partitionBy("batch_id").orderBy("major_r")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val slots =
+      if (doublyCompress) deg
+      else {
+        // densify to every major id in [0, max major] per batch: the CSR/
+        // CSC offset array has one slot per vertex id, holes included.
+        // Per-batch fan-out is bounded by the batch's sample size — scale
+        // lives in the number of batches, not the per-batch array.
+        val dense = renumbered.groupBy("batch_id").agg(max(major).as("mx"))
+          .select(col("batch_id"),
+            explode(sequence(lit(0L), col("mx"))).as("major_r"))
+        dense.join(deg, Seq("batch_id", "major_r"), "left")
+          .select(col("batch_id"), col("major_r"),
+            coalesce(col("degree"), lit(0L)).as("degree"))
+      }
+    slots.withColumn("offset_start",
+        coalesce(sum("degree").over(w), lit(0L)).cast("long"))
+      .select(col("batch_id"), col("major_r").cast("long").as("major_r"),
+        col("offset_start"), col("degree"))
+  }
+
   /** Per-batch renumber MAP with the reference's `retain_seeds` semantics
     * (`homogeneous_neighbor_sample.py:44-120`): every seed of the batch is
     * kept in the map even if it sampled no edges, and seeds occupy the

@@ -280,6 +280,12 @@ object GraphStream {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     sq.awaitTermination()
-    df.sparkSession.table(qn)
+    // detach the result from the memory sink before returning: checkpoint a
+    // copy (block-manager lifecycle, freed by the ContextCleaner once
+    // unreferenced) and drop the UUID temp view — otherwise every call pins
+    // its full result set in driver memory for the session lifetime
+    val out = graft.prims.Iterate.materialize(df.sparkSession.table(qn))
+    df.sparkSession.catalog.dropTempView(qn)
+    out
   }
 }

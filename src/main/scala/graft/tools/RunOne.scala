@@ -37,14 +37,19 @@ object RunOne {
     df.write.format("noop").mode("overwrite").save()
     val dt = (System.nanoTime() - t0) / 1e9
     val n = df.count()
-    Thread.sleep(500) // let listener events drain
-    println(f"[runone] $name rows=$n t=$dt%.1fs jobs=${jobs.size}")
-    val byTime = jobs.sortBy(-_._2)
+    // listener events are async: give the bus a moment, then snapshot the
+    // buffer UNDER the same lock onJobEnd appends with — the late-event
+    // race is on buffer mutation, not on staleness (a job ending after the
+    // snapshot was already outside the timed window)
+    Thread.sleep(500)
+    val snapshot = jobs.synchronized { jobs.toVector }
+    println(f"[runone] $name rows=$n t=$dt%.1fs jobs=${snapshot.size}")
+    val byTime = snapshot.sortBy(-_._2)
     println("[runone] slowest jobs:")
     byTime.take(20).foreach { case (id, t, site) =>
       println(f"  job=$id%4d t=$t%6.2fs  $site")
     }
-    val total = jobs.map(_._2).sum
+    val total = snapshot.map(_._2).sum
     println(f"[runone] sum(job wall)=$total%.1fs (gaps to t are driver/planning time)")
     spark.stop()
   }

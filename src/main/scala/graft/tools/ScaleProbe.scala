@@ -1,0 +1,93 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.core.{PropertyGraph, Structure, GraphProperties, Gr}
+import graft.algos._
+import graft.gen.Generators
+import graft.prims.Mat._
+
+/** Round-close scale probe — the institutionalized form of the r6 lesson
+  * (the Louvain window-fill regression was invisible at sf0.1 and cost
+  * 3.6×/level at RMAT scale 20; a probe caught it, so the probe is now a
+  * command, not a habit).
+  *
+  * Usage: ScaleProbe <family>[,family...] [scale] [edgefactor] [cpus]
+  * Families: community | traversal | pagerank | sampling | similarity |
+  * structure | all. Runs each family's representative operators on an RMAT
+  * scale-`scale` graph (default 20 ≈ 16M edges at ef 16) and prints ONE
+  * JSON line per run: paste the row into BASELINE.md's scale-probe table
+  * before round close for the families the session touched.
+  */
+object ScaleProbe {
+  import Gr._
+
+  def main(args: Array[String]): Unit = {
+    val families = (if (args.nonEmpty) args(0) else "all").split(",").toSet
+    val scale = if (args.length > 1) args(1).toInt else 20
+    val edgefactor = if (args.length > 2) args(2).toInt else 16
+    val cpus = if (args.length > 3) args(3) else "32"
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def want(f: String) = families.contains("all") || families.contains(f)
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+
+    val numEdges = (1L << scale) * edgefactor
+    val raw = Generators.rmat(spark, scale, numEdges, fastHash = true)
+      .select(SRC, DST)
+    val und = Structure.canonicalize(raw).withColumn(WEIGHT, lit(1.0)).mat
+    val sym = Structure.symmetrize(und).mat
+    val verts = Structure.extractVertexList(und).mat
+    val g = PropertyGraph(verts, sym, GraphProperties(directed = false, weighted = true))
+    g.edges.count()
+
+    val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    if (want("traversal")) {
+      val src = verts.agg(min(ID)).first().getLong(0)
+      results += "bfs" -> time(Traversal.bfs(g, src).count())
+      results += "sssp" -> time(Traversal.sssp(g, src).count())
+    }
+    if (want("pagerank")) {
+      results += "pagerank10" -> time(PageRank.runFixed(g, iters = 10).count())
+    }
+    if (want("community")) {
+      results += "louvain_l1" -> time(
+        Community.oneLevelWithRounds(g, maxIter = 3)._1.count())
+      results += "louvain_full" -> time(
+        Community.louvain(g, maxLevel = 2, maxIter = 3)._1.count())
+      results += "ecg4" -> time(
+        Community.ecg(g, ensembleSize = 4, finalMaxLevel = 1)._1.count())
+    }
+    if (want("structure")) {
+      results += "wcc" -> time(Components.wcc(g).count())
+      results += "core_number" -> time(Components.coreNumber(g).count())
+    }
+    if (want("similarity")) {
+      // triangles only: all-pairs similarity is wedge-quadratic in hub
+      // degree — on an RMAT power-law graph at scale 20 that is the
+      // workload the df-capped kernels exist to avoid, not a probe
+      results += "triangles" -> time(Triangles.countPerVertex(g).count())
+    }
+    if (want("sampling")) {
+      val seeds = verts.orderBy(ID).limit(64)
+        .select(col(ID).as("batch_id"), col(ID).as("vertex")).mat
+      results += "neighbor_sample" -> time(
+        graft.sampling.NeighborSampling.homogeneous(
+          g.edges, seeds, fanouts = Seq(10, 10)).count())
+      results += "sample_compress" -> time(
+        graft.sampling.NeighborSampling.compressSampledOffsets(
+          graft.sampling.NeighborSampling.renumberSampled(
+            graft.sampling.NeighborSampling.homogeneous(
+              g.edges, seeds, fanouts = Seq(10, 10)))).count())
+    }
+    val qs = results.map { case (k, v) => s""""$k":${math.round(v * 10) / 10.0}""" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"scale_probe","families":"${families.mkString("+")}","scale":$scale,"edgefactor":$edgefactor,"queries":$qs}""")
+    spark.stop()
+  }
+}

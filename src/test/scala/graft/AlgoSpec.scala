@@ -39,6 +39,28 @@ class AlgoSpec extends SparkSpec {
     assert(top2 == Set(3L, 4L))
   }
 
+  test("fail_on_nonconvergence: tol-starved PageRank/Katz throw; WithStatus returns the flag") {
+    val und = Structure.symmetrize(edgeDF(bridged))
+    val g = PropertyGraph(Structure.extractVertexList(und), und,
+      GraphProperties(directed = false))
+    // 2 rounds at tol 1e-12 cannot converge (delta ~ alpha^2)
+    intercept[core.FailedToConvergeException] {
+      PageRank.run(g, tol = 1e-12, maxIter = 2)
+    }
+    val (prDf, prConv) = PageRank.runWithStatus(g, tol = 1e-12, maxIter = 2)
+    assert(!prConv && prDf.count() > 0)
+    intercept[core.FailedToConvergeException] {
+      Centrality.katz(g, alpha = 0.1, tol = 1e-12, maxIter = 2)
+    }
+    val (kzDf, kzConv) = Centrality.katzWithStatus(g, alpha = 0.1, tol = 1e-12, maxIter = 2)
+    assert(!kzConv && kzDf.count() > 0)
+    // a realistic tolerance converges well inside the budget and returns
+    val (_, okConv) = PageRank.runWithStatus(g, tol = 1e-4, maxIter = 100)
+    assert(okConv)
+    // fixed-iteration mode (tol<=0) has no tolerance contract — never throws
+    assert(PageRank.runFixed(g, iters = 2).count() > 0)
+  }
+
   test("WCC finds the two components of a disconnected graph") {
     val und = Structure.symmetrize(edgeDF(Seq((1L, 2L), (2L, 3L), (10L, 11L))))
     val g = PropertyGraph(Structure.extractVertexList(und), und,

@@ -31,6 +31,21 @@ class PipelineSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("sourceStats keeps even-sized sources (ranked-element median at (n+1)/2)") {
+    import spark.implicits._
+    // 24-doc source (even) + 25-doc source (odd): the r6 latent bug was
+    // Spark's double `/` making (nn+1)/2 fractional for even nn, silently
+    // dropping the whole source from the datasheet.
+    val d = ((0 until 24).map(i => (i.toLong, "even", s"word$i text here", 10L + i)) ++
+      (0 until 25).map(i => (100L + i, "odd", s"word$i text here", 50L + i)))
+      .toDF("doc_id", "source", "text", "n_chars")
+    val out = TextAnalysis.sourceStats(d).collect()
+      .map(r => r.getString(0) -> r.getLong(r.fieldIndex("median_chars"))).toMap
+    assert(out.keySet == Set("even", "odd"))
+    assert(out("even") == 10L + 11)  // rank (24+1)/2 = 12 → n_chars 21
+    assert(out("odd") == 50L + 12)   // rank (25+1)/2 = 13 → n_chars 62
+  }
+
   test("curation: source cap, stratified mixture, and chunk packing are deterministic") {
     import spark.implicits._
     val d = (0L until 120L).map { i =>
