@@ -179,6 +179,15 @@ object Community {
     // round gone. Values are identical; all gated fixtures carry
     // integer-valued weights, so every reordered sum stays bit-exact.
     var state = ki.select(col("run"), col(ID), col(ID).as("community"), col("k")).mat
+    // A/B (VERDICT r6 item #6): carry the per-community k-totals across
+    // rounds, updated from the movers' deltas, instead of re-aggregating
+    // nState rows every round. Exact on the gated fixtures (integer-valued
+    // k sums associate freely); kept behind a flag until the scale probe
+    // picks a winner — see BASELINE.md round-7 for the measurement.
+    val carryTot = sys.env.contains("GRAFT_CARRY_TOT")
+    var totState: DataFrame =
+      if (carryTot) state.groupBy("run", "community").agg(sum("k").as("tot")).mat
+      else null
     var moved = 1L
     var zeroStreak = 0
     var it = 0
@@ -210,8 +219,11 @@ object Community {
     var prevMoved = Long.MaxValue
     while (zeroStreak < maskMod && it < maxIter) {
       it += 1
-      // tot_c = Σ k_i over community members — derived from the state frame
-      val tot = state.groupBy("run", "community").agg(sum("k").as("tot"))
+      // tot_c = Σ k_i over community members — carried frame (flag) or
+      // derived from the state frame (default)
+      val tot =
+        (if (carryTot) totState else
+          state.groupBy("run", "community").agg(sum("k").as("tot")))
         .select(col("run"), col("community").as("nc"), col("tot"))
       // per-vertex weight to each neighboring community (self-loops excluded
       // from candidate weights — a vertex always "links" to its own c).
@@ -295,6 +307,20 @@ object Community {
         sum(when(col("community") =!= col("old"), 1L).otherwise(0L)),
         _.filter(col("community") =!= col("old")).count())
       moved = movedNow
+      if (carryTot && moved > 0) {
+        // movers' k leaves the old community and joins the new one; merge
+        // the deltas into the carried totals (movers shrink per round, so
+        // the exchange is movers+nComm rows instead of nState)
+        val movers = nextC.filter(col("community") =!= col("old"))
+        val delta = movers.select(col("run"), col("old").as("community"), (-col("k")).as("d"))
+          .unionByName(movers.select(col("run"), col("community"), col("k").as("d")))
+          .groupBy("run", "community").agg(sum("d").as("d"))
+        totState = totState.join(delta, Seq("run", "community"), "full")
+          .select(col("run"), col("community"),
+            (coalesce(col("tot"), lit(0.0)) + coalesce(col("d"), lit(0.0))).as("tot"))
+          .filter(col("tot") =!= 0.0)
+          .mat
+      }
       if (!parityMode) {
         if (moved == 0) zeroStreak = Int.MaxValue // free full round; done
         else parityMode = true // escalate after the opening mass-move round

@@ -33,8 +33,16 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
 
     def want(f: String) = families.contains("all") || families.contains(f)
+    var label = ""
     def time(f: => Unit): Double = {
-      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      System.err.println(s"[probe] start $label")
+      val t0 = System.nanoTime(); f
+      val dt = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[probe] $label t=$dt%.1fs")
+      dt
+    }
+    def item(name: String)(f: => Unit): (String, Double) = {
+      label = name; (name, time(f))
     }
 
     val numEdges = (1L << scale) * edgefactor
@@ -49,37 +57,39 @@ object ScaleProbe {
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
     if (want("traversal")) {
       val src = verts.agg(min(ID)).first().getLong(0)
-      results += "bfs" -> time(Traversal.bfs(g, src).count())
-      results += "sssp" -> time(Traversal.sssp(g, src).count())
+      results += item("bfs")(Traversal.bfs(g, src).count())
+      results += item("sssp")(Traversal.sssp(g, src).count())
     }
     if (want("pagerank")) {
-      results += "pagerank10" -> time(PageRank.runFixed(g, iters = 10).count())
+      results += item("pagerank10")(PageRank.runFixed(g, iters = 10).count())
+    }
+    if (want("community") || want("louvain")) {
+      results += item("louvain_l1")(
+        Community.oneLevelWithRounds(g, maxIter = 3)._1.count())
     }
     if (want("community")) {
-      results += "louvain_l1" -> time(
-        Community.oneLevelWithRounds(g, maxIter = 3)._1.count())
-      results += "louvain_full" -> time(
+      results += item("louvain_full")(
         Community.louvain(g, maxLevel = 2, maxIter = 3)._1.count())
-      results += "ecg4" -> time(
+      results += item("ecg4")(
         Community.ecg(g, ensembleSize = 4, finalMaxLevel = 1)._1.count())
     }
     if (want("structure")) {
-      results += "wcc" -> time(Components.wcc(g).count())
-      results += "core_number" -> time(Components.coreNumber(g).count())
+      results += item("wcc")(Components.wcc(g).count())
+      results += item("core_number")(Components.coreNumber(g).count())
     }
     if (want("similarity")) {
       // triangles only: all-pairs similarity is wedge-quadratic in hub
       // degree — on an RMAT power-law graph at scale 20 that is the
       // workload the df-capped kernels exist to avoid, not a probe
-      results += "triangles" -> time(Triangles.countPerVertex(g).count())
+      results += item("triangles")(Triangles.countPerVertex(g).count())
     }
     if (want("sampling")) {
       val seeds = verts.orderBy(ID).limit(64)
         .select(col(ID).as("batch_id"), col(ID).as("vertex")).mat
-      results += "neighbor_sample" -> time(
+      results += item("neighbor_sample")(
         graft.sampling.NeighborSampling.homogeneous(
           g.edges, seeds, fanouts = Seq(10, 10)).count())
-      results += "sample_compress" -> time(
+      results += item("sample_compress")(
         graft.sampling.NeighborSampling.compressSampledOffsets(
           graft.sampling.NeighborSampling.renumberSampled(
             graft.sampling.NeighborSampling.homogeneous(

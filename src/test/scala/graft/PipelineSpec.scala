@@ -31,6 +31,30 @@ class PipelineSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("knnGraph and duplicate-span strip are partition-invariant (1 vs 64)") {
+    import spark.implicits._
+    // SURVEY §5c extension to the round-6 operators. Integral-valued
+    // embedding coordinates keep every float sum exact, so the hash-match
+    // has no association caveat (same trick as the gated fixture).
+    val emb = (0L until 40L).map { i =>
+      (i, Array.tabulate(8)(j => ((i * 7 + j * 3) % 5).toFloat))
+    }.toDF("vec_id", "embedding")
+    def knn(parts: Int) =
+      Ann.knnGraph(emb.repartition(parts), k = 3, nlist = 4, iters = 2)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          (math.rint(r.getDouble(2) * 1e6), r.getInt(3))).toMap
+    assert(knn(1) == knn(64))
+    val docs = (0L until 30L).map { i =>
+      val boiler = "copy this boilerplate footer exactly verbatim now"
+      (i, s"unique$i text body number $i $boiler tail$i")
+    }.toDF("doc_id", "text")
+    def strip(parts: Int) =
+      Dedup.removeDuplicateSpans(docs.repartition(parts), k = 5).collect()
+        .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(strip(1) == strip(64))
+  }
+
   test("sourceStats keeps even-sized sources (ranked-element median at (n+1)/2)") {
     import spark.implicits._
     // 24-doc source (even) + 25-doc source (odd): the r6 latent bug was

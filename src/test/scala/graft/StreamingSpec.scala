@@ -152,6 +152,64 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("gated streaming queries are micro-batch-split invariant (1 batch vs per-row)") {
+    // SURVEY §5c extension to the three driver-gated streaming queries:
+    // the batch split is the streaming analogue of input partitioning —
+    // the gate's order-insensitive rollups must not depend on it.
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+    val docs = Seq((1L, "alpha beta"), (2L, "gamma delta"),
+      (3L, "alpha beta"), (4L, "epsilon zeta"), (5L, "gamma delta"))
+    def dedup(splits: Seq[Seq[(Long, String)]]): Set[Long] = {
+      val input = MemoryStream[(Long, String)]
+      val q = GraphStream.streamingExactDedup(input.toDF().toDF("doc_id", "text"))
+        .writeStream.format("memory").queryName("mbi_dedup")
+        .outputMode("append").start()
+      try {
+        splits.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+        sp.sql("select doc_id from mbi_dedup").collect().map(_.getLong(0)).toSet
+      } finally { q.stop(); sp.catalog.dropTempView("mbi_dedup") }
+    }
+    assert(dedup(Seq(docs)) == dedup(docs.map(Seq(_))))
+    val edges = Seq(EdgeEvent(1L, 2L, 1.0), EdgeEvent(1L, 3L, 2.0),
+      EdgeEvent(2L, 1L, 1.0), EdgeEvent(1L, 9L, 4.0))
+    def vsum(splits: Seq[Seq[EdgeEvent]]): Map[Long, (Long, Double, Long, Long)] = {
+      val input = MemoryStream[EdgeEvent]
+      val q = GraphStream.runningVertexSummary(input.toDF())
+        .writeStream.format("memory").queryName("mbi_vsum")
+        .outputMode("update").start()
+      try {
+        splits.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+        // final per-vertex state = max(degree) row, the gate's rollup
+        sp.sql("select * from mbi_vsum").collect()
+          .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2), r.getLong(3), r.getLong(4))))
+          .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).maxBy(_._1) }
+      } finally { q.stop(); sp.catalog.dropTempView("mbi_vsum") }
+    }
+    assert(vsum(Seq(edges)) == vsum(edges.map(Seq(_))))
+    def wcount(splits: Seq[Seq[(Long, Long, Double, java.sql.Timestamp)]]): Map[Long, Long] = {
+      val input = MemoryStream[(Long, Long, Double, java.sql.Timestamp)]
+      val q = GraphStream.windowedDegrees(
+          input.toDF().toDF("src", "dst", "weight", "event_time"),
+          windowDur = "10 minutes", slideDur = "10 minutes", watermark = "1 hour")
+        .writeStream.format("memory").queryName("mbi_wc")
+        .outputMode("append").start()
+      try {
+        splits.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+        // flush: a far-future event closes all real windows in append mode
+        input.addData((99L, 98L, 1.0, java.sql.Timestamp.valueOf("2026-01-02 00:00:00")))
+        q.processAllAvailable()
+        sp.sql("select * from mbi_wc").collect()
+          .filter(_.getLong(1) < 90L).map(r => r.getLong(1) -> r.getLong(2)).toMap
+      } finally { q.stop(); sp.catalog.dropTempView("mbi_wc") }
+    }
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:01:00")
+    val t1 = java.sql.Timestamp.valueOf("2026-01-01 00:02:00")
+    val wevts = Seq((1L, 2L, 1.0, t0), (1L, 3L, 1.0, t1), (2L, 3L, 1.0, t1))
+    assert(wcount(Seq(wevts)) == wcount(wevts.map(Seq(_))))
+  }
+
   test("windowed degrees respect the event-time window") {
     val sp = spark
     import sp.implicits._
