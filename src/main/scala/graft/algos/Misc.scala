@@ -318,13 +318,34 @@ object Misc {
     * Output (id, x, y) in [0,1]². */
   def forceAtlas2(g: PropertyGraph, iters: Int = 5, gridSize: Int = 16,
                   step: Double = 0.05, seed: Long = 42,
-                  quadtree: Boolean = true): DataFrame = {
+                  quadtree: Boolean = true,
+                  posList: Option[DataFrame] = None,
+                  gravity: Double = 0.0,
+                  scalingRatio: Double = 2.0): DataFrame = {
+    // Option surface matching the reference signature
+    // (`layout/force_atlas2.py:50`): `posList` = pos_list warm start
+    // (id, x, y — missing vertices fall back to the hash init), `gravity`
+    // pulls toward the layout center (0.5, 0.5 in our unit square; the
+    // reference pulls to the origin of its unbounded plane), and
+    // `scalingRatio` scales repulsion. Defaults preserve the gated layout
+    // bit-for-bit: gravity 0 and scalingRatio 2.0 reproduce the original
+    // 0.01 repulsion coefficient exactly.
     val coarseN = math.max(gridSize / 4, 1)
     val und = Structure.symmetrize(g.edges.select(SRC, DST)).mat
     val u01x = hash60(concat_ws("|", lit("fa2x"), col(ID), lit(seed))).cast("double") / lit(math.pow(2, 60))
     val u01y = hash60(concat_ws("|", lit("fa2y"), col(ID), lit(seed))).cast("double") / lit(math.pow(2, 60))
-    var pos = Structure.extractVertexList(g.edges)
-      .select(col(ID), u01x.as("x"), u01y.as("y")).mat
+    val repCoeff = 0.01 * scalingRatio / 2.0
+    val hashInit = Structure.extractVertexList(g.edges)
+      .select(col(ID), u01x.as("x"), u01y.as("y"))
+    var pos = (posList match {
+      case Some(p0) =>
+        val cols = p0.columns
+        hashInit.join(p0.select(col(cols(0)).as(ID), col(cols(1)).as("wx"),
+            col(cols(2)).as("wy")), Seq(ID), "left")
+          .select(col(ID), coalesce(col("wx"), col("x")).as("x"),
+            coalesce(col("wy"), col("y")).as("y"))
+      case None => hashInit
+    }).mat
     // shared repulsion kernel against a centroid table (mx, my, cnt)
     def kernel() = (
       ((col("x") - col("mx")) * col("cnt") /
@@ -384,8 +405,10 @@ object Misc {
       // compounds through floor(x*grid) cell binning into divergent layouts
       pos = rep.join(att, Seq(ID), "left")
         .select(col(ID),
-          round(least(greatest(col("x") + lit(step) * (coalesce(col("ax"), lit(0.0)) * 0.1 + col("rx") * 0.01), lit(0.0)), lit(1.0)), 8).as("x"),
-          round(least(greatest(col("y") + lit(step) * (coalesce(col("ay"), lit(0.0)) * 0.1 + col("ry") * 0.01), lit(0.0)), lit(1.0)), 8).as("y"))
+          round(least(greatest(col("x") + lit(step) * (coalesce(col("ax"), lit(0.0)) * 0.1 + col("rx") * lit(repCoeff)
+            + lit(gravity) * (lit(0.5) - col("x"))), lit(0.0)), lit(1.0)), 8).as("x"),
+          round(least(greatest(col("y") + lit(step) * (coalesce(col("ay"), lit(0.0)) * 0.1 + col("ry") * lit(repCoeff)
+            + lit(gravity) * (lit(0.5) - col("y"))), lit(0.0)), lit(1.0)), 8).as("y"))
         .mat
     }
     pos

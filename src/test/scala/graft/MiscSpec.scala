@@ -128,6 +128,36 @@ class MiscSpec extends SparkSpec {
     assert(got == Map(0L -> 0L, 1L -> 1L, 2L -> 2L), s"got $got")
   }
 
+  test("FA2 option surface: pos_list warm start respected, gravity pulls to center") {
+    import spark.implicits._
+    val cl = (for {
+      base <- Seq(0L, 10L); a <- 0L until 6L; b <- (a + 1) until 6L
+    } yield (base + a, base + b)) :+ ((0L, 10L))
+    val g = graphOf(cl)
+    // iters=0 returns the initial layout: warm-started ids carry their
+    // given positions exactly; unlisted ids fall back to the hash init
+    val warm = Seq((0L, 0.25, 0.75), (1L, 0.1, 0.1)).toDF("id", "x", "y")
+    val p0 = Misc.forceAtlas2(g, iters = 0, posList = Some(warm)).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(p0(0L) == ((0.25, 0.75)) && p0(1L) == ((0.1, 0.1)))
+    val hashP = Misc.forceAtlas2(g, iters = 0).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(p0(2L) == hashP(2L)) // unlisted → hash init
+    // strong gravity shrinks mean squared distance to the center vs none
+    def spread(grav: Double): Double =
+      Misc.forceAtlas2(g, iters = 5, gravity = grav).collect()
+        .map(r => math.pow(r.getDouble(1) - 0.5, 2) + math.pow(r.getDouble(2) - 0.5, 2))
+        .sum
+    assert(spread(2.0) < spread(0.0) * 0.5,
+      s"gravity should contract the layout: ${spread(2.0)} vs ${spread(0.0)}")
+    // default knobs reproduce the gated layout bit-for-bit
+    val base = Misc.forceAtlas2(g, iters = 3).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSet
+    val knobDefaults = Misc.forceAtlas2(g, iters = 3, gravity = 0.0, scalingRatio = 2.0)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSet
+    assert(base == knobDefaults)
+  }
+
   test("FA2 quadtree separation quality >= flat grid on a two-community graph") {
     // two K6 cliques joined by a single bridge — layout quality =
     // mean edge length / mean all-pairs distance (lower = communities
