@@ -685,6 +685,62 @@ object PipelineSql {
        |SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
        |FROM ranked WHERE rank <= $k""".stripMargin
 
+  /** Multinomial Naive Bayes classifier oracle — exact mirror of
+    * `Classifier.nbTrainScore` (train on even doc_ids, label = lang,
+    * Laplace α, top-`maxVocab` vocabulary, score the full corpus, argmax
+    * with the (round(score,9) desc, label asc) tie-break). */
+  def nbClassify(alpha: Double, maxVocab: Int): String =
+    s"""WITH tr AS MATERIALIZED (
+       |  SELECT lang AS label, string_split(text, ' ') AS ws
+       |  FROM documents WHERE doc_id % 2 = 0),
+       |tok AS MATERIALIZED (SELECT label, unnest(ws) AS w FROM tr),
+       |vocab AS MATERIALIZED (
+       |  SELECT w FROM (SELECT w, count(*) AS cv FROM tok GROUP BY 1
+       |                 ORDER BY cv DESC, w LIMIT $maxVocab)),
+       |vs AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS v FROM vocab),
+       |counts AS MATERIALIZED (
+       |  SELECT label, w, count(*) AS c FROM tok JOIN vocab USING (w)
+       |  GROUP BY 1, 2),
+       |tot AS MATERIALIZED (SELECT label, sum(c) AS tot FROM counts GROUP BY 1),
+       |dense AS MATERIALIZED (
+       |  SELECT t.label, v.w,
+       |    ln((coalesce(c.c, 0) + $alpha) / (t.tot + $alpha * (SELECT v FROM vs))) AS log_lik
+       |  FROM tot t CROSS JOIN vocab v
+       |  LEFT JOIN counts c ON c.label = t.label AND c.w = v.w),
+       |nd AS MATERIALIZED (
+       |  SELECT lang AS label, count(*) AS nd FROM documents
+       |  WHERE doc_id % 2 = 0 GROUP BY 1),
+       |ndall AS MATERIALIZED (
+       |  SELECT CAST(count(*) AS DOUBLE) AS n FROM documents WHERE doc_id % 2 = 0),
+       |stats AS MATERIALIZED (
+       |  SELECT nd.label, ln(nd.nd / (SELECT n FROM ndall)) AS log_prior,
+       |         ln($alpha / (t.tot + $alpha * (SELECT v FROM vs))) AS log_default
+       |  FROM nd JOIN tot t ON t.label = nd.label),
+       |dt AS MATERIALIZED (
+       |  SELECT doc_id, w, count(*) AS cw
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+       |  GROUP BY 1, 2),
+       |seen AS MATERIALIZED (
+       |  SELECT dt.doc_id, d.label, sum(dt.cw * d.log_lik) AS s_seen
+       |  FROM dt JOIN dense d ON d.w = dt.w GROUP BY 1, 2),
+       |oov AS MATERIALIZED (
+       |  SELECT doc_id, sum(cw) AS n_oov FROM dt
+       |  WHERE w NOT IN (SELECT w FROM vocab) GROUP BY 1),
+       |scored AS MATERIALIZED (
+       |  SELECT b.doc_id, s.label,
+       |    s.log_prior + coalesce(sn.s_seen, 0) + coalesce(o.n_oov, 0) * s.log_default AS score
+       |  FROM (SELECT doc_id FROM documents) b
+       |  CROSS JOIN stats s
+       |  LEFT JOIN seen sn ON sn.doc_id = b.doc_id AND sn.label = s.label
+       |  LEFT JOIN oov o ON o.doc_id = b.doc_id),
+       |ranked AS (
+       |  SELECT doc_id, label, score,
+       |    row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY round(score, 9) DESC, label) AS rn
+       |  FROM scored)
+       |SELECT doc_id, label AS pred_label, round(score, 6) AS score
+       |FROM ranked WHERE rn = 1""".stripMargin
+
   /** Per-source corpus datasheet oracle: same blended quality, exact
     * ranked-element median. */
   val sourceStats: String =

@@ -579,6 +579,12 @@ object SparkEntry {
     "q_langid" -> q { (s, dir) =>
       pipeline.TextAnalysis.languageId(Fixtures.documents(s, dir))
     },
+    "q_nb_classify" -> q { (s, dir) =>
+      // trainable curation filter: multinomial NB trained on the labeled
+      // half (even doc_ids), argmax-scored over the full corpus
+      pipeline.Classifier.nbTrainScore(Fixtures.documents(s, dir),
+        trainFilter = col("doc_id") % 2 === 0, labelCol = "lang")
+    },
     "q_fingerprint" -> q { (s, dir) =>
       pipeline.TextAnalysis.fingerprints(Fixtures.documents(s, dir), n = 5, w = 4)
     },
@@ -1670,6 +1676,7 @@ object SparkEntry {
     "q_token_count" -> PipelineSql.tokenCounts,
     "q_quality" -> PipelineSql.quality,
     "q_langid" -> PipelineSql.langId,
+    "q_nb_classify" -> PipelineSql.nbClassify(alpha = 1.0, maxVocab = 65536),
     "q_fingerprint" -> PipelineSql.fingerprints(n = 5, w = 4),
     "q_contamination" ->
       """WITH w AS MATERIALIZED (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

@@ -31,6 +31,31 @@ class PipelineSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("NB classifier separates disjoint vocabularies and falls back to the prior on OOV") {
+    import spark.implicits._
+    // two classes with disjoint vocabularies; EQUAL token totals (40 each)
+    // so the smoothed OOV default is identical per class and only the doc
+    // prior (a: 20 docs vs b: 10) separates a fully-OOV document
+    val train = ((0 until 20).map(i => (i.toLong, s"apple fruit$i", "a")) ++
+      (0 until 10).map(i => (100L + i, s"bolt nut wrench tool$i", "b")))
+      .toDF("doc_id", "text", "lang")
+    val score = Seq(
+      (500L, "apple apple apple"),    // class-a words
+      (501L, "wrench bolt nut"),      // class-b words
+      (502L, "zzz qqq xxx")           // fully OOV → prior decides → "a"
+    ).toDF("doc_id", "text")
+    val (lik, stats) = Classifier.nbTrain(train, labelCol = "lang")
+    val pred = Classifier.nbClassify(score, lik, stats).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(pred == Map(500L -> "a", 501L -> "b", 502L -> "a"), s"got $pred")
+    // partition invariance (1 vs 64) of the full train+score pipeline
+    def full(parts: Int) = Classifier.nbTrainScore(
+      train.select("doc_id", "text", "lang").repartition(parts),
+      trainFilter = lit(true)).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+    assert(full(1) == full(64))
+  }
+
   test("knnGraph and duplicate-span strip are partition-invariant (1 vs 64)") {
     import spark.implicits._
     // SURVEY §5c extension to the round-6 operators. Integral-valued
