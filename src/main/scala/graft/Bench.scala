@@ -39,6 +39,31 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** Nominal seconds for [[jobFloorProbe]] on this host — pinned round-7
+    * from the best of 4 reps (7.6s) in a window whose data-probe index was
+    * ~1.0. The same captures measured 75-115ms per trivial job — which by
+    * itself accounts for the q_louvain 18.5→35s "regression" (~160 jobs ×
+    * the floor delta); the probe exists so that attribution is in the
+    * artifact, not re-derived each round. */
+  val JobFloorNominalSec = 7.6
+
+  /** Scheduler-floor probe: 100 trivial jobs on a cached 1-row frame. The
+    * data-stage probe above is blind to driver-side degradation (per-job
+    * scheduling latency, Catalyst planning contention) — exactly the axis
+    * that dominates iterative many-small-job queries (q_louvain at sf0.1 is
+    * ~160 jobs each ≤2s; see the round-7 window-vs-join autopsy). The two
+    * probes separate "shuffle throughput degraded" from "job floor
+    * degraded" in every capture. */
+  def jobFloorProbe(spark: SparkSession): Double = {
+    val one = spark.range(1).cache()
+    (0 until 20).foreach(_ => one.count()) // JIT/codegen warmup off the clock
+    val t0 = System.nanoTime()
+    (0 until 100).foreach(_ => one.count())
+    val dt = (System.nanoTime() - t0) / 1e9
+    one.unpersist()
+    dt
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -63,8 +88,10 @@ object Bench {
     // pre-sweep calibration (skipped on subset runs): a pinned workload
     // whose cost is code-independent across rounds — see calibrationProbe
     val calibPre = if (subset.isEmpty) calibrationProbe(spark) else 0.0
+    val calibJobsPre = if (subset.isEmpty) jobFloorProbe(spark) else 0.0
     if (subset.isEmpty)
-      System.err.println(f"[bench] calibration pre t=$calibPre%.1fs")
+      System.err.println(
+        f"[bench] calibration pre t=$calibPre%.1fs jobs=$calibJobsPre%.1fs")
     val warmSec = if (subset.isEmpty) {
       val t0 = System.nanoTime()
       Fixtures.prewarm(spark, sfDir)
@@ -109,17 +136,21 @@ object Bench {
     val starts = results.map { case (k, _, s) => s"\"" + k + "\":" + s }
       .mkString("{", ",", "}")
     val calibPost = if (subset.isEmpty) calibrationProbe(spark) else 0.0
+    val calibJobsPost = if (subset.isEmpty) jobFloorProbe(spark) else 0.0
     if (subset.isEmpty)
-      System.err.println(f"[bench] calibration post t=$calibPost%.1fs")
+      System.err.println(
+        f"[bench] calibration post t=$calibPost%.1fs jobs=$calibJobsPost%.1fs")
     // host_index: mean probe time over the pinned nominal — >~1.5 flags a
     // degraded capture window (r6's 1125s artifact would have carried ~3)
     val hostIndex = if (subset.isEmpty)
       ((calibPre + calibPost) / 2.0) / CalibNominalSec else 0.0
+    val hostIndexJobs = if (subset.isEmpty)
+      ((calibJobsPre + calibJobsPost) / 2.0) / JobFloorNominalSec else 0.0
     // total stays honest: prewarm seconds are part of the run, reported
     // both inside the total and as their own field (calibration probes are
     // excluded from the total — they measure the host, not the code)
     val total = results.map(_._2).sum + warmSec
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"started":$starts,"fixture_warm":$warmSec,"calib_pre":$calibPre,"calib_post":$calibPost,"host_index":$hostIndex,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"started":$starts,"fixture_warm":$warmSec,"calib_pre":$calibPre,"calib_post":$calibPost,"host_index":$hostIndex,"calib_jobs_pre":$calibJobsPre,"calib_jobs_post":$calibJobsPost,"host_index_jobs":$hostIndexJobs,"sf":"$sfDir"}"""
     println(line)
     // the stdout contract above is the driver's; ALSO persist the complete
     // JSON to a file — BENCH_r05.json reached the repo truncated mid-object

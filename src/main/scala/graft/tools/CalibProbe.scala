@@ -15,11 +15,14 @@ object CalibProbe {
     spark.sparkContext.setLogLevel("WARN")
     val times = (1 to reps).map { i =>
       val t = graft.Bench.calibrationProbe(spark)
-      println(f"[calib] rep $i t=$t%.2fs")
-      t
+      val tj = graft.Bench.jobFloorProbe(spark)
+      println(f"[calib] rep $i t=$t%.2fs jobs=$tj%.2fs")
+      (t, tj)
     }
-    val sorted = times.sorted
-    println(f"[calib] median=${sorted(sorted.length / 2)}%.2fs min=${sorted.head}%.2fs")
+    val sorted = times.map(_._1).sorted
+    val sortedJ = times.map(_._2).sorted
+    println(f"[calib] median=${sorted(sorted.length / 2)}%.2fs min=${sorted.head}%.2fs" +
+      f" jobs_median=${sortedJ(sortedJ.length / 2)}%.2fs jobs_min=${sortedJ.head}%.2fs")
     spark.stop()
   }
 }
