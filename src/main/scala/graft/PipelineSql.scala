@@ -60,6 +60,25 @@ object PipelineSql {
        |WHERE round(coalesce(i.i, 0) * 1.0 / (ca.n_sh + cb.n_sh - coalesce(i.i, 0)), 6) >= $threshold""".stripMargin
   }
 
+  /** Candidates-only LSH oracle (no Jaccard verification): the pair set
+    * sharing at least one band key — the batch mirror of the STREAMING
+    * candidate miner `GraphStream.streamingLshCandidates`, whose emitted
+    * set is micro-batch-split-invariant and canonicalized (id_a < id_b). */
+  def lshCandidates(bands: Int, rowsPerBand: Int): String = {
+    val k = bands * rowsPerBand
+    val bandKeys = (0 until bands).map { b =>
+      val key = (b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(j => s"CAST(mh$j AS VARCHAR)").mkString(" || '_' || ")
+      s"SELECT doc_id, $b AS band, md5($key) AS bk FROM mh"
+    }.mkString(" UNION ALL ")
+    s"""WITH $SHINGLES3,
+       |mh AS MATERIALIZED (SELECT doc_id, ${minhashSelect(k)} FROM sh GROUP BY doc_id),
+       |bk AS MATERIALIZED ($bandKeys)
+       |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |FROM bk a JOIN bk b
+       |  ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id""".stripMargin
+  }
+
   /** Edit-distance rescoring oracle: the lshPairs candidate CTEs, then
     * levenshtein over the pair texts (identical classic DP metric in both
     * engines). */
@@ -879,6 +898,52 @@ object PipelineSql {
 
   /** k-NN majority-vote oracle: the `annTopK` exact ranking joined back to
     * the labels, argmax vote per query (votes desc, label asc). */
+  /** Logistic-regression probe oracle: the EXACT unroll of
+    * `Classifier.lrTrainScore` — teacher target y = (v · v_first > 0),
+    * bias feature appended, `iters` full-batch GD steps at rate `lr`,
+    * prob rounded to 6 dp, pred decided on the rounded prob. Per-step
+    * weight lists are built with `list(... ORDER BY j)` so the dot
+    * products accumulate in the same index order as VecDot. */
+  def lrClassify(iters: Int, lr: Double): String = {
+    val b = new StringBuilder
+    b ++= s"""WITH raw AS MATERIALIZED (
+             |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             |  FROM embeddings),
+             |u AS (SELECT v AS uv FROM raw ORDER BY vec_id LIMIT 1),
+             |e AS MATERIALIZED (
+             |  SELECT vec_id, list_append(v, 1.0) AS xf,
+             |    CASE WHEN list_dot_product(v, (SELECT uv FROM u)) > 0
+             |         THEN 1.0 ELSE 0.0 END AS y
+             |  FROM raw),
+             |tr AS MATERIALIZED (SELECT xf, y FROM e WHERE vec_id % 2 = 0),
+             |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM tr),
+             |g1 AS MATERIALIZED (
+             |  SELECT j, sum((0.5 - y) * xf[j]) AS g
+             |  FROM tr, unnest(generate_series(1, len(xf))) AS t(j) GROUP BY j),
+             |w1 AS MATERIALIZED (
+             |  SELECT list(-$lr * g / (SELECT n FROM n) ORDER BY j) AS w FROM g1),
+             |""".stripMargin
+    for (i <- 2 to iters) {
+      b ++= s"""s$i AS (
+               |  SELECT xf, y,
+               |    1.0/(1.0 + exp(-list_dot_product(xf, (SELECT w FROM w${i - 1})))) AS sig
+               |  FROM tr),
+               |g$i AS MATERIALIZED (
+               |  SELECT j, sum((sig - y) * xf[j]) AS g
+               |  FROM s$i, unnest(generate_series(1, len(xf))) AS t(j) GROUP BY j),
+               |w$i AS MATERIALIZED (
+               |  SELECT list(wj - $lr * g / (SELECT n FROM n) ORDER BY j) AS w
+               |  FROM (SELECT j, g, (SELECT w FROM w${i - 1})[j] AS wj FROM g$i)),
+               |""".stripMargin
+    }
+    b ++= s"""scored AS (
+             |  SELECT vec_id,
+             |    round(1.0/(1.0 + exp(-list_dot_product(xf, (SELECT w FROM w$iters)))), 6) AS prob
+             |  FROM e)
+             |SELECT vec_id, prob, CAST(prob >= 0.5 AS BIGINT) AS pred FROM scored""".stripMargin
+    b.toString
+  }
+
   def knnClassify(nQueries: Int, k: Int): String =
     s"""WITH $EMB_NORM,
        |q AS MATERIALIZED (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM e
@@ -916,6 +981,18 @@ object PipelineSql {
        |  round($mx, 6) AS lang_score
        |FROM sc""".stripMargin
   }
+
+  /** Sliding-window chunker oracle: starts every `stride` tokens (1-based
+    * in DuckDB list arithmetic, 0-based ids/offsets in the output),
+    * trailing partial chunk kept — `TextAnalysis.chunkDocs` exactly. */
+  def chunkDocs(window: Int, stride: Int): String =
+    s"""WITH wd AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+       |SELECT doc_id,
+       |  CAST((i - 1) // $stride AS BIGINT) AS chunk_id,
+       |  CAST(i - 1 AS BIGINT) AS start_tok,
+       |  CAST(least(len(ws) - (i - 1), $window) AS BIGINT) AS n_tok,
+       |  array_to_string(ws[i:i+${window - 1}], ' ') AS chunk_text
+       |FROM wd, unnest(generate_series(1, len(ws), $stride)) AS t(i)""".stripMargin
 
   def fingerprints(n: Int, w: Int): String =
     s"""WITH wd AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

@@ -585,8 +585,35 @@ object SparkEntry {
       pipeline.Classifier.nbTrainScore(Fixtures.documents(s, dir),
         trainFilter = col("doc_id") % 2 === 0, labelCol = "lang")
     },
+    "q_lr_classify" -> q { (s, dir) =>
+      // embedding-side linear probe: logistic regression by full-batch GD,
+      // trained on the even half against a teacher direction (the first
+      // vector by id — margins are ≥5e-5 at every SF, far above float
+      // noise), scored over the whole table. Holdout floor guards against
+      // a silently-broken gradient (a wrong sign or scale lands at ~0.5).
+      val emb = Fixtures.embeddings(s, dir)
+      val u = emb.orderBy("vec_id")
+        .select(col("embedding").cast("array<double>")).first().getSeq[Double](0)
+      val res = pipeline.Classifier.lrTrainScore(emb,
+        trainFilter = col("vec_id") % 2 === 0,
+        target = graft.pipeline.TextOps.dot(
+          col("embedding").cast("array<double>"), typedlit(u)) > 0).mat
+      val acc = res.join(emb.select(col("vec_id"),
+          (graft.pipeline.TextOps.dot(col("embedding").cast("array<double>"),
+            typedlit(u)) > 0).cast("long").as("y")), "vec_id")
+        .filter(col("vec_id") % 2 === 1)
+        .agg(avg((col("pred") === col("y")).cast("double"))).first().getDouble(0)
+      require(acc >= 0.75, s"lr probe holdout accuracy $acc below floor 0.75")
+      res
+    },
     "q_fingerprint" -> q { (s, dir) =>
       pipeline.TextAnalysis.fingerprints(Fixtures.documents(s, dir), n = 5, w = 4)
+    },
+    "q_chunk" -> q { (s, dir) =>
+      // RAG/embedding chunking: 32-token windows every 24 tokens (8-token
+      // overlap) — pure per-row generate+project, single scan stage
+      pipeline.TextAnalysis.chunkDocs(Fixtures.documents(s, dir),
+        window = 32, stride = 24)
     },
     "q_contamination" -> q { (s, dir) =>
       // eval-leakage filter: every 97th document plays the benchmark set
@@ -1355,6 +1382,37 @@ object SparkEntry {
         .select(unix_timestamp(col("window.start")).as("window_start"),
           col("event_type"), col("n_events"), col("sum_value"))
     },
+    "q_stream_lsh_candidates" -> q { (s, dir) =>
+      // stateful candidate mining (flatMapGroupsWithState keyed by LSH
+      // bucket + stateful pair dedup) run as an ACTUAL streaming
+      // execution: pairs surface the moment the second bucket member
+      // arrives; the emitted SET is micro-batch-split-invariant and
+      // canonicalized (id_a < id_b), so it gates exactly against the
+      // batch band self-join.
+      val stream = StreamTables(s, dir, "documents")
+      graft.streaming.GraphStream.runToCompletion(
+        graft.streaming.GraphStream.streamingLshCandidates(stream,
+          n = 3, bands = 4, rowsPerBand = 2),
+        mode = "append")
+    },
+    "q_stream_sessions" -> q { (s, dir) =>
+      // session_window sessionization as an ACTUAL streaming execution —
+      // the streaming twin of q_sessionize (same 4-hour gap). Sessions
+      // merge while consecutive events are < gap apart, so the result is
+      // micro-batch-split-invariant; complete mode emits every session at
+      // drain. The NTZ parquet ts casts to an instant in the session TZ
+      // (UTC), matching DuckDB's naive epoch() — same convention as
+      // q_stream_window_counts.
+      val stream = StreamTables(s, dir, "events")
+        .withColumn("ts", col("ts").cast("timestamp"))
+      graft.streaming.GraphStream.runToCompletion(
+        graft.streaming.GraphStream.streamingSessionStats(stream,
+          gapSeconds = 14400L),
+        mode = "complete")
+        .select(col("user_id"),
+          unix_timestamp(col("session_start")).as("session_start"),
+          col("n_events"), col("sum_value"))
+    },
     "q_stream_vertex_summary" -> q { (s, dir) =>
       // keyed-state path (mapGroupsWithState): per-supplier running summary
       // over the lineitem edge stream; the final state per key is the row
@@ -1677,7 +1735,9 @@ object SparkEntry {
     "q_quality" -> PipelineSql.quality,
     "q_langid" -> PipelineSql.langId,
     "q_nb_classify" -> PipelineSql.nbClassify(alpha = 1.0, maxVocab = 65536),
+    "q_lr_classify" -> PipelineSql.lrClassify(iters = 8, lr = 8.0),
     "q_fingerprint" -> PipelineSql.fingerprints(n = 5, w = 4),
+    "q_chunk" -> PipelineSql.chunkDocs(window = 32, stride = 24),
     "q_contamination" ->
       """WITH w AS MATERIALIZED (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         |shn AS MATERIALIZED (
@@ -1951,6 +2011,27 @@ object SparkEntry {
       """SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start,
         |       event_type, count(*) AS n_events, round(sum(value), 6) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_stream_lsh_candidates" -> PipelineSql.lshCandidates(bands = 4, rowsPerBand = 2),
+    // gaps-and-islands mirror of session_window: a session breaks when the
+    // gap to the previous event is >= 14400s (session_window merges only
+    // on strict interval overlap, next.ts < prev.ts + gap)
+    "q_stream_sessions" ->
+      """WITH ev AS MATERIALIZED (
+        |  SELECT user_id, epoch_us(ts) AS eu, value FROM events),
+        |flg AS MATERIALIZED (
+        |  SELECT user_id, eu, value,
+        |    CASE WHEN eu - lag(eu) OVER (PARTITION BY user_id ORDER BY eu)
+        |              < 14400000000
+        |         THEN 0 ELSE 1 END AS ns
+        |  FROM ev),
+        |isl AS MATERIALIZED (
+        |  SELECT user_id, eu, value,
+        |    sum(ns) OVER (PARTITION BY user_id ORDER BY eu
+        |                  ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM flg)
+        |SELECT user_id, min(eu) // 1000000 AS session_start,
+        |       count(*) AS n_events, round(sum(value), 6) AS sum_value
+        |FROM isl GROUP BY user_id, sid""".stripMargin,
     "q_stream_vertex_summary" ->
       """SELECT l_suppkey AS id, CAST(count(*) AS BIGINT) AS degree,
         |       sum(CAST(l_quantity AS DOUBLE)) AS weight_sum,

@@ -2,6 +2,7 @@ package graft.pipeline
 
 import org.apache.spark.sql.{DataFrame, Column}
 import org.apache.spark.sql.functions._
+import graft.prims.Mat._
 
 /** Trainable document classifier for curation pipelines — the
   * fastText-style "train a lightweight filter on a labeled subset, score
@@ -103,5 +104,55 @@ object Classifier {
     val (lik, stats) = nbTrain(docs.filter(trainFilter), labelCol, textCol,
       alpha, maxVocab)
     nbClassify(docs, lik, stats, idCol, textCol)
+  }
+
+  /** Logistic-regression probe over an embedding column, trained with
+    * fixed-iteration FULL-BATCH gradient descent — the "fit a linear probe
+    * on a labeled slice, score the whole corpus" step of embedding-based
+    * curation (quality filters, domain routers) where the NB classifier
+    * above covers the token side. `target` is any boolean/numeric column
+    * expression over the input frame (cast to 0/1); a bias feature is
+    * appended internally.
+    *
+    * Scale shape: one iteration = ONE shuffle of the posexploded train
+    * slice (n·(dim+1) rows reduced to dim+1 gradient sums by a map-side-
+    * combined hash agg) and a (dim+1)-scalar collect for the driver-side
+    * weight update — the same bounded-collect discipline as the spectral
+    * Gram matrix (`Spectral.scala`). Scoring is a pure map over the corpus
+    * with the weight vector inlined as an array literal: no join, no
+    * shuffle, fully codegen'd through [[graft.functions.VecDot]]. At 100 TB
+    * the train slice is whatever labeled sample fits the label budget; the
+    * corpus-sized pass is scoring, which is scan-shaped.
+    *
+    * Determinism: weights drift only by float-sum association (~1e-13
+    * after `iters` rounds — measured, see BASELINE round 7), absorbed by
+    * rounding `prob` to 6 dp; `pred` compares the ROUNDED prob to 0.5 so
+    * both engines decide on the same value.
+    * Output (idCol, prob, pred). */
+  def lrTrainScore(emb: DataFrame, trainFilter: Column, target: Column,
+                   iters: Int = 8, lr: Double = 8.0,
+                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    def prep(df: DataFrame): DataFrame = df.select(col(idCol),
+      concat(col(vecCol).cast("array<double>"), array(lit(1.0))).as("xf"),
+      target.cast("double").as("y"))
+    val all = prep(emb).mat
+    val train = prep(emb.filter(trainFilter)).mat
+    val n = train.count().toDouble
+    require(n > 0, "lrTrainScore: empty training slice")
+    val dim = all.select(size(col("xf"))).first().getInt(0)
+    val w = Array.fill(dim)(0.0)
+    for (_ <- 0 until iters) {
+      val z = dot(col("xf"), typedlit(w.toSeq))
+      val sig = lit(1.0) / (lit(1.0) + exp(-z))
+      val grad = train
+        .select((sig - col("y")).as("r"), posexplode(col("xf")))
+        .groupBy(col("pos")).agg(sum(col("r") * col("col")).as("g"))
+        .collect()
+      grad.foreach(r => w(r.getInt(0)) -= lr * r.getDouble(1) / n)
+    }
+    val prob = round(lit(1.0) /
+      (lit(1.0) + exp(-dot(col("xf"), typedlit(w.toSeq)))), 6)
+    all.select(col(idCol), prob.as("prob"),
+      (prob >= 0.5).cast("long").as("pred"))
   }
 }

@@ -395,6 +395,31 @@ object TextAnalysis {
     docs.select(col(idCol), col(strataCol)).filter(u < rate)
   }
 
+  /** Per-document sliding-window chunking with overlap — the
+    * embedding/RAG-side complement of [[packChunks]] (which packs ACROSS
+    * documents for pretraining): each document is cut into `window`-token
+    * chunks every `stride` tokens (overlap = window − stride), the unit a
+    * retrieval index or an embedding batch job consumes. Pure per-row
+    * generate + project: no shuffle, no state — the plan is a single scan
+    * stage at any corpus size, and chunk counts scale with token counts,
+    * not document counts. A trailing partial chunk is kept (≥1 token);
+    * documents shorter than one stride yield exactly one chunk.
+    * Output (idCol, chunk_id, start_tok, n_tok, chunk_text). */
+  def chunkDocs(docs: DataFrame, window: Int, stride: Int,
+                idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      s"chunkDocs: need 0 < stride <= window, got window=$window stride=$stride")
+    docs
+      .select(col(idCol), tokens(col(textCol)).as("ws"))
+      .select(col(idCol), col("ws"),
+        posexplode(sequence(lit(0),
+          greatest(size(col("ws")) - 1, lit(0)), lit(stride))))
+      .select(col(idCol), col("pos").cast("long").as("chunk_id"),
+        col("col").cast("long").as("start_tok"),
+        least(size(col("ws")) - col("col"), lit(window)).cast("long").as("n_tok"),
+        array_join(slice(col("ws"), col("col") + 1, lit(window)), " ").as("chunk_text"))
+  }
+
   /** Concat-then-chunk sequence packing: documents are deterministically
     * sharded into `nBuckets` packer buckets, hash-ordered within each,
     * and the running token total assigns each doc the fixed-size context

@@ -56,6 +56,32 @@ class PipelineSpec extends SparkSpec {
     assert(full(1) == full(64))
   }
 
+  test("LR probe learns a separable target; rounded output is partition-stable") {
+    import spark.implicits._
+    // separable with margin: y = (first coordinate > 0.1); coordinates are
+    // discrete (k/5), so no point sits on the decision boundary
+    val emb = (0L until 66L).map { i =>
+      val a = ((i % 11).toInt - 5).toFloat / 5.0f
+      val b = ((i / 11).toInt - 3).toFloat / 3.0f
+      (i, Array(a, b))
+    }.toDF("vec_id", "embedding")
+    def run(parts: Int) = Classifier.lrTrainScore(
+      emb.repartition(parts),
+      trainFilter = col("vec_id") % 2 === 0,
+      target = element_at(col("embedding"), 1) > 0.1f,
+      iters = 8, lr = 8.0).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    val res = run(4)
+    val correct = (0L until 66L).count { i =>
+      val y = if (((i % 11).toInt - 5) / 5.0f > 0.1f) 1L else 0L
+      res(i)._2 == y
+    }
+    assert(correct >= 56, s"LR probe got $correct/66 right") // ≥85%
+    // the 6-dp rounding absorbs float-sum association differences — the
+    // same contract the DuckDB gate relies on
+    assert(run(1) == run(64))
+  }
+
   test("knnGraph and duplicate-span strip are partition-invariant (1 vs 64)") {
     import spark.implicits._
     // SURVEY §5c extension to the round-6 operators. Integral-valued
