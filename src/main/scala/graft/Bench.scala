@@ -114,11 +114,17 @@ object Bench {
       // keys — the triangle-family queries then "benchmark" a plan whose
       // expensive aggregation never runs (caught in round 4; see
       // BASELINE.md). count() afterwards only feeds the progress line.
+      // a failed query prints its message: in-gate guards (e.g. the
+      // q_lr_classify holdout-accuracy floor) exist to DIAGNOSE a broken
+      // kernel, which a silent None would defeat (ADVICE r7)
       val dfOpt = try {
         val df = fn(spark, sfDir)
         df.write.format("noop").mode("overwrite").save()
         Some(df)
-      } catch { case _: Throwable => None }
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+        None
+      }
       val dt = (System.nanoTime() - t0) / 1e9
       // rows are reported outside the timed window (count may replay a
       // purely-declarative plan; the timing contract is the noop write)
@@ -150,7 +156,10 @@ object Bench {
     // both inside the total and as their own field (calibration probes are
     // excluded from the total — they measure the host, not the code)
     val total = results.map(_._2).sum + warmSec
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"started":$starts,"fixture_warm":$warmSec,"calib_pre":$calibPre,"calib_post":$calibPost,"host_index":$hostIndex,"calib_jobs_pre":$calibJobsPre,"calib_jobs_post":$calibJobsPost,"host_index_jobs":$hostIndexJobs,"sf":"$sfDir"}"""
+    // cpus rides the artifact: the nominal probe times are pinned to an
+    // idle local[32] run, so a host_index from any other cpu config is
+    // uninterpretable without knowing which config produced it (ADVICE r7)
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"started":$starts,"fixture_warm":$warmSec,"calib_pre":$calibPre,"calib_post":$calibPost,"host_index":$hostIndex,"calib_jobs_pre":$calibJobsPre,"calib_jobs_post":$calibJobsPost,"host_index_jobs":$hostIndexJobs,"cpus":$cpus,"sf":"$sfDir"}"""
     println(line)
     // the stdout contract above is the driver's; ALSO persist the complete
     // JSON to a file — BENCH_r05.json reached the repo truncated mid-object

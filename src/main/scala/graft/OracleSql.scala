@@ -149,12 +149,25 @@ object OracleSql {
   }
 
   /** HITS unrolled on the customer→supplier bipartite graph, sum-normalized
-    * authorities then hubs each round (matches Centrality.hits order). */
-  def hitsCustSupp(iters: Int): String = {
+    * authorities then hubs each round (matches Centrality.hits order).
+    * `nstartOutDeg`: warm-start hubs from the out-degree frame (vertices
+    * with no outgoing edge start at 0 — the absent-from-nstart default).
+    * `normalized=false`: final values max-normalized instead of the
+    * per-round sum scale (mirrors Centrality.hits' normalized flag). */
+  def hitsCustSupp(iters: Int, nstartOutDeg: Boolean = false,
+                   normalized: Boolean = true): String = {
     val b = new StringBuilder
     b ++= s"WITH $CUSTSUPP_EDGES_SQL,\n"
     b ++= "verts AS MATERIALIZED (SELECT src AS id FROM cs_edges UNION SELECT dst FROM cs_edges),\n"
-    b ++= "h0 AS MATERIALIZED (SELECT id, 1.0 AS h, 1.0 AS a FROM verts),\n"
+    if (nstartOutDeg)
+      b ++= """h0 AS MATERIALIZED (
+        |  SELECT v.id, CAST(coalesce(o.d, 0) AS DOUBLE) AS h, 1.0 AS a
+        |  FROM verts v LEFT JOIN (
+        |    SELECT src AS id, count(*) AS d FROM cs_edges GROUP BY 1
+        |  ) o ON o.id = v.id),
+        |""".stripMargin
+    else
+      b ++= "h0 AS MATERIALIZED (SELECT id, 1.0 AS h, 1.0 AS a FROM verts),\n"
     for (i <- 1 to iters) {
       b ++= s"""a${i}r AS MATERIALIZED (
         |  SELECT v.id, coalesce(s.x, 0) AS a FROM verts v LEFT JOIN (
@@ -175,7 +188,13 @@ object OracleSql {
         |)""".stripMargin
       b ++= (if (i < iters) ",\n" else "\n")
     }
-    b ++= s"SELECT id, round(h, 6) AS hubs, round(a, 6) AS authorities FROM h$iters"
+    if (normalized)
+      b ++= s"SELECT id, round(h, 6) AS hubs, round(a, 6) AS authorities FROM h$iters"
+    else
+      b ++= s"""SELECT id,
+        |  round(h / (SELECT CASE WHEN max(h)=0 THEN 1 ELSE max(h) END FROM h$iters), 6) AS hubs,
+        |  round(a / (SELECT CASE WHEN max(a)=0 THEN 1 ELSE max(a) END FROM h$iters), 6) AS authorities
+        |FROM h$iters""".stripMargin
     b.toString
   }
 

@@ -186,6 +186,18 @@ object SparkEntry {
         .select(col(ID), round(col("hubs"), 6).as("hubs"),
           round(col("authorities"), 6).as("authorities"))
     },
+    "q_hits_nstart" -> q { (s, dir) =>
+      // warm-start hubs from the out-degree frame (suppliers — absent from
+      // nstart — start at 0) + normalized=false (max-scaled output): the
+      // reference's remaining HITS options (`hits.py:37-47`)
+      val g = Fixtures.custSuppGraph(s, dir)
+      val n0 = g.edges.groupBy(col(SRC).as(ID))
+        .agg(count(lit(1)).cast("double").as("h0"))
+      Centrality.hits(g, maxIter = 3, tol = -1.0,
+          nstart = Some(n0), normalized = false)
+        .select(col(ID), round(col("hubs"), 6).as("hubs"),
+          round(col("authorities"), 6).as("authorities"))
+    },
     "q_pagerank_directed" -> q { (s, dir) =>
       // directed bipartite graph: suppliers are dangling sinks — exercises
       // the dangling-mass redistribution branch with edge weights.
@@ -597,7 +609,8 @@ object SparkEntry {
       val res = pipeline.Classifier.lrTrainScore(emb,
         trainFilter = col("vec_id") % 2 === 0,
         target = graft.pipeline.TextOps.dot(
-          col("embedding").cast("array<double>"), typedlit(u)) > 0).mat
+          col("embedding").cast("array<double>"), typedlit(u)) > 0,
+        boundaryGuard = 1e-9).mat
       val acc = res.join(emb.select(col("vec_id"),
           (graft.pipeline.TextOps.dot(col("embedding").cast("array<double>"),
             typedlit(u)) > 0).cast("long").as("y")), "vec_id")
@@ -1490,6 +1503,8 @@ object SparkEntry {
     "q_katz" -> OracleSql.katzSupplier(iters = 10, alpha = 0.005),
     "q_eigenvector" -> OracleSql.eigenvectorSupplier(iters = 10),
     "q_hits" -> OracleSql.hitsCustSupp(iters = 4),
+    "q_hits_nstart" -> OracleSql.hitsCustSupp(iters = 3, nstartOutDeg = true,
+      normalized = false),
     "q_pagerank_directed" -> OracleSql.pagerankCustSupp(iters = 10),
     "q_degree_centrality" ->
       s"""WITH $CUSTSUPP_EDGES_SQL,

@@ -33,17 +33,32 @@ object Centrality {
   def katz(g: PropertyGraph, alpha: Double, beta: Double = 1.0,
            maxIter: Int = 100, tol: Double = 1e-6,
            normalized: Boolean = true, nstart: Option[DataFrame] = None): DataFrame = {
-    val (df, converged) = katzWithStatus(g, alpha, beta, maxIter, tol, normalized, nstart)
+    // flag checked BEFORE normalization: the L2-norm scalar job is wasted
+    // work on the throwing path (ADVICE r7)
+    val (raw, converged) = katzRaw(g, alpha, beta, maxIter, tol, nstart)
     if (!converged)
       throw new graft.core.FailedToConvergeException(
         s"Katz did not reach tol=$tol within maxIter=$maxIter")
-    df
+    katzNormalize(raw, normalized)
   }
 
   /** (katz, converged) tuple form — never throws on a tolerance miss. */
   def katzWithStatus(g: PropertyGraph, alpha: Double, beta: Double = 1.0,
            maxIter: Int = 100, tol: Double = 1e-6,
            normalized: Boolean = true, nstart: Option[DataFrame] = None): (DataFrame, Boolean) = {
+    val (raw, converged) = katzRaw(g, alpha, beta, maxIter, tol, nstart)
+    (katzNormalize(raw, normalized), converged)
+  }
+
+  private def katzNormalize(res: DataFrame, normalized: Boolean): DataFrame =
+    if (!normalized) res
+    else {
+      val norm = res.agg(sqrt(sum(col("katz") * col("katz")))).first().getDouble(0)
+      res.select(col(ID), (col("katz") / norm).as("katz"))
+    }
+
+  private def katzRaw(g: PropertyGraph, alpha: Double, beta: Double,
+           maxIter: Int, tol: Double, nstart: Option[DataFrame]): (DataFrame, Boolean) = {
     val verts = g.vertices.select(ID).mat
     val nV = verts.count()
     val e = g.edges.select(SRC, DST).mat
@@ -66,12 +81,7 @@ object Centrality {
         .agg(sum(abs(col("katz") - col("prev")))).first().getDouble(0) < tol
     }
     val (res, converged, _) = Iterate.loopWithStatus(init, maxIter, step, conv, checkpointEvery = 1)
-    val out = if (!normalized) res
-    else {
-      val norm = res.agg(sqrt(sum(col("katz") * col("katz")))).first().getDouble(0)
-      res.select(col(ID), (col("katz") / norm).as("katz"))
-    }
-    (out, converged)
+    (res, converged)
   }
 
   /** Eigenvector centrality — power iteration with L2 normalization per
@@ -99,12 +109,37 @@ object Centrality {
 
   /** HITS hubs & authorities, sum-normalized each half-round
     * (reference `link_analysis/hits.py:11`, `hits_impl.cuh`).
+    *
+    * `nstart` (reference `hits.py:37-46`): optional initial hubs guess as a
+    * 2-column (vertex, value) frame; vertices absent from the guess start
+    * at 0 (the reference scatters the guess into a device buffer the same
+    * way). Per-round normalization makes the result invariant to the
+    * guess's global scale — only its direction matters — so the reference's
+    * input sum-normalization (`hits_impl.cuh:83`) is a no-op here.
+    *
+    * `normalized` (reference `hits.py:47`, `hits_impl.cuh:175`): when true
+    * (default) the final hubs/authorities are 1-norm-normalized (sum = 1);
+    * when false they are max-normalized (max = 1) — exactly the scale the
+    * reference returns with `normalize=false`, whose last in-loop step is
+    * a divide-by-max (`hits_impl.cuh:138-146`). The iterate DIRECTION is
+    * identical under either scheme (normalization is a positive scalar per
+    * half-round that cancels in the next aggregation).
     * @return DataFrame(id, hubs, authorities). */
-  def hits(g: PropertyGraph, maxIter: Int = 100, tol: Double = 1e-5): DataFrame = {
+  def hits(g: PropertyGraph, maxIter: Int = 100, tol: Double = 1e-5,
+           nstart: Option[DataFrame] = None,
+           normalized: Boolean = true): DataFrame = {
     val verts = g.vertices.select(ID).mat
     val nV = verts.count()
     val e = g.edges.select(SRC, DST).mat
-    val init = verts.withColumn("hubs", lit(1.0)).withColumn("authorities", lit(1.0))
+    val init = nstart match {
+      case Some(n0) =>
+        val cols = n0.columns
+        verts.join(n0.select(col(cols(0)).as(ID), col(cols(1)).as("h0")), Seq(ID), "left")
+          .select(col(ID), coalesce(col("h0"), lit(0.0)).as("hubs"),
+            lit(1.0).as("authorities"))
+      case None =>
+        verts.withColumn("hubs", lit(1.0)).withColumn("authorities", lit(1.0))
+    }
     val step = { (hs: DataFrame, _: Int) =>
       // authorities(v) = Σ hubs(u) over u→v, then sum-normalize
       val auth0 = e.join(Hint.state(hs.select(col(ID).as(SRC), col("hubs")), nV), SRC)
@@ -127,7 +162,16 @@ object Centrality {
       cur.join(prev.select(col(ID), col("hubs").as("ph")), ID)
         .agg(sum(abs(col("hubs") - col("ph")))).first().getDouble(0) < tol
     }
-    Iterate.loop(init, maxIter, step, conv, checkpointEvery = 1)
+    val res = Iterate.loop(init, maxIter, step, conv, checkpointEvery = 1)
+    if (normalized) res // per-round sum-normalization already left sum = 1
+    else {
+      // reference normalize=false scale: last in-loop step is max-divide
+      val m = res.agg(max("hubs"), max("authorities")).first()
+      val (mh, ma) = (m.getDouble(0), m.getDouble(1))
+      res.select(col(ID),
+        (col("hubs") / lit(if (mh == 0) 1.0 else mh)).as("hubs"),
+        (col("authorities") / lit(if (ma == 0) 1.0 else ma)).as("authorities"))
+    }
   }
 
   /** Degree centrality: degree / (V-1) (reference `degree_centrality.py:7`). */

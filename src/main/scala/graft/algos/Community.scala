@@ -184,6 +184,13 @@ object Community {
     // nState rows every round. Exact on the gated fixtures (integer-valued
     // k sums associate freely); kept behind a flag until the scale probe
     // picks a winner — see BASELINE.md round-7 for the measurement.
+    // RESTRICTION (ADVICE r7): the carried-totals merge is exact only for
+    // integer-valued weights — fractional k sums drift under the mover-delta
+    // merge, and the tot=!=0.0 compaction filter could then retain phantom
+    // or drop legitimately-tiny community rows. The flag is an off-by-
+    // default A/B (measured a wash at scale-20, BASELINE r7); anyone turning
+    // it on for fractional-weight graphs gets the re-aggregation path's
+    // semantics only approximately.
     val carryTot = sys.env.contains("GRAFT_CARRY_TOT")
     var totState: DataFrame =
       if (carryTot) state.groupBy("run", "community").agg(sum("k").as("tot")).mat

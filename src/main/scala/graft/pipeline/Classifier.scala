@@ -131,7 +131,8 @@ object Classifier {
     * Output (idCol, prob, pred). */
   def lrTrainScore(emb: DataFrame, trainFilter: Column, target: Column,
                    iters: Int = 8, lr: Double = 8.0,
-                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                   idCol: String = "vec_id", vecCol: String = "embedding",
+                   boundaryGuard: Double = 0.0): DataFrame = {
     def prep(df: DataFrame): DataFrame = df.select(col(idCol),
       concat(col(vecCol).cast("array<double>"), array(lit(1.0))).as("xf"),
       target.cast("double").as("y"))
@@ -150,8 +151,21 @@ object Classifier {
         .collect()
       grad.foreach(r => w(r.getInt(0)) -= lr * r.getDouble(1) / n)
     }
-    val prob = round(lit(1.0) /
-      (lit(1.0) + exp(-dot(col("xf"), typedlit(w.toSeq)))), 6)
+    val rawProb = lit(1.0) / (lit(1.0) + exp(-dot(col("xf"), typedlit(w.toSeq))))
+    if (boundaryGuard > 0) {
+      // cross-engine parity guard (ADVICE r7): the 6-dp rounding absorbs
+      // ~1e-13 float-association weight drift ONLY while no prob sits on a
+      // rounding boundary — a prob within the drift of x.xxxxxx5 could
+      // round (and flip pred) differently between Spark and the oracle.
+      // Fail loudly instead of flaking silently.
+      val mRow = all.select(rawProb.as("_p"))
+        .agg(min(abs(col("_p") * 1e6 - floor(col("_p") * 1e6) - lit(0.5)) * 1e-6))
+        .first().getDouble(0)
+      require(mRow > boundaryGuard,
+        f"lrTrainScore: a prob lies $mRow%.3g from a 6-dp rounding boundary " +
+          f"(guard $boundaryGuard%.0e) — oracle comparison could flip")
+    }
+    val prob = round(rawProb, 6)
     all.select(col(idCol), prob.as("prob"),
       (prob >= 0.5).cast("long").as("pred"))
   }
