@@ -738,6 +738,15 @@ object SparkEntry {
       pipeline.Multimodal.frameSample(
         pipeline.Multimodal.asMedia(Fixtures.documents(s, dir)), frameBytes = 64, stride = 4)
     },
+    "q_media_dims" -> q { (s, dir) =>
+      // REAL header decode: the fixture wraps each doc in a byte-exact
+      // PNG/JPEG container (variable-length JPEG segments), the parser
+      // walks the bytes; the oracle recomputes expected dims from doc_id
+      // (the generator's formulas) without ever seeing the binary — a
+      // wrong offset/endianness/segment-skip shows up as a value mismatch
+      pipeline.Multimodal.mediaDims(
+        pipeline.Multimodal.asBinaryMedia(Fixtures.documents(s, dir)))
+    },
     // ---- sources / interop (§2.1) ----
     "q_from_adjlist" -> q { (s, dir) =>
       // adjacency-list round trip: COO → per-vertex neighbor lists → COO
@@ -1817,6 +1826,14 @@ object SparkEntry {
          |       THEN 'train' ELSE 'val' END AS split
          |FROM kept""".stripMargin,
     "q_media_meta" -> PipelineSql.mediaMeta,
+    "q_media_dims" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 1 + doc_id % 1024
+        |            ELSE 1 + (doc_id * 3) % 4096 END AS BIGINT) AS width,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 1 + (doc_id * 7) % 768
+        |            ELSE 1 + (doc_id * 5) % 4096 END AS BIGINT) AS height
+        |FROM documents""".stripMargin,
     "q_media_decode" -> PipelineSql.mediaDecode,
     "q_frame_sample" -> PipelineSql.frameSample(frameBytes = 64, stride = 4),
     "q_from_adjlist" ->

@@ -1,17 +1,22 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: opaque `binary` payloads with typed
   * metadata, processed per-partition in batches — the Spark-side shape of
   * an image/audio decode stage in a training-data pipeline.
   *
-  * The decode itself is STUBBED (this container has no image/audio codecs):
-  * `decodeStub` derives deterministic fake "pixels" from the payload bytes.
-  * Everything around it — the schema, the Dataset[T] typed pipeline, the
-  * mapPartitions batch shape (one JVM-side batch per partition, mirroring
-  * mapInPandas/Arrow batching), the partition sizing — is real and tested.
+  * Header-level decode is REAL: [[mediaDims]] sniffs PNG/JPEG containers
+  * and extracts dimensions from the raw bytes with codegen'd expressions
+  * (fixed-offset IHDR read; JPEG marker-segment walk), gated byte-exactly
+  * via [[asBinaryMedia]]'s spec-conformant synthetic containers. Only the
+  * PIXEL decode remains stubbed (this container has no image/audio
+  * codecs): `decodeStub` derives deterministic fake "pixels" from the
+  * payload bytes. Everything around it — the schema, the Dataset[T] typed
+  * pipeline, the mapPartitions batch shape (one JVM-side batch per
+  * partition, mirroring mapInPandas/Arrow batching), the partition sizing
+  * — is real and tested.
   */
 object Multimodal {
 
@@ -36,6 +41,91 @@ object Multimodal {
   def mediaMeta(media: DataFrame): DataFrame =
     media.select(col("doc_id"), col("format"), col("n_bytes"),
       md5(col("bytes")).as("digest"))
+
+  /** Wrap the corpus as media payloads carrying REAL image-container
+    * headers: even doc_ids get a PNG prefix (signature + IHDR chunk), odd
+    * ones a JPEG prefix (SOI, then APP0/COM segments of doc-dependent
+    * length, then SOF0), each followed by the utf-8 text as stand-in
+    * "compressed" payload. The headers are byte-exact to the container
+    * specs (PNG: 8-byte signature, big-endian IHDR width/height at fixed
+    * offsets; JPEG: marker-segment chain with 2-byte big-endian lengths),
+    * so [[mediaDims]] must do the same walk a real header sniffer does —
+    * the variable-length APP0/COM filler makes the SOF0 offset vary per
+    * document, defeating any fixed-offset shortcut.
+    * Dims are derived from doc_id (width/height formulas below), which is
+    * what lets the DuckDB gate verify the PARSER: the oracle recomputes
+    * the expected dims from doc_id while the Spark side only ever reads
+    * the bytes. */
+  def asBinaryMedia(docs: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    def be(c: Column, nBytes: Int): Column = lpad(hex(c), nBytes * 2, "0")
+    val id = col(idCol)
+    // PNG: width in [1,1024], height in [1,768]
+    val pngHex = concat(
+      lit("89504E470D0A1A0A"),            // signature
+      lit("0000000D"), lit("49484452"),   // IHDR length=13, type
+      be(lit(1) + id % 1024, 4),          // width  (4B BE)
+      be(lit(1) + (id * 7) % 768, 4),     // height (4B BE)
+      lit("0802000000"),                  // depth 8, color 2, c/f/i = 0
+      lit("00000000"))                    // CRC (unchecked by sniffers)
+    // JPEG: SOI; APP0 len 16+id%8 ("JFIF\0" + zero filler); COM len
+    // 4+id%16 ('A' filler); SOF0 len 17 with height/width at +5/+7
+    val app0Len = lit(16) + id % 8
+    val comLen = lit(4) + id % 16
+    val jpegHex = concat(
+      lit("FFD8"),
+      lit("FFE0"), be(app0Len, 2), lit("4A46494600"),
+      lit("00" * 20).substr(lit(1), ((app0Len - 7) * 2).cast("int")),
+      lit("FFFE"), be(comLen, 2),
+      lit("41" * 20).substr(lit(1), ((comLen - 2) * 2).cast("int")),
+      lit("FFC0"), lit("0011"), lit("08"),
+      be(lit(1) + (id * 5) % 4096, 2),    // height (2B BE)
+      be(lit(1) + (id * 3) % 4096, 2),    // width  (2B BE)
+      lit("03"), lit("011100021101031101"))
+    docs.select(id.cast("long").as("doc_id"),
+      concat(unhex(when(id % 2 === 0, pngHex).otherwise(jpegHex)),
+        encode(col(textCol), "utf-8")).as("bytes"))
+  }
+
+  /** REAL header decode — format sniff + dimension extraction from the
+    * leading bytes, entirely in codegen'd expressions (no UDF): PNG reads
+    * the fixed-offset IHDR width/height; JPEG walks the marker-segment
+    * chain (skip by 2-byte big-endian length) until an SOF0-SOF3 marker
+    * and reads its height/width. Unrecognized payloads come back with
+    * format 'unknown' and -1 dims rather than failing the scan.
+    * `functions.aggregate` over a bounded segment budget keeps the walk a
+    * pure fold — one projection over the scan, no shuffle, 100 TB-shaped.
+    * Output (doc_id, format, width, height). */
+  def mediaDims(media: DataFrame, maxSegments: Int = 12): DataFrame = {
+    val b = col("bytes")
+    def u(pos: Column, len: Int): Column =
+      conv(hex(b.substr(pos, lit(len))), 16, 10).cast("long")
+    val isPng = hex(b.substr(lit(1), lit(8))) === "89504E470D0A1A0A"
+    val isJpeg = hex(b.substr(lit(1), lit(2))) === "FFD8"
+    // JPEG walk state: off = 1-based position of the next segment's 0xFF
+    // (3 right after SOI); (w,h) = -1 until an SOF frame header is found
+    val init = struct(lit(3L).as("off"), lit(-1L).as("w"), lit(-1L).as("h"))
+    val folded = aggregate(
+      sequence(lit(1), lit(maxSegments)), init,
+      (acc: Column, _: Column) => {
+        val off = acc.getField("off")
+        val mk = u(off + 1, 1)              // marker byte after 0xFF
+        val segLen = u(off + 2, 2)          // includes the 2 length bytes
+        val isSof = mk >= 192 && mk <= 195  // C0-C3: baseline..lossless SOF
+        when(acc.getField("w") >= 0, acc)   // found: carry through
+          .when(u(off, 1) =!= 255, acc)     // chain broken: stop
+          .when(isSof, struct(off.as("off"),
+            u(off + 7, 2).as("w"), u(off + 5, 2).as("h")))
+          .otherwise(struct((off + 2 + segLen).as("off"),
+            lit(-1L).as("w"), lit(-1L).as("h")))
+      })
+    media.select(col("doc_id"),
+      when(isPng, "png").when(isJpeg, "jpeg").otherwise("unknown").as("format"),
+      when(isPng, u(lit(17), 4)).when(isJpeg, folded.getField("w"))
+        .otherwise(lit(-1L)).as("width"),
+      when(isPng, u(lit(21), 4)).when(isJpeg, folded.getField("h"))
+        .otherwise(lit(-1L)).as("height"))
+  }
 
   /** STUB decode: deterministic fake decode in place of an image codec.
     * Real pipeline shape: Dataset[MediaRecord] → mapPartitions (per-batch
