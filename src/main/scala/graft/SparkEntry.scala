@@ -1417,7 +1417,14 @@ object SparkEntry {
       // synthetic event time spreads doc ids over a 2 h ingest window;
       // the 4 h delay covers the whole span, so the drained candidate set
       // still equals the batch band self-join exactly.
+      // repartition before the signature projection: the streaming file
+      // source yields ONE partition per file, so on the single-file
+      // fixture the whole shingle+minhash compute would run in one task
+      // (drain autopsy, BASELINE r8: 20.1s -> 10.7s at sf0.1). Hash by
+      // doc_id into the session's shuffle-partition count — the same
+      // thing a multi-file production source gets for free.
       val stream = StreamTables(s, dir, "documents")
+        .repartition(col("doc_id"))
         .withColumn("ts",
           timestamp_seconds(lit(1704067200L) + col("doc_id") % 7200))
       graft.streaming.GraphStream.runToCompletion(
