@@ -195,6 +195,24 @@ object Community {
     var totState: DataFrame =
       if (carryTot) state.groupBy("run", "community").agg(sum("k").as("tot")).mat
       else null
+    // Edge stream prepared ONCE per level (r7 verdict item #2 — cut the
+    // per-round job count): static per-source k attached (the candidate
+    // rows then carry k, so scoring needs no per-vertex state join), and
+    // the whole stream CACHED pre-partitioned by (run, dst). The per-round
+    // community attach is then a shuffle-hash join in which ONLY the
+    // nState-row state side moves — the edge stream never re-exchanges and
+    // never broadcasts (cache(), unlike localCheckpoint-mat, preserves the
+    // outputPartitioning Catalyst needs to elide the edge-side exchange).
+    // At 100 TB this is the right shape outright: per round, network
+    // traffic is one vertex-state table, not the edge list.
+    val eNoSelfK = {
+      val kSrc = ki.select(col("run"), col(ID).as(SRC), col("k").as("k_src"))
+      e.filter(col(SRC) =!= col(DST))
+        .join(graft.prims.Hint.state(kSrc, nState), Seq("run", SRC))
+        .repartition(col("run"), col(DST))
+        .cache()
+    }
+    eNoSelfK.count() // materialize the cache off the per-round path
     var moved = 1L
     var zeroStreak = 0
     var it = 0
@@ -224,6 +242,19 @@ object Community {
     var stall = 0
     var probe = false
     var prevMoved = Long.MaxValue
+    // AQE materializes EVERY exchange as its own query-stage job — with
+    // this round shape that is 6 stage jobs + the materialize per round,
+    // pure scheduler floor on an iterative loop whose joins are already
+    // explicitly broadcast-hinted and whose skew path is explicitly
+    // salted (the two things AQE would decide at runtime). Disabling it
+    // for the loop pipelines each round into 3 jobs (2 broadcast builds +
+    // the counted materialize) — the r8 jobs/round audit measured 7 → 3
+    // at identical results. Restored in the finally: the flag is session-
+    // global and other operators keep AQE's runtime re-planning.
+    val sess = e.sparkSession
+    val aqeBefore = sess.conf.get("spark.sql.adaptive.enabled", "true")
+    sess.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
     while (zeroStreak < maskMod && it < maxIter) {
       it += 1
       // tot_c = Σ k_i over community members — carried frame (flag) or
@@ -232,22 +263,24 @@ object Community {
         (if (carryTot) totState else
           state.groupBy("run", "community").agg(sum("k").as("tot")))
         .select(col("run"), col("community").as("nc"), col("tot"))
-      // per-vertex weight to each neighboring community (self-loops excluded
-      // from candidate weights — a vertex always "links" to its own c).
-      // Small state broadcasts; past the broadcast gate the edge side is
-      // salted so a hub vertex's rows spread across tasks instead of
-      // landing on one reducer (power-law degree skew).
-      val dstState = state.select(col("run"), col(ID).as(DST), col("community").as("nc"))
-      val eNoSelf = e.filter(col(SRC) =!= col(DST))
+      // per-vertex weight to each neighboring community (self-loops
+      // excluded from candidate weights — a vertex always "links" to its
+      // own c). The dst-side community attach is a shuffle-hash join
+      // against the cached (run,dst)-partitioned edge stream: only the
+      // state side exchanges, the hint overrides the stats-blind SMJ
+      // fallback (LogicalRDD stats would otherwise force per-round sorts
+      // of the edge stream). Past the size gate the edge side is salted so
+      // a hub vertex's rows spread across tasks instead of landing on one
+      // reducer (power-law degree skew).
+      val stDst = state.select(col("run"), col(ID).as(DST), col("community").as("nc"))
       val eWithC =
-        if (nState <= 5000000L) eNoSelf.join(broadcast(dstState), Seq("run", DST))
-        else graft.prims.Skew.saltedJoin(eNoSelf, dstState, Seq("run", DST))
-      // ONE exchange per round: the candidate stream is hash-partitioned by
-      // (run, vertex) up front, which simultaneously satisfies the
-      // (run,id,nc) aggregation, the per-vertex (c_cur, k) state attach,
-      // AND the per-vertex best-move aggregation below — the raw edge
-      // stream crosses the network once (the old shape shuffled it twice:
-      // partial-agged on (run,id,nc), then re-exchanged on (run,id)).
+        if (nState <= 5000000L)
+          eNoSelfK.join(stDst.hint("shuffle_hash"), Seq("run", DST))
+        else graft.prims.Skew.saltedJoin(eNoSelfK, stDst, Seq("run", DST))
+      // ONE exchange of the candidate stream per round: hash-partitioned
+      // by (run, vertex) up front, which simultaneously satisfies the
+      // (run,id,nc) aggregation AND the per-vertex best-move aggregation
+      // below.
       //
       // Every vertex gets an explicit own-community candidate row (w_in 0
       // merged into the real intra weight when present): without it a
@@ -256,60 +289,62 @@ object Community {
       // the true value is −res·k·(tot−k)/m2 < 0, overstating "stay" and
       // blocking strictly-improving moves (caught by RandomizedSpec's
       // single-move local-optimality sweep; oracles mirror the same row).
+      // The self row doubles as the carrier of the vertex's own community
+      // (is_self marker) and its k: c_cur, k, and the stay gain are all
+      // recovered inside the per-vertex aggregation, so the round needs NO
+      // per-vertex state join after the edge join (the r7 shape paid two
+      // more broadcast builds per round for the same values).
       val cands = eWithC
-        .select(col("run"), col(SRC).as(ID), col("nc"), col(WEIGHT).as("w_in"))
+        .select(col("run"), col(SRC).as(ID), col("nc"), col(WEIGHT).as("w_in"),
+          col("k_src").as("k"), lit(0).as("is_self"))
         .unionByName(state.select(col("run"), col(ID),
-          col("community").as("nc"), lit(0.0).as("w_in")))
+          col("community").as("nc"), lit(0.0).as("w_in"),
+          col("k"), lit(1).as("is_self")))
         .repartition(col("run"), col(ID))
         .groupBy(col("run"), col(ID), col("nc"))
-        .agg(sum("w_in").as("w_in"))
+        .agg(sum("w_in").as("w_in"), max("k").as("k"), max("is_self").as("is_self"))
       // candidate move gain (standard Louvain delta, constant terms dropped):
       //   gain(v→c) = w_in(v,c) − resolution · k_v · tot_c' / m2
-      // where tot_c' excludes v itself when c is v's current community.
-      // (c_cur, k) attach AFTER the aggregation, on the compacted
-      // per-(vertex, community) rows: broadcast probe under the size gate
-      // (preserves the (run,id) partitioning), and past the gate only the
-      // state side shuffles — cands' partitioning already satisfies the
-      // join. A whole-partition window fill here instead was measured 3.6×
-      // slower at RMAT scale 20: it sorts the full candidate stream every
-      // round. The per-community totals ride the same size-gated broadcast.
-      // Join routing only — per-row gains are identical either way, so the
-      // exact gates are unaffected.
+      // where tot_c' excludes v itself when c is v's current community
+      // (is_self = 1 marks exactly that group). The per-community totals
+      // attach AFTER the aggregation, on the compacted per-(vertex,
+      // community) rows — broadcast probe under the size gate, which
+      // preserves the (run,id) partitioning; past the gate only the tot
+      // side shuffles. k is a join-attached constant per group, so max()
+      // reads it back exactly; w_in sums the identical row set the r7
+      // shape summed (gated fixtures carry integer-valued weights —
+      // reordered sums stay bit-exact). A whole-partition window fill here
+      // instead was measured 3.6× slower at RMAT scale 20: it sorts the
+      // full candidate stream every round.
       val scored = cands
-        .join(graft.prims.Hint.state(
-          state.select(col("run"), col(ID), col("community").as("c_cur"), col("k")),
-          nState), Seq("run", ID))
         .join(graft.prims.Hint.state(tot, nState), Seq("run", "nc"))
-        .select(col("run"), col(ID), col("nc"), col("c_cur"), col("k"),
+        .select(col("run"), col(ID), col("nc"), col("is_self"), col("k"),
           (col("w_in") - lit(resolution) * col("k") *
-            (when(col("nc") === col("c_cur"), col("tot") - col("k")).otherwise(col("tot"))) / m2Col).as("gain"))
+            (when(col("is_self") === 1, col("tot") - col("k")).otherwise(col("tot"))) / m2Col).as("gain"))
       // per-vertex best move via hash-agg max_by (tie-break: max gain, then
       // min community id via negation) — rides the SAME (run,id)
-      // partitioning, no exchange. The stay-at-home gain rides the SAME
-      // aggregation (scored is consumed exactly once per round; a separate
-      // stayGain branch would recompute the whole neighbor-community
-      // pipeline a second time).
+      // partitioning, no exchange. The stay-at-home gain AND the current
+      // community ride the same aggregation via the is_self group (scored
+      // is consumed exactly once per round).
       val best = scored.groupBy(col("run"), col(ID))
         .agg(max_by(struct(col("nc"), col("gain")),
           struct(col("gain"), -col("nc"))).as("b"),
-          max(when(col("nc") === col("c_cur"), col("gain"))).as("stay_gain"))
-        .select(col("run"), col(ID), col("b.nc").as("nc"),
-          col("b.gain").as("gain"), col("stay_gain"))
-      // move only on strict positive improvement over staying; the
-      // materialized frame carries the old community alongside the new one,
-      // so the moved count is a scan of the cached frame — one job per
-      // round, not a second join+count job
+          max(when(col("is_self") === 1, col("gain"))).as("stay_gain"),
+          max(when(col("is_self") === 1, col("nc"))).as("old"),
+          max("k").as("k"))
+      // move only on strict positive improvement over staying; every state
+      // vertex appears in best (the self row guarantees its group), so
+      // next-state derives from best alone — no state re-join
       val mayMove =
         if (parityMode && !probe) pmod(col(ID) + lit(it), lit(maskMod)) === 0
         else lit(true)
-      // the moved count rides the materialization job itself (observe
-      // metric) — no separate per-round count scan
+      // the moved count rides the materialization job itself — no separate
+      // per-round count scan
       val (nextC, movedNow) = graft.prims.Iterate.materializeCount(
-        state.join(graft.prims.Hint.state(best, nState), Seq("run", ID), "left")
-          .select(col("run"), col(ID), col("community").as("old"),
-            when(col("nc").isNotNull && mayMove &&
-                 col("gain") > coalesce(col("stay_gain"), lit(0.0)) + lit(1e-12), col("nc"))
-              .otherwise(col("community")).as("community"),
+        best.select(col("run"), col(ID), col("old"),
+            when(mayMove &&
+                 col("b.gain") > coalesce(col("stay_gain"), lit(0.0)) + lit(1e-12), col("b.nc"))
+              .otherwise(col("old")).as("community"),
             col("k")),
         sum(when(col("community") =!= col("old"), 1L).otherwise(0L)),
         _.filter(col("community") =!= col("old")).count())
@@ -346,6 +381,10 @@ object Community {
         if (maskMod > 2 && zeroStreak >= 2) probe = true
       }
       state = nextC.select(col("run"), col(ID), col("community"), col("k"))
+    }
+    } finally {
+      sess.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+      eNoSelfK.unpersist(false)
     }
     (state.select(col("run"), col(ID), col("community")), it, nState)
   }

@@ -51,6 +51,13 @@ object RunOne {
     }
     val total = snapshot.map(_._2).sum
     println(f"[runone] sum(job wall)=$total%.1fs (gaps to t are driver/planning time)")
+    // GRAFT_ALL_JOBS=1: chronological dump of every job with its call site
+    // — identifies the per-round job mix of an iterative query (the r8
+    // jobs/round audit needed exactly this)
+    if (sys.env.contains("GRAFT_ALL_JOBS"))
+      snapshot.sortBy(_._1).foreach { case (id, t, site) =>
+        println(f"[alljobs] job=$id%4d t=$t%6.2fs  $site")
+      }
     spark.stop()
   }
 }
