@@ -82,6 +82,19 @@ class PipelineSpec extends SparkSpec {
     assert(run(1) == run(64))
   }
 
+  test("RAG chunker: boundaries, trailing partial, and partition invariance (1 vs 64)") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d e f g"), (2L, "x"), (3L, "p q r")).toDF("doc_id", "text")
+    def run(parts: Int) = TextAnalysis.chunkDocs(docs.repartition(parts),
+      window = 3, stride = 2).collect().map(_.toSeq).toSet
+    val r = run(1)
+    // doc 1: starts 0,2,4,6 → windows of 3,3,3 and trailing 1
+    assert(r.count(_.head == 1L) == 4)
+    assert(r.contains(Seq(1L, 3L, 6L, 1L, "g"))) // trailing partial kept
+    assert(r.contains(Seq(2L, 0L, 0L, 1L, "x"))) // short doc → one chunk
+    assert(run(64) == r) // per-row op: split cannot matter, pinned anyway
+  }
+
   test("knnGraph and duplicate-span strip are partition-invariant (1 vs 64)") {
     import spark.implicits._
     // SURVEY §5c extension to the round-6 operators. Integral-valued

@@ -43,6 +43,23 @@ class SamplingSpec extends SparkSpec {
     assert(rows.map(_.getLong(4)).toSet.subsetOf(Set(2L, 3L, 4L)))
   }
 
+  test("sampled DCSR/CSC offset views are partition-invariant (1 vs 64)") {
+    import spark.implicits._
+    // SURVEY §5c row for the r7 compression additions: the full
+    // sample→renumber→compress pipeline must emit identical offset tables
+    // whatever the input split (the hash-seeded sampler and the renumber
+    // map are both order-free by construction).
+    val seeds3 = Seq((1L, 1L), (3L, 3L), (5L, 5L)).toDF("batch_id", "vertex")
+    def run(parts: Int, srcMajor: Boolean, doubly: Boolean) =
+      NeighborSampling.compressSampledOffsets(
+        NeighborSampling.renumberSampled(
+          NeighborSampling.homogeneous(und.repartition(parts), seeds3, Seq(2, 2))),
+        srcIsMajor = srcMajor, doublyCompress = doubly)
+        .collect().map(_.toSeq).toSet
+    assert(run(1, srcMajor = true, doubly = true) == run(64, srcMajor = true, doubly = true))
+    assert(run(1, srcMajor = false, doubly = false) == run(64, srcMajor = false, doubly = false))
+  }
+
   test("walks have one vertex per step and follow edges") {
     import spark.implicits._
     val starts = Seq((7L, 1L)).toDF("walk_id", "vertex")

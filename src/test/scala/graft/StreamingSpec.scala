@@ -210,6 +210,62 @@ class StreamingSpec extends SparkSpec {
     assert(wcount(Seq(wevts)) == wcount(wevts.map(Seq(_))))
   }
 
+  test("watermarked LSH and append-mode sessions are micro-batch-split invariant") {
+    // SURVEY §5c rows for the r8 bounded-state gates: the emitted SET must
+    // not depend on how the source splits into micro-batches (rows arrive
+    // in event-time order, as the gate's monotone synthetic ts guarantees).
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+    val near = "the quick brown fox jumps over the lazy dog again and again"
+    val t = (m: Int) => java.sql.Timestamp.valueOf(f"2026-01-01 00:$m%02d:00")
+    val ldocs = Seq((1L, near, t(0)),
+      (2L, "completely unrelated words appear in this document body", t(1)),
+      (3L, near + " tail", t(2)),
+      (4L, near + " other tail words", t(3)))
+    def lsh(splits: Seq[Seq[(Long, String, java.sql.Timestamp)]]): Set[(Long, Long)] = {
+      val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+      val q = GraphStream.streamingLshCandidatesWatermarked(
+          input.toDF().toDF("doc_id", "text", "ts"),
+          n = 3, bands = 4, rowsPerBand = 2, delay = "4 hours")
+        .writeStream.format("memory").queryName("mbi_lshwm")
+        .outputMode("append").start()
+      try {
+        splits.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+        sp.sql("select id_a, id_b from mbi_lshwm").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+      } finally { q.stop(); sp.catalog.dropTempView("mbi_lshwm") }
+    }
+    val one = lsh(Seq(ldocs))
+    assert(one.nonEmpty && one.contains((1L, 3L)))
+    assert(lsh(ldocs.map(Seq(_))) == one)
+    // fed in event-time order: with a 0-second delay any out-of-order row
+    // would be a late drop in the per-row split (the gate never hits this
+    // — its single-file source drains in one batch)
+    val evts = Seq((7L, t(0), 1.0), (8L, t(1), 3.0), (7L, t(2), 2.0),
+      (7L, t(30), 4.0), (9L, t(45), 5.0))
+    def sess(splits: Seq[Seq[(Long, java.sql.Timestamp, Double)]]): Set[(Long, Long, Long)] = {
+      val input = MemoryStream[(Long, java.sql.Timestamp, Double)]
+      val q = GraphStream.streamingSessionStats(
+          input.toDF().toDF("user_id", "ts", "value"),
+          gapSeconds = 600L, watermark = "0 seconds")
+        .writeStream.format("memory").queryName("mbi_sess")
+        .outputMode("append").start()
+      try {
+        splits.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+        sp.sql("select user_id, session_start, n_events from mbi_sess").collect()
+          .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2))).toSet
+      } finally { q.stop(); sp.catalog.dropTempView("mbi_sess") }
+    }
+    val sOne = sess(Seq(evts))
+    // sessions closed by the final watermark (t45): user 7's {t0,t2} pair,
+    // user 8's {t1}, and user 7's {t30} (end t40 < t45); user 9's t45
+    // session stays open (end t55 beyond the watermark) and must NOT emit
+    assert(sOne == Set((7L, t(0).getTime, 2L), (8L, t(1).getTime, 1L),
+      (7L, t(30).getTime, 1L)), s"unexpected emitted session set: $sOne")
+    assert(sess(evts.map(Seq(_))) == sOne)
+  }
+
   test("windowed degrees respect the event-time window") {
     val sp = spark
     import sp.implicits._
