@@ -159,7 +159,16 @@ object Bench {
     // cpus rides the artifact: the nominal probe times are pinned to an
     // idle local[32] run, so a host_index from any other cpu config is
     // uninterpretable without knowing which config produced it (ADVICE r7)
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"started":$starts,"fixture_warm":$warmSec,"calib_pre":$calibPre,"calib_post":$calibPost,"host_index":$hostIndex,"calib_jobs_pre":$calibJobsPre,"calib_jobs_post":$calibJobsPost,"host_index_jobs":$hostIndexJobs,"cpus":$cpus,"sf":"$sfDir"}"""
+    //
+    // degraded: machine-readable round-close verdict on the capture window
+    // (VERDICT r7 item #2's pinned rule). Either index above 1.5 on the
+    // pinned 32-cpu config means the totals are a host artifact, and the
+    // round-close procedure is: RE-RUN the sweep, don't narrate the caveat.
+    // Only evaluated at the pinned config — at any other cpu count the
+    // nominals don't apply, so the flag stays false rather than lying.
+    val degraded = subset.isEmpty && cpus == "32" &&
+      (hostIndex > 1.5 || hostIndexJobs > 1.5)
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"started":$starts,"fixture_warm":$warmSec,"calib_pre":$calibPre,"calib_post":$calibPost,"host_index":$hostIndex,"calib_jobs_pre":$calibJobsPre,"calib_jobs_post":$calibJobsPost,"host_index_jobs":$hostIndexJobs,"cpus":$cpus,"degraded":$degraded,"sf":"$sfDir"}"""
     println(line)
     // the stdout contract above is the driver's; ALSO persist the complete
     // JSON to a file — BENCH_r05.json reached the repo truncated mid-object
