@@ -224,6 +224,14 @@ object Centrality {
     val stateBound =
       if (nVL > 0 && nRoots > 0 && nRoots <= 5000000L / nVL) nRoots * nVL else -1L
     def st(df: DataFrame): DataFrame = graft.prims.Hint.state(df, stateBound)
+    // AQE off for the level loops when the state bound clears the broadcast
+    // gate — every join inside is then explicitly broadcast-hinted, and
+    // AQE's per-exchange query-stage jobs are pure scheduler floor (~2
+    // extra jobs per BFS level; see prims.Aqe). Past the gate the joins are
+    // stats-blind SMJs where AQE's runtime broadcast/skew rescue earns its
+    // keep, so it stays on.
+    def loops[T](body: => T): T =
+      if (stateBound >= 0) graft.prims.Aqe.off(verts.sparkSession)(body) else body
 
     // forward multi-source BFS: settled(root, id, dist, sigma)
     var settled = roots.select(col("root"), col("root").as(ID),
@@ -231,6 +239,8 @@ object Centrality {
     var frontier = settled
     var level = 0
     var more = true
+    var delta: DataFrame = null
+    loops {
     while (more) {
       level += 1
       // frontier-size check rides the materialization job; `settled` stays
@@ -256,11 +266,14 @@ object Centrality {
       }
     }
     // backward sweep by descending level
-    var delta = settled.select(col("root"), col(ID), lit(0.0).as("delta"))
+    delta = settled.select(col("root"), col(ID), lit(0.0).as("delta"))
       .mat
     for (l <- level - 1 to 0 by -1) {
-      val wState = settled.filter(col("dist") === l + 1)
-        .join(delta, Seq("root", ID))
+      // the level frame rides the same size-gated broadcast as every other
+      // state join (delta streams exchange-free; unhinted this was a
+      // stats-blind SMJ sorting both sides each level)
+      val wState = delta
+        .join(st(settled.filter(col("dist") === l + 1)), Seq("root", ID))
         .select(col("root"), col(ID).as(DST), col("sigma").as("sigma_w"), col("delta").as("delta_w"))
       val contrib = e.join(st(wState), DST)
         .select(col("root"), col(SRC).as(ID), col("sigma_w"), col("delta_w"))
@@ -272,6 +285,7 @@ object Centrality {
       delta = delta.join(st(contrib), Seq("root", ID), "left")
         .select(col("root"), col(ID), (col("delta") + coalesce(col("inc"), lit(0.0))).as("delta"))
         .mat
+    }
     }
     val bc0 = delta.filter(col("root") =!= col(ID))
       .groupBy(ID).agg(sum("delta").as("betweenness_centrality"))
@@ -330,12 +344,19 @@ object Centrality {
     val stateBound =
       if (nVL > 0 && nRoots > 0 && nRoots <= 5000000L / nVL) nRoots * nVL else -1L
     def st(df: DataFrame): DataFrame = graft.prims.Hint.state(df, stateBound)
+    // same AQE gating as the vertex variant (prims.Aqe) — loops only; the
+    // final contribE three-way join deliberately stays under Catalyst+AQE
+    // planning (the measured-2.7×-faster unhinted route below)
+    def loops[T](body: => T): T =
+      if (stateBound >= 0) graft.prims.Aqe.off(verts.sparkSession)(body) else body
 
     var settled = roots.select(col("root"), col("root").as(ID),
       lit(0).as("dist"), lit(1.0).as("sigma")).mat
     var frontier = settled
     var level = 0
     var more = true
+    var delta: DataFrame = null
+    loops {
     while (more) {
       level += 1
       // same shape as the vertex variant: count rides the materialization,
@@ -351,10 +372,10 @@ object Centrality {
       if (nNext == 0) more = false
       else { settled = settled.union(next).mat; frontier = next }
     }
-    var delta = settled.select(col("root"), col(ID), lit(0.0).as("delta")).mat
+    delta = settled.select(col("root"), col(ID), lit(0.0).as("delta")).mat
     for (l <- level - 1 to 0 by -1) {
-      val wState = settled.filter(col("dist") === l + 1)
-        .join(delta, Seq("root", ID))
+      val wState = delta
+        .join(st(settled.filter(col("dist") === l + 1)), Seq("root", ID))
         .select(col("root"), col(ID).as(DST), col("sigma").as("sigma_w"), col("delta").as("delta_w"))
       val contrib = e.join(st(wState), DST)
         .select(col("root"), col(SRC).as(ID), col("sigma_w"), col("delta_w"))
@@ -366,6 +387,7 @@ object Centrality {
       delta = delta.join(st(contrib), Seq("root", ID), "left")
         .select(col("root"), col(ID), (col("delta") + coalesce(col("inc"), lit(0.0))).as("delta"))
         .mat
+    }
     }
     // per-edge contributions over the shortest-path DAG edges
     val stateU = settled.select(col("root"), col(ID).as(SRC),

@@ -242,19 +242,15 @@ object Community {
     var stall = 0
     var probe = false
     var prevMoved = Long.MaxValue
-    // AQE materializes EVERY exchange as its own query-stage job — with
-    // this round shape that is 6 stage jobs + the materialize per round,
-    // pure scheduler floor on an iterative loop whose joins are already
-    // explicitly broadcast-hinted and whose skew path is explicitly
-    // salted (the two things AQE would decide at runtime). Disabling it
-    // for the loop pipelines each round into 3 jobs (2 broadcast builds +
-    // the counted materialize) — the r8 jobs/round audit measured 7 → 3
-    // at identical results. Restored in the finally: the flag is session-
-    // global and other operators keep AQE's runtime re-planning.
-    val sess = e.sparkSession
-    val aqeBefore = sess.conf.get("spark.sql.adaptive.enabled", "true")
-    sess.conf.set("spark.sql.adaptive.enabled", "false")
+    // AQE off for the loop (prims.Aqe scaladoc): every join inside is
+    // explicitly broadcast-hinted or explicitly salted, so AQE's only
+    // contribution is one query-stage job per exchange — with this round
+    // shape 6 stage jobs + the materialize, pure scheduler floor. Off, each
+    // round pipelines into 3 jobs (2 broadcast builds + the counted
+    // materialize) — the r8 jobs/round audit measured 7 → 3 at identical
+    // results.
     try {
+    graft.prims.Aqe.off(e.sparkSession) {
     while (zeroStreak < maskMod && it < maxIter) {
       it += 1
       // tot_c = Σ k_i over community members — carried frame (flag) or
@@ -382,8 +378,8 @@ object Community {
       }
       state = nextC.select(col("run"), col(ID), col("community"), col("k"))
     }
+    }
     } finally {
-      sess.conf.set("spark.sql.adaptive.enabled", aqeBefore)
       eNoSelfK.unpersist(false)
     }
     (state.select(col("run"), col(ID), col("community")), it, nState)

@@ -160,6 +160,27 @@ object Hint {
     if (nRows >= 0 && nRows <= maxRows) broadcast(df) else df
 }
 
+/** Scoped AQE disable for iterative loops whose joins are ALL explicitly
+  * planned (broadcast via [[Hint.state]] or salted via [[Skew]]).
+  *
+  * AQE materializes every exchange as its own query-stage job; on an
+  * iterative loop that is pure scheduler floor per round — the r8 Louvain
+  * audit measured 7 → 3 jobs/round at identical results, and AQE's two
+  * runtime contributions (broadcast conversion, skew split) are exactly
+  * the decisions such loops already make explicitly from tracked state
+  * sizes. Callers must NOT wrap plans that rely on AQE's stats-blind
+  * rescue (unhinted joins of materialized frames past the broadcast gate):
+  * gate on the same size bound the hints use. The flag is session-global,
+  * hence the save/restore; reentrant nesting is safe (restores the outer
+  * value). */
+object Aqe {
+  def off[T](spark: org.apache.spark.sql.SparkSession)(body: => T): T = {
+    val before = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try body finally spark.conf.set("spark.sql.adaptive.enabled", before)
+  }
+}
+
 /** Skew-join salting for power-law graphs (SURVEY §7.4-5) — the explicit
   * fallback when AQE's runtime skew split doesn't apply (e.g. the skewed
   * side is a materialized loop state, or the join is inside a stage AQE

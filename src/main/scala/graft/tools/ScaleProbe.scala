@@ -12,12 +12,19 @@ import graft.prims.Mat._
   * 3.6×/level at RMAT scale 20; a probe caught it, so the probe is now a
   * command, not a habit).
   *
-  * Usage: ScaleProbe <family>[,family...] [scale] [edgefactor] [cpus]
+  * Usage: ScaleProbe <family>[,family...] [scale] [edgefactor] [cpus] [parts]
   * Families: community | traversal | pagerank | sampling | similarity |
   * structure | all. Runs each family's representative operators on an RMAT
   * scale-`scale` graph (default 20 ≈ 16M edges at ef 16) and prints ONE
   * JSON line per run: paste the row into BASELINE.md's scale-probe table
   * before round close for the families the session touched.
+  *
+  * `parts` (shuffle partitions) defaults to edges/2M clamped to [cpus, 1024]
+  * — the r8 scale-22 probe OOM'd the graph-build dedup agg at parts=cpus=32
+  * (67M edges / 32 = 2.1M rows per agg task × 32 concurrent tasks racing an
+  * 8g-heap execution pool). Sizing partitions to the DATA, not the core
+  * count, is the same rule a 100 TB deployment applies; pass an explicit
+  * value to probe a specific configuration.
   */
 object ScaleProbe {
   import Gr._
@@ -27,8 +34,11 @@ object ScaleProbe {
     val scale = if (args.length > 1) args(1).toInt else 20
     val edgefactor = if (args.length > 2) args(2).toInt else 16
     val cpus = if (args.length > 3) args(3) else "32"
+    val parts = if (args.length > 4) args(4) else
+      math.min(1024L, math.max(cpus.toLong,
+        ((1L << scale) * edgefactor) / 2000000L)).toString
     val spark = SparkSession.builder().master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", parts)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -97,7 +107,7 @@ object ScaleProbe {
     }
     val qs = results.map { case (k, v) => s""""$k":${math.round(v * 10) / 10.0}""" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"scale_probe","families":"${families.mkString("+")}","scale":$scale,"edgefactor":$edgefactor,"queries":$qs}""")
+    println(s"""{"metric":"scale_probe","families":"${families.mkString("+")}","scale":$scale,"edgefactor":$edgefactor,"cpus":$cpus,"parts":$parts,"queries":$qs}""")
     spark.stop()
   }
 }
