@@ -30,7 +30,17 @@ object Generators {
            seed: Long = 42, fastHash: Boolean = false): DataFrame = {
     val ab = a + b
     val abc = a + b + c
-    val base = spark.range(numEdges).select(col("id").as("edge_id"))
+    // slice the id range by DATA size, not core count: `spark.range(n)`
+    // defaults to one partition per core, so at scale 22 (67M edges on 32
+    // cores) every downstream map-side partial agg holds a 2.1M-row hash
+    // map per task — 32 of them racing an 8g-heap execution pool OOM'd the
+    // graph-build dedup (r8 scale probe). ~1M rows per slice keeps every
+    // per-task structure bounded by data, the same rule as shuffle
+    // partition sizing; values are edge_id-deterministic, so slicing is
+    // invariant for every gate.
+    val slices = math.max(spark.sparkContext.defaultParallelism,
+      (numEdges / 1000000L).toInt)
+    val base = spark.range(0, numEdges, 1, slices).select(col("id").as("edge_id"))
     val (srcExpr, dstExpr) = (0 until scale).foldLeft((lit(0L), lit(0L))) {
       case ((s, d), l) =>
         // draw per (edge, level): md5-derived by default (DuckDB-portable

@@ -19,10 +19,13 @@ import graft.prims.Mat._
   * JSON line per run: paste the row into BASELINE.md's scale-probe table
   * before round close for the families the session touched.
   *
-  * `parts` (shuffle partitions) defaults to edges/2M clamped to [cpus, 1024]
-  * — the r8 scale-22 probe OOM'd the graph-build dedup agg at parts=cpus=32
-  * (67M edges / 32 = 2.1M rows per agg task × 32 concurrent tasks racing an
-  * 8g-heap execution pool). Sizing partitions to the DATA, not the core
+  * `parts` (shuffle partitions) defaults to edges/500k clamped to
+  * [cpus, 1024] — the r8 scale-22 probe OOM'd the graph-build dedup agg at
+  * parts=cpus=32 (67M edges / 32 = 2.1M rows per agg task × 32 concurrent
+  * tasks racing an 8g-heap ~150MB/task execution budget; a 2M-entry dedup
+  * hash map needs ~2× that). ~500k rows/task keeps the map inside the
+  * budget with margin, and leaves scale ≤20 at the historical 32 (rows
+  * comparable across rounds). Sizing partitions to the DATA, not the core
   * count, is the same rule a 100 TB deployment applies; pass an explicit
   * value to probe a specific configuration.
   */
@@ -36,7 +39,7 @@ object ScaleProbe {
     val cpus = if (args.length > 3) args(3) else "32"
     val parts = if (args.length > 4) args(4) else
       math.min(1024L, math.max(cpus.toLong,
-        ((1L << scale) * edgefactor) / 2000000L)).toString
+        ((1L << scale) * edgefactor) / 500000L)).toString
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", parts)
       .config("spark.ui.enabled", "false").getOrCreate()
