@@ -242,15 +242,21 @@ object Community {
     var stall = 0
     var probe = false
     var prevMoved = Long.MaxValue
-    // AQE off for the loop (prims.Aqe scaladoc): every join inside is
-    // explicitly broadcast-hinted or explicitly salted, so AQE's only
-    // contribution is one query-stage job per exchange — with this round
-    // shape 6 stage jobs + the materialize, pure scheduler floor. Off, each
-    // round pipelines into 3 jobs (2 broadcast builds + the counted
-    // materialize) — the r8 jobs/round audit measured 7 → 3 at identical
-    // results.
+    // AQE off for the loop UNDER THE BROADCAST GATE ONLY (prims.Aqe
+    // scaladoc): there every join inside is explicitly broadcast-hinted,
+    // so AQE's only contribution is one query-stage job per exchange —
+    // with this round shape 6 stage jobs + the materialize, pure scheduler
+    // floor. Off, each round pipelines into 3 jobs (2 broadcast builds +
+    // the counted materialize) — the r8 jobs/round audit measured 7 → 3 at
+    // identical results. PAST the gate (big ensembles: ECG at scale ≥22
+    // has runs×V > the 5M bound) the dst attach is a salted SMJ over the
+    // power-law edge stream where AQE's runtime skew split and plan sizing
+    // earn their keep — disabling it there OOM'd the 32g scale-22 ecg4
+    // probe while the same code completed louvain at 4× the per-run data.
+    def loopAqe[T](body: => T): T =
+      if (nState <= 5000000L) graft.prims.Aqe.off(e.sparkSession)(body) else body
     try {
-    graft.prims.Aqe.off(e.sparkSession) {
+    loopAqe {
     while (zeroStreak < maskMod && it < maxIter) {
       it += 1
       // tot_c = Σ k_i over community members — carried frame (flag) or

@@ -41,6 +41,11 @@ object Components {
     var changed = 1L
     var labels = init.mat
     var it = 0
+    // AQE off under the broadcast gate — both per-round joins are
+    // Hint.state-hinted (prims.Aqe scaladoc)
+    def loops[T](body: => T): T =
+      if (nV <= 5000000L) graft.prims.Aqe.off(und.sparkSession)(body) else body
+    loops {
     while (changed > 0 && it < math.min(maxIter, starSwitch)) {
       it += 1
       val nbrMin = und.join(graft.prims.Hint.state(labels.withColumnRenamed(ID, SRC), nV), SRC)
@@ -55,6 +60,7 @@ object Components {
         _.filter(col("component") < col("old")).count())
       changed = ch
       labels = joined.select(col(ID), col("component"))
+    }
     }
     if (changed > 0) {
       // still moving after `starSwitch` sweeps — the diameter is large;
@@ -80,6 +86,14 @@ object Components {
     var nPairs = pairs.count()
     var it = 0
     var done = nPairs == 0
+    // AQE off for the star rounds when the initial pair set clears the
+    // broadcast gate (pairs never grow under star contraction, so the
+    // per-round st() gate below stays satisfiable): every join inside is
+    // then explicitly broadcast-hinted and AQE's per-exchange stage jobs
+    // are pure scheduler floor — see prims.Aqe.
+    def loops[T](body: => T): T =
+      if (nPairs <= 2500000L) graft.prims.Aqe.off(pairs.sparkSession)(body) else body
+    loops {
     while (!done && it < maxIter) {
       it += 1
       // large-star: per vertex u, m = min(u, N(u)); every neighbor v > u
@@ -116,6 +130,7 @@ object Components {
       done = nNew == nPairs && ss.exceptAll(pairs).isEmpty
       pairs = ss
       nPairs = nNew
+    }
     }
     // star forest: each edge is (root, v) with root = component minimum
     val comp = pairs.select(col(DST).as(ID), col(SRC).as("component"))

@@ -73,6 +73,13 @@ object TreeDag {
         var lbl = cgSym.select(col(SRC).as(ID)).distinct()
           .select(col(ID), col(ID).as("ml")).mat
         var ch = 1L
+        // AQE off for the inner min-label rounds when the component map
+        // clears the broadcast gate — both joins are st()-hinted (the
+        // outer round's cg joins stay under AQE: `chosen` is sized at
+        // runtime there by design). See prims.Aqe.
+        def innerLoop[T](body: => T): T =
+          if (nV <= 5000000L) graft.prims.Aqe.off(canon.sparkSession)(body) else body
+        innerLoop {
         while (ch > 0) {
           val nbrMin = cgSym.join(st(lbl.withColumnRenamed(ID, SRC)), SRC)
             .groupBy(col(DST).as(ID)).agg(min("ml").as("nm"))
@@ -84,6 +91,7 @@ object TreeDag {
             _.filter(col("ml") < col("old")).count())
           ch = c
           lbl = nxt.select(col(ID), col("ml"))
+        }
         }
         comp = comp.join(st(lbl.withColumnRenamed(ID, "comp")), Seq("comp"), "left")
           .select(col(ID), coalesce(col("ml"), col("comp")).as("comp"))

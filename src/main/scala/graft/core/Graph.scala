@@ -95,6 +95,12 @@ final case class PropertyGraph(
     var st = graft.prims.Iterate.materialize(
       vertices.select(col(Gr.ID), col(Gr.ID).as("ml"), lit(0).as("par")))
     var ch = 1L
+    // AQE off under the broadcast gate: both per-round joins are
+    // Hint.state-hinted, so AQE only adds per-exchange stage jobs
+    // (prims.Aqe scaladoc).
+    def loops[T](body: => T): T =
+      if (nV <= 5000000L) graft.prims.Aqe.off(edges.sparkSession)(body) else body
+    loops {
     while (ch > 0) {
       val nbrMin = und.join(
           graft.prims.Hint.state(st.withColumnRenamed(Gr.ID, Gr.SRC), nV), Gr.SRC)
@@ -109,6 +115,7 @@ final case class PropertyGraph(
         _.filter(col("nw") < col("old")).count())
       ch = c
       st = nxt.select(col(Gr.ID), col("nw.ml").as("ml"), col("nw.par").as("par"))
+    }
     }
     val bad = und
       .join(st.select(col(Gr.ID).as(Gr.SRC), col("par").as("pa")), Gr.SRC)
