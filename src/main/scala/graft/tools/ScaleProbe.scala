@@ -83,6 +83,8 @@ object ScaleProbe {
     if (want("community")) {
       results += item("louvain_full")(
         Community.louvain(g, maxLevel = 2, maxIter = 3)._1.count())
+    }
+    if (want("community") || want("ecg")) {
       results += item("ecg4")(
         Community.ecg(g, ensembleSize = 4, finalMaxLevel = 1)._1.count())
     }
