@@ -747,6 +747,16 @@ object SparkEntry {
       pipeline.Multimodal.mediaDims(
         pipeline.Multimodal.asBinaryMedia(Fixtures.documents(s, dir)))
     },
+    "q_audio_meta" -> q { (s, dir) =>
+      // REAL audio-header decode, same contract as q_media_dims for the
+      // audio modality: the fixture wraps each doc in a byte-exact RIFF/
+      // WAVE container (variable-length odd-sized LIST chunk exercising
+      // RIFF even-padding), the parser walks the chunks; the oracle
+      // recomputes channels/rate/bits/frames from doc_id + octet_length
+      // without ever seeing the binary.
+      pipeline.Multimodal.audioMeta(
+        pipeline.Multimodal.asBinaryAudio(Fixtures.documents(s, dir)))
+    },
     // ---- sources / interop (§2.1) ----
     "q_from_adjlist" -> q { (s, dir) =>
       // adjacency-list round trip: COO → per-vertex neighbor lists → COO
@@ -1868,6 +1878,14 @@ object SparkEntry {
         |            ELSE 1 + (doc_id * 3) % 4096 END AS BIGINT) AS width,
         |  CAST(CASE WHEN doc_id % 2 = 0 THEN 1 + (doc_id * 7) % 768
         |            ELSE 1 + (doc_id * 5) % 4096 END AS BIGINT) AS height
+        |FROM documents""".stripMargin,
+    "q_audio_meta" ->
+      """SELECT doc_id, 'wav' AS format,
+        |  CAST(1 + doc_id % 2 AS BIGINT) AS channels,
+        |  CAST(CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+        |                       WHEN 2 THEN 22050 ELSE 44100 END AS BIGINT) AS sample_rate,
+        |  CAST(8 * (1 + doc_id % 3) AS BIGINT) AS bits,
+        |  CAST(strlen(text) // ((1 + doc_id % 2) * (1 + doc_id % 3)) AS BIGINT) AS n_samples
         |FROM documents""".stripMargin,
     "q_media_decode" -> PipelineSql.mediaDecode,
     "q_frame_sample" -> PipelineSql.frameSample(frameBytes = 64, stride = 4),

@@ -9,8 +9,11 @@ import org.apache.spark.sql.functions._
   *
   * Header-level decode is REAL: [[mediaDims]] sniffs PNG/JPEG containers
   * and extracts dimensions from the raw bytes with codegen'd expressions
-  * (fixed-offset IHDR read; JPEG marker-segment walk), gated byte-exactly
-  * via [[asBinaryMedia]]'s spec-conformant synthetic containers. Only the
+  * (fixed-offset IHDR read; JPEG marker-segment walk), and [[audioMeta]]
+  * does the audio counterpart (RIFF/WAVE chunk walk with little-endian
+  * fields and even-byte chunk padding), each gated byte-exactly via
+  * [[asBinaryMedia]]/[[asBinaryAudio]]'s spec-conformant synthetic
+  * containers and spec-tested against golden ByteBuffer-built files. Only the
   * PIXEL decode remains stubbed (this container has no image/audio
   * codecs): `decodeStub` derives deterministic fake "pixels" from the
   * payload bytes. Everything around it — the schema, the Dataset[T] typed
@@ -125,6 +128,107 @@ object Multimodal {
         .otherwise(lit(-1L)).as("width"),
       when(isPng, u(lit(21), 4)).when(isJpeg, folded.getField("h"))
         .otherwise(lit(-1L)).as("height"))
+  }
+
+  /** Wrap the corpus as AUDIO payloads carrying REAL WAV (RIFF) headers —
+    * the audio-modality counterpart of [[asBinaryMedia]]. Each document
+    * becomes a spec-conformant RIFF container: the 12-byte RIFF/WAVE
+    * preamble, then a variable-length LIST chunk (length 3 + doc_id % 10 —
+    * deliberately often ODD so the parser must honor RIFF's even-byte
+    * chunk padding), then the canonical 16-byte PCM `fmt ` chunk
+    * (little-endian fields: format tag 1, channels, sample rate, byte
+    * rate, block align, bits per sample), then a `data` chunk whose
+    * payload is the utf-8 text standing in for PCM samples. Audio
+    * parameters derive from doc_id (formulas below) so the DuckDB gate
+    * can verify the PARSER: the oracle recomputes them from doc_id +
+    * octet_length(text) while the Spark side only ever reads bytes —
+    * a wrong endianness, chunk-skip, or pad bug surfaces as a value
+    * mismatch. */
+  def asBinaryAudio(docs: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    // n-byte little-endian hex of a non-negative integral column
+    def le(c: Column, nBytes: Int): Column = concat((0 until nBytes).map { i =>
+      lpad(hex(shiftright(c.cast("long"), 8 * i) % 256), 2, "0")
+    }: _*)
+    def tag(s: String): Column = lit(s.getBytes("US-ASCII").map("%02X".format(_)).mkString)
+    val id = col(idCol)
+    val channels = lit(1) + id % 2                         // 1-2
+    val rate = when(id % 4 === 0, 8000L).when(id % 4 === 1, 16000L)
+      .when(id % 4 === 2, 22050L).otherwise(44100L)         // real PCM rates
+    val bits = lit(8) * (lit(1) + id % 3)                  // 8 / 16 / 24
+    val blockAlign = channels * bits / lit(8)
+    val byteRate = rate * blockAlign
+    val dataLen = length(encode(col(textCol), "utf-8")).cast("long")
+    val listLen = (lit(3) + id % 10).cast("long")          // odd ~half the time
+    val listPad = listLen % 2                               // RIFF even padding
+    // RIFF size = everything after the 8-byte RIFF header:
+    // "WAVE"(4) + LIST hdr(8)+listLen+pad + fmt hdr(8)+16 + data hdr(8)+dataLen
+    val riffSize = lit(4L) + lit(8L) + listLen + listPad + lit(24L) + lit(8L) + dataLen
+    val hdrHex = concat(
+      tag("RIFF"), le(riffSize, 4), tag("WAVE"),
+      tag("LIST"), le(listLen, 4),
+      lit("20" * 14).substr(lit(1), ((listLen + listPad) * 2).cast("int")),
+      tag("fmt "), le(lit(16L), 4),
+      le(lit(1L), 2), le(channels, 2), le(rate, 4), le(byteRate, 4),
+      le(blockAlign, 2), le(bits, 2),
+      tag("data"), le(dataLen, 4))
+    docs.select(id.cast("long").as("doc_id"),
+      concat(unhex(hdrHex), encode(col(textCol), "utf-8")).as("bytes"))
+  }
+
+  /** REAL audio-header decode: RIFF/WAVE sniff + chunk walk, entirely in
+    * codegen'd expressions (no UDF) — the audio counterpart of
+    * [[mediaDims]]. The walk starts after the 12-byte preamble and hops
+    * chunk to chunk (4-byte id, 4-byte LITTLE-endian size, payload padded
+    * to even length) until it has seen both the `fmt ` chunk (channels /
+    * sample rate / bits per sample) and the `data` chunk (payload bytes);
+    * unknown chunks (LIST, fact, cue…) are skipped by size, exactly like
+    * a real sniffer. n_samples = data bytes / block align — sample-frame
+    * count, the audio analogue of image dims. Non-RIFF payloads come back
+    * format 'unknown' with -1 fields rather than failing the scan. One
+    * projection over the scan, no shuffle, 100 TB-shaped.
+    * Output (doc_id, format, channels, sample_rate, bits, n_samples). */
+  def audioMeta(media: DataFrame, maxChunks: Int = 8): DataFrame = {
+    val b = col("bytes")
+    def uLE(pos: Column, len: Int): Column = (0 until len).map { i =>
+      conv(hex(b.substr(pos + i, lit(1))), 16, 10).cast("long") * (1L << (8 * i))
+    }.reduce(_ + _)
+    def ctag(pos: Column): Column = decode(b.substr(pos, lit(4)), "US-ASCII")
+    val isWav = length(b) >= 44 &&
+      ctag(lit(1)) === "RIFF" && ctag(lit(9)) === "WAVE"
+    // walk state: off = 1-based position of the next chunk id (13 right
+    // after the preamble); fmt fields and data size = -1 until found
+    val init = struct(lit(13L).as("off"), lit(-1L).as("ch"), lit(-1L).as("rate"),
+      lit(-1L).as("bits"), lit(-1L).as("dlen"))
+    val folded = aggregate(
+      sequence(lit(1), lit(maxChunks)), init,
+      (acc: Column, _: Column) => {
+        val off = acc.getField("off")
+        val id = ctag(off)
+        val sz = uLE(off + 4, 4)
+        val next = off + 8 + sz + sz % 2    // RIFF pads chunks to even
+        val done = acc.getField("ch") >= 0 && acc.getField("dlen") >= 0
+        when(done || off + 8 > length(b) + 1, acc)
+          .when(id === "fmt ", struct(next.as("off"),
+            uLE(off + 10, 2).as("ch"), uLE(off + 12, 4).as("rate"),
+            uLE(off + 22, 2).as("bits"), acc.getField("dlen").as("dlen")))
+          .when(id === "data", struct(next.as("off"),
+            acc.getField("ch").as("ch"), acc.getField("rate").as("rate"),
+            acc.getField("bits").as("bits"), sz.as("dlen")))
+          .otherwise(struct(next.as("off"), acc.getField("ch").as("ch"),
+            acc.getField("rate").as("rate"), acc.getField("bits").as("bits"),
+            acc.getField("dlen").as("dlen")))
+      })
+    val ok = isWav && folded.getField("ch") > 0 && folded.getField("bits") > 0 &&
+      folded.getField("dlen") >= 0
+    media.select(col("doc_id"),
+      when(isWav, "wav").otherwise("unknown").as("format"),
+      when(ok, folded.getField("ch")).otherwise(lit(-1L)).as("channels"),
+      when(ok, folded.getField("rate")).otherwise(lit(-1L)).as("sample_rate"),
+      when(ok, folded.getField("bits")).otherwise(lit(-1L)).as("bits"),
+      when(ok, floor(folded.getField("dlen") /
+        (folded.getField("ch") * folded.getField("bits") / lit(8))))
+        .otherwise(lit(-1L)).as("n_samples"))
   }
 
   /** STUB decode: deterministic fake decode in place of an image codec.

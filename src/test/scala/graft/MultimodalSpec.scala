@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.pipeline.Multimodal
+
+/** Header-decode specs: golden byte arrays built HERE with ByteBuffer /
+  * hand-laid hex — independent of the asBinary* synthesis expressions — so
+  * the parsers are validated against the container specs, not against the
+  * fixture generator that feeds the driver gate. */
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mediaFrom(rows: Seq[(Long, Array[Byte])]) =
+    rows.toDF("doc_id", "bytes")
+
+  // ---- image: golden containers -------------------------------------
+
+  test("mediaDims parses a golden PNG IHDR (big-endian, fixed offset)") {
+    // signature + IHDR(len 13) with width=640 height=480
+    val png = hexBytes("89504E470D0A1A0A" + "0000000D" + "49484452" +
+      "00000280" + "000001E0" + "0802000000" + "00000000")
+    val r = Multimodal.mediaDims(mediaFrom(Seq((1L, png)))).collect().head
+    assert(r.getString(1) == "png" && r.getLong(2) == 640L && r.getLong(3) == 480L)
+  }
+
+  test("mediaDims walks golden JPEG segments (APP0+COM before SOF0)") {
+    // SOI; APP0 len 16; COM len 7; SOF0 len 17 with height=123 width=77
+    val jpg = hexBytes("FFD8" +
+      "FFE0" + "0010" + "4A46494600" + "00" * 9 +
+      "FFFE" + "0007" + "4141414141" +
+      "FFC0" + "0011" + "08" + "007B" + "004D" + "03" + "011100021101031101")
+    val r = Multimodal.mediaDims(mediaFrom(Seq((1L, jpg)))).collect().head
+    assert(r.getString(1) == "jpeg" && r.getLong(2) == 77L && r.getLong(3) == 123L)
+  }
+
+  test("mediaDims falls back to unknown/-1 on unrecognized bytes") {
+    val r = Multimodal.mediaDims(mediaFrom(Seq((1L, "not an image".getBytes))))
+      .collect().head
+    assert(r.getString(1) == "unknown" && r.getLong(2) == -1L && r.getLong(3) == -1L)
+  }
+
+  // ---- audio: golden WAV built with little-endian ByteBuffer ---------
+
+  private def goldenWav(channels: Int, rate: Int, bits: Int,
+                        dataBytes: Int, listLen: Int): Array[Byte] = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    val listPad = listLen % 2
+    val total = 12 + 8 + listLen + listPad + 24 + 8 + dataBytes
+    val bb = ByteBuffer.allocate(total).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes); bb.putInt(total - 8); bb.put("WAVE".getBytes)
+    bb.put("LIST".getBytes); bb.putInt(listLen)
+    bb.put(Array.fill(listLen + listPad)(0x20.toByte))
+    bb.put("fmt ".getBytes); bb.putInt(16)
+    bb.putShort(1); bb.putShort(channels.toShort); bb.putInt(rate)
+    bb.putInt(rate * channels * bits / 8); bb.putShort((channels * bits / 8).toShort)
+    bb.putShort(bits.toShort)
+    bb.put("data".getBytes); bb.putInt(dataBytes)
+    bb.put(Array.fill(dataBytes)(0x55.toByte))
+    bb.array()
+  }
+
+  test("audioMeta parses a golden WAV (LE fields, even LIST chunk)") {
+    val wav = goldenWav(channels = 2, rate = 44100, bits = 16, dataBytes = 40, listLen = 6)
+    val r = Multimodal.audioMeta(mediaFrom(Seq((1L, wav)))).collect().head
+    assert(r.getString(1) == "wav")
+    assert(r.getLong(2) == 2L && r.getLong(3) == 44100L && r.getLong(4) == 16L)
+    assert(r.getLong(5) == 10L) // 40 bytes / (2ch * 2B) = 10 sample frames
+  }
+
+  test("audioMeta honors RIFF even-byte padding on an odd-sized chunk") {
+    // listLen=7 → 1 pad byte; a parser that skips by raw size misreads
+    // the fmt tag one byte early and returns -1s
+    val wav = goldenWav(channels = 1, rate = 8000, bits = 24, dataBytes = 9, listLen = 7)
+    val r = Multimodal.audioMeta(mediaFrom(Seq((1L, wav)))).collect().head
+    assert(r.getLong(2) == 1L && r.getLong(3) == 8000L && r.getLong(4) == 24L)
+    assert(r.getLong(5) == 3L) // floor(9 / 3)
+  }
+
+  test("audioMeta falls back to unknown/-1 on non-RIFF bytes") {
+    val r = Multimodal.audioMeta(mediaFrom(Seq((1L, "definitely not a wav file ........".getBytes))))
+      .collect().head
+    assert(r.getString(1) == "unknown" && r.getLong(2) == -1L && r.getLong(5) == -1L)
+  }
+
+  test("audioMeta round-trips asBinaryAudio and matches the doc_id formulas") {
+    val docs = (0L until 24L).map(i => (i, "x" * (10 + i.toInt * 7))).toDF("doc_id", "text")
+    val got = Multimodal.audioMeta(Multimodal.asBinaryAudio(docs))
+      .orderBy("doc_id").collect()
+    got.foreach { r =>
+      val id = r.getLong(0)
+      val ch = 1 + id % 2
+      val rate = Seq(8000L, 16000L, 22050L, 44100L)((id % 4).toInt)
+      val bits = 8 * (1 + id % 3)
+      val dataLen = 10 + id * 7
+      assert(r.getString(1) == "wav")
+      assert(r.getLong(2) == ch, s"channels id=$id")
+      assert(r.getLong(3) == rate, s"rate id=$id")
+      assert(r.getLong(4) == bits, s"bits id=$id")
+      assert(r.getLong(5) == dataLen / (ch * bits / 8), s"frames id=$id")
+    }
+  }
+
+  private def hexBytes(h: String): Array[Byte] =
+    h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+}
