@@ -64,6 +64,42 @@ object Bench {
     dt
   }
 
+  /** Nominal seconds for [[planFloorProbe]] — pinned round-8 (3 reps
+    * 0.49-0.85s, median 0.77 on a host whose other indexes sat at
+    * ~1.1/1.4; this probe did not exist earlier — re-pin if a healthier
+    * host shows materially lower). The planning floor is the third
+    * degradation axis: single-threaded Catalyst analysis/optimization
+    * time, invisible to both the parallel data probe and the job-floor
+    * probe. (Measured r8: the host where iterative queries ran 3-4× the
+    * r7 close had a HEALTHY plan floor — its inflation lived in the
+    * per-job scheduler floor instead, so the probe's first real service
+    * was ruling planning OUT.) */
+  val PlanFloorNominalSec = 0.77
+
+  /** Planning-floor probe: plan (analyze → optimize → physical-plan,
+    * nothing executed) a canonical 6-join + agg query 10 times, each with
+    * a different literal so the plan cache can't short-circuit. Pure
+    * driver-side single-thread work — the axis the other probes miss. */
+  def planFloorProbe(spark: SparkSession): Double = {
+    import org.apache.spark.sql.functions._
+    val t = spark.range(1000).toDF("id")
+    def planOnce(i: Int): Unit = {
+      val base = t.select(col("id"), (col("id") % (97 + i)).as("k"))
+      val joined = (1 to 6).foldLeft(base) { (df, n) =>
+        df.join(t.select(col("id").as(s"id$n"), (col("id") + (n + i)).as(s"v$n")),
+          col("k") === col(s"id$n") % 13, "left")
+      }
+      joined.groupBy("k")
+        .agg(sum(col("v1") * col("v2") + i).as("s"))
+        .filter(col("s") > i)
+        .queryExecution.executedPlan
+    }
+    (-3 until 0).foreach(planOnce) // JIT/rule-warmup off the clock
+    val t0 = System.nanoTime()
+    (0 until 10).foreach(planOnce)
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -89,9 +125,10 @@ object Bench {
     // whose cost is code-independent across rounds — see calibrationProbe
     val calibPre = if (subset.isEmpty) calibrationProbe(spark) else 0.0
     val calibJobsPre = if (subset.isEmpty) jobFloorProbe(spark) else 0.0
+    val calibPlanPre = if (subset.isEmpty) planFloorProbe(spark) else 0.0
     if (subset.isEmpty)
       System.err.println(
-        f"[bench] calibration pre t=$calibPre%.1fs jobs=$calibJobsPre%.1fs")
+        f"[bench] calibration pre t=$calibPre%.1fs jobs=$calibJobsPre%.1fs plan=$calibPlanPre%.1fs")
     val warmSec = if (subset.isEmpty) {
       val t0 = System.nanoTime()
       Fixtures.prewarm(spark, sfDir)
@@ -143,15 +180,22 @@ object Bench {
       .mkString("{", ",", "}")
     val calibPost = if (subset.isEmpty) calibrationProbe(spark) else 0.0
     val calibJobsPost = if (subset.isEmpty) jobFloorProbe(spark) else 0.0
+    val calibPlanPost = if (subset.isEmpty) planFloorProbe(spark) else 0.0
     if (subset.isEmpty)
       System.err.println(
-        f"[bench] calibration post t=$calibPost%.1fs jobs=$calibJobsPost%.1fs")
+        f"[bench] calibration post t=$calibPost%.1fs jobs=$calibJobsPost%.1fs plan=$calibPlanPost%.1fs")
     // host_index: mean probe time over the pinned nominal — >~1.5 flags a
     // degraded capture window (r6's 1125s artifact would have carried ~3)
     val hostIndex = if (subset.isEmpty)
       ((calibPre + calibPost) / 2.0) / CalibNominalSec else 0.0
     val hostIndexJobs = if (subset.isEmpty)
       ((calibJobsPre + calibJobsPost) / 2.0) / JobFloorNominalSec else 0.0
+    // plan-floor index is DIAGNOSTIC ONLY (not in the degraded predicate:
+    // the round-close rule is pinned on the two r7 indexes) — it exists so
+    // a capture where iterative queries blow up while data/jobs read
+    // healthy carries its own explanation
+    val hostIndexPlan = if (subset.isEmpty)
+      ((calibPlanPre + calibPlanPost) / 2.0) / PlanFloorNominalSec else 0.0
     // total stays honest: prewarm seconds are part of the run, reported
     // both inside the total and as their own field (calibration probes are
     // excluded from the total — they measure the host, not the code)
@@ -168,7 +212,7 @@ object Bench {
     // nominals don't apply, so the flag stays false rather than lying.
     val degraded = subset.isEmpty && cpus == "32" &&
       (hostIndex > 1.5 || hostIndexJobs > 1.5)
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"started":$starts,"fixture_warm":$warmSec,"calib_pre":$calibPre,"calib_post":$calibPost,"host_index":$hostIndex,"calib_jobs_pre":$calibJobsPre,"calib_jobs_post":$calibJobsPost,"host_index_jobs":$hostIndexJobs,"cpus":$cpus,"degraded":$degraded,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"started":$starts,"fixture_warm":$warmSec,"calib_pre":$calibPre,"calib_post":$calibPost,"host_index":$hostIndex,"calib_jobs_pre":$calibJobsPre,"calib_jobs_post":$calibJobsPost,"host_index_jobs":$hostIndexJobs,"calib_plan_pre":$calibPlanPre,"calib_plan_post":$calibPlanPost,"host_index_plan":$hostIndexPlan,"cpus":$cpus,"degraded":$degraded,"sf":"$sfDir"}"""
     println(line)
     // the stdout contract above is the driver's; ALSO persist the complete
     // JSON to a file — BENCH_r05.json reached the repo truncated mid-object

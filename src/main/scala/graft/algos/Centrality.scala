@@ -231,7 +231,7 @@ object Centrality {
     // stats-blind SMJs where AQE's runtime broadcast/skew rescue earns its
     // keep, so it stays on.
     def loops[T](body: => T): T =
-      if (stateBound >= 0) graft.prims.Aqe.off(verts.sparkSession)(body) else body
+      if (stateBound >= 0) graft.prims.Aqe.off(verts.sparkSession, stateBound)(body) else body
 
     // forward multi-source BFS: settled(root, id, dist, sigma)
     var settled = roots.select(col("root"), col("root").as(ID),
@@ -348,7 +348,7 @@ object Centrality {
     // final contribE three-way join deliberately stays under Catalyst+AQE
     // planning (the measured-2.7×-faster unhinted route below)
     def loops[T](body: => T): T =
-      if (stateBound >= 0) graft.prims.Aqe.off(verts.sparkSession)(body) else body
+      if (stateBound >= 0) graft.prims.Aqe.off(verts.sparkSession, stateBound)(body) else body
 
     var settled = roots.select(col("root"), col("root").as(ID),
       lit(0).as("dist"), lit(1.0).as("sigma")).mat

@@ -212,7 +212,11 @@ object Community {
         .repartition(col("run"), col(DST))
         .cache()
     }
-    eNoSelfK.count() // materialize the cache off the per-round path
+    // materialize the cache off the per-round path; the count also sizes
+    // the loop's scoped shuffle width below — unlike the label-prop loops,
+    // this loop's best-move reduce is keyed by (run, vertex, candidate
+    // community), which is edge-stream-bounded, NOT nState-bounded
+    val nEdgeStream = eNoSelfK.count()
     var moved = 1L
     var zeroStreak = 0
     var it = 0
@@ -254,7 +258,9 @@ object Community {
     // earn their keep — disabling it there OOM'd the 32g scale-22 ecg4
     // probe while the same code completed louvain at 4× the per-run data.
     def loopAqe[T](body: => T): T =
-      if (nState <= 5000000L) graft.prims.Aqe.off(e.sparkSession)(body) else body
+      if (nState <= 5000000L)
+        graft.prims.Aqe.off(e.sparkSession, math.max(nState, nEdgeStream))(body)
+      else body
     try {
     loopAqe {
     while (zeroStreak < maskMod && it < maxIter) {

@@ -44,7 +44,7 @@ object Components {
     // AQE off under the broadcast gate — both per-round joins are
     // Hint.state-hinted (prims.Aqe scaladoc)
     def loops[T](body: => T): T =
-      if (nV <= 5000000L) graft.prims.Aqe.off(und.sparkSession)(body) else body
+      if (nV <= 5000000L) graft.prims.Aqe.off(und.sparkSession, nV)(body) else body
     loops {
     while (changed > 0 && it < math.min(maxIter, starSwitch)) {
       it += 1
@@ -92,7 +92,7 @@ object Components {
     // then explicitly broadcast-hinted and AQE's per-exchange stage jobs
     // are pure scheduler floor — see prims.Aqe.
     def loops[T](body: => T): T =
-      if (nPairs <= 2500000L) graft.prims.Aqe.off(pairs.sparkSession)(body) else body
+      if (nPairs <= 2500000L) graft.prims.Aqe.off(pairs.sparkSession, nPairs)(body) else body
     loops {
     while (!done && it < maxIter) {
       it += 1

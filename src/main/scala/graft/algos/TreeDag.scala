@@ -78,7 +78,7 @@ object TreeDag {
         // outer round's cg joins stay under AQE: `chosen` is sized at
         // runtime there by design). See prims.Aqe.
         def innerLoop[T](body: => T): T =
-          if (nV <= 5000000L) graft.prims.Aqe.off(canon.sparkSession)(body) else body
+          if (nV <= 5000000L) graft.prims.Aqe.off(canon.sparkSession, nV)(body) else body
         innerLoop {
         while (ch > 0) {
           val nbrMin = cgSym.join(st(lbl.withColumnRenamed(ID, SRC)), SRC)

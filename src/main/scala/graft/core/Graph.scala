@@ -99,7 +99,7 @@ final case class PropertyGraph(
     // Hint.state-hinted, so AQE only adds per-exchange stage jobs
     // (prims.Aqe scaladoc).
     def loops[T](body: => T): T =
-      if (nV <= 5000000L) graft.prims.Aqe.off(edges.sparkSession)(body) else body
+      if (nV <= 5000000L) graft.prims.Aqe.off(edges.sparkSession, nV)(body) else body
     loops {
     while (ch > 0) {
       val nbrMin = und.join(

@@ -174,11 +174,43 @@ object Hint {
   * hence the save/restore; reentrant nesting is safe (restores the outer
   * value). */
 object Aqe {
-  def off[T](spark: org.apache.spark.sql.SparkSession)(body: => T): T = {
-    val before = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try body finally spark.conf.set("spark.sql.adaptive.enabled", before)
-  }
+  /** Operational escape hatch (and the A/B knob behind the BASELINE.md
+    * job-count audits): GRAFT_KEEP_AQE=1 makes [[off]] a no-op, so a
+    * deployment can re-enable AQE inside the hinted loops without a code
+    * change if its host profile rewards runtime re-planning more than it
+    * charges per query-stage job. */
+  private val keep = sys.env.contains("GRAFT_KEEP_AQE")
+  def off[T](spark: org.apache.spark.sql.SparkSession)(body: => T): T =
+    off(spark, -1L)(body)
+
+  /** [[off]] that ALSO right-sizes reduce-side parallelism to the loop's
+    * tracked row count. Disabling AQE loses its post-shuffle partition
+    * coalescing, and these loops exchange SMALL frames (frontier / label /
+    * pair state under the broadcast gate): at the session's full shuffle
+    * width every tiny per-round exchange launches a whole task wave —
+    * pure scheduler floor that AQE used to coalesce away (measured r8:
+    * q_wcc_star 38.8s at fixed 32 partitions vs 23.8s under AQE on the
+    * same host). Scoping `spark.sql.shuffle.partitions` to ~500k tracked
+    * rows per reduce task (the same sizing rule ScaleProbe pinned at
+    * scale 22, clamped to never exceed the session setting) restores the
+    * coalescing deterministically — partitions sized to the DATA, which
+    * is also the rule that holds at 100 TB. Reduce keys in these loops
+    * are vertex-/pair-keyed, so `stateRows` bounds reduce-side rows even
+    * when the map side scans a much larger edge stream. */
+  def off[T](spark: org.apache.spark.sql.SparkSession, stateRows: Long)(body: => T): T =
+    if (keep) body else {
+      val before = spark.conf.get("spark.sql.adaptive.enabled", "true")
+      val beforeParts = spark.conf.get("spark.sql.shuffle.partitions", "200")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      if (stateRows >= 0) {
+        val sized = math.max(1L, math.min(beforeParts.toLong, stateRows / 500000L + 1L))
+        spark.conf.set("spark.sql.shuffle.partitions", sized.toString)
+      }
+      try body finally {
+        spark.conf.set("spark.sql.adaptive.enabled", before)
+        spark.conf.set("spark.sql.shuffle.partitions", beforeParts)
+      }
+    }
 }
 
 /** Skew-join salting for power-law graphs (SURVEY §7.4-5) — the explicit

@@ -16,13 +16,16 @@ object CalibProbe {
     val times = (1 to reps).map { i =>
       val t = graft.Bench.calibrationProbe(spark)
       val tj = graft.Bench.jobFloorProbe(spark)
-      println(f"[calib] rep $i t=$t%.2fs jobs=$tj%.2fs")
-      (t, tj)
+      val tp = graft.Bench.planFloorProbe(spark)
+      println(f"[calib] rep $i t=$t%.2fs jobs=$tj%.2fs plan=$tp%.2fs")
+      (t, tj, tp)
     }
     val sorted = times.map(_._1).sorted
     val sortedJ = times.map(_._2).sorted
+    val sortedP = times.map(_._3).sorted
     println(f"[calib] median=${sorted(sorted.length / 2)}%.2fs min=${sorted.head}%.2fs" +
-      f" jobs_median=${sortedJ(sortedJ.length / 2)}%.2fs jobs_min=${sortedJ.head}%.2fs")
+      f" jobs_median=${sortedJ(sortedJ.length / 2)}%.2fs jobs_min=${sortedJ.head}%.2fs" +
+      f" plan_median=${sortedP(sortedP.length / 2)}%.2fs plan_min=${sortedP.head}%.2fs")
     spark.stop()
   }
 }
