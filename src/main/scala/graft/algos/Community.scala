@@ -205,11 +205,27 @@ object Community {
     // outputPartitioning Catalyst needs to elide the edge-side exchange).
     // At 100 TB this is the right shape outright: per round, network
     // traffic is one vertex-state table, not the edge list.
+    // The cached stream is runs × edges — at ensemble scale that multiple
+    // can dwarf what the session's shuffle width was sized for (the
+    // scale-22 ecg4 probe OOM'd here: 536M rows over 134 session
+    // partitions = 4M rows/task racing the cache for execution memory).
+    // When the stream's own row count at the pinned ~500k rows/task
+    // budget needs MORE than the session width, pin that count
+    // explicitly; otherwise keep the width-free repartition — an explicit
+    // N would opt the exchange out of AQE's partition coalescing, and at
+    // gate scale that coalescing is worth ~20% of ECG's wall (measured:
+    // 58.9s → 73-75s with N pinned to the session's 32).
+    val sessionParts =
+      e.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toLong
+    val nERows = e.count() // e is materialized — a cached count
+    val streamParts = nERows / 500000L + 1L
     val eNoSelfK = {
       val kSrc = ki.select(col("run"), col(ID).as(SRC), col("k").as("k_src"))
-      e.filter(col(SRC) =!= col(DST))
+      val joined = e.filter(col(SRC) =!= col(DST))
         .join(graft.prims.Hint.state(kSrc, nState), Seq("run", SRC))
-        .repartition(col("run"), col(DST))
+      (if (streamParts > sessionParts)
+         joined.repartition(streamParts.toInt, col("run"), col(DST))
+       else joined.repartition(col("run"), col(DST)))
         .cache()
     }
     // materialize the cache off the per-round path; the count also sizes

@@ -100,6 +100,15 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("header decoders are pure projections — no Exchange in either plan") {
+    val docs = (0L until 8L).map(i => (i, "abc " * 10)).toDF("doc_id", "text")
+    for (df <- Seq(Multimodal.mediaDims(Multimodal.asBinaryMedia(docs)),
+                   Multimodal.audioMeta(Multimodal.asBinaryAudio(docs)))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), "header decode shuffled:\n" + plan.take(1200))
+    }
+  }
+
   private def hexBytes(h: String): Array[Byte] =
     h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
 }
