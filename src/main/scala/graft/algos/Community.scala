@@ -430,7 +430,21 @@ object Community {
     val und = Structure.removeSelfLoops(
       Structure.symmetrize(g.weightedEdges.select(SRC, DST, WEIGHT), sumWeights = false))
       .mat
-    val undR = und
+    // The explode below replicates every partition's rows ×ensembleSize IN
+    // PLACE — partition count unchanged, rows/partition multiplied. At
+    // scale 22 that put 4M-row partitions under the level's map-side
+    // (run, src) hash agg, whose initial map allocation is unspillable and
+    // lost the race against the edge-cache's storage claim (probe OOM,
+    // stage 19). Slice the base frame by the POST-explode volume first —
+    // same ~500k rows/task rule as the generator and ScaleProbe; the
+    // gate-scale path (well under 1M rows/partition) is untouched.
+    val nUnd = und.count()
+    val afterPerPart =
+      nUnd * ensembleSize / math.max(1, und.rdd.getNumPartitions)
+    val undS = if (afterPerPart > 1000000L)
+      und.repartition((nUnd * ensembleSize / 500000L + 1L).toInt)
+    else und
+    val undR = undS
       .select(explode(sequence(lit(0L), lit(ensembleSize - 1L))).as("run"),
         col(SRC), col(DST), col(WEIGHT))
       .select(col("run"), col(SRC), col(DST),
@@ -438,8 +452,9 @@ object Community {
           concat_ws("|", lit("ecg"), col(SRC), col(DST), lit(seed) + col("run"))),
           lit(1000)))).as(WEIGHT))
     val labels = oneLevelKeyed(undR, maxIter, resolution = 1.0)._1.mat
-    // co-clustering votes per edge: one pass over (run × edges)
-    und.select(SRC, DST)
+    // co-clustering votes per edge: one pass over (run × edges) — read
+    // from the sliced frame for the same post-explode reason as above
+    undS.select(SRC, DST)
       .select(explode(sequence(lit(0L), lit(ensembleSize - 1L))).as("run"), col(SRC), col(DST))
       .join(labels.select(col("run"), col(ID).as(SRC), col("community").as("ca")), Seq("run", SRC))
       .join(labels.select(col("run"), col(ID).as(DST), col("community").as("cb")), Seq("run", DST))

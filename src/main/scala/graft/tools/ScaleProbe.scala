@@ -58,16 +58,47 @@ object ScaleProbe {
       label = name; (name, time(f))
     }
 
+    val graphWanted = families.contains("all") ||
+      (families -- Set("pipeline")).nonEmpty
     val numEdges = (1L << scale) * edgefactor
-    val raw = Generators.rmat(spark, scale, numEdges, fastHash = true)
-      .select(SRC, DST)
-    val und = Structure.canonicalize(raw).withColumn(WEIGHT, lit(1.0)).mat
-    val sym = Structure.symmetrize(und).mat
-    val verts = Structure.extractVertexList(und).mat
-    val g = PropertyGraph(verts, sym, GraphProperties(directed = false, weighted = true))
-    g.edges.count()
+    // graph fixture built lazily: a pipeline-only probe run skips the
+    // multi-minute RMAT build entirely
+    lazy val g: PropertyGraph = {
+      val raw = Generators.rmat(spark, scale, numEdges, fastHash = true)
+        .select(SRC, DST)
+      val und = Structure.canonicalize(raw).withColumn(WEIGHT, lit(1.0)).mat
+      val sym = Structure.symmetrize(und).mat
+      val verts = Structure.extractVertexList(und).mat
+      val pg = PropertyGraph(verts, sym,
+        GraphProperties(directed = false, weighted = true))
+      pg.edges.count()
+      pg
+    }
+    lazy val verts = g.vertices
 
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    if (want("pipeline")) {
+      // Corpus scale probe: the sf0.1 documents table replicated
+      // 2^(scale-17)× (scale 22 → 32× ≈ 3M docs), every token salted with
+      // the replica index so each replica reproduces the fixture's
+      // internal near-dup density WITHOUT creating cross-replica dup
+      // pairs — candidate volume then scales linearly with the corpus,
+      // which is the property a 100 TB near-dup pass must have.
+      import graft.pipeline.Dedup
+      val reps = math.max(1, 1 << math.max(0, scale - 17))
+      val docs0 = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      val docs = docs0.select(col("doc_id"), col("text"))
+        .crossJoin(spark.range(reps).select(col("id").as("rep")))
+        .select((col("doc_id") * reps + col("rep")).as("doc_id"),
+          array_join(transform(split(col("text"), " "),
+            t => concat(t, col("rep").cast("string"))), " ").as("text"))
+      import graft.prims.Mat._
+      val docsM = docs.mat
+      System.err.println(s"[probe] pipeline corpus rows=${docsM.count()} (reps=$reps)")
+      results += item("dedup_exact")(Dedup.exact(docsM).count())
+      results += item("lsh_pairs")(Dedup.minhashLshPairs(docsM).count())
+      results += item("simhash")(Dedup.simhash(docsM).count())
+    }
     if (want("traversal")) {
       val src = verts.agg(min(ID)).first().getLong(0)
       results += item("bfs")(Traversal.bfs(g, src).count())
