@@ -290,17 +290,20 @@ object Community {
       // per-vertex weight to each neighboring community (self-loops
       // excluded from candidate weights — a vertex always "links" to its
       // own c). The dst-side community attach is a shuffle-hash join
-      // against the cached (run,dst)-partitioned edge stream: only the
-      // state side exchanges, the hint overrides the stats-blind SMJ
-      // fallback (LogicalRDD stats would otherwise force per-round sorts
-      // of the edge stream). Past the size gate the edge side is salted so
-      // a hub vertex's rows spread across tasks instead of landing on one
-      // reducer (power-law degree skew).
+      // against the cached (run,dst)-partitioned edge stream AT EVERY
+      // SCALE: only the state side exchanges, the hint overrides the
+      // stats-blind SMJ fallback (LogicalRDD stats would otherwise force
+      // per-round sorts of the edge stream). This replaces the r8
+      // past-gate salted join, which — by extending the join key with a
+      // salt — invalidated the cached (run,dst) partitioning and
+      // re-exchanged the FULL ensemble stream twice per round: the
+      // scale-22 ecg4 probe burned ~80 GB of shuffle scratch and died on
+      // disk, not memory. Salting guards a sort-merge join's per-key sort;
+      // a shuffle-hash probe STREAMS the hub partition against a
+      // per-partition state map (≤ nState/parts rows), so power-law skew
+      // costs task imbalance, never a reducer blow-up.
       val stDst = state.select(col("run"), col(ID).as(DST), col("community").as("nc"))
-      val eWithC =
-        if (nState <= 5000000L)
-          eNoSelfK.join(stDst.hint("shuffle_hash"), Seq("run", DST))
-        else graft.prims.Skew.saltedJoin(eNoSelfK, stDst, Seq("run", DST))
+      val eWithC = eNoSelfK.join(stDst.hint("shuffle_hash"), Seq("run", DST))
       // ONE exchange of the candidate stream per round: hash-partitioned
       // by (run, vertex) up front, which simultaneously satisfies the
       // (run,id,nc) aggregation AND the per-vertex best-move aggregation
@@ -373,6 +376,14 @@ object Community {
         sum(when(col("community") =!= col("old"), 1L).otherwise(0L)),
         _.filter(col("community") =!= col("old")).count())
       moved = movedNow
+      // Past the broadcast gate each round still exchanges the candidate
+      // stream (repartition + tot join) — tens of GB of shuffle files at
+      // ensemble scale whose deletion waits on the ContextCleaner, which
+      // waits on a driver GC. Long loops never idle the driver enough to
+      // trigger one; nudge it every few rounds so scratch disk stays
+      // bounded by a couple of rounds, not the whole run (the scale-22
+      // probe died on disk exactly this way).
+      if (nState > 5000000L && it % 3 == 0) System.gc()
       if (carryTot && moved > 0) {
         // movers' k leaves the old community and joins the new one; merge
         // the deltas into the carried totals (movers shrink per round, so
