@@ -383,7 +383,7 @@ object Community {
       // trigger one; nudge it every few rounds so scratch disk stays
       // bounded by a couple of rounds, not the whole run (the scale-22
       // probe died on disk exactly this way).
-      if (nState > 5000000L && it % 3 == 0) System.gc()
+      if (nState > 5000000L) System.gc()
       if (carryTot && moved > 0) {
         // movers' k leaves the old community and joins the new one; merge
         // the deltas into the carried totals (movers shrink per round, so

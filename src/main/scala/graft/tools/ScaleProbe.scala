@@ -42,6 +42,11 @@ object ScaleProbe {
         ((1L << scale) * edgefactor) / 500000L)).toString
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", parts)
+      // iterative probes generate tens of GB of shuffle files per round;
+      // their deletion waits on ContextCleaner → driver GC. The default
+      // 30min periodic GC lets scratch accumulate across a whole probe —
+      // the scale-22 ecg4 run filled the disk before its first cleanup.
+      .config("spark.cleaner.periodicGC.interval", "60s")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
