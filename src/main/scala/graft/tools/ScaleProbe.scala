@@ -47,6 +47,11 @@ object ScaleProbe {
       // 30min periodic GC lets scratch accumulate across a whole probe —
       // the scale-22 ecg4 run filled the disk before its first cleanup.
       .config("spark.cleaner.periodicGC.interval", "60s")
+      // zstd shuffle/spill compression: ~2× denser than the lz4 default on
+      // these wide integral rows — the scale-22 ecg4 probe's bound is
+      // shuffle SCRATCH (a ~45 GB live round on an 80 GB volume), and
+      // zstd is the standard production codec at data scale anyway
+      .config("spark.io.compression.codec", "zstd")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
