@@ -216,7 +216,7 @@ object Community {
     // gate scale that coalescing is worth ~20% of ECG's wall (measured:
     // 58.9s → 73-75s with N pinned to the session's 32).
     val sessionParts =
-      e.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toLong
+      e.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toLong
     val nERows = e.count() // e is materialized — a cached count
     val streamParts = nERows / 500000L + 1L
     val eNoSelfK = {
@@ -382,8 +382,12 @@ object Community {
       // waits on a driver GC. Long loops never idle the driver enough to
       // trigger one; nudge it every few rounds so scratch disk stays
       // bounded by a couple of rounds, not the whole run (the scale-22
-      // probe died on disk exactly this way).
-      if (nState > 5000000L) System.gc()
+      // probe died on disk exactly this way). Every 3rd round, not every
+      // round (a full driver STW GC per round is avoidable latency):
+      // long-loop deployments additionally set
+      // spark.cleaner.periodicGC.interval (ScaleProbe pins 60s), which
+      // bounds scratch continuously regardless of round cadence.
+      if (nState > 5000000L && it % 3 == 0) System.gc()
       if (carryTot && moved > 0) {
         // movers' k leaves the old community and joins the new one; merge
         // the deltas into the carried totals (movers shrink per round, so

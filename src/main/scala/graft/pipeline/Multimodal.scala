@@ -219,7 +219,11 @@ object Multimodal {
             acc.getField("rate").as("rate"), acc.getField("bits").as("bits"),
             acc.getField("dlen").as("dlen")))
       })
+    // ch*bits >= 8 guards the block-align divide below: a malformed fmt
+    // chunk with bits in 1-7 (e.g. 4-bit ADPCM) would make ch*bits/8 = 0
+    // and n_samples null instead of the documented -1 fallback
     val ok = isWav && folded.getField("ch") > 0 && folded.getField("bits") > 0 &&
+      folded.getField("ch") * folded.getField("bits") >= 8 &&
       folded.getField("dlen") >= 0
     media.select(col("doc_id"),
       when(isWav, "wav").otherwise("unknown").as("format"),

@@ -68,8 +68,6 @@ object ScaleProbe {
       label = name; (name, time(f))
     }
 
-    val graphWanted = families.contains("all") ||
-      (families -- Set("pipeline")).nonEmpty
     val numEdges = (1L << scale) * edgefactor
     // graph fixture built lazily: a pipeline-only probe run skips the
     // multi-minute RMAT build entirely
@@ -100,8 +98,11 @@ object ScaleProbe {
       val docs = docs0.select(col("doc_id"), col("text"))
         .crossJoin(spark.range(reps).select(col("id").as("rep")))
         .select((col("doc_id") * reps + col("rep")).as("doc_id"),
+          // \u0001 separator: bare concat collides across replicas once
+          // reps >= 10 ('foo1'+rep 2 == 'foo'+rep 12), creating spurious
+          // cross-replica dup pairs the probe's contract forbids
           array_join(transform(split(col("text"), " "),
-            t => concat(t, col("rep").cast("string"))), " ").as("text"))
+            t => concat(t, lit("\u0001"), col("rep").cast("string"))), " ").as("text"))
       import graft.prims.Mat._
       val docsM = docs.mat
       System.err.println(s"[probe] pipeline corpus rows=${docsM.count()} (reps=$reps)")
