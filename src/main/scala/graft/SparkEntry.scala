@@ -757,6 +757,17 @@ object SparkEntry {
       pipeline.Multimodal.audioMeta(
         pipeline.Multimodal.asBinaryAudio(Fixtures.documents(s, dir)))
     },
+    "q_media_pixels" -> q { (s, dir) =>
+      // REAL pixel decode (closes the r8 header-vs-pixel gap): the fixture
+      // wraps each doc as an uncompressed netpbm raster (P6 RGB / P5 gray —
+      // ASCII header + raw sample bytes, the one image family whose pixels
+      // need no codec), the decoder parses the variable-digit header and
+      // folds the raster region into exact per-channel byte sums; the
+      // oracle recomputes width/height/sums from doc_id (the generator's
+      // gradient formula) without ever seeing the binary.
+      pipeline.Multimodal.rasterPixels(
+        pipeline.Multimodal.asBinaryRaster(Fixtures.documents(s, dir)))
+    },
     // ---- sources / interop (§2.1) ----
     "q_from_adjlist" -> q { (s, dir) =>
       // adjacency-list round trip: COO → per-vertex neighbor lists → COO
@@ -1887,6 +1898,28 @@ object SparkEntry {
         |  CAST(8 * (1 + doc_id % 3) AS BIGINT) AS bits,
         |  CAST(strlen(text) // ((1 + doc_id % 2) * (1 + doc_id % 3)) AS BIGINT) AS n_samples
         |FROM documents""".stripMargin,
+    "q_media_pixels" ->
+      """WITH r AS (
+        |  SELECT doc_id, 1 + doc_id % 12 AS w, 1 + (doc_id * 5) % 9 AS h
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'ppm' ELSE 'pgm' END AS format,
+        |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(w * h AS BIGINT) AS n_pixels,
+        |  CAST(list_sum(list_transform(range(0, w * h),
+        |       p -> (doc_id * 31 + p * 7) % 256)) AS BIGINT) AS sum_r,
+        |  CAST(CASE WHEN doc_id % 2 = 0
+        |       THEN list_sum(list_transform(range(0, w * h),
+        |            p -> (doc_id * 31 + p * 7 + 54) % 256))
+        |       ELSE list_sum(list_transform(range(0, w * h),
+        |            p -> (doc_id * 31 + p * 7) % 256)) END AS BIGINT) AS sum_g,
+        |  CAST(CASE WHEN doc_id % 2 = 0
+        |       THEN list_sum(list_transform(range(0, w * h),
+        |            p -> (doc_id * 31 + p * 7 + 108) % 256))
+        |       ELSE list_sum(list_transform(range(0, w * h),
+        |            p -> (doc_id * 31 + p * 7) % 256)) END AS BIGINT) AS sum_b
+        |FROM r""".stripMargin,
     "q_media_decode" -> PipelineSql.mediaDecode,
     "q_frame_sample" -> PipelineSql.frameSample(frameBytes = 64, stride = 4),
     "q_from_adjlist" ->

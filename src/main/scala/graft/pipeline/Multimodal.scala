@@ -13,13 +13,17 @@ import org.apache.spark.sql.functions._
   * does the audio counterpart (RIFF/WAVE chunk walk with little-endian
   * fields and even-byte chunk padding), each gated byte-exactly via
   * [[asBinaryMedia]]/[[asBinaryAudio]]'s spec-conformant synthetic
-  * containers and spec-tested against golden ByteBuffer-built files. Only the
-  * PIXEL decode remains stubbed (this container has no image/audio
-  * codecs): `decodeStub` derives deterministic fake "pixels" from the
-  * payload bytes. Everything around it — the schema, the Dataset[T] typed
-  * pipeline, the mapPartitions batch shape (one JVM-side batch per
-  * partition, mirroring mapInPandas/Arrow batching), the partition sizing
-  * — is real and tested.
+  * containers and spec-tested against golden ByteBuffer-built files.
+  * PIXEL-level decode is real for uncompressed rasters: [[rasterPixels]]
+  * parses netpbm P6/P5 headers (ASCII, variable length) and folds the raw
+  * sample bytes into exact per-channel sums — proving the Spark-side pixel
+  * path end to end on the one image family whose bytes ARE the pixels.
+  * COMPRESSED pixel decode (PNG inflate, JPEG DCT) is the permanent codec
+  * boundary in this container: `decodeStub`'s mapPartitions batch shape
+  * (one JVM-side batch per partition, mirroring mapInPandas/Arrow
+  * batching) is the named integration point where a codec library slots
+  * in; the schema, typed pipeline, and partition sizing around it are real
+  * and tested.
   */
 object Multimodal {
 
@@ -233,6 +237,97 @@ object Multimodal {
       when(ok, floor(folded.getField("dlen") /
         (folded.getField("ch") * folded.getField("bits") / lit(8))))
         .otherwise(lit(-1L)).as("n_samples"))
+  }
+
+  /** Wrap the corpus as UNCOMPRESSED raster images — the fixture that lets
+    * the PIXEL decode be real in a container with no codecs: netpbm binary
+    * rasters are just an ASCII header followed by raw sample bytes. Even
+    * doc_ids become P6 (RGB PPM, 3 bytes/pixel), odd ones P5 (grayscale
+    * PGM, 1 byte/pixel); the header is the spec's text form
+    * `P6\n<w> <h>\n255\n` with decimal widths of varying digit count, so
+    * the parser must actually read the ASCII numbers (no fixed offsets).
+    * Pixel values are a doc_id-seeded gradient with a per-channel offset —
+    * byte i of pixel p, channel c is `(doc_id*31 + p*7 + c*54) % 256`
+    * (P5: c ≡ 0) — so any stride, channel-order, or header-length bug in
+    * the decoder shifts the sums and fails the gate, while the oracle can
+    * recompute the exact channel sums from doc_id alone. */
+  def asBinaryRaster(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val id = col(idCol)
+    val w = lit(1) + id % 12                 // 1-12: one- and two-digit widths
+    val h = lit(1) + (id * 5) % 9            // 1-9
+    val isP6 = id % 2 === 0
+    val bpp = when(isP6, 3).otherwise(1)
+    val nBytes = (w * h * bpp).cast("long")
+    val hdr = concat(when(isP6, "P6").otherwise("P5"), lit("\n"),
+      w.cast("string"), lit(" "), h.cast("string"), lit("\n255\n"))
+    // raster bytes via hex: byte i = (id*31 + (i div bpp)*7 + (i mod bpp)*54) % 256
+    val rasterHex = array_join(
+      transform(sequence(lit(0L), nBytes - 1), i =>
+        lpad(hex((id * 31 + floor(i / bpp).cast("long") * 7 + (i % bpp) * 54) % 256),
+          2, "0")), "")
+    docs.select(id.cast("long").as("doc_id"),
+      concat(encode(hdr, "US-ASCII"), unhex(rasterHex)).as("bytes"))
+  }
+
+  /** REAL pixel decode over uncompressed netpbm rasters (P6 RGB / P5
+    * gray) — the pixel-level counterpart of [[mediaDims]]/[[audioMeta]],
+    * closing the header-vs-pixel honesty gap: dims come from parsing the
+    * ASCII header (regexp over the decoded prefix — variable digit counts
+    * defeat fixed offsets), pixel statistics from folding the raw sample
+    * bytes. Per-channel byte SUMS (integers, hence exactly gateable; means
+    * are sums/n_pixels) are computed with a single `functions.aggregate`
+    * fold over the raster region — one projection over the scan, no UDF,
+    * no shuffle. Compressed formats stay out of scope by design (no codecs
+    * in this container): [[decodeStub]]'s mapPartitions hook is where a
+    * codec batch decode would slot in; this decoder proves the Spark-side
+    * pixel path on formats whose bytes ARE the pixels.
+    * Output (doc_id, format, width, height, n_pixels, sum_r, sum_g, sum_b);
+    * unparseable payloads come back 'unknown' with -1 fields. */
+  def rasterPixels(media: DataFrame): DataFrame = {
+    val b = col("bytes")
+    def u(pos: Column): Column = conv(hex(b.substr(pos, lit(1))), 16, 10).cast("long")
+    // ISO-8859-1, not US-ASCII: the 24-byte prefix spills into raster
+    // bytes >= 0x80 on tiny images, and Spark 4's strict decode THROWS on
+    // malformed input rather than substituting; latin-1 maps every byte
+    // 1:1 so the prefix always decodes and the anchored regexp only ever
+    // reads the ASCII header
+    val hdrTxt = decode(b.substr(lit(1), lit(24)), "ISO-8859-1")
+    val pat = "^(P[56])\\s(\\d+)\\s(\\d+)\\s(\\d+)\\s"
+    val magic = regexp_extract(hdrTxt, pat, 1)
+    val w = regexp_extract(hdrTxt, pat, 2).cast("long")
+    val h = regexp_extract(hdrTxt, pat, 3).cast("long")
+    val maxv = regexp_extract(hdrTxt, pat, 4).cast("long")
+    val hdrLen = length(regexp_extract(hdrTxt, pat, 0)).cast("long")
+    val bpp = when(magic === "P6", lit(3L)).otherwise(lit(1L))
+    val nBytes = w * h * bpp
+    // 8-bit samples only (maxval 255): netpbm's 2-byte-per-sample variant
+    // (maxval > 255) is out of fixture scope and falls back like non-pnm
+    val ok = magic.isin("P6", "P5") && w > 0 && h > 0 && maxv === 255 &&
+      length(b) >= hdrLen + nBytes
+    val init = struct(lit(0L).as("r"), lit(0L).as("g"), lit(0L).as("b"))
+    val sums = aggregate(
+      when(ok, sequence(lit(0L), nBytes - 1)).otherwise(array().cast("array<bigint>")),
+      init,
+      (acc: Column, i: Column) => {
+        val v = u(hdrLen + 1 + i)            // substr is 1-based
+        val chan = i % bpp                   // P5: always 0
+        struct(
+          (acc.getField("r") + when(chan === 0, v).otherwise(0L)).as("r"),
+          (acc.getField("g") + when(chan === 1, v).otherwise(0L)).as("g"),
+          (acc.getField("b") + when(chan === 2, v).otherwise(0L)).as("b"))
+      })
+    val gray = magic === "P5"                // one channel: report it on all 3
+    media.select(col("doc_id"),
+      when(ok && magic === "P6", "ppm").when(ok && gray, "pgm")
+        .otherwise("unknown").as("format"),
+      when(ok, w).otherwise(-1L).as("width"),
+      when(ok, h).otherwise(-1L).as("height"),
+      when(ok, w * h).otherwise(-1L).as("n_pixels"),
+      when(ok, sums.getField("r")).otherwise(-1L).as("sum_r"),
+      when(ok, when(gray, sums.getField("r")).otherwise(sums.getField("g")))
+        .otherwise(-1L).as("sum_g"),
+      when(ok, when(gray, sums.getField("r")).otherwise(sums.getField("b")))
+        .otherwise(-1L).as("sum_b"))
   }
 
   /** STUB decode: deterministic fake decode in place of an image codec.

@@ -100,10 +100,82 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  // ---- raster pixels: golden netpbm images built by hand -------------
+
+  test("rasterPixels decodes a golden P6 PPM (header parse + channel sums)") {
+    // 2x2 RGB, maxval 255; pixels laid out row-major R,G,B:
+    // (10,20,30) (40,50,60) (70,80,90) (200,210,255)
+    val px = Array(10, 20, 30, 40, 50, 60, 70, 80, 90, 200, 210, 255).map(_.toByte)
+    val ppm = "P6\n2 2\n255\n".getBytes("US-ASCII") ++ px
+    val r = Multimodal.rasterPixels(mediaFrom(Seq((1L, ppm)))).collect().head
+    assert(r.getString(1) == "ppm" && r.getLong(2) == 2L && r.getLong(3) == 2L)
+    assert(r.getLong(4) == 4L)
+    assert(r.getLong(5) == 10 + 40 + 70 + 200, "sum_r")
+    assert(r.getLong(6) == 20 + 50 + 80 + 210, "sum_g")
+    assert(r.getLong(7) == 30 + 60 + 90 + 255, "sum_b")
+  }
+
+  test("rasterPixels decodes a golden P5 PGM and reports gray on all channels") {
+    // 3x1 grayscale with multi-digit width to exercise the ASCII parse
+    val pgm = "P5\n3 1\n255\n".getBytes("US-ASCII") ++ Array(0, 128, 255).map(_.toByte)
+    val r = Multimodal.rasterPixels(mediaFrom(Seq((1L, pgm)))).collect().head
+    assert(r.getString(1) == "pgm" && r.getLong(2) == 3L && r.getLong(3) == 1L)
+    assert(r.getLong(5) == 383L && r.getLong(6) == 383L && r.getLong(7) == 383L)
+  }
+
+  test("rasterPixels header parse is positional, not fixed-offset") {
+    // same image twice with different digit widths: 10x2 vs 2x10 — a
+    // fixed-offset reader (netpbm headers vary byte length with the
+    // decimal dims) gets at least one of them wrong
+    val a = "P5\n10 2\n255\n".getBytes("US-ASCII") ++ Array.fill(20)(7.toByte)
+    val c = "P5\n2 10\n255\n".getBytes("US-ASCII") ++ Array.fill(20)(7.toByte)
+    val rows = Multimodal.rasterPixels(mediaFrom(Seq((1L, a), (2L, c))))
+      .orderBy("doc_id").collect()
+    assert(rows(0).getLong(2) == 10L && rows(0).getLong(3) == 2L)
+    assert(rows(1).getLong(2) == 2L && rows(1).getLong(3) == 10L)
+    assert(rows.forall(_.getLong(5) == 140L))
+  }
+
+  test("rasterPixels falls back to unknown/-1 on truncated or foreign bytes") {
+    // truncated raster (header claims 4x4 gray, only 3 bytes present) and
+    // a non-pnm payload both degrade instead of failing the scan
+    val short = "P5\n4 4\n255\n".getBytes("US-ASCII") ++ Array[Byte](1, 2, 3)
+    val rows = Multimodal.rasterPixels(mediaFrom(Seq(
+        (1L, short), (2L, "plain text".getBytes))))
+      .orderBy("doc_id").collect()
+    rows.foreach { r =>
+      assert(r.getString(1) == "unknown" && r.getLong(4) == -1L && r.getLong(5) == -1L)
+    }
+  }
+
+  test("rasterPixels round-trips asBinaryRaster and matches the doc_id formulas") {
+    val docs = (0L until 24L).map(i => (i, "unused")).toDF("doc_id", "text")
+    val got = Multimodal.rasterPixels(Multimodal.asBinaryRaster(docs))
+      .orderBy("doc_id").collect()
+    got.foreach { r =>
+      val id = r.getLong(0)
+      val (w, h) = (1 + id % 12, 1 + (id * 5) % 9)
+      val npix = w * h
+      def chanSum(c: Long): Long =
+        (0L until npix).map(p => (id * 31 + p * 7 + c * 54) % 256).sum
+      assert(r.getString(1) == (if (id % 2 == 0) "ppm" else "pgm"), s"fmt id=$id")
+      assert(r.getLong(2) == w && r.getLong(3) == h && r.getLong(4) == npix, s"dims id=$id")
+      if (id % 2 == 0) {
+        assert(r.getLong(5) == chanSum(0), s"sum_r id=$id")
+        assert(r.getLong(6) == chanSum(1), s"sum_g id=$id")
+        assert(r.getLong(7) == chanSum(2), s"sum_b id=$id")
+      } else {
+        val g = chanSum(0)
+        assert(r.getLong(5) == g && r.getLong(6) == g && r.getLong(7) == g, s"gray id=$id")
+      }
+    }
+  }
+
   test("header decoders are pure projections — no Exchange in either plan") {
     val docs = (0L until 8L).map(i => (i, "abc " * 10)).toDF("doc_id", "text")
     for (df <- Seq(Multimodal.mediaDims(Multimodal.asBinaryMedia(docs)),
-                   Multimodal.audioMeta(Multimodal.asBinaryAudio(docs)))) {
+                   Multimodal.audioMeta(Multimodal.asBinaryAudio(docs)),
+                   Multimodal.rasterPixels(Multimodal.asBinaryRaster(docs)))) {
       val plan = df.queryExecution.executedPlan.toString
       assert(!plan.contains("Exchange"), "header decode shuffled:\n" + plan.take(1200))
     }
