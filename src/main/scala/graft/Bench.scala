@@ -100,21 +100,14 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    // deterministic name order: cross-round per-query comparisons would
-    // otherwise shift with Map iteration order (the first query touching a
-    // shared fixture pays its build)
-    // optional arg: comma-separated query subset (iteration aid; the
-    // driver's per-round bench passes no args and runs everything)
-    val subset = if (args.nonEmpty) Some(args(0).split(",").toSet) else None
+  /** One full sweep: calibration pre, prewarm, every query, calibration
+    * post — returns the artifact JSON line (without attempt fields) and
+    * the degraded verdict, so [[main]] can apply the pinned round-close
+    * rule (a degraded capture is re-run, not narrated) mechanically. */
+  private final case class Sweep(line: String, degraded: Boolean, total: Double)
+
+  private def runSweep(spark: SparkSession, sfDir: String, cpus: String,
+                       subset: Option[Set[String]]): Sweep = {
     // shared fixtures are built OFF the per-query clock (their cost is
     // reported separately below and included in the total): per-query
     // numbers otherwise charge each fixture's build to whichever query
@@ -212,7 +205,39 @@ object Bench {
     // nominals don't apply, so the flag stays false rather than lying.
     val degraded = subset.isEmpty && cpus == "32" &&
       (hostIndex > 1.5 || hostIndexJobs > 1.5)
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"started":$starts,"fixture_warm":$warmSec,"calib_pre":$calibPre,"calib_post":$calibPost,"host_index":$hostIndex,"calib_jobs_pre":$calibJobsPre,"calib_jobs_post":$calibJobsPost,"host_index_jobs":$hostIndexJobs,"calib_plan_pre":$calibPlanPre,"calib_plan_post":$calibPlanPost,"host_index_plan":$hostIndexPlan,"cpus":$cpus,"degraded":$degraded,"sf":"$sfDir"}"""
+    val line = s""""value":$total,"unit":"sec","queries":$qs,"started":$starts,"fixture_warm":$warmSec,"calib_pre":$calibPre,"calib_post":$calibPost,"host_index":$hostIndex,"calib_jobs_pre":$calibJobsPre,"calib_jobs_post":$calibJobsPost,"host_index_jobs":$hostIndexJobs,"calib_plan_pre":$calibPlanPre,"calib_plan_post":$calibPlanPost,"host_index_plan":$hostIndexPlan,"cpus":$cpus,"degraded":$degraded,"sf":"$sfDir""""
+    Sweep(line, degraded, total)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // optional arg: comma-separated query subset (iteration aid; the
+    // driver's per-round bench passes no args and runs everything)
+    val subset = if (args.nonEmpty) Some(args(0).split(",").toSet) else None
+    val first = runSweep(spark, sfDir, cpus, subset)
+    // the pinned round-close rule, mechanized (VERDICT r8 item #2): a
+    // capture whose calibration index exceeds 1.5 is RE-RUN once, not
+    // narrated — the artifact adjudicates itself. One retry only: if the
+    // host is still degraded after ~20 minutes, a third pass measures the
+    // same machine; the final line then carries degraded=true plus the
+    // first attempt's total so the round can be read against both.
+    val (chosen, attempts, firstTotal) =
+      if (first.degraded && subset.isEmpty) {
+        System.err.println(f"[bench] capture degraded (total=${first.total}%.1fs) — re-running the full sweep once per the pinned rule")
+        System.gc()
+        (runSweep(spark, sfDir, cpus, subset), 2, first.total)
+      } else (first, 1, first.total)
+    val attemptFields =
+      if (attempts > 1) s""","attempts":2,"attempt1_total":$firstTotal"""
+      else s""","attempts":1"""
+    val line = s"""{"metric":"total",${chosen.line}$attemptFields}"""
     println(line)
     // the stdout contract above is the driver's; ALSO persist the complete
     // JSON to a file — BENCH_r05.json reached the repo truncated mid-object

@@ -195,14 +195,45 @@ object GraphStream {
   final case class CandidatePairT(id_a: Long, id_b: Long,
                                   ts: java.sql.Timestamp)
 
-  /** [[streamingLshCandidates]] with a BOUNDED pair-dedup store: the
-    * input carries an event-time column, and the trailing duplicate drop
-    * becomes `dropDuplicatesWithinWatermark` — pair-dedup state now ages
-    * out past the watermark delay instead of holding every pair ever
-    * emitted (the unbounded second state component documented on the
-    * plain variant). A candidate re-emitted after the window only costs
-    * downstream verification work, never correctness: the Jaccard verify
-    * is idempotent per pair. Bucket-occupancy state is unchanged. */
+  /** Parse the watermark-delay grammar's common units to milliseconds
+    * (the same strings `withWatermark` accepts: "10 minutes", "4 hours").
+    * Needed because EventTimeTimeout timestamps are set in epoch millis
+    * while the delay rides through the API as the SQL interval string. */
+  private[streaming] def durationMs(s: String): Long = {
+    val parts = s.trim.toLowerCase.split("\\s+")
+    require(parts.length == 2, s"unsupported interval: '$s'")
+    val n = parts(0).toLong
+    parts(1) match {
+      case u if u.startsWith("milli") => n
+      case u if u.startsWith("sec")   => n * 1000L
+      case u if u.startsWith("min")   => n * 60L * 1000L
+      case u if u.startsWith("hour")  => n * 3600L * 1000L
+      case u if u.startsWith("day")   => n * 86400L * 1000L
+      case u => throw new IllegalArgumentException(s"unsupported interval unit: '$u'")
+    }
+  }
+
+  /** [[streamingLshCandidates]] with BOTH state components bounded by the
+    * watermark — the endless-corpus deployment shape:
+    *
+    *  - pair-dedup store: the trailing duplicate drop is
+    *    `dropDuplicatesWithinWatermark`, so entries age out past the
+    *    watermark delay instead of holding every pair ever emitted. A
+    *    candidate re-emitted after the window only costs downstream
+    *    verification work, never correctness: the Jaccard verify is
+    *    idempotent per pair.
+    *  - bucket occupancy (r9, closes the r8 residual): the
+    *    flatMapGroupsWithState runs under `EventTimeTimeout` — a bucket
+    *    whose newest member is older than the watermark delay has its
+    *    occupancy list dropped entirely. The contract is the same one the
+    *    watermark already imposes everywhere else: a document older than
+    *    the delay is no longer a pairing candidate for new arrivals (its
+    *    already-emitted pairs are unaffected). Total state is then O(docs
+    *    inside the watermark window), independent of stream lifetime.
+    *
+    * The driver gate drains the finite fixture with a delay covering its
+    * whole ingest span, so no state ages out mid-drain and the result
+    * stays hash-exact against the batch band self-join. */
   def streamingLshCandidatesWatermarked(docs: DataFrame, n: Int = 3,
                                         bands: Int = 4, rowsPerBand: Int = 2,
                                         idCol: String = "doc_id",
@@ -212,6 +243,25 @@ object GraphStream {
     val spark = docs.sparkSession
     import spark.implicits._
     import graft.pipeline.TextOps._
+    // Chaining a timeout-bearing flatMapGroupsWithState into
+    // dropDuplicatesWithinWatermark trips Spark's conservative global-
+    // watermark static check ("stateful operation which can emit rows
+    // older than the current watermark"). This query is provably safe:
+    // every emitted pair carries ts = max(event time in the batch) >= the
+    // batch's watermark, so the downstream dedup never receives a late
+    // row. The config is the check's documented escape hatch; it is
+    // session-scoped and must be set before the query starts, hence here.
+    spark.conf.set("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
+    // This query has TWO watermark nodes: the input corpus stream and the
+    // re-watermarked pair stream feeding the dedup. Under the default
+    // `min` policy the global watermark is pinned by the PAIR node, which
+    // only advances when pairs are emitted — a quiet stretch (no near-dups
+    // arriving) would freeze eviction forever even as the corpus stream
+    // advances. `max` keys all state aging to the corpus stream's event
+    // time, which is the intended bound; emitted pairs can never be late
+    // against it (pair ts = max surviving event ts of its batch >= the
+    // batch's input watermark).
+    spark.conf.set("spark.sql.streaming.multipleWatermarkPolicy", "max")
     // same hash family / band keys as streamingMinhash + the batch path,
     // built inline so the event-time column rides along with the signature
     val sh = shingles(tokens(col(textCol)), n)
@@ -229,24 +279,38 @@ object GraphStream {
       .select(col(idCol).as("docId"), col(tsCol).as("ts"), explode(bandStructs).as("bs"))
       .select(col("bs.band").as("band"), col("bs.bk").as("bk"), col("docId"), col("ts"))
       .as[BandHitT]
+    val delayMs = durationMs(delay)
     hits.groupByKey(h => (h.band, h.bk))
       .flatMapGroupsWithState[LshBucket, CandidatePairT](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
         (_: (Int, String), events: Iterator[BandHitT], state: GroupState[LshBucket]) =>
-          val have = state.getOption.map(_.ids).getOrElse(Seq.empty)
-          val haveSet = have.toSet
-          val evs = events.toSeq
-          val ts = evs.map(_.ts.getTime).max
-          val newcomers = evs.map(_.docId).distinct.sorted.filterNot(haveSet)
-          val pairs = Seq.newBuilder[CandidatePairT]
-          var resident = have
-          for (d <- newcomers) {
-            pairs ++= resident.map(o => CandidatePairT(
-              math.min(o, d), math.max(o, d), new java.sql.Timestamp(ts)))
-            resident = resident :+ d
+          if (state.hasTimedOut) {
+            // bucket idle past the watermark: drop the occupancy list —
+            // its members can no longer pair with in-window arrivals
+            state.remove()
+            Iterator.empty
+          } else {
+            val have = state.getOption.map(_.ids).getOrElse(Seq.empty)
+            val haveSet = have.toSet
+            val evs = events.toSeq
+            val ts = evs.map(_.ts.getTime).max
+            val newcomers = evs.map(_.docId).distinct.sorted.filterNot(haveSet)
+            val pairs = Seq.newBuilder[CandidatePairT]
+            var resident = have
+            for (d <- newcomers) {
+              pairs ++= resident.map(o => CandidatePairT(
+                math.min(o, d), math.max(o, d), new java.sql.Timestamp(ts)))
+              resident = resident :+ d
+            }
+            state.update(LshBucket(resident))
+            // evict when the newest member falls behind the watermark;
+            // the max() keeps the timestamp legal (it must sit strictly
+            // past the CURRENT watermark) even for a group whose events
+            // arrived near the lateness boundary
+            state.setTimeoutTimestamp(
+              math.max(ts + delayMs, state.getCurrentWatermarkMs() + 1))
+            pairs.result().iterator
           }
-          state.update(LshBucket(resident))
-          pairs.result().iterator
       }.toDF()
       .withWatermark("ts", delay)
       .dropDuplicatesWithinWatermark("id_a", "id_b")

@@ -149,6 +149,17 @@ class StreamingSpec extends SparkSpec {
       assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L), s"dissimilar doc paired: $pairs")
       // multi-band double emission within the watermark window collapsed
       assert(sp.sql("select * from slsh_wm where id_a=1 and id_b=3").count() == 1)
+      // bucket-occupancy eviction (EventTimeTimeout): docs 1/3 are now far
+      // behind the watermark (05:50) — one more batch fires their bucket's
+      // timeout, so a late near-dup arrival must NOT pair with them
+      input.addData((11L, "another future filler with distinct vocabulary", java.sql.Timestamp.valueOf("2026-01-01 06:01:00")))
+      q.processAllAvailable()
+      input.addData((10L, near, java.sql.Timestamp.valueOf("2026-01-01 06:02:00")))
+      q.processAllAvailable()
+      val after = sp.sql("select id_a, id_b from slsh_wm").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(!after.contains((1L, 10L)) && !after.contains((3L, 10L)),
+        s"evicted bucket still paired with new arrival: $after")
     } finally q.stop()
   }
 
