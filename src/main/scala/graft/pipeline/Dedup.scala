@@ -151,12 +151,35 @@ object Dedup {
 
   private def jaccardFromShingles(sh: DataFrame, pairs: DataFrame,
                                   idCol: String): DataFrame = {
-    val cnt = sh.groupBy(idCol).agg(count(lit(1)).as("n_sh"))
-    val inter = pairs
-      .join(sh.select(col(idCol).as("id_a"), col("s")), "id_a")
-      .join(sh.select(col(idCol).as("id_b"), col("s")), Seq("id_b", "s"))
+    // Restrict the shingle stream to docs that appear in some candidate
+    // pair BEFORE the (id, shingle) equi-join: the intersection join's
+    // shuffle then moves O(candidate-doc shingles), not O(corpus
+    // shingles). Exactness is untouched (a semi-join keeps every shingle
+    // row of every doc it keeps). At the r9 scale-26 probe (2.56M docs,
+    // 373k candidate pairs) the un-restricted join re-shuffled the whole
+    // ~128M-row shingle frame against a 19M-row probe stream — the single
+    // hottest stage of the LSH pipeline (272s of a 443s wall); candidates
+    // touch only a fraction of the corpus, which is exactly the asymmetry
+    // a 100 TB near-dup pass lives on.
+    // `pairs` is referenced three times below (candidate ids, the probe
+    // stream, the final join) — materialize ONCE so the candidate
+    // generator (typically a band self-join) doesn't replay per reference,
+    // and so its row count can size-gate the broadcast of the id set: a
+    // broadcast semi-join prunes the shingle stream WITHOUT re-exchanging
+    // it (a shuffled semi-join would move the whole corpus's shingles,
+    // which is the cost this pruning exists to avoid).
+    val pM = pairs.mat
+    val nPairs = pM.count()
+    val candIds = pM.select(col("id_a").as(idCol))
+      .union(pM.select(col("id_b").as(idCol))).distinct()
+    val shC = sh.join(graft.prims.Hint.state(candIds, 2 * nPairs),
+      Seq(idCol), "left_semi")
+    val cnt = shC.groupBy(idCol).agg(count(lit(1)).as("n_sh"))
+    val inter = pM
+      .join(shC.select(col(idCol).as("id_a"), col("s")), "id_a")
+      .join(shC.select(col(idCol).as("id_b"), col("s")), Seq("id_b", "s"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
-    pairs.join(inter, Seq("id_a", "id_b"), "left")
+    pM.join(inter, Seq("id_a", "id_b"), "left")
       .join(cnt.select(col(idCol).as("id_a"), col("n_sh").as("na")), "id_a")
       .join(cnt.select(col(idCol).as("id_b"), col("n_sh").as("nb")), "id_b")
       .select(col("id_a"), col("id_b"),

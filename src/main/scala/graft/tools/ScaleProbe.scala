@@ -104,8 +104,20 @@ object ScaleProbe {
           array_join(transform(split(col("text"), " "),
             t => concat(t, lit("\u0001"), col("rep").cast("string"))), " ").as("text"))
       import graft.prims.Mat._
-      val docsM = docs.mat
-      System.err.println(s"[probe] pipeline corpus rows=${docsM.count()} (reps=$reps)")
+      // The replicated corpus INHERITS the one-partition layout of the
+      // single source file through the broadcast cross join — so every
+      // pre-shuffle per-doc compute (shingles × minhash kernels) would run
+      // on ONE core no matter how large reps is (measured: lsh_pairs at
+      // reps=512 pinned 1.4 cores for 9+ minutes before this repartition;
+      // the r8 StreamProbe found the identical defect in the streaming
+      // drain). Same rule as everywhere else this round: partition by
+      // POST-operation volume, ~20k docs per task here since per-doc text
+      // work is orders heavier than the integral graph kernels' per-row
+      // cost.
+      val docsM = docs
+        .repartition(math.max(cpus.toInt, reps * 5000 / 20000), col("doc_id"))
+        .mat
+      System.err.println(s"[probe] pipeline corpus rows=${docsM.count()} (reps=$reps) parts=${docsM.rdd.getNumPartitions}")
       results += item("dedup_exact")(Dedup.exact(docsM).count())
       results += item("lsh_pairs")(Dedup.minhashLshPairs(docsM).count())
       results += item("simhash")(Dedup.simhash(docsM).count())
@@ -129,6 +141,17 @@ object ScaleProbe {
     if (want("community") || want("ecg")) {
       results += item("ecg4")(
         Community.ecg(g, ensembleSize = 4, finalMaxLevel = 1)._1.count())
+    }
+    if (want("centrality")) {
+      // k-sampled Brandes is the representative: each seed is a full
+      // BFS-forward + dependency-backward pass, so k=4 probes the level
+      // loops at data scale without the k×diameter job count a default-k
+      // run would schedule. hits exercises the normalized double-power
+      // iteration (bounded 20 iters — wall proportionality, not
+      // convergence, is what the probe measures).
+      results += item("betweenness_k4")(
+        Centrality.betweenness(g, k = Some(4)).count())
+      results += item("hits20")(Centrality.hits(g, maxIter = 20).count())
     }
     if (want("structure")) {
       results += item("wcc")(Components.wcc(g).count())
