@@ -37,9 +37,14 @@ object ScaleProbe {
     val scale = if (args.length > 1) args(1).toInt else 20
     val edgefactor = if (args.length > 2) args(2).toInt else 16
     val cpus = if (args.length > 3) args(3) else "32"
+    // Width is sized to the LARGEST intermediate, not the raw edge count:
+    // the undirected build's symmetrize unions the edge list with its
+    // reverse before the dedup agg, so the widest frame is ~4× the
+    // generated edges (r9: parts sized on raw 67M gave 2M-row dedup tasks
+    // at scale 22 — the same agg shape that OOM'd the r8 build at 8g).
     val parts = if (args.length > 4) args(4) else
-      math.min(1024L, math.max(cpus.toLong,
-        ((1L << scale) * edgefactor) / 500000L)).toString
+      math.min(2048L, math.max(cpus.toLong,
+        ((1L << scale) * edgefactor * 4) / 500000L)).toString
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", parts)
       // iterative probes generate tens of GB of shuffle files per round;
@@ -65,6 +70,13 @@ object ScaleProbe {
       dt
     }
     def item(name: String)(f: => Unit): (String, Double) = {
+      // Nudge the cleaner BETWEEN items: probe items share one JVM, and a
+      // heavy item inherits the previous items' not-yet-reclaimed caches,
+      // broadcasts and shuffle structures — the r9 scale-22 run had wcc
+      // OOM a 32g heap after betweenness/hits, then complete clean in a
+      // fresh JVM (582s). Items are independent measurements; an explicit
+      // GC makes the heap state at item start round-reproducible.
+      System.gc()
       label = name; (name, time(f))
     }
 
@@ -85,6 +97,16 @@ object ScaleProbe {
     lazy val verts = g.vertices
 
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    // Force the graph fixture OFF every item's clock: whichever family ran
+    // first was otherwise charged the multi-minute RMAT build (rows were
+    // incomparable across family subsets — the r9 structure-only wcc row
+    // carried the build, the traversal-first runs didn't). The build wall
+    // is printed as its own line instead.
+    if ((families - "pipeline").nonEmpty) {
+      label = "graph_build"
+      val bt = time { g; verts }
+      System.err.println(f"[probe] graph fixture build t=$bt%.1fs (off-item)")
+    }
     if (want("pipeline")) {
       // Corpus scale probe: the sf0.1 documents table replicated
       // 2^(scale-17)× (scale 22 → 32× ≈ 3M docs), every token salted with
