@@ -177,7 +177,14 @@ object ScaleProbe {
     }
     if (want("structure")) {
       results += item("wcc")(Components.wcc(g).count())
-      results += item("core_number")(Components.coreNumber(g).count())
+      // h-index fixpoint, NOT the peel: the peel
+      // (Components.coreNumber) is O(#distinct core values × cascade)
+      // shrinking-frame rounds — measured >100 min at scale 22 without
+      // finishing — while the h-index sweep is O(tens) of full-frame
+      // rounds and is what all three q_core_number* gates ship. The peel
+      // remains the per-k primitive kCore uses at a single level.
+      results += item("core_number_hindex")(
+        Components.coreNumberHIndex(g)._1.count())
     }
     if (want("similarity")) {
       // triangles only: all-pairs similarity is wedge-quadratic in hub
