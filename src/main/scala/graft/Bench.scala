@@ -234,8 +234,12 @@ object Bench {
         System.gc()
         (runSweep(spark, sfDir, cpus, subset), 2, first.total)
       } else (first, 1, first.total)
+    // rerun_warm: attempt 2 runs in the SAME JVM/session — warm JIT and
+    // already-cached fixtures make its total systematically faster than the
+    // fresh-JVM captures other rounds record. The flag keeps cross-round
+    // comparisons honest (ADVICE r9).
     val attemptFields =
-      if (attempts > 1) s""","attempts":2,"attempt1_total":$firstTotal"""
+      if (attempts > 1) s""","attempts":2,"attempt1_total":$firstTotal,"rerun_warm":true"""
       else s""","attempts":1"""
     val line = s"""{"metric":"total",${chosen.line}$attemptFields}"""
     println(line)

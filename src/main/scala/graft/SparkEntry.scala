@@ -1448,11 +1448,12 @@ object SparkEntry {
         .repartition(col("doc_id"))
         .withColumn("ts",
           timestamp_seconds(lit(1704067200L) + col("doc_id") % 7200))
-      graft.streaming.GraphStream.runToCompletion(
-        graft.streaming.GraphStream.streamingLshCandidatesWatermarked(stream,
-          n = 3, bands = 4, rowsPerBand = 2, delay = "4 hours"),
-        mode = "append")
-        .select("id_a", "id_b")
+      graft.streaming.GraphStream.withLshStreamingConfs(s) {
+        graft.streaming.GraphStream.runToCompletion(
+          graft.streaming.GraphStream.streamingLshCandidatesWatermarked(stream,
+            n = 3, bands = 4, rowsPerBand = 2, delay = "4 hours"),
+          mode = "append")
+      }.select("id_a", "id_b")
     },
     "q_stream_sessions" -> q { (s, dir) =>
       // session_window sessionization as an ACTUAL streaming execution —

@@ -170,10 +170,18 @@ object Dedup {
     // which is the cost this pruning exists to avoid).
     val pM = pairs.mat
     val nPairs = pM.count()
-    val candIds = pM.select(col("id_a").as(idCol))
-      .union(pM.select(col("id_b").as(idCol))).distinct()
-    val shC = sh.join(graft.prims.Hint.state(candIds, 2 * nPairs),
-      Seq(idCol), "left_semi")
+    // The prune only pays when the id set BROADCASTS: a shuffled semi-join
+    // would re-exchange the whole corpus shingle frame — the exact cost the
+    // pruning exists to avoid — and the downstream id_a/id_b joins shuffle
+    // shC again, so past the broadcast gate the prune is a strict extra
+    // full-corpus shuffle. Skip it entirely there (candidates covering most
+    // of the corpus also gain little from pruning).
+    val shC =
+      if (2 * nPairs <= 5000000L) {
+        val candIds = pM.select(col("id_a").as(idCol))
+          .union(pM.select(col("id_b").as(idCol))).distinct()
+        sh.join(broadcast(candIds), Seq(idCol), "left_semi")
+      } else sh
     val cnt = shC.groupBy(idCol).agg(count(lit(1)).as("n_sh"))
     val inter = pM
       .join(shC.select(col(idCol).as("id_a"), col("s")), "id_a")

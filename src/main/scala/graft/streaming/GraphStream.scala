@@ -192,8 +192,51 @@ object GraphStream {
 
   final case class BandHitT(band: Int, bk: String, docId: Long,
                             ts: java.sql.Timestamp)
+  /** Watermarked-bucket state: occupancy plus the MONOTONIC max event time
+    * ever seen by the bucket. The eviction deadline must be keyed to this,
+    * not the current batch's max — with out-of-order arrival a later batch
+    * carrying only older (still in-window) events would otherwise regress
+    * the deadline below allTimeMax+delay and evict residents whose
+    * timestamps are still inside the watermark window. */
+  final case class LshBucketT(ids: Seq[Long], maxTs: Long)
   final case class CandidatePairT(id_a: Long, id_b: Long,
                                   ts: java.sql.Timestamp)
+
+  /** Session confs `streamingLshCandidatesWatermarked` needs AT QUERY START,
+    * applied with the save/restore discipline (`prims.Aqe.off` pattern) so
+    * the caller's session is left exactly as found — setting them session-
+    * scoped and never restoring (the pre-r10 behavior) silenced Spark's
+    * stateful-operator safety check for every later streaming query in the
+    * session and switched them to a non-default watermark policy.
+    *
+    * Why each conf, and why they are safe HERE (and only asserted here):
+    * - `statefulOperator.checkCorrectness.enabled=false`: chaining a
+    *   timeout-bearing flatMapGroupsWithState into
+    *   dropDuplicatesWithinWatermark trips the conservative global-watermark
+    *   static check. This query is provably safe: every emitted pair carries
+    *   ts = max(event time in batch) >= the batch's watermark, so the
+    *   downstream dedup never receives a late row.
+    * - `multipleWatermarkPolicy=max`: the query has TWO watermark nodes
+    *   (corpus stream, re-watermarked pair stream). Under the default `min`
+    *   the global watermark is pinned by the PAIR node, which only advances
+    *   when pairs are emitted — a quiet stretch would freeze eviction
+    *   forever. `max` keys state aging to the corpus stream's event time;
+    *   emitted pairs can never be late against it.
+    *
+    * Both confs are read when the query STARTS, so wrap the `.start()` (or
+    * the whole drain); restoring afterwards does not affect a running query. */
+  def withLshStreamingConfs[T](spark: SparkSession)(body: => T): T = {
+    val wanted = Seq(
+      "spark.sql.streaming.statefulOperator.checkCorrectness.enabled" -> "false",
+      "spark.sql.streaming.multipleWatermarkPolicy" -> "max")
+    val prior = wanted.map { case (k, _) => k -> spark.conf.getOption(k) }
+    wanted.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally prior.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
 
   /** Parse the watermark-delay grammar's common units to milliseconds
     * (the same strings `withWatermark` accepts: "10 minutes", "4 hours").
@@ -243,25 +286,10 @@ object GraphStream {
     val spark = docs.sparkSession
     import spark.implicits._
     import graft.pipeline.TextOps._
-    // Chaining a timeout-bearing flatMapGroupsWithState into
-    // dropDuplicatesWithinWatermark trips Spark's conservative global-
-    // watermark static check ("stateful operation which can emit rows
-    // older than the current watermark"). This query is provably safe:
-    // every emitted pair carries ts = max(event time in the batch) >= the
-    // batch's watermark, so the downstream dedup never receives a late
-    // row. The config is the check's documented escape hatch; it is
-    // session-scoped and must be set before the query starts, hence here.
-    spark.conf.set("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
-    // This query has TWO watermark nodes: the input corpus stream and the
-    // re-watermarked pair stream feeding the dedup. Under the default
-    // `min` policy the global watermark is pinned by the PAIR node, which
-    // only advances when pairs are emitted — a quiet stretch (no near-dups
-    // arriving) would freeze eviction forever even as the corpus stream
-    // advances. `max` keys all state aging to the corpus stream's event
-    // time, which is the intended bound; emitted pairs can never be late
-    // against it (pair ts = max surviving event ts of its batch >= the
-    // batch's input watermark).
-    spark.conf.set("spark.sql.streaming.multipleWatermarkPolicy", "max")
+    // NOTE: starting this query requires two session confs (safety-check
+    // escape hatch + `max` watermark policy) — callers must wrap the
+    // `.start()`/drain in `withLshStreamingConfs`, which documents the
+    // safety argument and save/restores the caller's values.
     // same hash family / band keys as streamingMinhash + the batch path,
     // built inline so the event-time column rides along with the signature
     val sh = shingles(tokens(col(textCol)), n)
@@ -281,19 +309,23 @@ object GraphStream {
       .as[BandHitT]
     val delayMs = durationMs(delay)
     hits.groupByKey(h => (h.band, h.bk))
-      .flatMapGroupsWithState[LshBucket, CandidatePairT](
+      .flatMapGroupsWithState[LshBucketT, CandidatePairT](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
-        (_: (Int, String), events: Iterator[BandHitT], state: GroupState[LshBucket]) =>
+        (_: (Int, String), events: Iterator[BandHitT], state: GroupState[LshBucketT]) =>
           if (state.hasTimedOut) {
             // bucket idle past the watermark: drop the occupancy list —
             // its members can no longer pair with in-window arrivals
             state.remove()
             Iterator.empty
           } else {
-            val have = state.getOption.map(_.ids).getOrElse(Seq.empty)
+            val prior = state.getOption
+            val have = prior.map(_.ids).getOrElse(Seq.empty)
             val haveSet = have.toSet
             val evs = events.toSeq
             val ts = evs.map(_.ts.getTime).max
+            // monotonic: an out-of-order batch of older (in-window) events
+            // must never pull the eviction deadline backwards
+            val allMax = math.max(prior.map(_.maxTs).getOrElse(Long.MinValue), ts)
             val newcomers = evs.map(_.docId).distinct.sorted.filterNot(haveSet)
             val pairs = Seq.newBuilder[CandidatePairT]
             var resident = have
@@ -302,13 +334,13 @@ object GraphStream {
                 math.min(o, d), math.max(o, d), new java.sql.Timestamp(ts)))
               resident = resident :+ d
             }
-            state.update(LshBucket(resident))
+            state.update(LshBucketT(resident, allMax))
             // evict when the newest member falls behind the watermark;
             // the max() keeps the timestamp legal (it must sit strictly
             // past the CURRENT watermark) even for a group whose events
             // arrived near the lateness boundary
             state.setTimeoutTimestamp(
-              math.max(ts + delayMs, state.getCurrentWatermarkMs() + 1))
+              math.max(allMax + delayMs, state.getCurrentWatermarkMs() + 1))
             pairs.result().iterator
           }
       }.toDF()

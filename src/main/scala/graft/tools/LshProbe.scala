@@ -30,7 +30,7 @@ object LshProbe {
         d0.crossJoin(spark.range(reps).select(col("id").as("rep")))
           .select((col("doc_id") * reps + col("rep")).as("doc_id"),
             array_join(transform(split(col("text"), " "),
-              tk => concat(tk, lit(""), col("rep").cast("string"))), " ").as("text"))
+              tk => concat(tk, lit("\u0001"), col("rep").cast("string"))), " ").as("text"))
           .repartition(math.max(cpus.toInt, reps * 5000 / 20000), col("doc_id"))
           .mat
       println(s"[lshprobe] corpus=${d.count()} (reps=$reps)"); d

@@ -102,7 +102,7 @@ object ScaleProbe {
     // incomparable across family subsets — the r9 structure-only wcc row
     // carried the build, the traversal-first runs didn't). The build wall
     // is printed as its own line instead.
-    if ((families - "pipeline").nonEmpty) {
+    if ((families -- Set("pipeline", "ann", "scc")).nonEmpty) {
       label = "graph_build"
       val bt = time { g; verts }
       System.err.println(f"[probe] graph fixture build t=$bt%.1fs (off-item)")
@@ -175,8 +175,10 @@ object ScaleProbe {
         Centrality.betweenness(g, k = Some(4)).count())
       results += item("hits20")(Centrality.hits(g, maxIter = 20).count())
     }
-    if (want("structure")) {
+    if (want("structure") || want("wcc")) {
       results += item("wcc")(Components.wcc(g).count())
+    }
+    if (want("structure") || want("corenum")) {
       // h-index fixpoint, NOT the peel: the peel
       // (Components.coreNumber) is O(#distinct core values × cascade)
       // shrinking-frame rounds — measured >100 min at scale 22 without
@@ -185,6 +187,49 @@ object ScaleProbe {
       // remains the per-k primitive kCore uses at a single level.
       results += item("core_number_hindex")(
         Components.coreNumberHIndex(g)._1.count())
+    }
+    if (want("scc")) {
+      // the directed fixture: the canonicalized (pre-symmetrize) RMAT edge
+      // list — scc on the symmetric graph would degenerate to wcc
+      val rawD = Generators.rmat(spark, scale, numEdges, fastHash = true)
+        .select(SRC, DST)
+      val undD = Structure.canonicalize(rawD).withColumn(WEIGHT, lit(1.0)).mat
+      val gd = PropertyGraph(Structure.extractVertexList(undD).mat, undD,
+        GraphProperties(directed = true, weighted = true))
+      gd.edges.count()
+      results += item("scc")(Components.scc(gd).count())
+    }
+    if (want("ann")) {
+      // Embedding-family probe: the sf0.1 embeddings table (2000 × 64-dim)
+      // replicated 2^(scale-11)× with salted vec_ids (scale 20 → 512× ≈
+      // 1.02M vectors). Replicas carry identical vectors — cell populations
+      // scale linearly, which is the property the IVF sizing note on
+      // knnGraph promises (nlist ≈ √N keeps per-cell candidate volume
+      // ≈ N·√N — the measured workload, not an artifact of the fixture).
+      import graft.pipeline.Ann
+      val reps = math.max(1, 1 << math.max(0, scale - 11))
+      val emb0 = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+      val nVec = 2000L * reps
+      val nlist = math.max(16, math.sqrt(nVec.toDouble).toInt)
+      // same rule as the pipeline corpus: the replicated frame inherits the
+      // single source file's partitioning through the broadcast cross join;
+      // repartition by POST-replication volume (~50k vectors/task — the
+      // per-row work here is a 64-dim dot × nlist, far heavier than an
+      // integral graph row)
+      val emb = emb0.select(col("vec_id"), col("embedding"))
+        .crossJoin(spark.range(reps).select(col("id").as("rep")))
+        .select((col("vec_id") * reps + col("rep")).as("vec_id"), col("embedding"))
+        .repartition(math.max(cpus.toInt, (nVec / 50000L).toInt), col("vec_id"))
+        .mat
+      System.err.println(s"[probe] ann corpus vectors=${emb.count()} (reps=$reps) nlist=$nlist parts=${emb.rdd.getNumPartitions}")
+      val queries = emb0.select(col("vec_id"), col("embedding"))
+        .orderBy("vec_id").limit(64)
+      results += item("ivf_topk")(
+        Ann.ivfTopK(emb, queries, k = 10, nlist = nlist, nprobe = 4).count())
+      results += item("pq_adc_topk")(
+        Ann.pqTopK(emb, queries, k = 10, m = 8, ksub = 16, iters = 2).count())
+      results += item("knn_graph")(
+        Ann.knnGraph(emb, k = 10, nlist = nlist, iters = 3).count())
     }
     if (want("similarity")) {
       // triangles only: all-pairs similarity is wedge-quadratic in hub

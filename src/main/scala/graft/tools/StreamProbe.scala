@@ -55,11 +55,15 @@ object StreamProbe {
 
     val t0 = System.nanoTime()
     val qn = "probe_sink"
-    val sq = df.writeStream.format("memory").queryName(qn)
-      .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    sq.awaitTermination()
+    // lsh variants need the two start-time confs; the wrapper save/restores
+    val sq = graft.streaming.GraphStream.withLshStreamingConfs(spark) {
+      val q = df.writeStream.format("memory").queryName(qn)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      q
+    }
     val total = (System.nanoTime() - t0) / 1e9
     val n = spark.table(qn).count()
     println(f"[probe] variant=$variant parts=$parts total=$total%.1fs rows=$n")

@@ -130,8 +130,20 @@ class StreamingSpec extends SparkSpec {
     val docs = input.toDF().toDF("doc_id", "text", "ts")
     val result = GraphStream.streamingLshCandidatesWatermarked(docs,
       n = 3, bands = 4, rowsPerBand = 2, delay = "10 minutes")
-    val q = result.writeStream.format("memory").queryName("slsh_wm")
-      .outputMode("append").start()
+    // confs are read at query start; the wrapper must enclose .start() and
+    // restores the session values before the drain below
+    val checkKey = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
+    val polKey = "spark.sql.streaming.multipleWatermarkPolicy"
+    val priorCheck = sp.conf.getOption(checkKey)
+    val priorPol = sp.conf.getOption(polKey)
+    val q = GraphStream.withLshStreamingConfs(sp) {
+      result.writeStream.format("memory").queryName("slsh_wm")
+        .outputMode("append").start()
+    }
+    // the session is left exactly as found (the r9 leak: later queries in
+    // the same session ran with the safety check silenced)
+    assert(sp.conf.getOption(checkKey) == priorCheck)
+    assert(sp.conf.getOption(polKey) == priorPol)
     try {
       val near = "the quick brown fox jumps over the lazy dog again and again"
       val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
@@ -236,11 +248,13 @@ class StreamingSpec extends SparkSpec {
       (4L, near + " other tail words", t(3)))
     def lsh(splits: Seq[Seq[(Long, String, java.sql.Timestamp)]]): Set[(Long, Long)] = {
       val input = MemoryStream[(Long, String, java.sql.Timestamp)]
-      val q = GraphStream.streamingLshCandidatesWatermarked(
-          input.toDF().toDF("doc_id", "text", "ts"),
-          n = 3, bands = 4, rowsPerBand = 2, delay = "4 hours")
-        .writeStream.format("memory").queryName("mbi_lshwm")
-        .outputMode("append").start()
+      val q = GraphStream.withLshStreamingConfs(sp) {
+        GraphStream.streamingLshCandidatesWatermarked(
+            input.toDF().toDF("doc_id", "text", "ts"),
+            n = 3, bands = 4, rowsPerBand = 2, delay = "4 hours")
+          .writeStream.format("memory").queryName("mbi_lshwm")
+          .outputMode("append").start()
+      }
       try {
         splits.foreach { b => input.addData(b: _*); q.processAllAvailable() }
         sp.sql("select id_a, id_b from mbi_lshwm").collect()
