@@ -167,6 +167,49 @@ object SamplingSql {
     b.toString
   }
 
+  /** Windowed temporal sampling: per-seed closed [start, end] time windows
+    * (NULL = unbounded, fixture: start=2 for even seed ids, end=12 for
+    * ids % 3 = 0) over the deterministic t = (src + 3*dst) % 16 time
+    * projection; `decreasing` flips the walk direction (frontier starts at
+    * the window's upper bound, each hop strictly older). */
+  def temporalWindowedSample(nBatches: Int, fanouts: Seq[Int], seed: Long,
+                             decreasing: Boolean): String = {
+    val LO = "-4611686018427387904"
+    val HI = "4611686018427387904"
+    val b = new StringBuilder
+    b ++= s"WITH $PRELUDE,\n${seeds(nBatches)},\n"
+    b ++= "undt AS MATERIALIZED (SELECT src, dst, CAST((src + 3*dst) % 16 AS BIGINT) AS t FROM und),\n"
+    b ++= s"""wins AS MATERIALIZED (SELECT id AS batch_id,
+      |  COALESCE(CAST(CASE WHEN id % 2 = 0 THEN 2 END AS BIGINT), $LO) AS t_lo,
+      |  COALESCE(CAST(CASE WHEN id % 3 = 0 THEN 12 END AS BIGINT), $HI) AS t_hi
+      |  FROM seeds),
+      |""".stripMargin
+    val t0 = if (decreasing) HI else LO
+    b ++= s"f0 AS MATERIALIZED (SELECT id AS batch_id, id AS vertex, CAST($t0 AS BIGINT) AS t_in FROM seeds),\n"
+    val cmp = if (decreasing) "<" else ">"
+    val nextT = if (decreasing) "max" else "min"
+    fanouts.zipWithIndex.foreach { case (f, h) =>
+      val key = h60(s"concat_ws('|', s.batch_id, $h, e.src, e.dst, $seed)")
+      b ++= s"""h$h AS MATERIALIZED (
+        |  SELECT batch_id, src, dst, t FROM (
+        |    SELECT s.batch_id, e.src, e.dst, e.t,
+        |      row_number() OVER (PARTITION BY s.batch_id, e.src, s.t_in ORDER BY $key) AS rn
+        |    FROM f$h s JOIN wins w ON s.batch_id = w.batch_id
+        |    JOIN undt e ON s.vertex = e.src AND e.t $cmp s.t_in
+        |      AND e.t >= w.t_lo AND e.t <= w.t_hi
+        |  ) WHERE rn <= $f
+        |),
+        |f${h + 1} AS MATERIALIZED (
+        |  SELECT batch_id, dst AS vertex, $nextT(t) AS t_in FROM h$h GROUP BY 1, 2
+        |)""".stripMargin
+      b ++= ",\n"
+    }
+    b ++= "sampled AS (" + fanouts.indices.map(h =>
+      s"SELECT batch_id, $h AS hop, src, dst, t FROM h$h").mkString(" UNION ALL ") + ")\n"
+    b ++= "SELECT batch_id, CAST(hop AS BIGINT) AS hop, src, dst, t FROM sampled"
+    b.toString
+  }
+
   /** Biased temporal sampling: A-ES race key pow(u, 1/weight) descending
     * with the dst tie-break, within the time window. */
   def temporalBiasedSample(nBatches: Int, fanouts: Seq[Int], seed: Long): String = {

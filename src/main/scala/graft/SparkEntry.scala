@@ -1142,6 +1142,32 @@ object SparkEntry {
         .select(col(ID).as("batch_id"), col(ID).as("vertex"))
       sampling.NeighborSampling.temporalBiased(und, seeds, fanouts = Seq(2, 2))
     },
+    "q_temporal_windowed" -> q { (s, dir) =>
+      // per-seed closed time windows (sampling_functions.hpp:421-469):
+      // even seed ids get a lower bound, ids % 3 == 0 an upper bound, so
+      // the fixture exercises both-bounded / one-sided / unbounded seeds;
+      // t = (src + 3*dst) % 16 gives time diversity the co-order weight
+      // column lacks
+      val und = Fixtures.supplierGraphUnd(s, dir).edges
+        .withColumn("t", ((col(SRC) + lit(3L) * col(DST)) % 16).cast("long"))
+      val seeds = Fixtures.seedVertices(s, dir, 4)
+        .select(col(ID).as("batch_id"), col(ID).as("vertex"),
+          when(col(ID) % 2 === 0, lit(2L)).as("start_time"),
+          when(col(ID) % 3 === 0, lit(12L)).as("end_time"))
+      sampling.NeighborSampling.temporalWindowed(und, seeds, fanouts = Seq(2, 2))
+    },
+    "q_temporal_decreasing" -> q { (s, dir) =>
+      // the STRICTLY_DECREASING walk direction: hop-0 frontier at the
+      // window's upper bound, each hop strictly older than its arrival
+      val und = Fixtures.supplierGraphUnd(s, dir).edges
+        .withColumn("t", ((col(SRC) + lit(3L) * col(DST)) % 16).cast("long"))
+      val seeds = Fixtures.seedVertices(s, dir, 4)
+        .select(col(ID).as("batch_id"), col(ID).as("vertex"),
+          when(col(ID) % 2 === 0, lit(2L)).as("start_time"),
+          when(col(ID) % 3 === 0, lit(12L)).as("end_time"))
+      sampling.NeighborSampling.temporalWindowed(und, seeds, fanouts = Seq(2, 2),
+        decreasing = true)
+    },
     "q_temporal_hetero" -> q { (s, dir) =>
       val und = Fixtures.supplierGraphUnd(s, dir).edges
         .withColumn("t", col(WEIGHT).cast("long"))
@@ -2048,6 +2074,8 @@ object SparkEntry {
       fanouts = Map(0 -> Seq(2, 2), 1 -> Seq(1, 1)), seed = 42),
     "q_temporal_sample" -> SamplingSql.temporalSample(nBatches = 3, fanouts = Seq(2, 2), seed = 42),
     "q_temporal_biased" -> SamplingSql.temporalBiasedSample(nBatches = 3, fanouts = Seq(2, 2), seed = 42),
+    "q_temporal_windowed" -> SamplingSql.temporalWindowedSample(nBatches = 4, fanouts = Seq(2, 2), seed = 42, decreasing = false),
+    "q_temporal_decreasing" -> SamplingSql.temporalWindowedSample(nBatches = 4, fanouts = Seq(2, 2), seed = 42, decreasing = true),
     "q_temporal_hetero_biased" -> SamplingSql.temporalHeteroBiasedSample(nBatches = 3,
       fanouts = Map(0 -> Seq(2, 2), 1 -> Seq(1, 1)), seed = 42),
     "q_temporal_hetero" -> SamplingSql.temporalHeteroSample(nBatches = 3,

@@ -157,6 +157,59 @@ object NeighborSampling {
       col(SRC), col(DST), col("t"))
   }
 
+  /** Windowed temporal sampling (reference `sampling_functions.hpp:421-469`
+    * seed-window options: `starting_vertex_start_times` /
+    * `starting_vertex_end_times` + the decreasing-time walk direction):
+    * each seed may carry optional `start_time` / `end_time` columns (NULL =
+    * unbounded on that side) that bound EVERY sampled edge time to the
+    * closed window [start, end] for the whole walk. `decreasing = true`
+    * walks backwards in time — the hop-0 frontier originates at the
+    * window's upper bound and each hop's edge is strictly OLDER than the
+    * edge that reached its source (the reference's
+    * STRICTLY_DECREASING direction); increasing walks originate at the
+    * lower bound with strictly newer edges, exactly [[temporal]]'s rule.
+    *
+    * Scale shape: the per-seed window table is per-batch metadata — tiny
+    * next to the edge table — so it re-attaches to each hop's frontier
+    * with a broadcast join; the per-hop work stays the one frontier ⋈
+    * edges equi-join + per-source top-f window of the base sampler. */
+  def temporalWindowed(edges: DataFrame, seeds: DataFrame, fanouts: Seq[Int],
+                       seed: Long = 42, decreasing: Boolean = false): DataFrame = {
+    val e = edges.select(col(SRC), col(DST), col("t")).mat
+    // out-of-band sentinels for NULL (unbounded) window sides: keeps the
+    // join predicate a plain range test, no null-logic in the hot path
+    val LO = -4611686018427387904L
+    val HI = 4611686018427387904L
+    val win = seeds.select(col("batch_id"),
+      coalesce(col("start_time"), lit(LO)).as("t_lo"),
+      coalesce(col("end_time"), lit(HI)).as("t_hi")).distinct().mat
+    val t0 = if (decreasing) HI else LO
+    var frontier = seeds.select(col("batch_id"), col("vertex"), lit(t0).as("t_in"))
+      .join(broadcast(win), "batch_id").mat
+    var out: DataFrame = null
+    fanouts.zipWithIndex.foreach { case (f, h) =>
+      val mono = if (decreasing) col("t") < col("t_in") else col("t") > col("t_in")
+      val joined = frontier.join(e,
+        frontier("vertex") === e(SRC) && mono &&
+          col("t") >= col("t_lo") && col("t") <= col("t_hi"))
+      val w = Window.partitionBy(col("batch_id"), col(SRC), col("t_in"))
+        .orderBy(hash60(concat_ws("|", col("batch_id"), lit(h), col(SRC), col(DST), lit(seed))))
+      val sampled = joined.withColumn("_rn", row_number().over(w)).filter(col("_rn") <= f)
+        .select(col("batch_id"), lit(h).as("hop"), col(SRC), col(DST), col("t"))
+        .mat
+      out = if (out == null) sampled else out.union(sampled)
+      // per-(batch, vertex) frontier time: the most PERMISSIVE arrival —
+      // min for increasing (t > t_in), max for decreasing (t < t_in) —
+      // mirroring [[temporal]]'s min(t) convention
+      val nextT = if (decreasing) max("t") else min("t")
+      frontier = sampled
+        .groupBy(col("batch_id"), col(DST).as("vertex")).agg(nextT.as("t_in"))
+        .join(broadcast(win), "batch_id").mat
+    }
+    out.select(col("batch_id"), col("hop").cast("long").as("hop"),
+      col(SRC), col(DST), col("t"))
+  }
+
   /** Biased temporal sampling (reference `sampling_functions.hpp:624`):
     * the time-respecting constraint of [[temporal]], with neighbor
     * selection weight-biased via the A-ES race — top-f per source by
