@@ -18,6 +18,19 @@ object PipelineSql {
 
   private def h60(e: String): String = s"CAST('0x' || substr(md5($e), 1, 15) AS BIGINT)"
 
+  /** Hash-spread deterministic k-means seed CTE — MUST mirror
+    * `Ann.seedSelect` exactly (same md5 seed key, same (key, id) sort, cid
+    * = dense rank in that order). First-n-by-id seeding degenerates on
+    * corpora with correlated/duplicated id prefixes — see the r10 note on
+    * `Ann.seedSelect`. */
+  private def kmeansC0(nlist: Int): String =
+    s"""c0 AS MATERIALIZED (
+       |  SELECT CAST(row_number() OVER (ORDER BY _sk, vec_id) AS BIGINT) - 1 AS cid,
+       |         v AS cv
+       |  FROM (SELECT vec_id, v, ${h60("'kmseed:' || CAST(vec_id AS VARCHAR)")} AS _sk
+       |        FROM e ORDER BY _sk, vec_id LIMIT $nlist)),
+       |""".stripMargin
+
   val dedupExact: String =
     """WITH h AS MATERIALIZED (SELECT doc_id, md5(text) AS grp FROM documents),
       |g AS MATERIALIZED (SELECT grp, count(*) AS grp_size, min(doc_id) AS canonical
@@ -259,8 +272,8 @@ object PipelineSql {
        |WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= $threshold""".stripMargin
   }
 
-  /** Exact IVF oracle: unrolls `Ann.kmeansCentroids` — deterministic init
-    * (first `nlist` vectors by vec_id, cid = rank in that order), `iters`
+  /** Exact IVF oracle: unrolls `Ann.kmeansCentroids` — deterministic
+    * hash-spread init (`kmeansC0`, cid = rank in seed-key order), `iters`
     * Lloyd rounds of argmax-dot assignment (ties → lowest cid) and
     * per-dimension avg update — then the `nprobe` bucket probe and exact
     * in-bucket ranking, all in DuckDB SQL. `dim` is the embedding width
@@ -278,11 +291,7 @@ object PipelineSql {
          |    FROM e CROSS JOIN $cents c) t WHERE rn = 1)""".stripMargin
     val b = new StringBuilder
     b ++= s"WITH $EMB_NORM,\n"
-    b ++= s"""c0 AS MATERIALIZED (
-             |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) - 1 AS cid,
-             |         v AS cv
-             |  FROM (SELECT * FROM e ORDER BY vec_id LIMIT $nlist)),
-             |""".stripMargin
+    b ++= kmeansC0(nlist)
     for (i <- 1 to iters) {
       b ++= assign(s"c${i - 1}", s"a$i") + ",\n"
       b ++= s"c$i AS MATERIALIZED (SELECT cid, $avgList AS cv FROM a$i GROUP BY cid),\n"
@@ -348,7 +357,7 @@ object PipelineSql {
 
   /** Exact SemDeDup oracle: unrolls `Ann.kmeansCentroids` +
     * `Dedup.embeddingDupPairsIvf` — deterministic k-means (same unroll as
-    * annIvf: first-`nlist` init, argmax-dot assignment with lowest-cid
+    * annIvf: hash-spread `kmeansC0` init, argmax-dot assignment with lowest-cid
     * tie-break, per-dim avg updates), then exact cosine within each
     * cluster only. */
   def embedDupIvf(threshold: Double, nlist: Int, iters: Int, dim: Int): String = {
@@ -362,11 +371,7 @@ object PipelineSql {
          |    FROM e CROSS JOIN $cents c) t WHERE rn = 1)""".stripMargin
     val b = new StringBuilder
     b ++= s"WITH $EMB_NORM,\n"
-    b ++= s"""c0 AS MATERIALIZED (
-             |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) - 1 AS cid,
-             |         v AS cv
-             |  FROM (SELECT * FROM e ORDER BY vec_id LIMIT $nlist)),
-             |""".stripMargin
+    b ++= kmeansC0(nlist)
     for (i <- 1 to iters) {
       b ++= assign(s"c${i - 1}", s"a$i") + ",\n"
       b ++= s"c$i AS MATERIALIZED (SELECT cid, $avgList AS cv FROM a$i GROUP BY cid),\n"
@@ -392,11 +397,7 @@ object PipelineSql {
          |    FROM e CROSS JOIN $cents c) t WHERE rn = 1)""".stripMargin
     val b = new StringBuilder
     b ++= s"WITH $EMB_NORM,\n"
-    b ++= s"""c0 AS MATERIALIZED (
-             |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) - 1 AS cid,
-             |         v AS cv
-             |  FROM (SELECT * FROM e ORDER BY vec_id LIMIT $nlist)),
-             |""".stripMargin
+    b ++= kmeansC0(nlist)
     for (i <- 1 to iters) {
       b ++= assign(s"c${i - 1}", s"a$i") + ",\n"
       b ++= s"c$i AS MATERIALIZED (SELECT cid, $avgList AS cv FROM a$i GROUP BY cid),\n"
@@ -450,7 +451,7 @@ object PipelineSql {
   }
 
   /** Exact PQ-ADC oracle: unrolls `Ann.pqTopK` — per-subspace k-means
-    * (init = first `ksub` vectors by vec_id, argmin-L2 assignment with
+    * (hash-spread seed init mirroring `Ann.seedSelect`, argmin-L2 assignment with
     * lowest-cid tie-break, per-dim avg updates, `iters` rounds), the
     * pivoted per-vector code row, the per-query subspace dot-product
     * lookup table, and the fixed-subspace-order approximate-dot sum.
@@ -471,10 +472,14 @@ object PipelineSql {
     b ++= s"""sv AS MATERIALIZED (
              |  SELECT vec_id, s AS sub, v[s*$dsub+1 : s*$dsub+$dsub] AS sv
              |  FROM e, unnest(generate_series(0, ${m - 1})) AS t(s)),
+             |seeds AS MATERIALIZED (
+             |  SELECT vec_id, _sk FROM (
+             |    SELECT vec_id, ${h60("'kmseed:' || CAST(vec_id AS VARCHAR)")} AS _sk
+             |    FROM e ORDER BY _sk, vec_id LIMIT $ksub)),
              |c0 AS MATERIALIZED (
-             |  SELECT sub, CAST(row_number() OVER (PARTITION BY sub ORDER BY vec_id) AS BIGINT) - 1 AS cid,
+             |  SELECT sub, CAST(row_number() OVER (PARTITION BY sub ORDER BY s._sk, sv.vec_id) AS BIGINT) - 1 AS cid,
              |         sv AS cv
-             |  FROM sv WHERE vec_id IN (SELECT vec_id FROM e ORDER BY vec_id LIMIT $ksub)),
+             |  FROM sv JOIN seeds s ON s.vec_id = sv.vec_id),
              |""".stripMargin
     for (i <- 1 to iters) {
       b ++= assign(s"c${i - 1}", s"a$i") + ",\n"
@@ -877,11 +882,7 @@ object PipelineSql {
          |    FROM e CROSS JOIN $cents c) t WHERE rn = 1)""".stripMargin
     val b = new StringBuilder
     b ++= s"WITH $EMB_NORM,\n"
-    b ++= s"""c0 AS MATERIALIZED (
-             |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) - 1 AS cid,
-             |         v AS cv
-             |  FROM (SELECT * FROM e ORDER BY vec_id LIMIT $nlist)),
-             |""".stripMargin
+    b ++= kmeansC0(nlist)
     for (i <- 1 to iters) {
       b ++= assign(s"c${i - 1}", s"a$i") + ",\n"
       b ++= s"c$i AS MATERIALIZED (SELECT cid, $avgList AS cv FROM a$i GROUP BY cid),\n"

@@ -42,8 +42,27 @@ object Ann {
           .partitionBy("query_id").orderBy(desc("cosine"), col("neighbor_id"))))
   }
 
-  /** K-means coarse quantizer trained with deterministic seeding (first
-    * `nlist` vectors by id) — returns (centroid_id, centroid vector). */
+  /** Deterministic HASH-SPREAD seed selection for k-means init: the `n`
+    * rows with the smallest md5-derived key, NOT the first `n` by id.
+    * "First n ids" degenerates catastrophically on correlated corpora —
+    * a replicated/near-duplicated id prefix (one crawl shard, one
+    * language, a replica-salted probe corpus) yields seed rows that are
+    * copies of a handful of distinct vectors; duplicate centroids tie,
+    * lose every assignment to the lowest cid, drop out of the update's
+    * GROUP BY, and the quantizer collapses to a few giant cells whose
+    * s-squared candidate volume is exactly the blowup IVF exists to
+    * avoid (found by the r10 ANN scale probe: knn_graph at scale 17 sat
+    * on ~6 effective cells of 21k vectors = 2.7G candidate pairs).
+    * Hash-spreading the seed draw is order-independent, reproducible by
+    * the DuckDB oracle (same md5 key), and costs one extra column on an
+    * O(n)-row top-k. */
+  private def seedSelect(e: DataFrame, idCol: String, n: Int): DataFrame =
+    e.withColumn("_sk", hash60(concat(lit("kmseed:"), col(idCol).cast("string"))))
+      .orderBy(col("_sk"), col(idCol)).limit(n)
+
+  /** K-means coarse quantizer trained with deterministic seeding
+    * (hash-spread sample of `nlist` vectors — see [[seedSelect]]) —
+    * returns (centroid_id, centroid vector). */
   def kmeansCentroids(emb: DataFrame, nlist: Int, iters: Int = 5,
                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val e = withNorm(emb, idCol, vecCol).select(col(idCol), col("v")).mat
@@ -53,7 +72,7 @@ object Ann {
     // dense 0-based centroid ids via the distributed zipWithIndex helper —
     // the frame is limit(nlist) small, but a global-window row_number here
     // would still funnel it through a single partition
-    var cents = graft.core.Renumber.assignIds(e.orderBy(idCol).limit(nlist))
+    var cents = graft.core.Renumber.assignIds(seedSelect(e, idCol, nlist))
       .select(col(graft.core.Gr.INT_ID).as("cid"), col("v").as("cv")).mat
     for (_ <- 0 until iters) {
       cents = assignFused(e, cents, idCol, Seq("v"))
@@ -87,8 +106,8 @@ object Ann {
 
   /** Product-quantization ANN (Jégou et al., TPAMI 2011 — public method):
     * vectors are split into `m` subvectors; per subspace a `ksub`-centroid
-    * k-means codebook is trained (deterministic init = the first `ksub`
-    * vectors by id, argmin-L2 assignment with lowest-cid tie-break,
+    * k-means codebook is trained (deterministic hash-spread seed init —
+    * [[seedSelect]] — argmin-L2 assignment with lowest-cid tie-break,
     * per-dimension average updates); a vector's stored representation is
     * its `m` nearest-subspace-centroid ids. At ksub=16 that is 4 bits per
     * subspace — a 64-dim float vector (256 B) becomes 8 codes (4 B
@@ -114,8 +133,11 @@ object Ann {
       df.select(df.columns.map(col) :+ explode(sequence(lit(0), lit(m - 1))).as("sub"): _*)
         .withColumn(out, slice(col(vc), col("sub") * dsub + 1, lit(dsub)))
     val sv = subSplit(e, "v", "sv").select(col(idCol), col("sub"), col("sv")).mat
+    // hash-spread codebook seeds — same rationale as seedSelect: the first
+    // `ksub` ids of a correlated corpus seed duplicate subspace centroids
+    // that tie away to nothing
     var cents = subSplit(
-        graft.core.Renumber.assignIds(e.orderBy(idCol).limit(ksub))
+        graft.core.Renumber.assignIds(seedSelect(e, idCol, ksub))
           .select(col(graft.core.Gr.INT_ID).as("cid"), col("v")), "v", "cv")
       .select(col("sub"), col("cid"), col("cv")).mat
     // argmin-L2 subspace assignment, fused onto one scan of the subvector

@@ -189,12 +189,16 @@ object ScaleProbe {
         Components.coreNumberHIndex(g)._1.count())
     }
     if (want("scc")) {
-      // the directed fixture: the canonicalized (pre-symmetrize) RMAT edge
-      // list — scc on the symmetric graph would degenerate to wcc
+      // the directed fixture: the RAW deduped RMAT edge list, direction
+      // preserved. NOT canonicalize (src<dst ordering makes every edge go
+      // low->high id — a DAG with no nontrivial SCC, where the trim loop
+      // does all the work and the coloring kernel is never exercised) and
+      // NOT the symmetric graph (scc would degenerate to wcc). Raw RMAT is
+      // the web-bowtie shape — a giant SCC plus acyclic periphery — which
+      // is the workload scc's trim + capped-coloring structure exists for.
       val rawD = Generators.rmat(spark, scale, numEdges, fastHash = true)
-        .select(SRC, DST)
-      val undD = Structure.canonicalize(rawD).withColumn(WEIGHT, lit(1.0)).mat
-      val gd = PropertyGraph(Structure.extractVertexList(undD).mat, undD,
+        .select(SRC, DST).distinct().withColumn(WEIGHT, lit(1.0)).mat
+      val gd = PropertyGraph(Structure.extractVertexList(rawD).mat, rawD,
         GraphProperties(directed = true, weighted = true))
       gd.edges.count()
       results += item("scc")(Components.scc(gd).count())
@@ -202,10 +206,15 @@ object ScaleProbe {
     if (want("ann")) {
       // Embedding-family probe: the sf0.1 embeddings table (2000 × 64-dim)
       // replicated 2^(scale-11)× with salted vec_ids (scale 20 → 512× ≈
-      // 1.02M vectors). Replicas carry identical vectors — cell populations
-      // scale linearly, which is the property the IVF sizing note on
-      // knnGraph promises (nlist ≈ √N keeps per-cell candidate volume
-      // ≈ N·√N — the measured workload, not an artifact of the fixture).
+      // 1.02M vectors). Each replica is JITTERED with a small deterministic
+      // per-(rep, dim) offset (~0.2% of component scale): exact copies made
+      // the corpus have only 2000 distinct points, so k-means geometry was
+      // tie-ridden — the degenerate form that exposed the first-n-by-id
+      // seeding collapse (fixed in Ann.seedSelect), but ALSO an unrealistic
+      // workload. Jittered replicas form tight near-dup clusters (the shape
+      // a real crawl corpus has) while cell populations still scale
+      // linearly with reps, keeping knnGraph's candidate volume at the
+      // designed N·√N when nlist ≈ √N.
       import graft.pipeline.Ann
       val reps = math.max(1, 1 << math.max(0, scale - 11))
       val emb0 = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
@@ -218,7 +227,10 @@ object ScaleProbe {
       // integral graph row)
       val emb = emb0.select(col("vec_id"), col("embedding"))
         .crossJoin(spark.range(reps).select(col("id").as("rep")))
-        .select((col("vec_id") * reps + col("rep")).as("vec_id"), col("embedding"))
+        .select((col("vec_id") * reps + col("rep")).as("vec_id"),
+          transform(col("embedding").cast("array<double>"),
+            (x, i) => x + (pmod(xxhash64(col("rep"), i, lit("jit")), lit(2001))
+              .cast("double") - 1000.0) * 2e-6).as("embedding"))
         .repartition(math.max(cpus.toInt, (nVec / 50000L).toInt), col("vec_id"))
         .mat
       System.err.println(s"[probe] ann corpus vectors=${emb.count()} (reps=$reps) nlist=$nlist parts=${emb.rdd.getNumPartitions}")
