@@ -62,20 +62,45 @@ object Ann {
 
   /** K-means coarse quantizer trained with deterministic seeding
     * (hash-spread sample of `nlist` vectors — see [[seedSelect]]) —
-    * returns (centroid_id, centroid vector). */
+    * returns (centroid_id, centroid vector).
+    *
+    * `trainPerCell` bounds the LLOYD TRAINING SET to ~nlist×trainPerCell
+    * rows (0 = train on the full corpus). Full-corpus Lloyd is
+    * O(iters × N × nlist) dot products — at 10⁹ vectors and nlist=√N
+    * that is ~10¹⁴ dots per iteration, which no production IVF build
+    * pays; the standard practice (FAISS trains its coarse quantizer on a
+    * bounded sample) is a deterministic subsample, after which the FULL
+    * corpus is assigned to the final centroids exactly once by the
+    * caller. The sample is a hash-THRESHOLD filter (keep rows whose
+    * 60-bit key falls below capN/N of the key space), not a top-k: a
+    * global top-k of ~10⁵ rows would funnel partitions×capN rows through
+    * a single-partition global limit, while the threshold filter is one
+    * stateless scan. Deterministic under repartitioning (key depends on
+    * the id only) and NON-BINDING when the corpus is at most
+    * nlist×trainPerCell rows — gate-scale corpora train on everything,
+    * so the DuckDB oracle unrolls are unaffected; the r10 scale-20 probe
+    * measured the binding path (see BASELINE.md, ANN rows). */
   def kmeansCentroids(emb: DataFrame, nlist: Int, iters: Int = 5,
-                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                      idCol: String = "vec_id", vecCol: String = "embedding",
+                      trainPerCell: Int = 256): DataFrame = {
     val e = withNorm(emb, idCol, vecCol).select(col(idCol), col("v")).mat
     // dimension from the data, not an assumed width (ANSI element_at
     // throws past the array end)
     val dim = e.select(size(col("v"))).first().getInt(0)
+    val capN = if (trainPerCell > 0) nlist.toLong * trainPerCell else Long.MaxValue
+    val n = e.count() // e is materialized — a cached-frame count
+    val train =
+      if (n <= capN) e
+      else e.filter(
+        hash60(concat(lit("kmtrain:"), col(idCol).cast("string"))) <
+          ((capN.toDouble / n) * (1L << 60).toDouble).toLong).mat
     // dense 0-based centroid ids via the distributed zipWithIndex helper —
     // the frame is limit(nlist) small, but a global-window row_number here
     // would still funnel it through a single partition
     var cents = graft.core.Renumber.assignIds(seedSelect(e, idCol, nlist))
       .select(col(graft.core.Gr.INT_ID).as("cid"), col("v").as("cv")).mat
     for (_ <- 0 until iters) {
-      cents = assignFused(e, cents, idCol, Seq("v"))
+      cents = assignFused(train, cents, idCol, Seq("v"))
         .select(col("cid"), col("v"))
         .groupBy("cid")
         .agg(array((0 until dim).map(i => avg(element_at(col("v"), i + 1))): _*).as("cv"))
@@ -124,7 +149,8 @@ object Ann {
     * (query_id, neighbor_id, adot, rank) — approximate, recall < 1. */
   def pqTopK(emb: DataFrame, queries: DataFrame, k: Int, m: Int = 8,
              ksub: Int = 16, iters: Int = 2,
-             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+             idCol: String = "vec_id", vecCol: String = "embedding",
+             trainPerCell: Int = 256): DataFrame = {
     val e = withNorm(emb, idCol, vecCol).select(col(idCol), col("v")).mat
     val dim = e.select(size(col("v"))).first().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
@@ -133,6 +159,22 @@ object Ann {
       df.select(df.columns.map(col) :+ explode(sequence(lit(0), lit(m - 1))).as("sub"): _*)
         .withColumn(out, slice(col(vc), col("sub") * dsub + 1, lit(dsub)))
     val sv = subSplit(e, "v", "sv").select(col(idCol), col("sub"), col("sv")).mat
+    // bounded codebook TRAINING set — the same rule as kmeansCentroids:
+    // Lloyd over the full N×m subvector frame is a full-corpus scan +
+    // shuffle per iteration, while ksub×trainPerCell whole vectors train
+    // the same 16-entry-per-subspace codebooks (FAISS trains PQ codebooks
+    // on a sample for the same reason). Hash-threshold filter on the
+    // vector id — keeps all m subspaces of a sampled vector, deterministic
+    // under repartitioning, NON-BINDING at gate scale so the DuckDB
+    // unrolls are unaffected. The full index (`codes`) is still built over
+    // every vector below.
+    val capN = if (trainPerCell > 0) ksub.toLong * trainPerCell else Long.MaxValue
+    val n = e.count()
+    val svTrain =
+      if (n <= capN) sv
+      else sv.filter(
+        hash60(concat(lit("kmtrain:"), col(idCol).cast("string"))) <
+          ((capN.toDouble / n) * (1L << 60).toDouble).toLong).mat
     // hash-spread codebook seeds — same rationale as seedSelect: the first
     // `ksub` ids of a correlated corpus seed duplicate subspace centroids
     // that tie away to nothing
@@ -142,22 +184,22 @@ object Ann {
       .select(col("sub"), col("cid"), col("cv")).mat
     // argmin-L2 subspace assignment, fused onto one scan of the subvector
     // frame (centroids broadcast; ties -> lowest cid, mirroring the oracle)
-    def assign(c: DataFrame): DataFrame = {
+    def assign(c: DataFrame, over: DataFrame): DataFrame = {
       val d2 = dot(col("sv"), col("sv")) - lit(2) * dot(col("sv"), col("cv")) +
         dot(col("cv"), col("cv"))
-      sv.join(broadcast(c), "sub")
+      over.join(broadcast(c), "sub")
         .select(col(idCol), col("sub"), col("sv"), col("cid"), d2.as("d2"))
         .groupBy(col(idCol), col("sub"))
         .agg(min_by(col("cid"), struct(col("d2"), col("cid"))).as("cid"),
           first(col("sv")).as("sv"))
     }
     for (_ <- 0 until iters)
-      cents = assign(cents)
+      cents = assign(cents, svTrain)
         .groupBy("sub", "cid")
         .agg(array((0 until dsub).map(i => avg(element_at(col("sv"), i + 1))): _*).as("cv"))
         .mat
     // the PQ index: m code columns per vector (exactly one sub each)
-    val codes = assign(cents)
+    val codes = assign(cents, sv)
       .groupBy(idCol)
       .agg(max(when(col("sub") === 0, col("cid"))).as("c0"),
         (1 until m).map(s => max(when(col("sub") === s, col("cid"))).as(s"c$s")): _*)

@@ -265,6 +265,36 @@ class PipelineSpec extends SparkSpec {
     assert(recall >= 0.8, s"IVF recall $recall too low")
   }
 
+  test("bounded k-means training binds only past the cap, stays deterministic, keeps quality") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val centers = Seq(Array(10f, 0f, 0f), Array(0f, 10f, 0f),
+      Array(0f, 0f, 10f), Array(7f, 7f, 0f))
+    val vecs = (0 until 400).map { i =>
+      (i.toLong, centers(i % 4).map(x => x + rnd.nextFloat()))
+    }
+    val emb = vecs.toDF("vec_id", "embedding")
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).map(x => math.round(x * 1e9)))).sortBy(_._1)
+    // below the cap (400 <= 4*256) the default is EXACTLY full-corpus Lloyd
+    val full = Ann.kmeansCentroids(emb, nlist = 4, iters = 3, trainPerCell = 0)
+    val dflt = Ann.kmeansCentroids(emb, nlist = 4, iters = 3)
+    assert(key(full).sameElements(key(dflt)))
+    // past the cap (400 > 8*32) the sample binds: centroids differ from the
+    // full train but are partition-invariant, and every trained centroid
+    // sits inside one true block (none stranded mixing blocks — hash-spread
+    // seeds may not cover every block, which is k-means, not the cap)
+    val capped = Ann.kmeansCentroids(emb, nlist = 8, iters = 3, trainPerCell = 32)
+    val capped64 = Ann.kmeansCentroids(emb.repartition(64), nlist = 8, iters = 3,
+      trainPerCell = 32)
+    assert(key(capped).sameElements(key(capped64)), "capped training not partition-invariant")
+    val cents = capped.collect().map(_.getSeq[Double](1))
+    assert(cents.nonEmpty)
+    for (cv <- cents)
+      assert(centers.exists(c => cv.zip(c.map(_.toDouble)).map {
+        case (a, b) => math.abs(a - b) }.max < 1.5), s"centroid ${cv} is off every block")
+  }
+
   test("PQ-ADC ANN recall vs brute force is high on clustered vectors") {
     import spark.implicits._
     val rnd = new scala.util.Random(17)
