@@ -243,6 +243,17 @@ object ScaleProbe {
       results += item("knn_graph")(
         Ann.knnGraph(emb, k = 10, nlist = nlist, iters = 3).count())
     }
+    if (want("tree") || want("mst")) {
+      // deterministic pseudo-random weights: the fixture's uniform 1.0
+      // weights would make every edge minimal (ties decide everything),
+      // while a hash-mixed weight distribution is what Borůvka's
+      // per-component min-by rounds actually contend with
+      val we = g.edges.withColumn(WEIGHT,
+        (pmod(xxhash64(col(SRC), col(DST)), lit(1000000)) + lit(1)).cast("double") / 1000.0)
+      val gw = PropertyGraph(g.vertices, we.mat,
+        GraphProperties(directed = false, weighted = true))
+      results += item("mst_boruvka")(TreeDag.boruvkaMst(gw).count())
+    }
     if (want("similarity")) {
       // triangles only: all-pairs similarity is wedge-quadratic in hub
       // degree — on an RMAT power-law graph at scale 20 that is the
