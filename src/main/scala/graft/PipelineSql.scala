@@ -518,6 +518,101 @@ object PipelineSql {
     b.toString
   }
 
+  /** Exact IVF-PQ oracle: unrolls `Ann.ivfPqTopK` — the coarse k-means
+    * (same unroll as annIvf), per-vector RESIDUALS against the final
+    * coarse centroids, a shared per-subspace residual codebook (hash-seed
+    * init, argmin-L2 assignment, avg updates), the pivoted code row with
+    * its coarse cell id, the per-query nprobe cell probe carrying the
+    * coarse dot term, the residual-codebook lookup table, and the ADC sum
+    * cdot + p0 + … + p{m−1} in fixed left-to-right order. */
+  def annIvfPq(nQueries: Int, k: Int, nlist: Int, nprobe: Int, m: Int, ksub: Int,
+               itersCoarse: Int, itersPq: Int, dim: Int): String = {
+    val dsub = dim / m
+    val avgList = "[" + (1 to dim).map(i => s"avg(v[$i])").mkString(", ") + "]"
+    val avgSubList = "[" + (1 to dsub).map(i => s"avg(sv[$i])").mkString(", ") + "]"
+    def assignCoarse(cents: String, name: String): String =
+      s"""$name AS MATERIALIZED (
+         |  SELECT vec_id, v, cid FROM (
+         |    SELECT e.vec_id, e.v, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY list_dot_product(e.v, c.cv) DESC, c.cid) AS rn
+         |    FROM e CROSS JOIN $cents c) t WHERE rn = 1)""".stripMargin
+    def assignPq(cents: String, name: String): String =
+      s"""$name AS MATERIALIZED (
+         |  SELECT vec_id, cid, sub, sv, pcid FROM (
+         |    SELECT s.vec_id, s.cid, s.sub, s.sv, c.pcid,
+         |      row_number() OVER (PARTITION BY s.vec_id, s.sub
+         |        ORDER BY list_dot_product(s.sv, s.sv) - 2 * list_dot_product(s.sv, c.cv)
+         |                 + list_dot_product(c.cv, c.cv) ASC, c.pcid) AS rn
+         |    FROM rsv s JOIN $cents c ON c.sub = s.sub) t WHERE rn = 1)""".stripMargin
+    val b = new StringBuilder
+    b ++= s"WITH $EMB_NORM,\n"
+    b ++= kmeansC0(nlist)
+    for (i <- 1 to itersCoarse) {
+      b ++= assignCoarse(s"c${i - 1}", s"a$i") + ",\n"
+      b ++= s"c$i AS MATERIALIZED (SELECT cid, $avgList AS cv FROM a$i GROUP BY cid),\n"
+    }
+    b ++= assignCoarse(s"c$itersCoarse", "bucketed") + ",\n"
+    b ++= s"""rres AS MATERIALIZED (
+             |  SELECT b.vec_id, b.cid,
+             |    list_transform(generate_series(1, $dim), i -> b.v[i] - c.cv[i]) AS rv
+             |  FROM bucketed b JOIN c$itersCoarse c ON c.cid = b.cid),
+             |rsv AS MATERIALIZED (
+             |  SELECT vec_id, cid, s AS sub, rv[s*$dsub+1 : s*$dsub+$dsub] AS sv
+             |  FROM rres, unnest(generate_series(0, ${m - 1})) AS t(s)),
+             |pseeds AS MATERIALIZED (
+             |  SELECT vec_id, _sk FROM (
+             |    SELECT vec_id, ${h60("'kmseed:' || CAST(vec_id AS VARCHAR)")} AS _sk
+             |    FROM e ORDER BY _sk, vec_id LIMIT $ksub)),
+             |p0 AS MATERIALIZED (
+             |  SELECT rsv.sub, CAST(row_number() OVER (PARTITION BY rsv.sub ORDER BY s._sk, rsv.vec_id) AS BIGINT) - 1 AS pcid,
+             |         rsv.sv AS cv
+             |  FROM rsv JOIN pseeds s ON s.vec_id = rsv.vec_id),
+             |""".stripMargin
+    for (i <- 1 to itersPq) {
+      b ++= assignPq(s"p${i - 1}", s"pa$i") + ",\n"
+      b ++= s"p$i AS MATERIALIZED (SELECT sub, pcid, $avgSubList AS cv FROM pa$i GROUP BY sub, pcid),\n"
+    }
+    b ++= assignPq(s"p$itersPq", "pcodes") + ",\n"
+    val codeCols = (0 until m).map(s => s"max(CASE WHEN sub = $s THEN pcid END) AS c$s").mkString(", ")
+    val pivJoins = (0 until m).map { s =>
+      s"JOIN lut l$s ON l$s.query_id = qp.query_id AND l$s.sub = $s AND l$s.pcid = cw.c$s"
+    }.mkString("\n  ")
+    val pCols = (0 until m).map(s => s"l$s.p AS p$s").mkString(", ")
+    val adot = "cdot + " + (0 until m).map(s => s"p$s").mkString(" + ")
+    b ++= s"""cw AS MATERIALIZED (
+             |  SELECT vec_id, max(cid) AS cid, $codeCols FROM pcodes GROUP BY vec_id),
+             |q AS MATERIALIZED (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $nQueries),
+             |qp AS MATERIALIZED (
+             |  SELECT query_id, cid, cdot FROM (
+             |    SELECT q.query_id, c.cid, list_dot_product(q.qv, c.cv) AS cdot,
+             |      row_number() OVER (PARTITION BY q.query_id
+             |        ORDER BY list_dot_product(q.qv, c.cv) DESC, c.cid) AS rn
+             |    FROM q CROSS JOIN c$itersCoarse c) t WHERE rn <= $nprobe),
+             |qsv AS MATERIALIZED (
+             |  SELECT query_id, s AS sub, qv[s*$dsub+1 : s*$dsub+$dsub] AS qsv
+             |  FROM q, unnest(generate_series(0, ${m - 1})) AS t(s)),
+             |lut AS MATERIALIZED (
+             |  SELECT s.query_id, s.sub, c.pcid, list_dot_product(s.qsv, c.cv) AS p
+             |  FROM qsv s JOIN p$itersPq c ON c.sub = s.sub),
+             |piv AS MATERIALIZED (
+             |  SELECT qp.query_id, cw.vec_id AS neighbor_id, qp.cdot, $pCols
+             |  FROM cw
+             |  JOIN qp ON qp.cid = cw.cid
+             |  $pivJoins),
+             |sc AS MATERIALIZED (
+             |  SELECT query_id, neighbor_id, round($adot, 6) AS adot
+             |  FROM piv WHERE neighbor_id <> query_id),
+             |ranked AS MATERIALIZED (
+             |  SELECT query_id, neighbor_id, adot,
+             |    row_number() OVER (PARTITION BY query_id
+             |                       ORDER BY adot DESC, neighbor_id) AS rank
+             |  FROM sc)
+             |SELECT query_id, neighbor_id, adot, CAST(rank AS BIGINT) AS rank
+             |FROM ranked WHERE rank <= $k""".stripMargin
+    b.toString
+  }
+
   def annTopK(nQueries: Int, k: Int): String =
     s"""WITH $EMB_NORM,
        |q AS MATERIALIZED (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM e

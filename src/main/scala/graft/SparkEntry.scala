@@ -493,6 +493,13 @@ object SparkEntry {
       val emb = Fixtures.embeddings(s, dir)
       pipeline.Ann.pqTopK(emb, emb.filter(col("vec_id") < 5), k = 10)
     },
+    "q_ann_ivfpq" -> q { (s, dir) =>
+      // the composed billion-vector index (FAISS IVFPQ shape): coarse-cell
+      // prefilter + residual-PQ ADC scoring within probed cells — both
+      // scale levers in one operator; oracle unrolls the full pipeline
+      val emb = Fixtures.embeddings(s, dir)
+      pipeline.Ann.ivfPqTopK(emb, emb.filter(col("vec_id") < 5), k = 10)
+    },
     "q_dedup_clusters" -> q { (s, dir) =>
       // near-dup pairs → duplicate clusters via WCC over the pair graph
       val docs = Fixtures.documents(s, dir)
@@ -1752,6 +1759,8 @@ object SparkEntry {
       nprobe = 4, iters = 3, dim = 64),
     "q_ann_pq" -> PipelineSql.annPq(nQueries = 5, k = 10, m = 8, ksub = 16,
       iters = 2, dim = 64),
+    "q_ann_ivfpq" -> PipelineSql.annIvfPq(nQueries = 5, k = 10, nlist = 16,
+      nprobe = 4, m = 8, ksub = 16, itersCoarse = 3, itersPq = 2, dim = 64),
     "q_embed_dup_ivf" -> PipelineSql.embedDupIvf(0.4, nlist = 16, iters = 3, dim = 64),
     "q_knn_graph" -> PipelineSql.knnGraph(k = 5, nlist = 16, iters = 3, dim = 64),
     "q_knn_components" -> PipelineSql.knnComponents(k = 5, nlist = 16, iters = 3,

@@ -228,6 +228,115 @@ object Ann {
           .partitionBy("query_id").orderBy(desc("adot"), col("neighbor_id"))))
   }
 
+  /** IVF-PQ composed index (the FAISS IVFPQ shape, Jégou et al. 2011 —
+    * public method): the billion-vector configuration, combining BOTH
+    * scale levers in one operator. The coarse quantizer prunes the corpus
+    * to `nprobe` of `nlist` cells per query (the IVF lever: only
+    * nprobe/nlist of the corpus is ever scored), and within probed cells
+    * scoring is ADC over RESIDUAL product-quantization codes (the PQ
+    * lever: a vector is stored as m codebook ids, ~64× smaller than raw
+    * floats):
+    *
+    *   v ≈ c_cell + Σ_s codebook[s][code_s(v)]        (residual encoding)
+    *   dot(q, v) ≈ dot(q, c_cell) + Σ_s dot(q_s, codebook[s][code_s])
+    *
+    * Residual encoding (quantize v − c_cell, not v) is what makes the
+    * shared codebook accurate: residuals of all cells live near the
+    * origin, so 16 entries per subspace cover them far better than they
+    * cover raw vectors. Plan shape: one corpus-sized shuffle for cell
+    * assignment, one for code pivot, then scoring is codes ⋈ broadcast
+    * probe-pairs ⋈ m broadcast LUT joins — the corpus's raw vectors are
+    * never shuffled and never rejoined at query time. Training follows
+    * the bounded-sample rule ([[kmeansCentroids]]): non-binding at gate
+    * scale, so the DuckDB unroll is exact. Output
+    * (query_id, neighbor_id, adot, rank) — approximate, recall < 1. */
+  def ivfPqTopK(emb: DataFrame, queries: DataFrame, k: Int, nlist: Int = 16,
+                nprobe: Int = 4, m: Int = 8, ksub: Int = 16,
+                itersCoarse: Int = 3, itersPq: Int = 2,
+                idCol: String = "vec_id", vecCol: String = "embedding",
+                trainPerCell: Int = 256): DataFrame = {
+    val e = withNorm(emb, idCol, vecCol).select(col(idCol), col("v")).mat
+    val dim = e.select(size(col("v"))).first().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val dsub = dim / m
+    val cents = kmeansCentroids(emb, nlist, itersCoarse, idCol, vecCol, trainPerCell).mat
+    val bucketed = assignFused(e, cents, idCol, Seq("v")).mat
+    // residuals r = v − c_cell: the broadcast centroid table again — the
+    // corpus is scanned, never shuffled, for this step
+    val resid = bucketed.join(broadcast(cents), "cid")
+      .select(col(idCol), col("cid"),
+        zip_with(col("v"), col("cv"), (a, b) => a - b).as("rv")).mat
+    def subSplit(df: DataFrame, vc: String, out: String): DataFrame =
+      df.select(df.columns.map(col) :+ explode(sequence(lit(0), lit(m - 1))).as("sub"): _*)
+        .withColumn(out, slice(col(vc), col("sub") * dsub + 1, lit(dsub)))
+    val rsv = subSplit(resid, "rv", "sv")
+      .select(col(idCol), col("cid"), col("sub"), col("sv")).mat
+    val capN = if (trainPerCell > 0) ksub.toLong * trainPerCell else Long.MaxValue
+    val n = e.count()
+    val rsvTrain =
+      if (n <= capN) rsv
+      else rsv.filter(
+        hash60(concat(lit("kmtrain:"), col(idCol).cast("string"))) <
+          ((capN.toDouble / n) * (1L << 60).toDouble).toLong).mat
+    // shared residual codebook, hash-spread seed init (same discipline and
+    // the same seed key as seedSelect — mirrored by the oracle)
+    var cb = subSplit(
+        graft.core.Renumber.assignIds(
+          resid.withColumn("_sk",
+              hash60(concat(lit("kmseed:"), col(idCol).cast("string"))))
+            .orderBy(col("_sk"), col(idCol)).limit(ksub))
+          .select(col(graft.core.Gr.INT_ID).as("pcid"), col("rv")), "rv", "cv")
+      .select(col("sub"), col("pcid"), col("cv")).mat
+    def assign(c: DataFrame, over: DataFrame): DataFrame = {
+      val d2 = dot(col("sv"), col("sv")) - lit(2) * dot(col("sv"), col("cv")) +
+        dot(col("cv"), col("cv"))
+      over.join(broadcast(c), "sub")
+        .select(col(idCol), col("cid"), col("sub"), col("sv"), col("pcid"), d2.as("d2"))
+        .groupBy(col(idCol), col("sub"))
+        .agg(min_by(col("pcid"), struct(col("d2"), col("pcid"))).as("pcid"),
+          first(col("sv")).as("sv"), first(col("cid")).as("cid"))
+    }
+    for (_ <- 0 until itersPq)
+      cb = assign(cb, rsvTrain)
+        .groupBy("sub", "pcid")
+        .agg(array((0 until dsub).map(i => avg(element_at(col("sv"), i + 1))): _*).as("cv"))
+        .mat
+    // the index: coarse cell id + m residual code columns per vector
+    val codes = assign(cb, rsv)
+      .groupBy(idCol)
+      .agg(max(col("cid")).as("cid"),
+        (0 until m).map(s => max(when(col("sub") === s, col("pcid"))).as(s"c$s")): _*)
+    val q = withNorm(queries, idCol, vecCol)
+      .select(col(idCol).as("query_id"), col("v").as("qv"))
+    // per-query probed cells, carrying the coarse dot term of the ADC sum
+    val qProbes = TopK.perKey(
+      q.join(broadcast(cents))
+        .select(col("query_id"), col("cid"), dot(col("qv"), col("cv")).as("cdot")),
+      Seq("query_id"), Seq(desc("cdot"), col("cid")), nprobe).mat
+    // per-query LUT against the residual codebook (RAW query subvectors —
+    // ADC is asymmetric: only the corpus side is quantized)
+    val lut = subSplit(q, "qv", "qsv")
+      .join(broadcast(cb), "sub")
+      .select(col("query_id"), col("sub"), col("pcid"), dot(col("qsv"), col("cv")).as("p"))
+      .mat
+    var scored: DataFrame = codes.join(broadcast(qProbes), "cid")
+    for (s <- 0 until m) {
+      val ls = lut.filter(col("sub") === s)
+        .select(col("query_id").as(s"_q$s"), col("pcid").as(s"_cid$s"), col("p").as(s"p$s"))
+      scored = scored.join(broadcast(ls),
+        col("query_id") === col(s"_q$s") && col(s"c$s") === col(s"_cid$s"))
+    }
+    // fixed accumulation order (coarse term first, then subspaces 0..m-1)
+    // keeps the float sum bit-stable across partitionings and engines
+    val adot = (1 until m).foldLeft(col("cdot") + col("p0"))((a, s) => a + col(s"p$s"))
+    val res = scored.filter(col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col(idCol).as("neighbor_id"), round(adot, 6).as("adot"))
+    TopK.perKey(res, Seq("query_id"), Seq(desc("adot"), col("neighbor_id")), k)
+      .withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy("query_id").orderBy(desc("adot"), col("neighbor_id"))))
+  }
+
   /** Cluster-balanced corpus sampling (the diversity-sampling step of an
     * embedding-curated corpus): every vector is assigned to its nearest
     * deterministic k-means centroid (same quantizer as IVF — one broadcast

@@ -240,6 +240,9 @@ object ScaleProbe {
         Ann.ivfTopK(emb, queries, k = 10, nlist = nlist, nprobe = 4).count())
       results += item("pq_adc_topk")(
         Ann.pqTopK(emb, queries, k = 10, m = 8, ksub = 16, iters = 2).count())
+      results += item("ivfpq_topk")(
+        Ann.ivfPqTopK(emb, queries, k = 10, nlist = nlist, nprobe = 4,
+          m = 8, ksub = 16).count())
       results += item("knn_graph")(
         Ann.knnGraph(emb, k = 10, nlist = nlist, iters = 3).count())
     }

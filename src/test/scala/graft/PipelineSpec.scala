@@ -476,6 +476,40 @@ class PipelineSpec extends SparkSpec {
     assert(hn.map(_._1).toSeq == Seq(2L, 3L))
   }
 
+  test("IVF-PQ ADC keeps coarse structure and near-optimal pick quality") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    // 4 well-separated clusters in 8 dims; nlist=8 coarse cells, m=4
+    // residual subspaces of width 2
+    val centers = (0 until 4).map(c => Array.tabulate(8)(d => if (d / 2 == c) 8f else 0f))
+    val vecs = (0 until 100).map { i =>
+      (i.toLong, centers(i % 4).map(x => x + rnd.nextFloat()))
+    }
+    val emb = vecs.toDF("vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") < 4)
+    val cosOf = Ann.bruteForceTopK(emb, queries, k = 99).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val exactTop = cosOf.groupBy(_._1._1).view
+      .mapValues(_.values.toSeq.sorted.reverse.take(5)).toMap
+    val got = Ann.ivfPqTopK(emb, queries, k = 5, nlist = 8, nprobe = 4,
+      m = 4, ksub = 8).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.size == 20)
+    // coarse prefilter + residual codes must both respect the block
+    // structure: every pick shares the query's cluster
+    assert(got.forall { case (qq, n) => n % 4 == qq % 4 },
+      s"cross-cluster neighbor: ${got.filterNot { case (qq, n) => n % 4 == qq % 4 }}")
+    for ((qid, picks) <- got.groupBy(_._1)) {
+      val mean = picks.map(cosOf).sum / picks.size
+      val best = exactTop(qid).sum / 5
+      assert(mean >= 0.95 * best, s"query $qid: mean true cosine $mean << optimal $best")
+    }
+    // partition invariance (the composed plan has 2 corpus shuffles + only
+    // broadcast joins at query time — results must not depend on layout)
+    val got64 = Ann.ivfPqTopK(emb.repartition(64), queries, k = 5, nlist = 8,
+      nprobe = 4, m = 4, ksub = 8).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got64 == got.toSet)
+  }
+
   test("cluster sample caps every cluster and is deterministic; knn vote matches labels") {
     import spark.implicits._
     val rng = new scala.util.Random(7)
