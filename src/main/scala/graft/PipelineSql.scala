@@ -631,6 +631,46 @@ object PipelineSql {
        |SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
        |FROM ranked WHERE rank <= $k""".stripMargin
 
+  /** k-round unroll of the greedy MMR selection (Ann.mmrSelect): s{t}
+    * picks round t's argmax (ties → lowest vec_id), r{t} carries the
+    * running max-similarity-to-selected column forward. `(1.0 - λ)` is
+    * written as the subtraction, not a pre-simplified literal, so DuckDB
+    * computes the exact same double the Spark side does. */
+  def mmrSelect(k: Int, lambda: Double = 0.7): String = {
+    val lam = lambda.toString
+    val sb = new StringBuilder
+    sb ++= s"""WITH $EMB_NORM,
+       |q AS MATERIALIZED (SELECT v AS qv, nrm AS qn FROM e WHERE vec_id = 0),
+       |r0 AS MATERIALIZED (
+       |  SELECT e.vec_id, e.v, e.nrm,
+       |    list_dot_product(e.v, q.qv) / (e.nrm * q.qn) AS rel, 0.0 AS ms
+       |  FROM e, q WHERE e.vec_id <> 0),
+       |""".stripMargin
+    for (t <- 1 to k) {
+      sb ++= s"""s$t AS MATERIALIZED (
+         |  SELECT vec_id, v, nrm, rel, $lam*rel - (1.0-$lam)*ms AS score
+         |  FROM r${t - 1} ORDER BY $lam*rel - (1.0-$lam)*ms DESC, vec_id LIMIT 1),
+         |""".stripMargin
+      if (t < k) {
+        val msExpr =
+          if (t == 1) "list_dot_product(r.v, s.v) / (r.nrm * s.nrm)"
+          else "greatest(r.ms, list_dot_product(r.v, s.v) / (r.nrm * s.nrm))"
+        sb ++= s"""r$t AS MATERIALIZED (
+           |  SELECT r.vec_id, r.v, r.nrm, r.rel, $msExpr AS ms
+           |  FROM r${t - 1} r, s$t s WHERE r.vec_id <> s.vec_id),
+           |""".stripMargin
+      }
+    }
+    // drop the trailing ",\n" of the last CTE
+    sb.setLength(sb.length - 2)
+    sb ++= "\n"
+    sb ++= (1 to k).map(t =>
+      s"SELECT vec_id, CAST($t AS BIGINT) AS rank, round(rel, 6) AS relevance, " +
+        s"round(score, 6) AS mmr_score FROM s$t")
+      .mkString("", "\nUNION ALL\n", "")
+    sb.toString
+  }
+
   private val BPE_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
 
   val tokenCounts: String =

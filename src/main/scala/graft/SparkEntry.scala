@@ -500,6 +500,13 @@ object SparkEntry {
       val emb = Fixtures.embeddings(s, dir)
       pipeline.Ann.ivfPqTopK(emb, emb.filter(col("vec_id") < 5), k = 10)
     },
+    "q_mmr_select" -> q { (s, dir) =>
+      // greedy maximal-marginal-relevance: k relevant-but-diverse picks
+      // for one query vector; k scan+argmax rounds, maxsim carried as a
+      // corpus column (no per-round join) — oracle unrolls all k rounds
+      val emb = Fixtures.embeddings(s, dir)
+      pipeline.Ann.mmrSelect(emb, emb.filter(col("vec_id") === 0), k = 4)
+    },
     "q_dedup_clusters" -> q { (s, dir) =>
       // near-dup pairs → duplicate clusters via WCC over the pair graph
       val docs = Fixtures.documents(s, dir)
@@ -1761,6 +1768,7 @@ object SparkEntry {
       iters = 2, dim = 64),
     "q_ann_ivfpq" -> PipelineSql.annIvfPq(nQueries = 5, k = 10, nlist = 16,
       nprobe = 4, m = 8, ksub = 16, itersCoarse = 3, itersPq = 2, dim = 64),
+    "q_mmr_select" -> PipelineSql.mmrSelect(k = 4),
     "q_embed_dup_ivf" -> PipelineSql.embedDupIvf(0.4, nlist = 16, iters = 3, dim = 64),
     "q_knn_graph" -> PipelineSql.knnGraph(k = 5, nlist = 16, iters = 3, dim = 64),
     "q_knn_components" -> PipelineSql.knnComponents(k = 5, nlist = 16, iters = 3,

@@ -194,32 +194,56 @@ object Triangles {
       else {
         val e = alive.select(SRC, DST) // edge set at the start of the round
         // each pattern SEEDS from del — |del| ⋈ E on one vertex key, then a
-        // closing semi-join — so no pattern replays the full wedge stream
-        val asAB = tri(del, "a", "b") // deleted edge sits at position (a,b)
+        // closing semi-join — so no pattern replays the full wedge stream.
+        // When the round's deleted set fits the state gate (every round but
+        // the first bulk deletion, on power-law graphs), del is BROADCAST
+        // into the seed joins so the 16M+-row alive frame is SCANNED, never
+        // shuffled; the three per-pattern closing semi-joins collapse into
+        // ONE (closing keys made explicit and unioned before the check);
+        // and the support update is map-only (del + decrement table both
+        // broadcast). The r10 scale-20 probe measured the unhinted loop at
+        // 1765.8s: ~100 cascade rounds each paying ~5 full-frame shuffles
+        // (3 closing semi-joins + the anti/left update pair) for a
+        // few-thousand-row deletion — the same tracked-size discipline as
+        // every other loop cuts the tail round to broadcast scans.
+        val delB = graft.prims.Hint.state(del, nDel)
+        // wedge candidates with the closing edge (cu, cv) explicit; all
+        // three triangle edges are canonically oriented (a<b<c), so the
+        // closing key per pattern is fixed at plan time
+        val asAB = tri(delB, "a", "b") // deleted edge at position (a,b)
           .join(e.select(col(SRC).as("b"), col(DST).as("c")), "b")
-          .join(e.select(col(SRC).as("a"), col(DST).as("c")), Seq("a", "c"), "left_semi")
-        val asBC = tri(del, "b", "c") // position (b,c)
+          .select(col("a"), col("b"), col("c"), col("a").as("cu"), col("c").as("cv"))
+        val asBC = tri(delB, "b", "c") // position (b,c)
           .join(e.select(col(SRC).as("a"), col(DST).as("b")), "b")
-          .join(e.select(col(SRC).as("a"), col(DST).as("c")), Seq("a", "c"), "left_semi")
-        val asAC = tri(del, "a", "c") // position (a,c)
+          .select(col("a"), col("b"), col("c"), col("a").as("cu"), col("c").as("cv"))
+        val asAC = tri(delB, "a", "c") // position (a,c)
           .join(e.select(col(SRC).as("a"), col(DST).as("b")), "a")
-          .join(e.select(col(SRC).as("b"), col(DST).as("c")), Seq("b", "c"), "left_semi")
-        val dead = asAB.select("a", "b", "c")
-          .union(asBC.select("a", "b", "c"))
-          .union(asAC.select("a", "b", "c"))
+          .select(col("a"), col("b"), col("c"), col("b").as("cu"), col("c").as("cv"))
+        val cand = asAB.union(asBC).union(asAC)
+        // one closing check for all patterns: wedge (a,b,c) is a dead
+        // triangle iff its closing edge is still alive. The e side is the
+        // big frame; the wedge side is O(|del|·deg) — small on cascade
+        // rounds — so this is the round's only full-frame exchange.
+        val dead = cand
+          .join(e.select(col(SRC).as("cu"), col(DST).as("cv")), Seq("cu", "cv"), "left_semi")
+          .select("a", "b", "c")
           .distinct()
-        val dec = dead
-          .select(explode(array(
-            struct(col("a").as(SRC), col("b").as(DST)),
-            struct(col("b").as(SRC), col("c").as(DST)),
-            struct(col("a").as(SRC), col("c").as(DST)))).as("t"))
-          .select(col(s"t.$SRC"), col(s"t.$DST"))
-          .groupBy(SRC, DST).agg(count(lit(1)).as("dec"))
-        alive = alive.join(del, Seq(SRC, DST), "left_anti")
-          .join(dec, Seq(SRC, DST), "left")
+        val (dec, nDec) = graft.prims.Iterate.materializeCount(
+          dead
+            .select(explode(array(
+              struct(col("a").as(SRC), col("b").as(DST)),
+              struct(col("b").as(SRC), col("c").as(DST)),
+              struct(col("a").as(SRC), col("c").as(DST)))).as("t"))
+            .select(col(s"t.$SRC"), col(s"t.$DST"))
+            .groupBy(SRC, DST).agg(count(lit(1)).as("dec")),
+          count(lit(1)), _.count())
+        alive = alive.join(delB, Seq(SRC, DST), "left_anti")
+          .join(graft.prims.Hint.state(dec, nDec), Seq(SRC, DST), "left")
           .select(col(SRC), col(DST),
             (col("support") - coalesce(col("dec"), lit(0L))).as("support"))
           .mat
+        if (sys.env.contains("GRAFT_TRUSS_DEBUG"))
+          System.err.println(s"[ktruss] round $it del=$nDel decEdges=$nDec")
       }
     }
     (alive.select(SRC, DST), it)

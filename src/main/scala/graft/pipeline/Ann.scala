@@ -411,6 +411,71 @@ object Ann {
           .partitionBy("query_id").orderBy(desc("cosine"), col("neighbor_id"))))
   }
 
+  /** Greedy maximal-marginal-relevance (MMR) selection (Carbonell &
+    * Goldstein, SIGIR 1998 — public method): pick `k` corpus vectors that
+    * are relevant to the query but mutually diverse,
+    *   score_t(d) = λ·cos(q,d) − (1−λ)·max_{s∈S_{t−1}} cos(d,s)
+    * with S_0 = ∅ (round 1 ranks by pure relevance). This is the
+    * selection step of a diversity-aware few-shot / training-subset
+    * pipeline — the "don't fill the context with five copies of the same
+    * document" operator that composes after ANN retrieval.
+    *
+    * Plan shape — the greedy loop's state lives IN the corpus frame:
+    * `maxsim` (similarity to the nearest already-selected vector) is a
+    * column, updated after each pick by a map-only `greatest` against the
+    * newly selected vector (a literal array, never a join), so each of
+    * the k rounds costs one corpus scan + one scalar argmax agg and
+    * nothing ever shuffles; at 100 TB the rounds are k broadcast-free
+    * full scans, the same shape as k filters. The driver holds only the
+    * k selected vectors (bounded collect — k is context-window-sized by
+    * definition of the operator). Deterministic: ties break to the
+    * lowest id, so the DuckDB k-round unroll (q_mmr_select) reproduces
+    * the selection exactly.
+    * Output: (vec_id, rank, relevance, mmr_score) for the k picks. */
+  def mmrSelect(emb: DataFrame, queries: DataFrame, k: Int, lambda: Double = 0.7,
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val qRow = withNorm(queries, idCol, vecCol)
+      .select(col(idCol).cast("long"), col("v"), col("nrm")).head()
+    val qId = qRow.getLong(0)
+    val qv = qRow.getSeq[Double](1)
+    val qn = qRow.getDouble(2)
+    var st = withNorm(emb, idCol, vecCol)
+      .filter(col(idCol).cast("long") =!= qId)
+      .select(col(idCol).cast("long").as("id"), col("v"), col("nrm"),
+        cosine(col("v"), typedLit(qv), col("nrm"), lit(qn)).as("rel"),
+        lit(0.0).as("maxsim"))
+      .mat
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double, Double)]
+    var t = 1
+    var exhausted = false
+    while (t <= k && !exhausted) {
+      // 1.0 - lambda computed HERE (not a pre-simplified literal) so the
+      // oracle's `(1.0 - 0.7)` reproduces the exact same double
+      val score = lit(lambda) * col("rel") - lit(1.0 - lambda) * col("maxsim")
+      val p = st
+        .agg(max_by(struct(col("id"), col("v"), col("nrm"), col("rel"),
+          score.as("score")), struct(score.as("s"), (-col("id")).as("ni"))).as("p"))
+        .select("p.*").head()
+      if (p.isNullAt(0)) exhausted = true // corpus smaller than k
+      else {
+        val (id, v, nrm) = (p.getLong(0), p.getSeq[Double](1), p.getDouble(2))
+        out += ((id, t.toLong, p.getDouble(3), p.getDouble(4)))
+        val simToNew = cosine(col("v"), typedLit(v), col("nrm"), lit(nrm))
+        st = st.filter(col("id") =!= id)
+          .withColumn("maxsim",
+            if (t == 1) simToNew else greatest(col("maxsim"), simToNew))
+          .mat
+        t += 1
+      }
+    }
+    out.toSeq.toDF(idCol, "rank", "relevance", "mmr_score")
+      .select(col(idCol), col("rank"),
+        round(col("relevance"), 6).as("relevance"),
+        round(col("mmr_score"), 6).as("mmr_score"))
+  }
+
   /** IVF top-k: probe the `nprobe` nearest centroid buckets per query and
     * rank exactly within them. Approximate (recall < 1) but the corpus-side
     * work is an equi-join on centroid id instead of a full scan per query. */

@@ -14,7 +14,7 @@ import graft.prims.Mat._
   *
   * Usage: ScaleProbe <family>[,family...] [scale] [edgefactor] [cpus] [parts]
   * Families: community | traversal | pagerank | sampling | similarity |
-  * structure | all. Runs each family's representative operators on an RMAT
+  * structure | leiden | truss | kcore | walks | simcapped | all. Runs each family's representative operators on an RMAT
   * scale-`scale` graph (default 20 ≈ 16M edges at ef 16) and prints ONE
   * JSON line per run: paste the row into BASELINE.md's scale-probe table
   * before round close for the families the session touched.
@@ -245,6 +245,59 @@ object ScaleProbe {
           m = 8, ksub = 16).count())
       results += item("knn_graph")(
         Ann.knnGraph(emb, k = 10, nlist = nlist, iters = 3).count())
+    }
+    if (want("leiden")) {
+      // composed Leiden: Louvain rounds (proven at 22) + the WCC-inside-
+      // communities refinement + a final modularity pass — the composition
+      // adds two label joins and an intra-community edge filter on top of
+      // the two proven kernels, and composition is where partitioning
+      // assumptions break, so it gets its own row
+      results += item("leiden_full")(
+        Community.leiden(g, maxLevel = 2, maxIter = 3)._1.count())
+    }
+    if (want("truss")) {
+      // k=7: on RMAT's power-law shape most edges sit in the tree-like
+      // periphery with support < 5, so round 1 deletes the bulk and the
+      // incremental rounds then chase the cascade — both regimes of the
+      // seeded-wedge maintenance get exercised
+      results += item("ktruss7")(Triangles.kTruss(g, k = 7).count())
+    }
+    if (want("kcore")) {
+      // direct peel at level k (no full core decomposition): the cascade
+      // rounds are the primitive the wall-unbounded full peel reuses per
+      // level, so this row bounds what a single k-core costs at data scale
+      results += item("kcore10")(Components.kCore(g, k = 10).count())
+    }
+    if (want("walks")) {
+      val starts = verts.orderBy(ID).limit(65536)
+        .select(col(ID).as("walk_id"), col(ID).as("vertex")).mat
+      starts.count()
+      results += item("uniform_walks10")(
+        graft.sampling.Walks.uniform(g.edges, starts, maxDepth = 10).count())
+      results += item("node2vec10")(
+        graft.sampling.Walks.node2vec(g.weightedEdges, starts, maxDepth = 10).count())
+    }
+    if (want("simcapped")) {
+      // All-pairs similarity at graph scale is OUTPUT-bound, not (only)
+      // compute-bound: the first r10 attempt ran the full df-capped kernel
+      // (cap 16 — wedge stream bounded at 16·2E) and still filled an 80 GB
+      // shuffle volume, because the candidate PAIR set of a scale-20 RMAT
+      // is itself billions of rows no matter how cheaply each pair is
+      // found. That is the SURVEY §7.4 warning made concrete: production
+      // all-pairs runs over a bounded candidate set (LSH buckets, top-k
+      // windows, explicit pairs). This row measures the per-pair kernel on
+      // ~1M hash-sampled 2-hop candidate pairs — the bounded shape a
+      // 100 TB similarity pass actually ships.
+      val rc = g.edges.select(col(SRC).as("m"), col(DST).as("n"))
+        .join(g.edges.groupBy(col(SRC).as("m")).agg(count(lit(1)).as("dm"))
+          .filter(col("dm") <= 16).select("m"), Seq("m"))
+      val pairs = rc.toDF("m", "na").join(rc.toDF("m", "nb"), Seq("m"))
+        .filter(col("na") < col("nb"))
+        .filter(pmod(xxhash64(col("na"), col("nb")), lit(7)) === 0)
+        .select(col("na").as("a"), col("nb").as("b")).distinct().mat
+      System.err.println(s"[probe] sim candidate pairs=${pairs.count()} (off-item)")
+      results += item("jaccard_pairs_sampled")(
+        Similarity.forPairs(g, pairs, Similarity.Jaccard).count())
     }
     if (want("tree") || want("mst")) {
       // deterministic pseudo-random weights: the fixture's uniform 1.0

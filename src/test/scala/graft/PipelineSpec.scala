@@ -530,6 +530,52 @@ class PipelineSpec extends SparkSpec {
     (0L until 6L).foreach(i => assert(pred(i) == i % 2, s"vec $i"))
   }
 
+  test("mmrSelect prefers the diverse vector over a near-duplicate of the first pick") {
+    import spark.implicits._
+    // query (1, 0.2); ids 1 and 2 are collinear (rel-tied, mutually sim=1),
+    // id 3 is moderately relevant but diverse. Round 1 → id 1 (tie breaks
+    // low). Round 2 at λ=0.5: the collinear twin scores 0.5·(rel−1) < 0
+    // while the diverse vector scores 0.5·(0.778−0.640) > 0 → id 3. The
+    // duplicate is forced last even though its raw relevance ties for best.
+    val emb = Seq(
+      (0L, Seq(1.0, 0.2)), (1L, Seq(1.0, 0.0)),
+      (2L, Seq(2.0, 0.0)), (3L, Seq(0.5, 0.6))
+    ).toDF("vec_id", "embedding")
+    val picks = Ann.mmrSelect(emb, emb.filter(col("vec_id") === 0L), k = 3, lambda = 0.5)
+      .collect().sortBy(_.getLong(1)).map(_.getLong(0)).toSeq
+    assert(picks == Seq(1L, 3L, 2L), s"got $picks")
+  }
+
+  test("mmrSelect matches a local greedy reference and is partition-invariant") {
+    import spark.implicits._
+    def vec(i: Int): Seq[Double] = Seq.tabulate(4)(d => math.abs(math.sin(i * 7 + d * 3)) + 0.1)
+    val emb = (0 until 30).map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding")
+    val lam = 0.6
+    val got = Ann.mmrSelect(emb, emb.filter(col("vec_id") === 0L), k = 5, lambda = lam)
+      .collect().sortBy(_.getLong(1)).map(_.getLong(0)).toSeq
+    // local greedy reference with the same arithmetic shape
+    def dp(a: Seq[Double], b: Seq[Double]) = a.lazyZip(b).map(_ * _).sum
+    def cos(a: Seq[Double], b: Seq[Double]) =
+      dp(a, b) / (math.sqrt(dp(a, a)) * math.sqrt(dp(b, b)))
+    val q = vec(0)
+    val vs = (1 until 30).map(i => i.toLong -> vec(i)).toMap
+    var sel = Vector.empty[Long]
+    var ms = Map.empty[Long, Double].withDefaultValue(0.0)
+    for (_ <- 1 to 5) {
+      val pick = (vs.keySet -- sel).toSeq
+        .minBy(id => (-(lam * cos(q, vs(id)) - (1.0 - lam) * ms(id)), id))
+      ms = if (sel.isEmpty)
+        vs.map { case (id, v) => id -> cos(v, vs(pick)) }.withDefaultValue(0.0)
+      else
+        vs.map { case (id, v) => id -> math.max(ms(id), cos(v, vs(pick))) }.withDefaultValue(0.0)
+      sel :+= pick
+    }
+    assert(got == sel.toSeq, s"got $got want $sel")
+    val got64 = Ann.mmrSelect(emb.repartition(64), emb.filter(col("vec_id") === 0L),
+      k = 5, lambda = lam).collect().sortBy(_.getLong(1)).map(_.getLong(0)).toSeq
+    assert(got64 == got, "mmrSelect not partition-invariant")
+  }
+
   test("pipeline invariants: dedup idempotence, pack offsets bounded, shard positions contiguous") {
     import spark.implicits._
     val d = (0L until 80L).map { i =>
