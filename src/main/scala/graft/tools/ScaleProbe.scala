@@ -14,7 +14,8 @@ import graft.prims.Mat._
   *
   * Usage: ScaleProbe <family>[,family...] [scale] [edgefactor] [cpus] [parts]
   * Families: community | traversal | pagerank | sampling | similarity |
-  * structure | leiden | truss | kcore | walks | simcapped | all. Runs each family's representative operators on an RMAT
+  * structure | leiden | truss | kcore | walks | simcapped | spectral |
+  * fa2 | luby | all. Runs each family's representative operators on an RMAT
   * scale-`scale` graph (default 20 ≈ 16M edges at ef 16) and prints ONE
   * JSON line per run: paste the row into BASELINE.md's scale-probe table
   * before round close for the families the session touched.
@@ -298,6 +299,25 @@ object ScaleProbe {
       System.err.println(s"[probe] sim candidate pairs=${pairs.count()} (off-item)")
       results += item("jaccard_pairs_sampled")(
         Similarity.forPairs(g, pairs, Similarity.Jaccard).count())
+    }
+    if (want("spectral")) {
+      // deflated-PIC balanced cut: maxIter rounds of W = D⁻¹A application
+      // (one edge join + one vertex agg per round) + the driver-side
+      // k-means over the 1-d embedding — the PageRank-shaped claim in the
+      // ledger, measured instead of inferred
+      results += item("spectral_cut4")(Spectral.balancedCut(g, k = 4).count())
+    }
+    if (want("fa2")) {
+      // two-level quadtree repulsion + edge attraction, 5 rounds over the
+      // V-row position frame
+      results += item("fa2_5iters")(Misc.forceAtlas2(g, iters = 5).count())
+    }
+    if (want("luby")) {
+      // the three Luby-style randomized-round kernels: rand-priority +
+      // min/max-neighbor aggregate per round
+      results += item("mis")(Misc.mis(g).count())
+      results += item("coloring")(Misc.vertexColoring(g).count())
+      results += item("matching3")(Misc.weightedMatching(g, rounds = 3).count())
     }
     if (want("tree") || want("mst")) {
       // deterministic pseudo-random weights: the fixture's uniform 1.0
