@@ -79,52 +79,65 @@ object Walks {
     * candidate neighbors the previous vertex (adjacency membership test),
     * w/q otherwise; the draw is the same A-ES race as `biased`.
     *
-    * Scale shape of the membership test: a naive `candidates LEFT JOIN
-    * edges ON (prev, dst)` re-exchanges the FULL edge table every step —
-    * Spark cannot broadcast-preserve the outer side, and the r10 scale-20
-    * probe measured that plan at ~38s/step (378.6s for 10 steps over a
-    * 15.7M-edge graph, the membership exchange dominating). Instead the
-    * outer join is split into matched/unmatched halves around a tracked-
-    * size broadcast: the candidate set (walkers × degree, counted each
-    * step) is broadcast into ONE inner join against the cached adjacency —
-    * a map-side scan, no exchange — and the matched keys (≤ candidates)
-    * are broadcast back onto the candidate stream. Every per-step op is
-    * then a scan or a small-frame join; past the broadcast gate both
-    * hints degrade to the plain shuffled join. */
+    * Scale shape of the membership test, by seed-batch size. For LARGE
+    * walker sets (the scale-20 probe fixture: 65k walkers ≈ 2.2M
+    * candidates/step) the shuffled outer join IS the right plan — the
+    * exchange of the edge table is throughput-bound and fully parallel,
+    * while the alternative (broadcasting the multi-million-row candidate
+    * set twice per step) serializes on single-threaded driver broadcast
+    * builds: an r10 A/B measured the broadcast variant strictly slower
+    * at that size, and walk loops are latency-bound (a thread dump showed
+    * 32 executor threads idle around one final-agg task). For SMALL seed
+    * batches (≤ 8192 starts — the typical GNN sampling batch), the
+    * candidate set is counted with one scan (no shuffle: the frontier
+    * join is a broadcast over the cached edge frame) and, when it fits
+    * comfortably (≤ 500k rows even with hub fanout), the outer join is
+    * split into matched/unmatched halves around a candidate broadcast —
+    * one map-side inner join against the cached adjacency, no edge
+    * exchange at all. Both regimes take their measured-better plan. */
   def node2vec(edges: DataFrame, starts: DataFrame, maxDepth: Int,
                p: Double = 1.0, q: Double = 2.0, seed: Long = 42): DataFrame = {
-    import graft.prims.{Hint, Iterate}
     val e = edges.select(col(SRC), col(DST), col(WEIGHT)).mat
     val adj = edges.select(col(SRC).as("a_src"), col(DST).as("a_dst")).mat
     // state: (walk_id, prev, vertex); first step is uniform-biased with prev = -1
     var cur = starts.select(col("walk_id"), lit(-1L).as("prev"), col("vertex")).mat
-    var nCur = cur.count()
+    val smallSeedSet = cur.count() <= 8192
     var out = cur.select(col("walk_id"), lit(0).as("step"), col("vertex"))
     for (t <- 1 to maxDepth) {
-      val (cand0, nCand) = Iterate.materializeCount(
-        Hint.state(cur, nCur).join(e, cur("vertex") === e(SRC))
-          .select(col("walk_id"), cur("vertex").as("from_v"),
-            col(DST), col("prev"), col(WEIGHT)),
-        count(lit(1)), _.count())
-      // (walk_id, dst) is unique within a step (one frontier row per
-      // walker × deduped edges), so the matched-key set re-attaches 1:1
-      val matched = adj.join(
-          Hint.state(cand0.select(col("walk_id"), col("prev"), col(DST)), nCand),
-          col("a_src") === col("prev") && col("a_dst") === col(DST))
-        .select(col("walk_id"), col(DST), lit(true).as("in_adj"))
-      val cand = cand0.join(Hint.state(matched, nCand), Seq("walk_id", DST), "left")
+      val cand0 = cur.join(e, cur("vertex") === e(SRC))
+        .select(col("walk_id"), cur("vertex").as("from_v"),
+          col(DST), col("prev"), col(WEIGHT))
+      // cand0 is cheap to recompute (a broadcast-frontier scan of the
+      // cached edge frame), so the small-regime count costs one scan job
+      // and no checkpoint
+      val nCand = if (smallSeedSet) cand0.count() else Long.MaxValue
+      val withMembership =
+        if (nCand <= 500000L) {
+          val c0 = cand0.mat
+          // (walk_id, dst) is unique within a step (one frontier row per
+          // walker × deduped edges), so the matched-key set re-attaches 1:1
+          val matched = adj.join(
+              broadcast(c0.select(col("walk_id"), col("prev"), col(DST))),
+              col("a_src") === col("prev") && col("a_dst") === col(DST))
+            .select(col("walk_id"), col(DST), lit(true).as("in_adj"))
+          c0.join(broadcast(matched), Seq("walk_id", DST), "left")
+            .select(col("walk_id"), col("from_v"), col(DST), col("prev"), col(WEIGHT),
+              col("in_adj"))
+        } else
+          cand0.join(adj, col("prev") === col("a_src") && col(DST) === col("a_dst"), "left")
+            .select(col("walk_id"), col("from_v"), col(DST), col("prev"), col(WEIGHT),
+              col("a_dst").isNotNull.as("in_adj"))
+      val cand = withMembership
         .select(col("walk_id"), col("from_v"), col(DST), col("prev"),
           (col(WEIGHT) * when(col(DST) === col("prev"), lit(1.0 / p))
-            .when(col("in_adj").isNotNull, lit(1.0))
+            .when(coalesce(col("in_adj"), lit(false)), lit(1.0))
             .otherwise(lit(1.0 / q))).as("w2"))
       val u = hash60(concat_ws("|", col("walk_id"), lit(t), col(DST), lit(seed)))
         .cast("double") / lit(math.pow(2, 60))
-      val nxt = Iterate.materializeCount(
-        cand.groupBy("walk_id")
-          .agg(max_by(struct(col("from_v"), col(DST)), pow(u, lit(1.0) / col("w2"))).as("pick"))
-          .select(col("walk_id"), col("pick.from_v").as("prev"), col(s"pick.$DST").as("vertex")),
-        count(lit(1)), _.count())
-      cur = nxt._1; nCur = nxt._2
+      cur = cand.groupBy("walk_id")
+        .agg(max_by(struct(col("from_v"), col(DST)), pow(u, lit(1.0) / col("w2"))).as("pick"))
+        .select(col("walk_id"), col("pick.from_v").as("prev"), col(s"pick.$DST").as("vertex"))
+        .mat
       out = out.union(cur.select(col("walk_id"), lit(t).as("step"), col("vertex")))
     }
     out.select(col("walk_id"), col("step").cast("long").as("step"), col("vertex"))
