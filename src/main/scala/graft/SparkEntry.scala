@@ -514,6 +514,16 @@ object SparkEntry {
         n = 3, bands = 4, rowsPerBand = 2, threshold = 0.2)
       pipeline.Dedup.resolveClusters(docs, pairs.select("id_a", "id_b"))
     },
+    "q_dedup_keep_best" -> q { (s, dir) =>
+      // canonical selection after clustering: keep the longest member of
+      // each duplicate cluster (ties → lowest id) — the final step of a
+      // production dedup pass, composed from the cluster gate's pipeline
+      val docs = Fixtures.documents(s, dir)
+      val pairs = pipeline.Dedup.minhashLshPairs(docs,
+        n = 3, bands = 4, rowsPerBand = 2, threshold = 0.2)
+      val clusters = pipeline.Dedup.resolveClusters(docs, pairs.select("id_a", "id_b"))
+      pipeline.Dedup.keepBest(docs, clusters)
+    },
     "q_scrub" -> q { (s, dir) =>
       pipeline.TextAnalysis.scrubPii(Fixtures.documents(s, dir))
     },
@@ -1784,6 +1794,26 @@ object SparkEntry {
          |)
          |SELECT a AS doc_id, min(b) AS cluster, a = min(b) AS is_canonical
          |FROM reach GROUP BY a""".stripMargin,
+    "q_dedup_keep_best" ->
+      s"""WITH RECURSIVE pr AS MATERIALIZED (${PipelineSql.lshPairs(bands = 4, rowsPerBand = 2, threshold = 0.2)}),
+         |sym AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM pr UNION SELECT id_b, id_a FROM pr),
+         |reach(a, b) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT r.a, s.b FROM reach r JOIN sym s ON s.a = r.b
+         |),
+         |clus AS MATERIALIZED (SELECT a AS doc_id, min(b) AS cluster FROM reach GROUP BY a),
+         |tok AS MATERIALIZED (SELECT doc_id,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+         |j AS MATERIALIZED (
+         |  SELECT c.cluster, c.doc_id, t.n_tokens,
+         |    row_number() OVER (PARTITION BY c.cluster
+         |                       ORDER BY t.n_tokens DESC, c.doc_id) AS rn,
+         |    count(*) OVER (PARTITION BY c.cluster) AS n_members
+         |  FROM clus c JOIN tok t USING (doc_id))
+         |SELECT cluster, doc_id AS kept_id, n_tokens AS kept_tokens,
+         |  CAST(n_members AS BIGINT) AS n_members
+         |FROM j WHERE rn = 1""".stripMargin,
     "q_scrub" ->
       """SELECT doc_id,
         |  regexp_replace(regexp_replace(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+', '<EMAIL>', 'g'),

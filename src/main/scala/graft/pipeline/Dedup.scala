@@ -359,6 +359,29 @@ object Dedup {
       .withColumn("is_canonical", col(idCol) === col("cluster"))
   }
 
+  /** Canonical-representative selection — the step every production dedup
+    * ends with: per duplicate cluster, KEEP exactly one member and drop
+    * the rest. Policy here: keep the longest document (token count, ties
+    * → lowest id) — the common "keep the most complete copy" rule; any
+    * per-doc score column composes the same way. One hash-agg over the
+    * cluster assignment (scan-shaped — no joins beyond the score attach,
+    * no windows, so it scales as a single groupBy at any corpus size).
+    * Output (cluster, kept_id, kept_tokens, n_members), one row per
+    * cluster — singletons keep themselves with n_members = 1. */
+  def keepBest(docs: DataFrame, clusters: DataFrame,
+               idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val tok = docs.select(col(idCol),
+      size(split(col(textCol), " ")).cast("long").as("n_tokens"))
+    clusters.select(col(idCol), col("cluster")).join(tok, idCol)
+      .groupBy("cluster")
+      .agg(
+        max_by(struct(col(idCol), col("n_tokens")),
+          struct(col("n_tokens"), (-col(idCol)).as("ni"))).as("k"),
+        count(lit(1)).as("n_members"))
+      .select(col("cluster"), col(s"k.$idCol").as("kept_id"),
+        col("k.n_tokens").as("kept_tokens"), col("n_members"))
+  }
+
   def simhash(docs: DataFrame, bits: Int = 32,
               idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val tf = docs.select(col(idCol), explode(tokens(col(textCol))).as("t"))

@@ -530,6 +530,19 @@ class PipelineSpec extends SparkSpec {
     (0L until 6L).foreach(i => assert(pred(i) == i % 2, s"vec $i"))
   }
 
+  test("keepBest keeps the longest member per cluster, ties to the lowest id") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a b c"), (2L, "a b c d e"), (3L, "x y z q r"), // cluster {1,2,3}
+      (4L, "lone doc")                                     // singleton
+    ).toDF("doc_id", "text")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L)).toDF("doc_id", "cluster")
+    val kept = Dedup.keepBest(d, clusters).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(kept(1L) == ((2L, 5L, 3L))) // 2 and 3 tie at 5 tokens → lowest id 2
+    assert(kept(4L) == ((4L, 2L, 1L)))
+  }
+
   test("mmrSelect prefers the diverse vector over a near-duplicate of the first pick") {
     import spark.implicits._
     // query (1, 0.2); ids 1 and 2 are collinear (rel-tied, mutually sim=1),
