@@ -100,6 +100,21 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** Variance-watch list (VERDICT r10 item #2): the community-family
+    * round-dominated queries whose 8-capture history shows up-to-1.8×
+    * same-binary window variance (q_louvain 25.1s healthy vs 44.8s in the
+    * r10 driver window, on UNCHANGED code — scheduler-floor contention on
+    * many-small-job loops, per the r2/r7 autopsies). Values are the pinned
+    * healthy-window nominals (r10 round-close capture, data 0.823 / jobs
+    * 1.032). When a full 32-cpu sweep measures one of these above 1.5× its
+    * nominal, the query is re-run twice and the MEDIAN is reported — raw
+    * attempts ride the artifact in `remeasured`, and the re-run seconds
+    * stay in the total (it remains the sweep's true wall time). Healthy
+    * windows pay nothing. */
+  private val VarianceWatch: Map[String, Double] = Map(
+    "q_louvain" -> 25.1, "q_ecg" -> 29.2, "q_leiden" -> 14.1,
+    "q_leiden_refine" -> 11.7)
+
   /** One full sweep: calibration pre, prewarm, every query, calibration
     * post — returns the artifact JSON line (without attempt fields) and
     * the degraded verdict, so [[main]] can apply the pinned round-close
@@ -165,12 +180,34 @@ object Bench {
       // queries accumulate cached blocks until heavy queries spill.
       System.err.println(f"[bench] $name rows=$n t=$dt%.1fs")
       System.gc()
-      (name, dt, startedAt)
+      // variance-watch remeasure (see VarianceWatch): outlier first timing
+      // on a round-dominated community query → median of 3
+      val attempts: Seq[Double] =
+        if (subset.isEmpty && cpus == "32" && dfOpt.nonEmpty &&
+            VarianceWatch.get(name).exists(nom => dt > 1.5 * nom)) {
+          val more = (1 to 2).map { i =>
+            val ti = System.nanoTime()
+            try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            catch { case _: Throwable => () }
+            val d = (System.nanoTime() - ti) / 1e9
+            System.err.println(f"[bench] $name remeasure $i t=$d%.1fs")
+            System.gc()
+            d
+          }
+          dt +: more
+        } else Seq(dt)
+      val reported = attempts.sorted.apply(attempts.size / 2)
+      (name, reported, startedAt, attempts)
     }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val starts = results.map { case (k, _, s) => s"\"" + k + "\":" + s }
+    val starts = results.map { case (k, _, s, _) => s"\"" + k + "\":" + s }
       .mkString("{", ",", "}")
+    // raw attempt lists for any variance-watch remeasure this sweep ran —
+    // the artifact then explains its own medians
+    val remeasured = results.collect { case (k, _, _, at) if at.size > 1 =>
+      s"\"" + k + "\":[" + at.mkString(",") + "]"
+    }.mkString("{", ",", "}")
     val calibPost = if (subset.isEmpty) calibrationProbe(spark) else 0.0
     val calibJobsPost = if (subset.isEmpty) jobFloorProbe(spark) else 0.0
     val calibPlanPost = if (subset.isEmpty) planFloorProbe(spark) else 0.0
@@ -191,8 +228,10 @@ object Bench {
       ((calibPlanPre + calibPlanPost) / 2.0) / PlanFloorNominalSec else 0.0
     // total stays honest: prewarm seconds are part of the run, reported
     // both inside the total and as their own field (calibration probes are
-    // excluded from the total — they measure the host, not the code)
-    val total = results.map(_._2).sum + warmSec
+    // excluded from the total — they measure the host, not the code), and
+    // remeasure attempts count at full cost (true sweep wall time) even
+    // though `queries` carries their median
+    val total = results.map(_._4.sum).sum + warmSec
     // cpus rides the artifact: the nominal probe times are pinned to an
     // idle local[32] run, so a host_index from any other cpu config is
     // uninterpretable without knowing which config produced it (ADVICE r7)
@@ -205,7 +244,7 @@ object Bench {
     // nominals don't apply, so the flag stays false rather than lying.
     val degraded = subset.isEmpty && cpus == "32" &&
       (hostIndex > 1.5 || hostIndexJobs > 1.5)
-    val line = s""""value":$total,"unit":"sec","queries":$qs,"started":$starts,"fixture_warm":$warmSec,"calib_pre":$calibPre,"calib_post":$calibPost,"host_index":$hostIndex,"calib_jobs_pre":$calibJobsPre,"calib_jobs_post":$calibJobsPost,"host_index_jobs":$hostIndexJobs,"calib_plan_pre":$calibPlanPre,"calib_plan_post":$calibPlanPost,"host_index_plan":$hostIndexPlan,"cpus":$cpus,"degraded":$degraded,"sf":"$sfDir""""
+    val line = s""""value":$total,"unit":"sec","queries":$qs,"started":$starts,"remeasured":$remeasured,"fixture_warm":$warmSec,"calib_pre":$calibPre,"calib_post":$calibPost,"host_index":$hostIndex,"calib_jobs_pre":$calibJobsPre,"calib_jobs_post":$calibJobsPost,"host_index_jobs":$hostIndexJobs,"calib_plan_pre":$calibPlanPre,"calib_plan_post":$calibPlanPost,"host_index_plan":$hostIndexPlan,"cpus":$cpus,"degraded":$degraded,"sf":"$sfDir""""
     Sweep(line, degraded, total)
   }
 

@@ -88,6 +88,52 @@ object MiscSql {
     b.toString
   }
 
+  /** Speculative coloring on the tree fixture: hash-mod-k initial colors,
+    * then `rounds` unrolled conflict-repair rounds — the lower-priority
+    * endpoint of each monochromatic edge first-fits the smallest color
+    * absent from its neighborhood (candidates 0..#distinct-neighbor-colors).
+    * Mirrors `Misc.fastColoringWithStats`; rounds past convergence are
+    * no-ops (empty conflict CTEs). */
+  def fastColoringTree(initColors: Int, rounds: Int, seed: Long): String = {
+    val b = new StringBuilder
+    b ++= s"WITH $DAG_PRELUDE,\n"
+    b ++= s"fpri AS MATERIALIZED (SELECT id, ${h60(s"concat_ws('|', 'colp', id, $seed)")} AS p FROM dverts),\n"
+    b ++= s"fcol0 AS MATERIALIZED (SELECT id, ${h60(s"concat_ws('|', 'color', id, $seed)")} % $initColors AS color FROM dverts)"
+    for (r <- 1 to rounds) {
+      b ++= ",\n"
+      b ++= s"""fconf$r AS MATERIALIZED (
+        |  SELECT DISTINCT CASE WHEN (ps.p > pd.p OR (ps.p = pd.p AND e.src > e.dst))
+        |    THEN e.src ELSE e.dst END AS id
+        |  FROM dund e
+        |  JOIN fcol${r - 1} cs ON cs.id = e.src
+        |  JOIN fcol${r - 1} cd ON cd.id = e.dst
+        |  JOIN fpri ps ON ps.id = e.src
+        |  JOIN fpri pd ON pd.id = e.dst
+        |  WHERE cs.color = cd.color AND e.src <> e.dst
+        |),
+        |fnbr$r AS MATERIALIZED (
+        |  SELECT DISTINCT e.src AS id, cd.color AS nc
+        |  FROM dund e JOIN fconf$r l ON l.id = e.src
+        |  JOIN fcol${r - 1} cd ON cd.id = e.dst
+        |  WHERE e.src <> e.dst
+        |),
+        |fpick$r AS MATERIALIZED (
+        |  SELECT c.id, MIN(c.c) AS newc FROM (
+        |    SELECT id, unnest(generate_series(0, n)) AS c
+        |    FROM (SELECT id, count(*) AS n FROM fnbr$r GROUP BY id)
+        |  ) c
+        |  WHERE NOT EXISTS (SELECT 1 FROM fnbr$r x WHERE x.id = c.id AND x.nc = c.c)
+        |  GROUP BY c.id
+        |),
+        |fcol$r AS MATERIALIZED (
+        |  SELECT c.id, COALESCE(p.newc, c.color) AS color
+        |  FROM fcol${r - 1} c LEFT JOIN fpick$r p ON p.id = c.id
+        |)""".stripMargin
+    }
+    b ++= s"\nSELECT id, CAST(color AS BIGINT) AS color FROM fcol$rounds"
+    b.toString
+  }
+
   /** k-core of the supplier graph: cascade peel at level k, unrolled. */
   def kcoreSupplier(k: Int, rounds: Int): String = {
     val b = new StringBuilder

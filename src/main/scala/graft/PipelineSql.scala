@@ -384,6 +384,104 @@ object PipelineSql {
     b.toString
   }
 
+  /** Composed corpus-curation oracle (VERDICT r10 item #8) — the full
+    * chain in one statement, each stage the already-gated SQL re-sourced
+    * onto the previous stage's survivors:
+    * LSH near-dup pairs → WCC cluster resolve → keep-longest-per-cluster →
+    * SemDeDup (k-means-bucketed cosine, trained on the SURVIVORS) → WCC
+    * resolve again, keep canonical → cluster-balanced sample (k-means
+    * trained on the twice-deduped set) → shard placement + manifest.
+    * The manifest checksums make the gate end-to-end-sensitive: one wrong
+    * survivor at any stage flips a shard's bit_xor. */
+  def curationE2e(bands: Int, rowsPerBand: Int, lshThreshold: Double,
+                  semThreshold: Double, nlist: Int, iters: Int, dim: Int,
+                  perCluster: Int, nShards: Int): String = {
+    val avgList = "[" + (1 to dim).map(i => s"avg(v[$i])").mkString(", ") + "]"
+    def seed(src: String, cname: String): String =
+      s"""$cname AS MATERIALIZED (
+         |  SELECT CAST(row_number() OVER (ORDER BY _sk, vec_id) AS BIGINT) - 1 AS cid,
+         |         v AS cv
+         |  FROM (SELECT vec_id, v, ${h60("'kmseed:' || CAST(vec_id AS VARCHAR)")} AS _sk
+         |        FROM $src ORDER BY _sk, vec_id LIMIT $nlist))""".stripMargin
+    def assign(src: String, cents: String, name: String): String =
+      s"""$name AS MATERIALIZED (
+         |  SELECT vec_id, v, nrm, cid FROM (
+         |    SELECT s.vec_id, s.v, s.nrm, c.cid,
+         |      row_number() OVER (PARTITION BY s.vec_id
+         |        ORDER BY list_dot_product(s.v, c.cv) DESC, c.cid) AS rn
+         |    FROM $src s CROSS JOIN $cents c) t WHERE rn = 1)""".stripMargin
+    def kmeans(src: String, pfx: String): String = {
+      val b = new StringBuilder
+      b ++= seed(src, s"${pfx}c0") + ",\n"
+      for (i <- 1 to iters) {
+        b ++= assign(src, s"${pfx}c${i - 1}", s"${pfx}a$i") + ",\n"
+        b ++= s"${pfx}c$i AS MATERIALIZED (SELECT cid, $avgList AS cv FROM ${pfx}a$i GROUP BY cid),\n"
+      }
+      b ++= assign(src, s"${pfx}c$iters", s"${pfx}bucketed")
+      b.toString
+    }
+    s"""WITH RECURSIVE
+       |pr AS MATERIALIZED (${lshPairs(bands, rowsPerBand, lshThreshold)}),
+       |sym AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM pr UNION SELECT id_b, id_a FROM pr),
+       |reach(a, b) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT r.a, s.b FROM reach r JOIN sym s ON s.a = r.b
+       |),
+       |clus AS MATERIALIZED (SELECT a AS doc_id, min(b) AS cluster FROM reach GROUP BY a),
+       |tokc AS MATERIALIZED (SELECT doc_id,
+       |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+       |kb AS MATERIALIZED (
+       |  SELECT cluster, doc_id,
+       |    row_number() OVER (PARTITION BY cluster
+       |                       ORDER BY n_tokens DESC, doc_id) AS rn
+       |  FROM clus JOIN tokc USING (doc_id)),
+       |kept1 AS MATERIALIZED (SELECT doc_id FROM kb WHERE rn = 1),
+       |e AS MATERIALIZED (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+       |                               CAST(embedding AS DOUBLE[]))) AS nrm
+       |  FROM embeddings JOIN kept1 ON kept1.doc_id = embeddings.vec_id
+       |),
+       |${kmeans("e", "s")},
+       |sem AS MATERIALIZED (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM sbucketed a JOIN sbucketed b ON a.cid = b.cid AND a.vec_id < b.vec_id
+       |  WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= $semThreshold
+       |),
+       |sym2 AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM sem UNION SELECT id_b, id_a FROM sem),
+       |reach2(a, b) AS (
+       |  SELECT vec_id, vec_id FROM e
+       |  UNION
+       |  SELECT r.a, s.b FROM reach2 r JOIN sym2 s ON s.a = r.b
+       |),
+       |kept2 AS MATERIALIZED (
+       |  SELECT a AS vec_id FROM reach2 GROUP BY a HAVING a = min(b)),
+       |e2 AS MATERIALIZED (SELECT vec_id, v, nrm FROM e JOIN kept2 USING (vec_id)),
+       |${kmeans("e2", "t")},
+       |spri AS MATERIALIZED (SELECT vec_id, cid,
+       |  ${h60("concat_ws('|', 'csample', vec_id, 42)")} AS pri FROM tbucketed),
+       |sampled AS MATERIALIZED (
+       |  SELECT vec_id FROM (
+       |    SELECT vec_id, row_number() OVER (PARTITION BY cid ORDER BY pri, vec_id) AS rn
+       |    FROM spri) WHERE rn <= $perCluster),
+       |p AS MATERIALIZED (
+       |  SELECT d.doc_id, ${h60("concat_ws('|', 'shard', d.doc_id, 42)")} AS pri,
+       |         CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_toks
+       |  FROM documents d JOIN sampled ON sampled.vec_id = d.doc_id
+       |),
+       |placed AS MATERIALIZED (
+       |  SELECT doc_id, pri % $nShards AS shard, n_toks,
+       |         CAST(row_number() OVER (PARTITION BY pri % $nShards
+       |                                 ORDER BY pri, doc_id) - 1 AS BIGINT) AS pos
+       |  FROM p
+       |)
+       |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+       |       bit_xor(${h60("concat_ws(':', doc_id, pos)")}) AS checksum
+       |FROM placed GROUP BY shard""".stripMargin
+  }
+
   /** Exact oracle for `Ann.knnGraph`: the identical k-means unroll as
     * [[embedDupIvf]], then per-vector top-k among SAME-CELL neighbors. */
   def knnGraph(k: Int, nlist: Int, iters: Int, dim: Int): String = {

@@ -748,6 +748,34 @@ object SparkEntry {
         .join(contaminated, Seq("doc_id"), "left_anti")
       pipeline.TextAnalysis.trainValSplit(docs.join(kept, "doc_id"), valPct = 5)
     },
+    "q_curation_e2e" -> q { (s, dir) =>
+      // the COMPOSED curation pipeline, one gate (VERDICT r10 item #8):
+      // LSH near-dup mining → WCC cluster resolve → keep-longest →
+      // SemDeDup on the SURVIVORS' embeddings (k-means trained on the
+      // filtered set) → keep canonical → cluster-balanced diversity sample
+      // (k-means re-trained on the twice-deduped set) → shard placement +
+      // integrity manifest. Every stage is an already-gated operator; this
+      // gate pins their INTERACTIONS — id plumbing, survivor filtering,
+      // retrain-on-filtered determinism — and the manifest's bit_xor
+      // checksums flip on any single wrong survivor anywhere upstream.
+      val docs = Fixtures.documents(s, dir)
+      val emb = Fixtures.embeddings(s, dir)
+      val pairs = pipeline.Dedup.minhashLshPairs(docs,
+        n = 3, bands = 4, rowsPerBand = 2, threshold = 0.2)
+      val clusters = pipeline.Dedup.resolveClusters(docs, pairs.select("id_a", "id_b"))
+      val kept1 = pipeline.Dedup.keepBest(docs, clusters)
+        .select(col("kept_id").as("vec_id"))
+      val embKept = emb.join(kept1, "vec_id")
+      val sem = pipeline.Dedup.embeddingDupPairsIvf(embKept,
+        threshold = 0.4, nlist = 16, iters = 3)
+      val kept2 = pipeline.Dedup.resolveClusters(
+          embKept.select("vec_id"), sem.select("id_a", "id_b"), idCol = "vec_id")
+        .filter(col("is_canonical")).select("vec_id")
+      val sampled = pipeline.Ann.clusterSample(emb.join(kept2, "vec_id"),
+        nlist = 16, perCluster = 8, iters = 3)
+      pipeline.TextAnalysis.shardManifest(
+        docs.join(sampled.select(col("vec_id").as("doc_id")), "doc_id"), nShards = 4)
+    },
     "q_media_meta" -> q { (s, dir) =>
       pipeline.Multimodal.mediaMeta(pipeline.Multimodal.asMedia(Fixtures.documents(s, dir)))
     },
@@ -921,6 +949,24 @@ object SparkEntry {
         .join(colors.select(col(ID).as(DST), col("color").as("cb")), DST)
         .filter(col("ca") === col("cb")).count()
       require(bad == 0, s"improper coloring: $bad monochromatic edges")
+      colors
+    },
+    "q_coloring_fast" -> q { (s, dir) =>
+      // speculative hash-init + conflict repair — the scale-viable coloring
+      // strategy alongside the reference-structure repeated-MIS loop
+      val g = Fixtures.hierarchyDag(s, dir)
+      val (colors0, nColors, repairRounds) =
+        Misc.fastColoringWithStats(g, seed = 42, initColors = 4)
+      require(repairRounds <= 8, s"repair took $repairRounds rounds, oracle unrolls 8")
+      require(nColors <= 6, s"fast coloring used $nColors colors (sanity bound 6)")
+      val colors = colors0.mat
+      // self-checking: a proper coloring has no monochromatic edge
+      val und = Structure.symmetrize(g.edges.select(SRC, DST))
+      val bad = und
+        .join(colors.select(col(ID).as(SRC), col("color").as("ca")), SRC)
+        .join(colors.select(col(ID).as(DST), col("color").as("cb")), DST)
+        .filter(col("ca") === col("cb")).count()
+      require(bad == 0, s"improper fast coloring: $bad monochromatic edges")
       colors
     },
     "q_matching" -> q { (s, dir) =>
@@ -1780,6 +1826,9 @@ object SparkEntry {
       nprobe = 4, m = 8, ksub = 16, itersCoarse = 3, itersPq = 2, dim = 64),
     "q_mmr_select" -> PipelineSql.mmrSelect(k = 4),
     "q_embed_dup_ivf" -> PipelineSql.embedDupIvf(0.4, nlist = 16, iters = 3, dim = 64),
+    "q_curation_e2e" -> PipelineSql.curationE2e(bands = 4, rowsPerBand = 2,
+      lshThreshold = 0.2, semThreshold = 0.4, nlist = 16, iters = 3, dim = 64,
+      perCluster = 8, nShards = 4),
     "q_knn_graph" -> PipelineSql.knnGraph(k = 5, nlist = 16, iters = 3, dim = 64),
     "q_knn_components" -> PipelineSql.knnComponents(k = 5, nlist = 16, iters = 3,
       dim = 64, rounds = 12),
@@ -2062,6 +2111,7 @@ object SparkEntry {
     "q_spectral_mod" -> MiscSql.spectralPicSupplier(degreeInit = false),
     "q_spectral_eigen" -> MiscSql.spectralEigenSupplier(),
     "q_coloring" -> MiscSql.coloringTree(colors = 5, misRounds = 6, seed = 42),
+    "q_coloring_fast" -> MiscSql.fastColoringTree(initColors = 4, rounds = 8, seed = 42),
     "q_mis" -> MiscSql.misTree(rounds = 6, seed = 42),
     "q_matching" -> MiscSql.matchingSupplier(rounds = 3),
     "q_edge_lookup" -> MiscSql.edgeLookup,

@@ -80,7 +80,8 @@ object Centrality {
       cur.join(prev.withColumnRenamed("katz", "prev"), ID)
         .agg(sum(abs(col("katz") - col("prev")))).first().getDouble(0) < tol
     }
-    val (res, converged, _) = Iterate.loopWithStatus(init, maxIter, step, conv, checkpointEvery = 1)
+    val (res, converged, _) = Iterate.loopWithStatus(init, maxIter, step, conv,
+      checkpointEvery = 1, releasePrev = true)
     (res, converged)
   }
 
@@ -91,12 +92,18 @@ object Centrality {
     val nV = verts.count().toDouble
     val e = g.weightedEdges.select(SRC, DST, WEIGHT).mat
     val init = verts.withColumn("ec", lit(1.0 / math.sqrt(nV)))
+    // the step's intra-round materialization (pre-norm vector) is dead once
+    // the loop materializes the round's output — free it at the NEXT step
+    // entry so a long power iteration holds one round's blocks, not all
+    var prevRaw: DataFrame = null
     val step = { (c: DataFrame, _: Int) =>
+      graft.prims.Release.free(prevRaw)
       val in = e.join(Hint.state(c.withColumnRenamed(ID, SRC), nV.toLong), SRC)
         .groupBy(col(DST).as(ID)).agg(sum(col("ec") * col(WEIGHT)).as("in_sum"))
       val raw = verts.join(in, Seq(ID), "left")
         .select(col(ID), coalesce(col("in_sum"), lit(0.0)).as("ec"))
         .mat
+      prevRaw = raw
       val norm = raw.agg(sqrt(sum(col("ec") * col("ec")))).first().getDouble(0)
       raw.select(col(ID), (col("ec") / lit(if (norm == 0) 1.0 else norm)).as("ec"))
     }
@@ -104,7 +111,8 @@ object Centrality {
       cur.join(prev.withColumnRenamed("ec", "prev"), ID)
         .agg(sum(abs(col("ec") - col("prev")))).first().getDouble(0) < tol
     }
-    Iterate.loop(init, maxIter, step, conv, checkpointEvery = 1)
+    Iterate.loop(init, maxIter, step, conv, checkpointEvery = 1,
+      releasePrev = true)
   }
 
   /** HITS hubs & authorities, sum-normalized each half-round
@@ -140,7 +148,11 @@ object Centrality {
       case None =>
         verts.withColumn("hubs", lit(1.0)).withColumn("authorities", lit(1.0))
     }
+    // per-round intra-step frames (pre-norm authority/hub vectors) are dead
+    // once the loop materializes the round's output — free at next entry
+    var prevIntra: Seq[DataFrame] = Nil
     val step = { (hs: DataFrame, _: Int) =>
+      graft.prims.Release.free(prevIntra: _*)
       // authorities(v) = Σ hubs(u) over u→v, then sum-normalize
       val auth0 = e.join(Hint.state(hs.select(col(ID).as(SRC), col("hubs")), nV), SRC)
         .groupBy(col(DST).as(ID)).agg(sum("hubs").as("a"))
@@ -154,6 +166,7 @@ object Centrality {
       val hubAll = verts.join(hub0, Seq(ID), "left")
         .select(col(ID), coalesce(col("h"), lit(0.0)).as("h")).mat
       val hNorm = hubAll.agg(sum("h")).first().getDouble(0)
+      prevIntra = Seq(authAll, hubAll)
       hubAll.select(col(ID), (col("h") / lit(if (hNorm == 0) 1.0 else hNorm)).as("hubs"))
         .join(auth, ID)
         .select(col(ID), col("hubs"), col("authorities"))
@@ -162,7 +175,8 @@ object Centrality {
       cur.join(prev.select(col(ID), col("hubs").as("ph")), ID)
         .agg(sum(abs(col("hubs") - col("ph")))).first().getDouble(0) < tol
     }
-    val res = Iterate.loop(init, maxIter, step, conv, checkpointEvery = 1)
+    val res = Iterate.loop(init, maxIter, step, conv, checkpointEvery = 1,
+      releasePrev = true)
     if (normalized) res // per-round sum-normalization already left sum = 1
     else {
       // reference normalize=false scale: last in-loop step is max-divide

@@ -64,7 +64,11 @@ object Community {
     val base = Structure.removeSelfLoops(
       Structure.symmetrize(g.weightedEdges.select(SRC, DST, WEIGHT), sumWeights = false))
       .mat
-    louvainPrepared(base, maxLevel, maxIter, resolution, threshold)
+    val r = louvainPrepared(base, maxLevel, maxIter, resolution, threshold)
+    // the returned flat labels are materialized and carry no lineage into
+    // base — free the 2E-row prepared frame now (prims.Release scaladoc)
+    graft.prims.Release.free(base)
+    r
   }
 
   /** [[louvainWithLevels]] on an ALREADY-prepared base: symmetrized (both
@@ -88,6 +92,10 @@ object Community {
       .agg(sum(pow(col("k"), 2))).first().getDouble(0) / (m2v * m2v)
     var level = 0
     var improved = true
+    // whether lvlEdges is a frame THIS loop materialized (level ≥ 2's
+    // contracted graph) — the level-1 base belongs to the caller and is
+    // never freed here
+    var ownsLvlEdges = false
     while (level < maxLevel && improved) {
       level += 1
       val (lvlLabels, nLvl) = oneLevelCounted(lvlEdges, maxIter, resolution)
@@ -95,12 +103,14 @@ object Community {
       // label table is one row per CURRENT-level vertex (shrinks per
       // level), so it rides the same size-gated broadcast as the in-round
       // state joins instead of shuffling the original-V flat table
-      flat = flat.join(graft.prims.Hint.state(
+      val newFlat = flat.join(graft.prims.Hint.state(
           lvlLabels.withColumnRenamed(ID, "louvain_old")
             .withColumnRenamed("community", "louvain_new"), nLvl),
           flat("louvain") === col("louvain_old"))
         .select(flat(ID), col("louvain_new").as("louvain"))
         .mat
+      graft.prims.Release.free(flat)
+      flat = newFlat
       // modularity is contraction-invariant (coarsen keeps self-loops and
       // summed weights), so evaluate on the CURRENT level's graph — after
       // level 1 that is the contracted graph, orders of magnitude smaller
@@ -111,9 +121,17 @@ object Community {
         prevQ = q
         // contract for the next level; self-loops (intra-community weight)
         // must be KEPT — they carry in_c forward
-        lvlEdges = Structure.coarsen(lvlEdges, lvlLabels).mat
+        val contracted = Structure.coarsen(lvlEdges, lvlLabels).mat
+        if (ownsLvlEdges) graft.prims.Release.free(lvlEdges)
+        lvlEdges = contracted
+        ownsLvlEdges = true
       }
+      // the level's label table (final move-phase state) fed the flat
+      // re-map, the modularity scalar, and the contraction — all
+      // materialized or eagerly evaluated above; its blocks are dead
+      graft.prims.Release.free(lvlLabels)
     }
+    if (ownsLvlEdges) graft.prims.Release.free(lvlEdges)
     (flat, prevQ, level)
   }
 
@@ -233,6 +251,12 @@ object Community {
     // this loop's best-move reduce is keyed by (run, vertex, candidate
     // community), which is edge-stream-bounded, NOT nState-bounded
     val nEdgeStream = eNoSelfK.count()
+    // e and ki are consumed: their checkpoint blocks (2E + V rows PER
+    // LEVEL) would otherwise be held for the whole composed run — the
+    // scale-22 leiden 48g-heap finding (BASELINE.md round-10). eNoSelfK is
+    // MEMORY_AND_DISK-cached, so its blocks never drop-and-recompute
+    // through the freed lineage in a single-app deployment.
+    graft.prims.Release.free(e, ki)
     var moved = 1L
     var zeroStreak = 0
     var it = 0
@@ -396,11 +420,13 @@ object Community {
         val delta = movers.select(col("run"), col("old").as("community"), (-col("k")).as("d"))
           .unionByName(movers.select(col("run"), col("community"), col("k").as("d")))
           .groupBy("run", "community").agg(sum("d").as("d"))
-        totState = totState.join(delta, Seq("run", "community"), "full")
+        val newTot = totState.join(delta, Seq("run", "community"), "full")
           .select(col("run"), col("community"),
             (coalesce(col("tot"), lit(0.0)) + coalesce(col("d"), lit(0.0))).as("tot"))
           .filter(col("tot") =!= 0.0)
           .mat
+        graft.prims.Release.free(totState)
+        totState = newTot
       }
       if (!parityMode) {
         if (moved == 0) zeroStreak = Int.MaxValue // free full round; done
@@ -419,6 +445,10 @@ object Community {
         // 2-zero-rounds exit, which gated oracles unroll)
         if (maskMod > 2 && zeroStreak >= 2) probe = true
       }
+      // the round's reads of the old state all fed nextC's materialization —
+      // free its blocks now instead of holding rounds × nState rows for the
+      // rest of the composed run (prims.Release scaladoc)
+      graft.prims.Release.free(state)
       state = nextC.select(col("run"), col(ID), col("community"), col("k"))
     }
     }
@@ -468,13 +498,20 @@ object Community {
           lit(1000)))).as(WEIGHT))
     val labels = oneLevelKeyed(undR, maxIter, resolution = 1.0)._1.mat
     // co-clustering votes per edge: one pass over (run × edges) — read
-    // from the sliced frame for the same post-explode reason as above
-    undS.select(SRC, DST)
+    // from the sliced frame for the same post-explode reason as above.
+    // Materialized HERE so the ensemble's label table and base frame (the
+    // two largest phase outputs of the whole ECG pipeline) can be freed as
+    // soon as they are consumed, instead of riding to the end of the
+    // composed run (prims.Release scaladoc).
+    val votes = undS.select(SRC, DST)
       .select(explode(sequence(lit(0L), lit(ensembleSize - 1L))).as("run"), col(SRC), col(DST))
       .join(labels.select(col("run"), col(ID).as(SRC), col("community").as("ca")), Seq("run", SRC))
       .join(labels.select(col("run"), col(ID).as(DST), col("community").as("cb")), Seq("run", DST))
       .groupBy(SRC, DST)
       .agg(sum(when(col("ca") === col("cb"), 1.0).otherwise(0.0)).as("votes"))
+      .mat
+    graft.prims.Release.free(labels, und)
+    votes
   }
 
   /** Vote→weight reweighting in INTEGRAL units: the classic ECG formula
@@ -504,9 +541,12 @@ object Community {
     // reweighted inherits the vote table's symmetry (votes are per
     // direction of the symmetrized ensemble edges) and has no self-loops,
     // so the final pass takes it as a prepared base — no re-symmetrize
-    val reweighted = ecgReweight(ecgVotes(g, ensembleSize, seed), ensembleSize, minWeight).mat
+    val votes = ecgVotes(g, ensembleSize, seed)
+    val reweighted = ecgReweight(votes, ensembleSize, minWeight).mat
+    graft.prims.Release.free(votes)
     // bounded final pass: the ensemble already did the exploration
     val (f, q, _) = louvainPrepared(reweighted, maxLevel = finalMaxLevel, maxIter = 8)
+    graft.prims.Release.free(reweighted)
     (f, q)
   }
 
@@ -521,7 +561,11 @@ object Community {
     // near-equal-gain communities with no measurable modularity change —
     // the refinement pass below is what guarantees Leiden's invariant
     val (labels, _) = louvain(g, maxLevel, maxIter = maxIter, resolution = resolution)
-    val (refined, _) = leidenRefine(g, labels, "louvain")
+    // materialize the refinement output before freeing the Louvain phase:
+    // the WCC star path's label frame is lazy over the input vertex list,
+    // which here IS the Louvain label table (prims.Release scaladoc)
+    val refined = leidenRefine(g, labels, "louvain")._1.mat
+    graft.prims.Release.free(labels)
     val base = Structure.removeSelfLoops(
       Structure.symmetrize(g.weightedEdges.select(SRC, DST, WEIGHT), sumWeights = false))
     (refined, modularity(base, refined, resolution))
@@ -544,6 +588,10 @@ object Community {
       .filter(col("ca") === col("cb")).select(SRC, DST)
     val sub = PropertyGraph(labels.select(ID), intra, g.props.copy(directed = false))
     val (refined, rounds) = Components.wccWithRounds(sub)
+    // the WCC phase materialized its own copy of the intra-community edge
+    // set; this symmetrized frame is dead (caller-owned `labels` is NOT
+    // freed here — q_leiden_refine calls this entry directly)
+    graft.prims.Release.free(und)
     (refined.withColumnRenamed("component", "leiden"), rounds)
   }
 

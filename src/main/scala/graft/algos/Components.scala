@@ -59,16 +59,23 @@ object Components {
         sum(when(col("component") < col("old"), 1L).otherwise(0L)),
         _.filter(col("component") < col("old")).count())
       changed = ch
+      // old labels fed the materialization above — free their blocks now
+      // instead of holding rounds × V rows (prims.Release scaladoc)
+      graft.prims.Release.free(labels)
       labels = joined.select(col(ID), col("component"))
     }
     }
     if (changed > 0) {
       // still moving after `starSwitch` sweeps — the diameter is large;
-      // switch to the star-contraction algorithm
+      // switch to the star-contraction algorithm (it re-reads g.edges, not
+      // this frame, so the propagation state and edge copy are dead)
+      graft.prims.Release.free(labels, und)
       val (starLabels, starRounds) = wccStar(g, maxIter)
       return (starLabels, it + starRounds)
     }
-    // `it` counts rounds including the final no-change confirmation round
+    // the symmetrized edge copy is dead (the returned labels are
+    // materialized); `it` counts rounds incl. the no-change confirmation
+    graft.prims.Release.free(und)
     (labels, it)
   }
 
@@ -128,6 +135,8 @@ object Components {
       // fixpoint: the pair set reproduces itself (star forest); the
       // exceptAll job only runs once counts stop changing
       done = nNew == nPairs && ss.exceptAll(pairs).isEmpty
+      // the fixpoint check above was the old pair set's last read
+      graft.prims.Release.free(pairs)
       pairs = ss
       nPairs = nNew
     }

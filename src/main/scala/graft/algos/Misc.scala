@@ -103,6 +103,69 @@ object Misc {
     (colored, color, maxRounds)
   }
 
+  /** Speculative coloring: hash-mod-k initial colors + iterative conflict
+    * repair — the scale-viable alternative the repeated-MIS loop's ledger
+    * row names. The reference ships only the MIS loop
+    * (`vertex_coloring_impl.cuh`), whose wall is colors × MIS(remainder)
+    * Spark rounds (2342.8s at scale 20); here the round count is the
+    * longest decreasing-priority path among CONFLICTED vertices only.
+    *
+    * Per round: monochromatic edges are found (one colors⋈edges⋈colors
+    * pass), the LOWER-priority endpoint of each must recolor, and every
+    * loser first-fits the smallest color absent from its neighborhood
+    * (candidates 0..#distinct-neighbor-colors, so one is always free —
+    * colors stay ≤ maxdeg+1). Simultaneous repairs can re-collide, but a
+    * vertex only ever loses to a HIGHER-priority neighbor, so by induction
+    * on the priority order every vertex settles: deterministic given
+    * (seed, initColors), hence exactly DuckDB-unrollable
+    * (MiscSql.fastColoringTree). Work per round is bounded by the conflict
+    * set and its incident edges, not the whole graph.
+    * @return (DataFrame(id, color), colors used, repair rounds run). */
+  def fastColoringWithStats(g: PropertyGraph, seed: Long = 42, initColors: Int = 4,
+                            maxRounds: Int = 50): (DataFrame, Long, Int) = {
+    val und = Structure.removeSelfLoops(Structure.symmetrize(g.edges.select(SRC, DST))).mat
+    var colors = g.vertices.select(col(ID),
+      pmod(hash60(concat_ws("|", lit("color"), col(ID), lit(seed))),
+        lit(initColors.toLong)).as("color")).mat
+    def pOf(c: org.apache.spark.sql.Column) =
+      hash60(concat_ws("|", lit("colp"), c, lit(seed)))
+    var rounds = 0
+    var done = false
+    while (!done && rounds < maxRounds) {
+      // loser endpoint of every monochromatic edge (und carries both
+      // directions, so evaluating the rule once per direction and
+      // dedup-ing yields each conflict's single loser)
+      val cc = und
+        .join(colors.select(col(ID).as(SRC), col("color").as("ca")), SRC)
+        .join(colors.select(col(ID).as(DST), col("color").as("cb")), DST)
+        .filter(col("ca") === col("cb"))
+      val (losers, nLose) = graft.prims.Iterate.materializeCount(
+        cc.select(when(struct(pOf(col(SRC)), col(SRC)) > struct(pOf(col(DST)), col(DST)),
+          col(SRC)).otherwise(col(DST)).as(ID)).distinct(),
+        count(lit(1)), _.count())
+      if (nLose == 0) { graft.prims.Release.free(losers); done = true }
+      else {
+        rounds += 1
+        // distinct neighbor colors of each loser (pre-update colors), then
+        // first-fit the smallest absent candidate in 0..#colors-seen
+        val nbrC = und.join(losers.withColumnRenamed(ID, SRC), SRC)
+          .join(colors.select(col(ID).as(DST), col("color").as("nc")), DST)
+          .select(col(SRC).as(ID), col("nc")).distinct().mat
+        val pick = nbrC.groupBy(ID).agg(count(lit(1)).as("n"))
+          .select(col(ID), explode(sequence(lit(0L), col("n"))).as("c"))
+          .join(nbrC.withColumnRenamed("nc", "c"), Seq(ID, "c"), "left_anti")
+          .groupBy(ID).agg(min("c").as("newc"))
+        val next = colors.join(pick, Seq(ID), "left")
+          .select(col(ID), coalesce(col("newc"), col("color")).as("color")).mat
+        graft.prims.Release.free(colors, losers, nbrC)
+        colors = next
+      }
+    }
+    val nColors = colors.agg(coalesce(max("color"), lit(-1L))).first().getLong(0) + 1L
+    graft.prims.Release.free(und)
+    (colors, nColors, rounds)
+  }
+
   /** Approximate weighted matching, fixed handshake rounds: every vertex
     * points at its heaviest remaining neighbor (key = weight·1e6 − dst,
     * deterministic tie-break), mutual pairs match and retire. Canonical

@@ -103,7 +103,8 @@ object PageRank {
         .agg(sum(abs(col("pagerank") - col("prev")))).first().getDouble(0) < tol
     }
     val (result, converged, _) =
-      Iterate.loopWithStatus(init, maxIter, step, conv, checkEvery = 1, checkpointEvery = 1)
+      Iterate.loopWithStatus(init, maxIter, step, conv, checkEvery = 1,
+        checkpointEvery = 1, releasePrev = true)
 
     (result.select(col(ID), col("pagerank")), converged)
   }

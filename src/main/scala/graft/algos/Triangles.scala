@@ -206,7 +206,13 @@ object Triangles {
         // (3 closing semi-joins + the anti/left update pair) for a
         // few-thousand-row deletion — the same tracked-size discipline as
         // every other loop cuts the tail round to broadcast scans.
-        val delB = graft.prims.Hint.state(del, nDel)
+        // del's broadcast gate is TIGHTER than Hint.state's default 5M
+        // (ADVICE r10): the scale-20 round-1 bulk deletion measured 5.0M
+        // rows — right at the default gate — and whether the bulk round
+        // broadcasts a ~5M-row build side into four joins must not flip
+        // with small graph-size changes. 1M admits every genuine cascade
+        // tail while the acknowledged bulk round keeps the shuffled plan.
+        val delB = graft.prims.Hint.state(del, nDel, maxRows = 1000000L)
         // wedge candidates with the closing edge (cu, cv) explicit; all
         // three triangle edges are canonically oriented (a<b<c), so the
         // closing key per pattern is fixed at plan time

@@ -436,8 +436,14 @@ object Ann {
                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val qRow = withNorm(queries, idCol, vecCol)
-      .select(col(idCol).cast("long"), col("v"), col("nrm")).head()
+    // single-query contract, enforced deterministically (ADVICE r10): the
+    // lowest-id row is the query — a bare head() was partition-order
+    // nondeterministic with >1 rows and threw bare on an empty frame
+    val qRows = withNorm(queries, idCol, vecCol)
+      .select(col(idCol).cast("long").as("qid"), col("v"), col("nrm"))
+      .orderBy(col("qid")).limit(1).collect()
+    require(qRows.nonEmpty, "mmrSelect: queries frame is empty — need one query row")
+    val qRow = qRows(0)
     val qId = qRow.getLong(0)
     val qv = qRow.getSeq[Double](1)
     val qn = qRow.getDouble(2)

@@ -106,28 +106,42 @@ object Iterate {
            step: (DataFrame, Int) => DataFrame,
            converged: (DataFrame, DataFrame) => Boolean = null,
            checkEvery: Int = 1,
-           checkpointEvery: Int = 3): DataFrame =
-    loopWithStatus(init, maxIter, step, converged, checkEvery, checkpointEvery)._1
+           checkpointEvery: Int = 3,
+           releasePrev: Boolean = false): DataFrame =
+    loopWithStatus(init, maxIter, step, converged, checkEvery, checkpointEvery,
+      releasePrev)._1
 
   /** [[loop]] plus the convergence outcome: (final state, converged,
     * iterations run). With no `converged` predicate (fixed-iteration mode)
     * the flag is vacuously true — there is no tolerance contract to miss.
     * Feeds the reference's `fail_on_nonconvergence` surface
     * (`link_analysis/pagerank.py:78`). */
+  /** `releasePrev`: eagerly [[Release.free]] the PREVIOUS materialized
+    * state once the next one is materialized (and any convergence check on
+    * the pair has run). Safe iff `step`/`converged` never retain an old
+    * state frame outside the loop — with it a 100-round loop holds ONE
+    * state's checkpoint blocks instead of 100 (the composed-operator heap
+    * finding, BASELINE.md round-10). */
   def loopWithStatus(init: DataFrame, maxIter: Int,
                      step: (DataFrame, Int) => DataFrame,
                      converged: (DataFrame, DataFrame) => Boolean = null,
                      checkEvery: Int = 1,
-                     checkpointEvery: Int = 3): (DataFrame, Boolean, Int) = {
+                     checkpointEvery: Int = 3,
+                     releasePrev: Boolean = false): (DataFrame, Boolean, Int) = {
     var cur = materialize(init)
+    var lastMat = cur
     var it = 0
     var done = false
     while (it < maxIter && !done) {
       val nxt0 = step(cur, it)
-      val nxt = if ((it + 1) % checkpointEvery == 0 || converged != null)
-        materialize(nxt0) else nxt0
+      val wasMat = (it + 1) % checkpointEvery == 0 || converged != null
+      val nxt = if (wasMat) materialize(nxt0) else nxt0
       if (converged != null && (it + 1) % checkEvery == 0)
         done = converged(cur, nxt)
+      if (releasePrev && wasMat && (lastMat ne nxt)) {
+        Release.free(lastMat)
+        lastMat = nxt
+      }
       cur = nxt
       it += 1
     }
@@ -142,6 +156,51 @@ object Mat {
   implicit class MatOps(private val df: DataFrame) extends AnyVal {
     def mat: DataFrame = Iterate.materialize(df)
   }
+}
+
+/** Eager release of dead [[Iterate.materialize]] blocks.
+  *
+  * `localCheckpoint` blocks are freed only when the driver GC collects the
+  * RDD handle AND the ContextCleaner drains — on a long composed operator
+  * that never idles the driver, effectively never. So a composed pipeline
+  * (Leiden = Louvain levels + refinement WCC; ECG = ensemble + final pass)
+  * holds EVERY phase's checkpoint blocks concurrently: the scale-22 leiden
+  * probe needed a 48g heap where each single kernel runs in 32g, purely
+  * from retained dead-phase storage. The fix is what a real engine does
+  * between pipeline stages: free a phase's buffers the moment the next
+  * phase's input is materialized.
+  *
+  * [[free]] walks the frame's RDD lineage and unpersists the FIRST
+  * persisted ancestor on each branch (the localCheckpoint block holder —
+  * lineage below it was already truncated). Call it ONLY on frames whose
+  * data can never be read again: a loop state after the next state is
+  * materialized, a phase input after the phase output is materialized.
+  * Reading a freed frame throws (localCheckpointed RDDs cannot recompute),
+  * so misuse fails loudly rather than silently recomputing — every free
+  * site below is covered by the exact-gate suite. */
+object Release {
+  import org.apache.spark.rdd.RDD
+  import org.apache.spark.storage.StorageLevel
+
+  // Spark WARNs on every unpersist of a localCheckpointed RDD ("lineage has
+  // been truncated and cannot be recomputed") — here that is the intended
+  // operation, on provably-dead frames, and a long loop would emit one line
+  // per freed round. Quiet exactly that logger category once.
+  private lazy val quietUnpersistWarn: Unit =
+    try org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd.MapPartitionsRDD", org.apache.logging.log4j.Level.ERROR)
+    catch { case _: Throwable => () }
+
+  /** Unpersist the checkpoint/cache blocks behind each frame. Null-safe so
+    * loop code can free an optional carried frame unconditionally. */
+  def free(dfs: DataFrame*): Unit = {
+    quietUnpersistWarn
+    dfs.foreach(df => if (df != null) freeRdd(df.rdd))
+  }
+
+  private def freeRdd(rdd: RDD[_]): Unit =
+    if (rdd.getStorageLevel != StorageLevel.NONE) rdd.unpersist(blocking = false)
+    else rdd.dependencies.foreach(d => freeRdd(d.rdd))
 }
 
 /** Size-aware broadcast of per-vertex state into edge joins.

@@ -114,12 +114,18 @@ object Walks {
       val withMembership =
         if (nCand <= 500000L) {
           val c0 = cand0.mat
-          // (walk_id, dst) is unique within a step (one frontier row per
-          // walker × deduped edges), so the matched-key set re-attaches 1:1
+          // the matched-key set is deduped to (walk_id, dst) before the
+          // re-attach: on a multigraph both the adjacency and the candidate
+          // stream carry duplicate rows, and an un-deduped matched set
+          // would multiply candidates quadratically in the duplicate-edge
+          // count (ADVICE r10 — picks were identical since duplicates share
+          // race keys, but the per-step row volume inflated). distinct() on
+          // ≤500k broadcast-bound rows is one cheap hash-agg.
           val matched = adj.join(
               broadcast(c0.select(col("walk_id"), col("prev"), col(DST))),
               col("a_src") === col("prev") && col("a_dst") === col(DST))
             .select(col("walk_id"), col(DST), lit(true).as("in_adj"))
+            .distinct()
           c0.join(broadcast(matched), Seq("walk_id", DST), "left")
             .select(col("walk_id"), col("from_v"), col(DST), col("prev"), col(WEIGHT),
               col("in_adj"))

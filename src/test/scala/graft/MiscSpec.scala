@@ -35,6 +35,36 @@ class MiscSpec extends SparkSpec {
     assert(und.forall { case (a, b) => colors(a) != colors(b) })
   }
 
+  test("fast coloring is proper, deterministic, and colors every vertex") {
+    // random-ish denser graph than the fixture so repair rounds actually run
+    val es = (for (i <- 0L until 40L; j <- (i + 1) until 40L
+                   if ((i * 37 + j * 11) % 7) == 0) yield (i, j)).toSeq
+    val g = graphOf(es)
+    val (c1, nColors, rounds) = Misc.fastColoringWithStats(g, seed = 7, initColors = 3)
+    val colors = c1.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val und = Structure.symmetrize(edgeDF(es)).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(und.forall { case (a, b) => colors(a) != colors(b) }, "proper")
+    assert(colors.keySet == es.flatMap(e => Seq(e._1, e._2)).toSet, "total")
+    assert(rounds > 0, "the dense fixture must exercise conflict repair")
+    assert(nColors == colors.values.max + 1)
+    // deterministic given (seed, initColors)
+    val c2 = Misc.fastColoringWithStats(g, seed = 7, initColors = 3)._1
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(c2 == colors)
+  }
+
+  test("Release.free drops a dead frame's blocks and leaves live frames readable") {
+    import graft.prims.{Mat, Release}
+    import Mat._
+    val a = spark.range(100).toDF("id").mat
+    val b = a.select((col("id") * 2).as("id")).mat // derived THEN materialized
+    Release.free(a)
+    assert(b.count() == 100) // b's blocks are its own — unaffected
+    // the freed frame can no longer be computed (localCheckpoint truncation)
+    intercept[Exception] { a.count() }
+  }
+
   test("weighted matching is a valid matching over existing edges") {
     val g = wGraphOf(Seq((1L, 2L, 3.0), (2L, 3L, 1.0), (3L, 4L, 5.0), (4L, 1L, 2.0)),
       directed = false)
