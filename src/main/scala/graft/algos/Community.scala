@@ -139,8 +139,12 @@ object Community {
     * @return (DataFrame(id, community), vertex count of this level). */
   private def oneLevelCounted(und: DataFrame, maxIter: Int,
                               resolution: Double): (DataFrame, Long) = {
+    // callers (louvainPrepared) always pass a MATERIALIZED level graph
+    // (the prepared base or a coarsen .mat), so the level skips its own
+    // full-size edge copy — at scale 22 that copy was 134M rows per level
     val (labels, _, n) =
-      oneLevelKeyedCounted(und.withColumn("run", lit(0L)), maxIter, resolution)
+      oneLevelKeyedCounted(und.withColumn("run", lit(0L)), maxIter, resolution,
+        inputMat = true)
     (labels.drop("run"), n)
   }
 
@@ -171,9 +175,15 @@ object Community {
     (labels, rounds)
   }
 
+  /** `inputMat`: the caller's edge frame is already materialized, so the
+    * run-keyed projection over it is recomputable at scan cost — skip the
+    * level's own full-size checkpoint copy (and don't free the caller's
+    * frame). The ECG ensemble path keeps `inputMat = false`: its input is
+    * an expensive lazy explode that must be pinned once. */
   private def oneLevelKeyedCounted(undK: DataFrame, maxIter: Int,
-                                   resolution: Double): (DataFrame, Int, Long) = {
-    val e = undK.mat
+                                   resolution: Double,
+                                   inputMat: Boolean = false): (DataFrame, Int, Long) = {
+    val e = if (inputMat) undK else undK.mat
     // per-run 2m normalizer: ONE row per ensemble run (bounded by the
     // ensemble size at any graph scale), so it is collected once into a
     // literal map lookup instead of broadcast-joined — one fewer broadcast
@@ -255,8 +265,10 @@ object Community {
     // LEVEL) would otherwise be held for the whole composed run — the
     // scale-22 leiden 48g-heap finding (BASELINE.md round-10). eNoSelfK is
     // MEMORY_AND_DISK-cached, so its blocks never drop-and-recompute
-    // through the freed lineage in a single-app deployment.
-    graft.prims.Release.free(e, ki)
+    // through the freed lineage in a single-app deployment. When the edge
+    // frame belongs to the caller (inputMat) it is NOT freed here.
+    if (inputMat) graft.prims.Release.free(ki)
+    else graft.prims.Release.free(e, ki)
     var moved = 1L
     var zeroStreak = 0
     var it = 0
@@ -559,16 +571,28 @@ object Community {
              maxIter: Int = 10): (DataFrame, Double) = {
     // move-phase rounds past ~10 shuffle <6% of vertices between
     // near-equal-gain communities with no measurable modularity change —
-    // the refinement pass below is what guarantees Leiden's invariant
-    val (labels, _) = louvain(g, maxLevel, maxIter = maxIter, resolution = resolution)
+    // the refinement pass below is what guarantees Leiden's invariant.
+    //
+    // ONE prepared symmetric self-loop-free base is shared by all three
+    // phases (Louvain, refinement, final modularity): the previous shape
+    // re-symmetrized g.edges into a second full-size materialized copy for
+    // the refinement, and WCC re-symmetrized the (already symmetric) intra
+    // set into a third — at scale 22 those dead copies were the composed
+    // operator's storage footprint (the r10 48g-heap finding; the r11 32g
+    // probe OOM'd in exactly that refine-phase storage).
+    val base = Structure.removeSelfLoops(
+      Structure.symmetrize(g.weightedEdges.select(SRC, DST, WEIGHT), sumWeights = false))
+      .mat
+    val (labels, _, _) =
+      louvainPrepared(base, maxLevel, maxIter = maxIter, resolution = resolution)
     // materialize the refinement output before freeing the Louvain phase:
     // the WCC star path's label frame is lazy over the input vertex list,
     // which here IS the Louvain label table (prims.Release scaladoc)
-    val refined = leidenRefine(g, labels, "louvain")._1.mat
+    val refined = leidenRefinePrepared(base.select(SRC, DST), labels, "louvain")._1.mat
     graft.prims.Release.free(labels)
-    val base = Structure.removeSelfLoops(
-      Structure.symmetrize(g.weightedEdges.select(SRC, DST, WEIGHT), sumWeights = false))
-    (refined, modularity(base, refined, resolution))
+    val q = modularity(base, refined, resolution)
+    graft.prims.Release.free(base)
+    (refined, q)
   }
 
   /** The Leiden refinement pass in isolation: split every community into
@@ -582,16 +606,29 @@ object Community {
   def leidenRefine(g: PropertyGraph, labels: DataFrame,
                    labelCol: String): (DataFrame, Int) = {
     val und = Structure.symmetrize(g.edges.select(SRC, DST)).mat
-    val intra = und
-      .join(labels.select(col(ID).as(SRC), col(labelCol).as("ca")), SRC)
-      .join(labels.select(col(ID).as(DST), col(labelCol).as("cb")), DST)
-      .filter(col("ca") === col("cb")).select(SRC, DST)
-    val sub = PropertyGraph(labels.select(ID), intra, g.props.copy(directed = false))
-    val (refined, rounds) = Components.wccWithRounds(sub)
+    val r = leidenRefinePrepared(und, labels, labelCol)
     // the WCC phase materialized its own copy of the intra-community edge
     // set; this symmetrized frame is dead (caller-owned `labels` is NOT
     // freed here — q_leiden_refine calls this entry directly)
     graft.prims.Release.free(und)
+    r
+  }
+
+  /** [[leidenRefine]] on an ALREADY-symmetric edge list (both directions
+    * present — e.g. the prepared Louvain base): skips the symmetrize
+    * shuffle AND tells the WCC the intra set is symmetric by construction
+    * (community labels are per-vertex, so the ca=cb filter of a symmetric
+    * set is symmetric). Self-loops are irrelevant to the refinement — a
+    * self edge never changes connectivity. */
+  def leidenRefinePrepared(und: DataFrame, labels: DataFrame,
+                           labelCol: String): (DataFrame, Int) = {
+    val intra = und
+      .join(labels.select(col(ID).as(SRC), col(labelCol).as("ca")), SRC)
+      .join(labels.select(col(ID).as(DST), col(labelCol).as("cb")), DST)
+      .filter(col("ca") === col("cb")).select(SRC, DST)
+    val sub = PropertyGraph(labels.select(ID), intra,
+      graft.core.GraphProperties(directed = false))
+    val (refined, rounds) = Components.wccWithRounds(sub, assumeSymmetric = true)
     (refined.withColumnRenamed("component", "leiden"), rounds)
   }
 

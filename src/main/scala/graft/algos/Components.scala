@@ -33,9 +33,15 @@ object Components {
     * the diameter exceeds `starSwitch`, the loop abandons propagation and
     * restarts with [[wccStar]], whose round count is O(log² V) regardless
     * of diameter (pathological chains, lattices). */
+  /** `assumeSymmetric`: the caller guarantees both directions of every
+    * edge are present — the symmetrize shuffle (a full distinct of the
+    * edge set) and its materialized copy are skipped; the edge frame is
+    * materialized as-is for the round loop. */
   def wccWithRounds(g: PropertyGraph, maxIter: Int = 50,
-                    starSwitch: Int = 12): (DataFrame, Int) = {
-    val und = Structure.symmetrize(g.edges.select(SRC, DST)).mat
+                    starSwitch: Int = 12,
+                    assumeSymmetric: Boolean = false): (DataFrame, Int) = {
+    val und = (if (assumeSymmetric) g.edges.select(SRC, DST)
+               else Structure.symmetrize(g.edges.select(SRC, DST))).mat
     val init = g.vertices.select(col(ID), col(ID).as("component"))
     val nV = g.vertices.count()
     var changed = 1L

@@ -62,7 +62,7 @@ object Iterate {
     * defaultSizeInBytes, keeping planning O(plan size) per round; AQE still
     * converts joins to broadcast from true runtime shuffle sizes. */
   def materialize(df: DataFrame): DataFrame = {
-    val ck = df.localCheckpoint(eager = true)
+    val ck = df.localCheckpoint(eager = true, Release.CkLevel)
     ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
   }
 
@@ -181,6 +181,25 @@ object Mat {
 object Release {
   import org.apache.spark.rdd.RDD
   import org.apache.spark.storage.StorageLevel
+
+  /** Storage level for every [[Iterate.materialize]] checkpoint:
+    * MEMORY_AND_DISK_SER, not the localCheckpoint default MEMORY_AND_DISK.
+    * Deserialized storage holds one on-heap UnsafeRow OBJECT per row
+    * (header + reference + padded byte array) and unrolls each partition
+    * through an Object[] vector whose doubling resize needs contiguous
+    * heap at the worst moment — the r11 scale-22 leiden probe OOM'd in
+    * exactly that resize (MemoryStore.putIteratorAsValues →
+    * SizeTrackingVector) while storing a 134M-row frame with 32g. The
+    * serialized form is ~2-3× denser, unrolls through chunked byte
+    * buffers (no big-array resize), and spills incrementally — what a
+    * data-scale engine stores between pipeline stages anyway. Loop states
+    * are read 1-3× per round, so the per-read deserialization is noise
+    * against the round's shuffle (r11 full bench on this binary confirms
+    * the totals hold). GRAFT_CK_MEMORY=1 restores the deserialized level
+    * for A/B. */
+  val CkLevel: StorageLevel =
+    if (sys.env.contains("GRAFT_CK_MEMORY")) StorageLevel.MEMORY_AND_DISK
+    else StorageLevel.MEMORY_AND_DISK_SER
 
   // Spark WARNs on every unpersist of a localCheckpointed RDD ("lineage has
   // been truncated and cannot be recomputed") — here that is the intended

@@ -339,8 +339,13 @@ object ScaleProbe {
       // strategy vs the 2342.8s repeated-MIS structural wall at scale 20.
       // initColors sized to the power-law core (RMAT max truss ~13): too
       // few initial colors just means more first-round conflicts.
-      results += item("coloring_fast")(
-        Misc.fastColoringWithStats(g, initColors = 16, maxRounds = 100)._1.count())
+      results += item("coloring_fast") {
+        val (labels, nColors, rounds) =
+          Misc.fastColoringWithStats(g, initColors = 16, maxRounds = 100)
+        val n = labels.count()
+        System.err.println(
+          s"[probe] coloring_fast colors=$nColors repairRounds=$rounds rows=$n")
+      }
     }
     if (want("centrality2")) {
       // the last inferred-only ledger rows (VERDICT r10 item #7):
