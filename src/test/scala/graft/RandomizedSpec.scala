@@ -516,6 +516,25 @@ class RandomizedSpec extends SparkSpec {
     }
   }
 
+  test("k-truss bulk-recompute and incremental regimes are bit-identical") {
+    // r11 regime switch: a bulk round recomputes survivor support from
+    // scratch instead of seeding wedges from the deleted set. The peel is
+    // confluent, so forcing EVERY round through either regime must land on
+    // the same fixpoint (and the same canonical edge set) as the other.
+    for (seed <- 4L to 6L) {
+      val es = randomEdges(20, 0.25, seed)
+      if (es.nonEmpty) {
+        val g = graphOf(es, directed = false)
+        def run(frac: Double) =
+          Triangles.kTrussWithRounds(g, k = 4, bulkRecomputeFrac = frac)._1
+            .select(SRC, DST).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val bulk = run(0.0)          // every deleting round recomputes
+        val incr = run(Double.MaxValue) // never recomputes
+        assert(bulk == incr, s"seed $seed: ${bulk.size} vs ${incr.size}")
+      }
+    }
+  }
+
   test("core numbers equal the sequential peel on random graphs") {
     for (seed <- 1L to 3L) {
       val es = randomEdges(24, 0.2, seed)
