@@ -157,6 +157,42 @@ object MiscSql {
     b.toString
   }
 
+  /** k-truss of the deterministic RMAT(scale 8, 1024 edges) fixture:
+    * `rounds` unrolled full-recompute peels (support via triangle count →
+    * filter ≥ k−2) over the canonical simple undirected edges. Unlike
+    * ktrussSupplier's fixture (the near-complete supplier co-order graph,
+    * where the degree lower bound proves round 1 deletes nothing), the
+    * RMAT graph actually peels for several rounds — this is the driver
+    * gate for the round LOOP itself, in both its maintenance regimes
+    * (incremental seeded-wedge and the r11 bulk recompute). Spark asserts
+    * fixpoint within `rounds`. */
+  def ktrussRmat(k: Int, rounds: Int): String = {
+    val b = new StringBuilder
+    b ++= s"WITH raw AS MATERIALIZED (\n  ${GenSql.rmat(scale = 8, numEdges = 1024).replace("\n", "\n  ")}\n),\n"
+    b ++= "t0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS src, greatest(src, dst) AS dst FROM raw WHERE src <> dst),\n"
+    for (i <- 1 to rounds) {
+      b ++= s"""tri$i AS MATERIALIZED (
+        |  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+        |  FROM t${i - 1} e1 JOIN t${i - 1} e2 ON e1.dst = e2.src
+        |  WHERE EXISTS (SELECT 1 FROM t${i - 1} e3 WHERE e3.src = e1.src AND e3.dst = e2.dst)
+        |),
+        |sup$i AS MATERIALIZED (
+        |  SELECT src, dst, count(*) AS s FROM (
+        |    SELECT a AS src, b AS dst FROM tri$i
+        |    UNION ALL SELECT b, c FROM tri$i
+        |    UNION ALL SELECT a, c FROM tri$i
+        |  ) GROUP BY 1, 2
+        |),
+        |t$i AS MATERIALIZED (
+        |  SELECT e.src, e.dst FROM t${i - 1} e JOIN sup$i s ON s.src = e.src AND s.dst = e.dst
+        |  WHERE s.s >= ${k - 2}
+        |)""".stripMargin
+      b ++= (if (i < rounds) ",\n" else "\n")
+    }
+    b ++= s"SELECT src, dst FROM t$rounds"
+    b.toString
+  }
+
   /** Core numbers of the deterministic RMAT(scale 8, 1024 edges) fixture —
     * SF-independent, so the Spark-side budget asserts hold at every scale
     * factor. core(v) = max k such that v survives the k-core cascade peel;

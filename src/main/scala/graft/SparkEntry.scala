@@ -269,6 +269,21 @@ object SparkEntry {
       require(rounds <= 3, s"k-truss took $rounds rounds, oracle budget is 3")
       res
     },
+    // The supplier fixture is near-complete, so q_ktruss proves the dense
+    // lower-bound early exit; the RMAT fixture actually PEELS — this pair
+    // gates the round loop itself, once per maintenance regime (default
+    // mixed incremental/bulk, and bulk recompute forced on every round).
+    "q_ktruss_rmat" -> q { (s, _) =>
+      val (res, rounds) = Triangles.kTrussWithRounds(Fixtures.rmatGraph(s), k = 5)
+      require(rounds <= 6, s"rmat k-truss took $rounds rounds, oracle budget is 6")
+      res
+    },
+    "q_ktruss_bulk" -> q { (s, _) =>
+      val (res, rounds) = Triangles.kTrussWithRounds(Fixtures.rmatGraph(s), k = 5,
+        bulkRecomputeFrac = 0.0)
+      require(rounds <= 6, s"bulk k-truss took $rounds rounds, oracle budget is 6")
+      res
+    },
     "q_core_number" -> q { (s, _) =>
       // RMAT fixture: SF-independent core values 1..9, so the DuckDB per-k
       // cascade unroll (maxK=10, 9 rounds) is provably sufficient. The
@@ -1717,6 +1732,8 @@ object SparkEntry {
          |SELECT e.src, e.dst, coalesce(s.s, 0) AS support
          |FROM supp_edges e LEFT JOIN sup s ON s.src = e.src AND s.dst = e.dst""".stripMargin,
     "q_ktruss" -> OracleSql.ktrussSupplier(k = 4, rounds = 3),
+    "q_ktruss_rmat" -> MiscSql.ktrussRmat(k = 5, rounds = 6),
+    "q_ktruss_bulk" -> MiscSql.ktrussRmat(k = 5, rounds = 6),
     "q_modularity" ->
       s"""WITH $SUPP_EDGES_SQL,
          |$SUPP_UND_SQL,
