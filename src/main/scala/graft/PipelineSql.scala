@@ -322,6 +322,34 @@ object PipelineSql {
     b.toString
   }
 
+  /** Eval-set decontamination oracle: mirrors `Dedup.decontaminate` — the
+    * eval set is documents matching `evalPred`, the corpus the rest;
+    * every corpus doc scored by the fraction of its distinct word n-grams
+    * appearing anywhere in the eval set. Integer `/` is float division in
+    * DuckDB, matching the Spark side's explicit double cast; the 6-dp
+    * round on the REPORTED fraction (contamination tested unrounded) is
+    * the q_lr_classify cross-engine float convention. */
+  def decontaminate(n: Int, maxFraction: Double, evalPred: String): String =
+    s"""WITH ev AS MATERIALIZED (SELECT * FROM documents WHERE $evalPred),
+       |w_ev AS (SELECT string_split(text, ' ') AS ws FROM ev),
+       |eg AS MATERIALIZED (
+       |  SELECT DISTINCT array_to_string(ws[i:i+${n - 1}], ' ') AS s
+       |  FROM w_ev, unnest(generate_series(1, len(ws) - ${n - 1})) AS t(i)),
+       |corp AS MATERIALIZED (SELECT * FROM documents WHERE NOT ($evalPred)),
+       |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM corp),
+       |sh AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id, array_to_string(ws[i:i+${n - 1}], ' ') AS s
+       |  FROM w, unnest(generate_series(1, len(ws) - ${n - 1})) AS t(i)),
+       |sc AS MATERIALIZED (
+       |  SELECT sh.doc_id, count(*) AS ngrams, count(eg.s) AS hit_ngrams
+       |  FROM sh LEFT JOIN eg ON sh.s = eg.s GROUP BY 1)
+       |SELECT c.doc_id,
+       |  coalesce(sc.ngrams, 0) AS ngrams,
+       |  coalesce(sc.hit_ngrams, 0) AS hit_ngrams,
+       |  round(coalesce(CASE WHEN sc.ngrams > 0 THEN sc.hit_ngrams / sc.ngrams END, 0.0), 6) AS hit_frac,
+       |  coalesce(CASE WHEN sc.ngrams > 0 THEN sc.hit_ngrams / sc.ngrams END, 0.0) > $maxFraction AS contaminated
+       |FROM corp c LEFT JOIN sc ON c.doc_id = sc.doc_id""".stripMargin
+
   /** Incremental-dedup oracle: corpus = even doc_ids, batch = odd (the
     * gated query's split); exact hit by md5, near hit by shared minhash
     * band key (same hash family / band construction as lshPairs). */

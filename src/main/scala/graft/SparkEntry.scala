@@ -497,6 +497,15 @@ object SparkEntry {
       pipeline.Dedup.incrementalDedup(
         docs.filter(col("doc_id") % 2 === 0), docs.filter(col("doc_id") % 2 === 1))
     },
+    "q_decontaminate" -> q { (s, dir) =>
+      // benchmark-hygiene shape: every 37th doc plays the held-out eval
+      // set; the strict any-hit 5-gram rule flags the corpus docs that
+      // share a span with one (the fixture's near-dup clusters)
+      val docs = Fixtures.documents(s, dir)
+      pipeline.Dedup.decontaminate(
+        docs.filter(col("doc_id") % 37 =!= 0), docs.filter(col("doc_id") % 37 === 0),
+        n = 5)
+    },
     "q_embed_dup_ivf" -> q { (s, dir) =>
       // SemDeDup shape: deterministic k-means buckets, exact cosine within
       pipeline.Dedup.embeddingDupPairsIvf(Fixtures.embeddings(s, dir),
@@ -1850,6 +1859,8 @@ object SparkEntry {
     "q_knn_components" -> PipelineSql.knnComponents(k = 5, nlist = 16, iters = 3,
       dim = 64, rounds = 12),
     "q_incremental_dedup" -> PipelineSql.incrementalDedup(bands = 4, rowsPerBand = 2),
+    "q_decontaminate" -> PipelineSql.decontaminate(
+      n = 5, maxFraction = 0.0, evalPred = "doc_id % 37 = 0"),
     "q_dedup_clusters" ->
       s"""WITH RECURSIVE pr AS MATERIALIZED (${PipelineSql.lshPairs(bands = 4, rowsPerBand = 2, threshold = 0.2)}),
          |sym AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM pr UNION SELECT id_b, id_a FROM pr),

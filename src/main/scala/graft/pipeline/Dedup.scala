@@ -121,6 +121,45 @@ object Dedup {
       .withColumn("keep", !col("exact_dup") && !col("near_dup"))
   }
 
+  /** Eval-set decontamination: score every training document by the
+    * fraction of its distinct word n-grams that appear anywhere in a
+    * benchmark/eval document set — the pre-training hygiene pass that keeps
+    * downstream eval numbers from measuring memorization (the GPT-3
+    * appendix-C / Llama n-gram overlap rule). `maxFraction = 0.0` (the
+    * default) is the strict any-hit rule: one shared n-gram contaminates.
+    *
+    * Scale shape: the eval side is benchmark-sized (MBs against a 100 TB
+    * corpus), so its distinct n-gram set is counted once and broadcast
+    * under the tracked-size gate — the corpus then pays exactly one
+    * explode + one distinct shuffle (the same dominant cost every shingle
+    * pipeline pays) + a map-side hash probe + one hash-agg. Corpus text is
+    * never joined, re-shuffled, or compared pairwise; past the broadcast
+    * gate the probe degrades to a shuffled left join on the n-gram key.
+    * Output one row per corpus doc:
+    * (doc_id, ngrams, hit_ngrams, hit_frac, contaminated). */
+  def decontaminate(corpus: DataFrame, evalSet: DataFrame, n: Int = 5,
+                    maxFraction: Double = 0.0,
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val (evalGrams, nEval) = graft.prims.Iterate.materializeCount(
+      evalSet.select(explode(shingles(tokens(col(textCol)), n)).as("s"))
+        .distinct().withColumn("_hit", lit(true)),
+      count(lit(1)), _.count())
+    val scored = shingleFrame(corpus, n, idCol, textCol)
+      .join(graft.prims.Hint.state(evalGrams, nEval), Seq("s"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("ngrams"), count(col("_hit")).as("hit_ngrams"))
+    val frac = when(col("ngrams") > 0,
+      col("hit_ngrams").cast("double") / col("ngrams")).otherwise(lit(0.0))
+    corpus.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("ngrams"), lit(0L)).as("ngrams"),
+        coalesce(col("hit_ngrams"), lit(0L)).as("hit_ngrams"))
+      .select(col(idCol), col("ngrams"), col("hit_ngrams"),
+        round(frac, 6).as("hit_frac"),
+        (frac > maxFraction).as("contaminated"))
+  }
+
   /** Character-level edit-distance rescoring of candidate pairs — the
     * precision pass after LSH recall (banded Levenshtein is the classic
     * near-dup verifier). Only LSH-surviving pairs are scored, so the

@@ -210,6 +210,27 @@ class PipelineSpec extends SparkSpec {
     assert(r(5L) == ((false, false, true)))
   }
 
+  test("decontaminate: any-hit flags the overlapping doc, fraction rule spares the glancing one") {
+    import spark.implicits._
+    val evalSet = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta iota kappa")
+    ).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),      // full copy
+      (2L, "prefix words then alpha beta gamma delta epsilon and unrelated"), // one shared 5-gram
+      (3L, "completely different text about spark catalyst optimizer rules")  // clean
+    ).toDF("doc_id", "text")
+    val strict = Dedup.decontaminate(corpus, evalSet, n = 5).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getBoolean(4)))).toMap
+    assert(strict(1L)._2 && strict(1L)._1 == 6)      // 6 distinct 5-grams, all hits
+    assert(strict(2L) == ((1L, true)))               // single glancing hit still flags
+    assert(strict(3L) == ((0L, false)))
+    // fraction rule: doc 2's 1-of-6 grams (~0.17) clears a 0.25 threshold
+    val lax = Dedup.decontaminate(corpus, evalSet, n = 5, maxFraction = 0.25)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    assert(lax(1L) && !lax(2L) && !lax(3L))
+  }
+
   test("duplicated spans: cross-doc windows merge to maximal spans; strip cuts all copies") {
     import spark.implicits._
     val d = Seq(
