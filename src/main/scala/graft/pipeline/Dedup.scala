@@ -128,6 +128,14 @@ object Dedup {
     * appendix-C / Llama n-gram overlap rule). `maxFraction = 0.0` (the
     * default) is the strict any-hit rule: one shared n-gram contaminates.
     *
+    * Complement of [[TextAnalysis.contamination]], which is the REPORT side
+    * (which benchmark docs leak into which training docs — hit counts and
+    * distinct-bench-doc counts, rows only for hits): this is the DECISION
+    * side the filter step consumes — every corpus doc scored (clean docs
+    * included), a fraction against the doc's own n-gram count, and the
+    * keep/drop verdict under a threshold, with the eval side counted and
+    * broadcast under the tracked-size gate rather than hinted blindly.
+    *
     * Scale shape: the eval side is benchmark-sized (MBs against a 100 TB
     * corpus), so its distinct n-gram set is counted once and broadcast
     * under the tracked-size gate — the corpus then pays exactly one

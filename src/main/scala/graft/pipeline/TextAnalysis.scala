@@ -537,11 +537,14 @@ object TextAnalysis {
       .select(col(idCol), col("bucket"), expr(s"rn div $batchSize").as("batch"))
   }
 
-  /** Benchmark decontamination: flag training documents whose word
-    * n-grams overlap a benchmark set — the standard eval-leakage filter a
-    * training corpus runs before every release. Distinct doc×benchmark
-    * shingles joined on the shingle (benchmark side is the small one and
-    * broadcasts); a document never contaminates itself.
+  /** Benchmark contamination REPORT: which training documents share word
+    * n-grams with which benchmark docs — the audit view of eval leakage
+    * (hit counts + distinct leaking bench docs, rows only for docs WITH
+    * hits). The decision-side complement is [[Dedup.decontaminate]], which
+    * scores EVERY corpus doc with an overlap fraction and a keep/drop
+    * verdict under a threshold. Distinct doc×benchmark shingles joined on
+    * the shingle (benchmark side is the small one and broadcasts); a
+    * document never contaminates itself.
     * Output (doc_id, n_hit_ngrams, n_bench_docs). */
   def contamination(docs: DataFrame, bench: DataFrame, n: Int = 5,
                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
