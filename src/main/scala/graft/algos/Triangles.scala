@@ -185,12 +185,25 @@ object Triangles {
     *     regimes are bit-identical (A/B-asserted in AlgoSpec). */
   def kTrussWithRounds(g: PropertyGraph, k: Int, maxIter: Int = 100,
                        bulkRecomputeFrac: Double = 0.25): (DataFrame, Int) = {
+    // GRAFT_TRUSS_DEBUG prints per-PHASE walls (pre-restrict / initial
+    // support / each round), so a scale probe attributes its total to the
+    // regime decisions instead of guessing; GRAFT_TRUSS_NOCORE skips the
+    // (k−1)-core pre-restriction — the at-scale A/B knob for regime 1.
+    val dbg = sys.env.contains("GRAFT_TRUSS_DEBUG")
+    var tPhase = System.nanoTime()
+    def lap(tag: => String): Unit = if (dbg) {
+      val t1 = System.nanoTime()
+      System.err.println(f"[ktruss] $tag t=${(t1 - tPhase) / 1e9}%.1fs")
+      tPhase = t1
+    }
     // truss ⊆ (k−1)-core (see above); kCore peels at the level directly.
     // k ≤ 3 gives a ≤2-core whose peel mostly spins (or is the identity),
     // while the support filter at k−2 ≤ 1 does the same work — skip it.
     val e0 =
-      if (k >= 4) Components.kCore(g, k - 1).mat
+      if (k >= 4 && !sys.env.contains("GRAFT_TRUSS_NOCORE"))
+        Components.kCore(g, k - 1).mat
       else oriented(g).mat
+    lap("pre_restrict")
     // Dense-graph fast path: support(u,v) = |N(u)∩N(v)| ≥ d(u)+d(v)−|V|
     // (inclusion–exclusion). If EVERY edge clears the truss threshold by
     // that bound, round 1 deletes nothing, so the peel is already at
@@ -206,10 +219,12 @@ object Triangles {
     val minDegSum = if (minRow.isNullAt(0)) Long.MaxValue else minRow.getLong(0)
     if (minDegSum == Long.MaxValue || minDegSum - nV >= k - 2)
       return (e0.select(SRC, DST), 1)
+    lap("dense_bound_check")
     var alive = edgeSupportOf(e0).mat // (src, dst, support)
     // live-edge count maintained arithmetically (del rows are distinct live
     // edges), so the bulk-regime gate costs zero extra jobs per round
     var nAlive = alive.count()
+    lap(s"initial_support alive=$nAlive")
     def tri(d: DataFrame, p1: String, p2: String): DataFrame =
       d.select(col(SRC).as(p1), col(DST).as(p2))
     var it = 0
@@ -230,8 +245,7 @@ object Triangles {
         alive = edgeSupportOf(survivors).mat
         graft.prims.Release.free(prev, survivors)
         nAlive -= nDel
-        if (sys.env.contains("GRAFT_TRUSS_DEBUG"))
-          System.err.println(s"[ktruss] round $it del=$nDel (bulk recompute, alive=$nAlive)")
+        lap(s"round $it del=$nDel (bulk recompute, alive=$nAlive)")
       } else {
         val e = alive.select(SRC, DST) // edge set at the start of the round
         // each pattern SEEDS from del — |del| ⋈ E on one vertex key, then a
@@ -290,8 +304,7 @@ object Triangles {
             (col("support") - coalesce(col("dec"), lit(0L))).as("support"))
           .mat
         nAlive -= nDel
-        if (sys.env.contains("GRAFT_TRUSS_DEBUG"))
-          System.err.println(s"[ktruss] round $it del=$nDel decEdges=$nDec")
+        lap(s"round $it del=$nDel decEdges=$nDec")
       }
     }
     (alive.select(SRC, DST), it)

@@ -263,6 +263,15 @@ object ScaleProbe {
       // seeded-wedge maintenance get exercised
       results += item("ktruss7")(Triangles.kTruss(g, k = 7).count())
     }
+    if (want("trussinc")) {
+      // regime A/B: incremental-only maintenance (bulkRecomputeFrac past 1
+      // can never trigger, so every deleting round takes the seeded-wedge
+      // path) — with GRAFT_TRUSS_NOCORE=1 this is the r10 binary's shape
+      // on the current code, the honest same-session baseline for the r11
+      // regime changes
+      results += item("ktruss7_inc")(
+        Triangles.kTrussWithRounds(g, k = 7, bulkRecomputeFrac = 2.0)._1.count())
+    }
     if (want("kcore")) {
       // direct peel at level k (no full core decomposition): the cascade
       // rounds are the primitive the wall-unbounded full peel reuses per
