@@ -90,10 +90,14 @@ object MiscSql {
 
   /** Speculative coloring on the tree fixture: hash-mod-k initial colors,
     * then `rounds` unrolled conflict-repair rounds — the lower-priority
-    * endpoint of each monochromatic edge first-fits the smallest color
-    * absent from its neighborhood (candidates 0..#distinct-neighbor-colors).
-    * Mirrors `Misc.fastColoringWithStats`; rounds past convergence are
-    * no-ops (empty conflict CTEs). */
+    * endpoint of each monochromatic edge picks a HASH-JITTERED color among
+    * those absent from its neighborhood (candidates
+    * 0..#distinct-neighbor-colors ranked ascending; index = hash60(id,
+    * round) mod #free — the jitter that makes simultaneous adjacent
+    * repairs decay geometrically instead of re-colliding on the shared
+    * smallest value; see the r11 scale-20 finding on
+    * `Misc.fastColoringWithStats`). Mirrors it exactly; rounds past
+    * convergence are no-ops (empty conflict CTEs). */
   def fastColoringTree(initColors: Int, rounds: Int, seed: Long): String = {
     val b = new StringBuilder
     b ++= s"WITH $DAG_PRELUDE,\n"
@@ -117,13 +121,19 @@ object MiscSql {
         |  JOIN fcol${r - 1} cd ON cd.id = e.dst
         |  WHERE e.src <> e.dst
         |),
-        |fpick$r AS MATERIALIZED (
-        |  SELECT c.id, MIN(c.c) AS newc FROM (
+        |ffree$r AS MATERIALIZED (
+        |  SELECT c.id, c.c,
+        |         row_number() OVER (PARTITION BY c.id ORDER BY c.c) AS rk,
+        |         count(*) OVER (PARTITION BY c.id) AS nf
+        |  FROM (
         |    SELECT id, unnest(generate_series(0, n)) AS c
         |    FROM (SELECT id, count(*) AS n FROM fnbr$r GROUP BY id)
         |  ) c
         |  WHERE NOT EXISTS (SELECT 1 FROM fnbr$r x WHERE x.id = c.id AND x.nc = c.c)
-        |  GROUP BY c.id
+        |),
+        |fpick$r AS MATERIALIZED (
+        |  SELECT id, c AS newc FROM ffree$r
+        |  WHERE rk = 1 + ${h60(s"concat_ws('|', 'coljit', id, $r, $seed)")} % nf
         |),
         |fcol$r AS MATERIALIZED (
         |  SELECT c.id, COALESCE(p.newc, c.color) AS color

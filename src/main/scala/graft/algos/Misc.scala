@@ -107,23 +107,35 @@ object Misc {
     * repair — the scale-viable alternative the repeated-MIS loop's ledger
     * row names. The reference ships only the MIS loop
     * (`vertex_coloring_impl.cuh`), whose wall is colors × MIS(remainder)
-    * Spark rounds (2342.8s at scale 20); here the round count is the
-    * longest decreasing-priority path among CONFLICTED vertices only.
+    * Spark rounds (2342.8s at scale 20).
     *
-    * Per round: monochromatic edges are found (one colors⋈edges⋈colors
-    * pass), the LOWER-priority endpoint of each must recolor, and every
-    * loser first-fits the smallest color absent from its neighborhood
+    * Per round: monochromatic edges are found (one scan of the cached edge
+    * frame — the color table rides in on two TRACKED broadcast joins, so
+    * the 2E rows are probed map-side, never exchanged), the LOWER-priority
+    * endpoint of each must recolor, and every loser picks a
+    * HASH-JITTERED color among those absent from its neighborhood
     * (candidates 0..#distinct-neighbor-colors, so one is always free —
-    * colors stay ≤ maxdeg+1). Simultaneous repairs can re-collide, but a
-    * vertex only ever loses to a HIGHER-priority neighbor, so by induction
-    * on the priority order every vertex settles: deterministic given
-    * (seed, initColors), hence exactly DuckDB-unrollable
+    * colors stay ≤ maxdeg+1). The jitter is the convergence engine: the
+    * first shipped version first-fit the SMALLEST free color, and the
+    * scale-20 probe measured simultaneous adjacent losers re-picking the
+    * same smallest value round after round — 100 repair rounds without
+    * convergence (1928.1s, barely under the MIS loop it exists to beat).
+    * With the pick spread hash-uniformly over each loser's free set,
+    * adjacent losers collide with probability ~1/|free|, so the conflict
+    * set decays geometrically instead of waiting on priority chains.
+    * Deterministic given (seed, initColors) — the jitter is hash60 of
+    * (id, round) — hence exactly DuckDB-unrollable
     * (MiscSql.fastColoringTree). Work per round is bounded by the conflict
     * set and its incident edges, not the whole graph.
+    *
+    * Throws if the conflict set is nonempty after `maxRounds` — a silent
+    * improper coloring is worse than a loud failure.
     * @return (DataFrame(id, color), colors used, repair rounds run). */
   def fastColoringWithStats(g: PropertyGraph, seed: Long = 42, initColors: Int = 4,
                             maxRounds: Int = 50): (DataFrame, Long, Int) = {
     val und = Structure.removeSelfLoops(Structure.symmetrize(g.edges.select(SRC, DST))).mat
+    val nV = g.vertices.count()
+    def hinted(df: DataFrame) = graft.prims.Hint.state(df, nV)
     var colors = g.vertices.select(col(ID),
       pmod(hash60(concat_ws("|", lit("color"), col(ID), lit(seed))),
         lit(initColors.toLong)).as("color")).mat
@@ -136,8 +148,8 @@ object Misc {
       // directions, so evaluating the rule once per direction and
       // dedup-ing yields each conflict's single loser)
       val cc = und
-        .join(colors.select(col(ID).as(SRC), col("color").as("ca")), SRC)
-        .join(colors.select(col(ID).as(DST), col("color").as("cb")), DST)
+        .join(hinted(colors.select(col(ID).as(SRC), col("color").as("ca"))), SRC)
+        .join(hinted(colors.select(col(ID).as(DST), col("color").as("cb"))), DST)
         .filter(col("ca") === col("cb"))
       val (losers, nLose) = graft.prims.Iterate.materializeCount(
         cc.select(when(struct(pOf(col(SRC)), col(SRC)) > struct(pOf(col(DST)), col(DST)),
@@ -146,21 +158,38 @@ object Misc {
       if (nLose == 0) { graft.prims.Release.free(losers); done = true }
       else {
         rounds += 1
-        // distinct neighbor colors of each loser (pre-update colors), then
-        // first-fit the smallest absent candidate in 0..#colors-seen
-        val nbrC = und.join(losers.withColumnRenamed(ID, SRC), SRC)
-          .join(colors.select(col(ID).as(DST), col("color").as("nc")), DST)
+        // distinct neighbor colors of each loser (pre-update colors) — the
+        // loser set broadcasts, so this too is a scan of the cached frame
+        val nbrC = und.join(graft.prims.Hint.state(losers.withColumnRenamed(ID, SRC), nLose), SRC)
+          .join(hinted(colors.select(col(ID).as(DST), col("color").as("nc"))), DST)
           .select(col(SRC).as(ID), col("nc")).distinct().mat
+        // hash-jittered pick among the free candidates in 0..#colors-seen
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(ID)
         val pick = nbrC.groupBy(ID).agg(count(lit(1)).as("n"))
           .select(col(ID), explode(sequence(lit(0L), col("n"))).as("c"))
           .join(nbrC.withColumnRenamed("nc", "c"), Seq(ID, "c"), "left_anti")
-          .groupBy(ID).agg(min("c").as("newc"))
+          .withColumn("rk", row_number().over(w.orderBy("c")))
+          .withColumn("nf", count(lit(1)).over(w))
+          .filter(col("rk") === lit(1) + pmod(
+            hash60(concat_ws("|", lit("coljit"), col(ID), lit(rounds), lit(seed))),
+            col("nf")))
+          .select(col(ID), col("c").as("newc"))
         val next = colors.join(pick, Seq(ID), "left")
           .select(col(ID), coalesce(col("newc"), col("color")).as("color")).mat
         graft.prims.Release.free(colors, losers, nbrC)
         colors = next
       }
     }
+    if (!done) {
+      // the loop can exhaust maxRounds with its LAST repair having fixed
+      // everything — one closing conflict count decides honestly
+      done = und
+        .join(hinted(colors.select(col(ID).as(SRC), col("color").as("ca"))), SRC)
+        .join(hinted(colors.select(col(ID).as(DST), col("color").as("cb"))), DST)
+        .filter(col("ca") === col("cb")).isEmpty
+    }
+    require(done, s"fastColoring: conflicts remain after $maxRounds repair rounds " +
+      "(raise maxRounds; the jittered pick decays conflicts geometrically)")
     val nColors = colors.agg(coalesce(max("color"), lit(-1L))).first().getLong(0) + 1L
     graft.prims.Release.free(und)
     (colors, nColors, rounds)
