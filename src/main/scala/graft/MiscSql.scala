@@ -92,7 +92,8 @@ object MiscSql {
     * then `rounds` unrolled conflict-repair rounds — the lower-priority
     * endpoint of each monochromatic edge picks a HASH-JITTERED color among
     * those absent from its neighborhood (candidates
-    * 0..#distinct-neighbor-colors ranked ascending; index = hash60(id,
+    * 0..2·#distinct-neighbor-colors+1 ranked ascending — the doubled range
+    * that keeps the free set ≥ n+2 in dense cores; index = hash60(id,
     * round) mod #free — the jitter that makes simultaneous adjacent
     * repairs decay geometrically instead of re-colliding on the shared
     * smallest value; see the r11 scale-20 finding on
@@ -126,7 +127,7 @@ object MiscSql {
         |         row_number() OVER (PARTITION BY c.id ORDER BY c.c) AS rk,
         |         count(*) OVER (PARTITION BY c.id) AS nf
         |  FROM (
-        |    SELECT id, unnest(generate_series(0, n)) AS c
+        |    SELECT id, unnest(generate_series(0, 2 * n + 1)) AS c
         |    FROM (SELECT id, count(*) AS n FROM fnbr$r GROUP BY id)
         |  ) c
         |  WHERE NOT EXISTS (SELECT 1 FROM fnbr$r x WHERE x.id = c.id AND x.nc = c.c)

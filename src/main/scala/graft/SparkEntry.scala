@@ -982,7 +982,10 @@ object SparkEntry {
       val (colors0, nColors, repairRounds) =
         Misc.fastColoringWithStats(g, seed = 42, initColors = 4)
       require(repairRounds <= 8, s"repair took $repairRounds rounds, oracle unrolls 8")
-      require(nColors <= 6, s"fast coloring used $nColors colors (sanity bound 6)")
+      // the doubled candidate range (the r11 dense-core convergence fix)
+      // trades a few extra colors for geometric conflict decay: 8 on this
+      // fixture vs the narrow range's 6
+      require(nColors <= 10, s"fast coloring used $nColors colors (sanity bound 10)")
       val colors = colors0.mat
       // self-checking: a proper coloring has no monochromatic edge
       val und = Structure.symmetrize(g.edges.select(SRC, DST))

@@ -123,6 +123,14 @@ object Misc {
     * With the pick spread hash-uniformly over each loser's free set,
     * adjacent losers collide with probability ~1/|free|, so the conflict
     * set decays geometrically instead of waiting on priority chains.
+    * The candidate range is 0..2·#distinct-neighbor-colors+1, NOT the
+    * first-fit-style 0..n: the scale-20 probe caught the narrow range
+    * stalling too — in the dense hub core neighbor colors pack 0..n−1
+    * densely, the free set collapses to the single value {n}, and
+    * adjacent losers re-collide deterministically no matter the jitter.
+    * Doubling the range guarantees ≥ n+2 free values per loser (collision
+    * ≤ 1/(n+2)) at the price of a somewhat larger palette — exactly the
+    * colors-for-rounds trade this strategy exists to make.
     * Deterministic given (seed, initColors) — the jitter is hash60 of
     * (id, round) — hence exactly DuckDB-unrollable
     * (MiscSql.fastColoringTree). Work per round is bounded by the conflict
@@ -166,7 +174,7 @@ object Misc {
         // hash-jittered pick among the free candidates in 0..#colors-seen
         val w = org.apache.spark.sql.expressions.Window.partitionBy(ID)
         val pick = nbrC.groupBy(ID).agg(count(lit(1)).as("n"))
-          .select(col(ID), explode(sequence(lit(0L), col("n"))).as("c"))
+          .select(col(ID), explode(sequence(lit(0L), col("n") * 2 + 1)).as("c"))
           .join(nbrC.withColumnRenamed("nc", "c"), Seq(ID, "c"), "left_anti")
           .withColumn("rk", row_number().over(w.orderBy("c")))
           .withColumn("nf", count(lit(1)).over(w))
