@@ -13,10 +13,12 @@ import graft.core.{PropertyGraph, Structure, Gr}
   * Plan shape: canonical orientation (src<dst on the symmetrized graph) then
   * the classic two-path self-join + closing-edge semi-join. With the canonic
   * orientation every triangle {a<b<c} is counted exactly once as
-  * (a,b)⋈(b,c)⋈(a,c). Both joins shuffle on a single vertex key; at scale
-  * the degree-ordered orientation (order by degree, not id) bounds the
-  * two-path fanout by arboricity — id order is used here because the oracle
-  * must reproduce it in SQL; `orientByDegree=true` gives the skew-safe plan.
+  * (a,b)⋈(b,c)⋈(a,c). Both joins shuffle on a single vertex key. Triangle
+  * ENUMERATION keeps id order because the oracle must reproduce its (a,b,c)
+  * output in SQL; the per-edge SUPPORT kernel (whose value is
+  * orientation-invariant) re-orients by degree internally and canonicalizes
+  * its output keys — the arboricity-bounded wedge stream at scale — see
+  * [[edgeSupportOf]].
   */
 object Triangles {
   import Gr._
@@ -116,17 +118,69 @@ object Triangles {
     val bounds = e.agg(least(min(SRC), min(DST)), greatest(max(SRC), max(DST))).first()
     val sup =
       if (!bounds.isNullAt(0) && bounds.getLong(0) >= 0 && bounds.getLong(1) < (1L << 31)) {
-        // pack (src,dst) into one long: the Σ deg² wedge stream then probes
-        // a single-long broadcast hash set and the O(#triangles) explode
-        // aggregates on a single-long key — ~1.5x the struct-key pipeline
+        // pack (src,dst) into one long: the wedge stream then probes a
+        // single-long hash set and the O(#triangles) explode aggregates on
+        // a single-long key — ~1.5x the struct-key pipeline
         def pk(a: Column, b: Column) = shiftleft(a, 32) + b
-        val ab = e.select(col(SRC).as("a"), col(DST).as("b"))
-        val bc = e.select(col(SRC).as("b"), col(DST).as("c"))
         val ep = e.select(pk(col(SRC), col(DST)).as("pe"))
-        ab.join(bc, "b")
-          .join(graft.prims.Hint.state(ep, nE), pk(col("a"), col("c")) === col("pe"), "left_semi")
-          .select(explode(array(pk(col("a"), col("b")), pk(col("b"), col("c")),
-            pk(col("a"), col("c")))).as("pe"))
+        // closing-edge set gate: packed longs are 8 bytes/row and build a
+        // LongHashedRelation, so the broadcastable ceiling sits far past
+        // the generic 5M state-frame gate (32M keys ≈ a few hundred MB —
+        // executor-sized, not driver-fragile). Keeping the probe map-side
+        // is what keeps the WEDGE stream — the dominant intermediate —
+        // out of the exchange entirely; past the gate the semi-join
+        // degrades to a shuffle and the wedge volume is the bill.
+        val epB = graft.prims.Hint.state(ep, nE, maxRows = 32000000L)
+        val exploded =
+          if (sys.env.contains("GRAFT_SUPPORT_IDORIENT")) {
+            // pre-r11 A/B shape: wedges through the MIDDLE vertex of the
+            // id orientation (a<b<c), volume Σ indeg·outdeg — on
+            // scrambled ids an effectively random orientation, ~deg²/4
+            // at the hubs
+            val ab = e.select(col(SRC).as("a"), col(DST).as("b"))
+            val bc = e.select(col(SRC).as("b"), col(DST).as("c"))
+            ab.join(bc, "b")
+              .join(epB, pk(col("a"), col("c")) === col("pe"), "left_semi")
+              .select(explode(array(pk(col("a"), col("b")), pk(col("b"), col("c")),
+                pk(col("a"), col("c")))).as("pe"))
+          } else {
+            // Degree-ordered wedge enumeration (r11 — the ledger's named
+            // lever). Support is orientation-INVARIANT, so the oracle
+            // constraint that pins `oriented()` to id order (its (a,b,c)
+            // OUTPUT must be SQL-reproducible) does not bind here: re-orient
+            // each edge low-degree → high-degree (tie: lower id) privately,
+            // and canonicalize every emitted key back to id order. Each
+            // triangle is then found exactly once at its min-(deg,id)
+            // corner — the only corner with out-edges to both others — and
+            // the wedge volume drops from Σ indeg·outdeg to Σ C(outdeg,2)
+            // with outdeg bounded by O(√E) under this orientation
+            // (arboricity bound; Chiba–Nishizeki / compact-forward).
+            val deg = e.select(col(SRC).as(ID)).union(e.select(col(DST).as(ID)))
+              .groupBy(ID).agg(count(lit(1)).as("d"))
+            val degB = graft.prims.Hint.state(deg, nV)
+            val low = col("ds") < col("dd") ||
+              (col("ds") === col("dd") && col(SRC) < col(DST))
+            val ow = e
+              .join(degB.select(col(ID).as(SRC), col("d").as("ds")), SRC)
+              .join(degB.select(col(ID).as(DST), col("d").as("dd")), DST)
+              .select(when(low, col(SRC)).otherwise(col(DST)).as("a"),
+                      when(low, col(DST)).otherwise(col(SRC)).as("b"))
+            // out-neighbor lists of the min corner: ONE |E|-row exchange
+            // into a |V|-key agg; a list row stays KB-sized even at the
+            // hubs because outdeg ≤ O(√E) here. Wedges (unordered out-pairs,
+            // deduped by id order b<c) are then generated map-side by a
+            // nested explode — the Σ C(outdeg,2) stream never shuffles.
+            val adjl = ow.groupBy("a").agg(collect_list(col("b")).as("ns"))
+            adjl.select(col("a"), explode(col("ns")).as("b"), col("ns"))
+              .select(col("a"), col("b"), explode(col("ns")).as("c"))
+              .filter(col("b") < col("c"))
+              .join(epB, pk(col("b"), col("c")) === col("pe"), "left_semi")
+              .select(explode(array(
+                pk(least(col("a"), col("b")), greatest(col("a"), col("b"))),
+                pk(least(col("a"), col("c")), greatest(col("a"), col("c"))),
+                pk(col("b"), col("c")))).as("pe"))
+          }
+        exploded
           .groupBy("pe").agg(count(lit(1)).as("support"))
           .select(shiftright(col("pe"), 32).as(SRC),
             col("pe").bitwiseAND(lit((1L << 32) - 1)).as(DST), col("support"))
@@ -182,9 +236,18 @@ object Triangles {
     *     path. Both maintenance forms compute the survivors' support in the
     *     survivor graph exactly, and the peel is confluent — any grouping
     *     of deletions converges to the same maximal fixpoint — so the
-    *     regimes are bit-identical (A/B-asserted in AlgoSpec). */
+    *     regimes are bit-identical (A/B-asserted in AlgoSpec).
+    *
+    * `bulkRecomputeFrac` default 0.02: the r11 degree-ordered support
+    * kernel (broadcast closing probe + arboricity-bounded wedges) made the
+    * full recompute ~5-9× cheaper (141.0s initial / 70.3s over 10.7M
+    * survivors at scale 20) while the incremental path stayed linear in
+    * Σ_del·deg (361.9s at del=265k, 63.7s at del=48k — same probe). The
+    * measured crossover sits near del ≈ 1-2% of the live frame, not the
+    * 25% the pre-r11 cost ratio implied; cascade tails (del ≪ 1%) still
+    * take the broadcast-seeded incremental path. */
   def kTrussWithRounds(g: PropertyGraph, k: Int, maxIter: Int = 100,
-                       bulkRecomputeFrac: Double = 0.25): (DataFrame, Int) = {
+                       bulkRecomputeFrac: Double = 0.02): (DataFrame, Int) = {
     // GRAFT_TRUSS_DEBUG prints per-PHASE walls (pre-restrict / initial
     // support / each round), so a scale probe attributes its total to the
     // regime decisions instead of guessing; GRAFT_TRUSS_NOCORE skips the

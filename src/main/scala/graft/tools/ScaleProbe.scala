@@ -263,6 +263,14 @@ object ScaleProbe {
       // seeded-wedge maintenance get exercised
       results += item("ktruss7")(Triangles.kTruss(g, k = 7).count())
     }
+    if (want("edgesupport")) {
+      // the truss wall in isolation: per-edge support is the Σ-wedge pass
+      // that dominates every truss regime (54%+ of the r11 A/B walls).
+      // Run once with the r11 degree-ordered kernel (default) and once
+      // with GRAFT_SUPPORT_IDORIENT=1 for the same-session orientation A/B
+      // without paying two full 30-min truss runs.
+      results += item("edge_support")(Triangles.edgeSupport(g).count())
+    }
     if (want("trussinc")) {
       // regime A/B: incremental-only maintenance (bulkRecomputeFrac past 1
       // can never trigger, so every deleting round takes the seeded-wedge
