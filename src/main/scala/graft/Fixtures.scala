@@ -205,6 +205,18 @@ object Fixtures {
       (labels.mat, rounds)
     })
 
+  /** Shared Brandes states (k=32 sampled roots) on the supplier graph:
+    * q_betweenness and q_betweenness_endpoints are two scoring passes over
+    * the SAME forward/backward accumulation (the states ARE the algorithm;
+    * endpoints=True only adds two reach aggregations) — one state
+    * computation per session, the similarity-kernel sharing rule. NOT in
+    * prewarm: q_betweenness (first alphabetical toucher) pays it. */
+  private val brandesCache =
+    scala.collection.concurrent.TrieMap[(Int, String), graft.algos.Centrality.BrandesStates]()
+  def supplierBrandes(spark: SparkSession, dir: String): graft.algos.Centrality.BrandesStates =
+    brandesCache.getOrElseUpdate((System.identityHashCode(spark), s"brandes:$dir"),
+      graft.algos.Centrality.brandesStates(supplierGraph(spark, dir), k = Some(32)))
+
   private val countCache = scala.collection.concurrent.TrieMap[(Int, String), Long]()
   def supplierSimNV(spark: SparkSession, dir: String): Long =
     countCache.getOrElseUpdate((System.identityHashCode(spark), s"sim_nv:$dir"),
@@ -233,6 +245,20 @@ object Fixtures {
   def supplierEcgVotes(spark: SparkSession, dir: String): DataFrame =
     cached(spark, s"ecg_votes:$dir")(
       graft.algos.Community.ecgVotes(supplierGraph(spark, dir), ensembleSize = 4))
+
+  /** Shared LSH near-dup cluster table over the documents corpus (n=3,
+    * bands=4, rowsPerBand=2, threshold=0.2): q_dedup_clusters gates the
+    * table directly and q_dedup_keep_best composes the keep-one selection
+    * on top of the SAME pair mining + WCC resolve — one cluster
+    * computation per session (the ecg-votes sharing rule; the first
+    * alphabetical toucher, q_dedup_clusters, pays it). */
+  def documentDupClusters(spark: SparkSession, dir: String): DataFrame =
+    cached(spark, s"dup_clusters:$dir") {
+      val docs = documents(spark, dir)
+      val pairs = graft.pipeline.Dedup.minhashLshPairs(docs,
+        n = 3, bands = 4, rowsPerBand = 2, threshold = 0.2)
+      graft.pipeline.Dedup.resolveClusters(docs, pairs.select("id_a", "id_b"))
+    }
 
   /** Shared duplicated-span table (k=5) over the documents corpus: the
     * mining report (q_dup_spans) and the strip (q_dup_span_strip) consume

@@ -218,19 +218,22 @@ object SparkEntry {
     },
     "q_betweenness" -> q { (s, dir) =>
       // k-sampled roots (reference `k` param): all-source Brandes on the
-      // sf0.1 graph is 30x the work for the same oracle coverage
-      val g = Fixtures.supplierGraph(s, dir)
-      val (res, levels) = Centrality.betweennessWithLevels(g, k = Some(32))
-      require(levels <= 4, s"BFS eccentricity $levels exceeds oracle level budget 4")
+      // sf0.1 graph is 30x the work for the same oracle coverage. The
+      // states are the session-shared kernel (Fixtures.supplierBrandes) —
+      // this first toucher pays the forward/backward accumulation.
+      val st = Fixtures.supplierBrandes(s, dir)
+      require(st.levels <= 4, s"BFS eccentricity ${st.levels} exceeds oracle level budget 4")
+      val res = Centrality.betweennessFromStates(st, k = Some(32),
+        normalized = true, directed = false, endpoints = false)
       res.select(col(ID), round(col("betweenness_centrality"), 6).as("betweenness_centrality"))
     },
     "q_betweenness_endpoints" -> q { (s, dir) =>
       // endpoints=True option (reference betweenness_centrality.py:16):
       // same Brandes states, endpoint terms from the settled set
-      val g = Fixtures.supplierGraph(s, dir)
-      val (res, levels) =
-        Centrality.betweennessWithLevels(g, k = Some(32), endpoints = true)
-      require(levels <= 4, s"BFS eccentricity $levels exceeds oracle level budget 4")
+      val st = Fixtures.supplierBrandes(s, dir)
+      require(st.levels <= 4, s"BFS eccentricity ${st.levels} exceeds oracle level budget 4")
+      val res = Centrality.betweennessFromStates(st, k = Some(32),
+        normalized = true, directed = false, endpoints = true)
       res.select(col(ID), round(col("betweenness_centrality"), 6).as("betweenness_centrality"))
     },
     "q_edge_betweenness" -> q { (s, dir) =>
@@ -532,21 +535,18 @@ object SparkEntry {
       pipeline.Ann.mmrSelect(emb, emb.filter(col("vec_id") === 0), k = 4)
     },
     "q_dedup_clusters" -> q { (s, dir) =>
-      // near-dup pairs → duplicate clusters via WCC over the pair graph
-      val docs = Fixtures.documents(s, dir)
-      val pairs = pipeline.Dedup.minhashLshPairs(docs,
-        n = 3, bands = 4, rowsPerBand = 2, threshold = 0.2)
-      pipeline.Dedup.resolveClusters(docs, pairs.select("id_a", "id_b"))
+      // near-dup pairs → duplicate clusters via WCC over the pair graph;
+      // the cluster table is the session-shared kernel
+      // (Fixtures.documentDupClusters) — this first toucher pays the pair
+      // mining + WCC, q_dedup_keep_best composes on the same table
+      Fixtures.documentDupClusters(s, dir)
     },
     "q_dedup_keep_best" -> q { (s, dir) =>
       // canonical selection after clustering: keep the longest member of
       // each duplicate cluster (ties → lowest id) — the final step of a
-      // production dedup pass, composed from the cluster gate's pipeline
-      val docs = Fixtures.documents(s, dir)
-      val pairs = pipeline.Dedup.minhashLshPairs(docs,
-        n = 3, bands = 4, rowsPerBand = 2, threshold = 0.2)
-      val clusters = pipeline.Dedup.resolveClusters(docs, pairs.select("id_a", "id_b"))
-      pipeline.Dedup.keepBest(docs, clusters)
+      // production dedup pass, composed on the shared cluster kernel
+      pipeline.Dedup.keepBest(Fixtures.documents(s, dir),
+        Fixtures.documentDupClusters(s, dir))
     },
     "q_scrub" -> q { (s, dir) =>
       pipeline.TextAnalysis.scrubPii(Fixtures.documents(s, dir))
@@ -784,18 +784,23 @@ object SparkEntry {
       // checksums flip on any single wrong survivor anywhere upstream.
       val docs = Fixtures.documents(s, dir)
       val emb = Fixtures.embeddings(s, dir)
-      val pairs = pipeline.Dedup.minhashLshPairs(docs,
-        n = 3, bands = 4, rowsPerBand = 2, threshold = 0.2)
-      val clusters = pipeline.Dedup.resolveClusters(docs, pairs.select("id_a", "id_b"))
+      // the LSH cluster table is the session-shared kernel
+      // (Fixtures.documentDupClusters — identical params; q_dedup_clusters
+      // pays it), and each downstream stage's input is materialized ONCE
+      // before the stage trains on it (r11-opt: embeddingDupPairsIvf /
+      // clusterSample each checkpoint their input internally for the
+      // quantizer AND the assignment pass — a lazy join there ran twice)
+      val clusters = Fixtures.documentDupClusters(s, dir)
       val kept1 = pipeline.Dedup.keepBest(docs, clusters)
         .select(col("kept_id").as("vec_id"))
-      val embKept = emb.join(kept1, "vec_id")
+      val embKept = graft.prims.Iterate.materialize(emb.join(kept1, "vec_id"))
       val sem = pipeline.Dedup.embeddingDupPairsIvf(embKept,
         threshold = 0.4, nlist = 16, iters = 3)
       val kept2 = pipeline.Dedup.resolveClusters(
           embKept.select("vec_id"), sem.select("id_a", "id_b"), idCol = "vec_id")
         .filter(col("is_canonical")).select("vec_id")
-      val sampled = pipeline.Ann.clusterSample(emb.join(kept2, "vec_id"),
+      val sampled = pipeline.Ann.clusterSample(
+        graft.prims.Iterate.materialize(emb.join(kept2, "vec_id")),
         nlist = 16, perCluster = 8, iters = 3)
       pipeline.TextAnalysis.shardManifest(
         docs.join(sampled.select(col("vec_id").as("doc_id")), "doc_id"), nShards = 4)

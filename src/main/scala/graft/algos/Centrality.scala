@@ -210,12 +210,32 @@ object Centrality {
                   endpoints: Boolean = false): DataFrame =
     betweennessWithLevels(g, k, seed, normalized, directed, endpoints)._1
 
+  /** The Brandes forward/backward state pair: final dependency table,
+    * settled reach set, vertex list, |V|, BFS level count. The expensive
+    * part of every betweenness variant — the plain and endpoints=True
+    * scorings are each ONE cheap aggregation pass over these states
+    * (reference betweenness_centrality.py computes both from the same
+    * accumulation too), so callers that need both (q_betweenness /
+    * q_betweenness_endpoints) share one state computation per session via
+    * Fixtures, the same kernel-sharing rule as the similarity and
+    * triangle-support tables (r11-opt). */
+  final case class BrandesStates(delta: DataFrame, settled: DataFrame,
+                                 verts: DataFrame, nV: Double, levels: Int)
+
   /** Betweenness also returning the BFS level count (longest shortest path
     * from any root) so oracle queries can assert the unrolled SQL's level
     * budget was sufficient. */
   def betweennessWithLevels(g: PropertyGraph, k: Option[Int] = None, seed: Long = 42,
                   normalized: Boolean = true, directed: Boolean = false,
                   endpoints: Boolean = false): (DataFrame, Int) = {
+    val s = brandesStates(g, k, seed, directed)
+    (betweennessFromStates(s, k, normalized, directed, endpoints), s.levels)
+  }
+
+  /** The forward multi-source BFS + backward dependency accumulation of
+    * [[betweennessWithLevels]], split out so the states can be shared. */
+  def brandesStates(g: PropertyGraph, k: Option[Int] = None, seed: Long = 42,
+                    directed: Boolean = false): BrandesStates = {
     val e0 = if (directed) g.edges.select(SRC, DST)
              else Structure.symmetrize(g.edges.select(SRC, DST))
     val e = e0.mat
@@ -301,6 +321,17 @@ object Centrality {
         .mat
     }
     }
+    BrandesStates(delta, settled, verts, nV, level)
+  }
+
+  /** The scoring tail of [[betweennessWithLevels]] over precomputed states:
+    * one aggregation over delta (+ two over settled for endpoints=True),
+    * then normalization — identical arithmetic to the fused form. */
+  def betweennessFromStates(s: BrandesStates, k: Option[Int],
+                            normalized: Boolean, directed: Boolean,
+                            endpoints: Boolean): DataFrame = {
+    val delta = s.delta; val settled = s.settled
+    val verts = s.verts; val nV = s.nV
     val bc0 = delta.filter(col("root") =!= col(ID))
       .groupBy(ID).agg(sum("delta").as("betweenness_centrality"))
     val full0 = verts.join(bc0, Seq(ID), "left")
@@ -332,7 +363,7 @@ object Centrality {
       halved.select(col(ID),
         (col("betweenness_centrality") / lit(if (scale == 0) 1.0 else scale)).as("betweenness_centrality"))
     }
-    (res, level)
+    res
   }
 
   /** Edge betweenness centrality (reference `betweenness_centrality.py:178`,

@@ -28,19 +28,29 @@ object Community {
     * it (≥0 engages the size-gated broadcast of the labels into both edge
     * joins — prims.Hint.state; default −1 = unknown, plain joins). */
   def modularity(und: DataFrame, labels: DataFrame, resolution: Double = 1.0,
-                 stateRows: Long = -1L): Double = {
+                 stateRows: Long = -1L, m2Known: Double = Double.NaN): Double = {
     val l = labels.select(col(labels.columns(0)).as(ID), col(labels.columns(1)).as("c"))
     val e = und.select(col(SRC), col(DST), col(WEIGHT))
-    val m2 = e.agg(sum(WEIGHT)).first().getDouble(0) // = 2m (both directions present)
+    // = 2m (both directions present). Contraction-invariant (coarsen keeps
+    // self-loops and summed weights), so per-level callers pass the base
+    // graph's value instead of paying a full edge scan per level (r11-opt);
+    // weights are integral on every gated fixture, so the two computations
+    // are the same exact integer.
+    val m2 = if (m2Known.isNaN) e.agg(sum(WEIGHT)).first().getDouble(0) else m2Known
     val withC = e
       .join(graft.prims.Hint.state(
         l.select(col(ID).as(SRC), col("c").as("c_src")), stateRows), SRC)
       .join(graft.prims.Hint.state(
         l.select(col(ID).as(DST), col("c").as("c_dst")), stateRows), DST)
-    val inC = withC.filter(col("c_src") === col("c_dst"))
-      .groupBy("c_src").agg(sum(WEIGHT).as("in_w"))
-    val totC = withC.groupBy("c_src").agg(sum(WEIGHT).as("tot_w"))
-    val parts = totC.join(inC, Seq("c_src"), "left")
+    // ONE aggregation pass computes both Σ_c totals (r11-opt: the previous
+    // inC/totC pair each re-scanned the double-join output — two full
+    // passes over the joined edge stream for two sums the same groupBy
+    // produces together). in_w as a conditional sum over the identical row
+    // multiset; integral weights keep it bit-exact, and communities with no
+    // intra edge get 0.0 exactly as the old left-join coalesce produced.
+    val parts = withC.groupBy("c_src")
+      .agg(sum(WEIGHT).as("tot_w"),
+        sum(when(col("c_src") === col("c_dst"), col(WEIGHT)).otherwise(lit(0.0))).as("in_w"))
       .select((coalesce(col("in_w"), lit(0.0)) / m2
         - lit(resolution) * pow(col("tot_w") / m2, 2)).as("q"))
     parts.agg(sum("q")).first().getDouble(0)
@@ -115,7 +125,8 @@ object Community {
       // summed weights), so evaluate on the CURRENT level's graph — after
       // level 1 that is the contracted graph, orders of magnitude smaller
       // than re-scoring `base` with the flattened labels
-      val q = modularity(lvlEdges, lvlLabels, resolution, stateRows = nLvl)
+      val q = modularity(lvlEdges, lvlLabels, resolution, stateRows = nLvl,
+        m2Known = m2v)
       if (q - prevQ <= threshold) improved = false
       else {
         prevQ = q
@@ -184,23 +195,28 @@ object Community {
                                    resolution: Double,
                                    inputMat: Boolean = false): (DataFrame, Int, Long) = {
     val e = if (inputMat) undK else undK.mat
-    // per-run 2m normalizer: ONE row per ensemble run (bounded by the
-    // ensemble size at any graph scale), so it is collected once into a
-    // literal map lookup instead of broadcast-joined — one fewer broadcast
-    // build job in every round
+    // k_i: weighted degree (self-loops count fully toward k_i here since the
+    // coarsened graph stores c->c weight once per direction pair). The row
+    // degree rides along so every level-setup scalar below derives from this
+    // one V-row table instead of re-scanning the 2E-row edge frame.
+    val ki = e.groupBy(col("run"), col(SRC).as(ID))
+      .agg(sum(WEIGHT).as("k"), count(lit(1)).as("deg")).mat
+    // ONE stats job per level (r11-opt; was three: ki.count, an m2 agg over
+    // the full edge frame, e.count): per-run 2m normalizer (Σ k_i = Σ w —
+    // integral weights, so the regrouped sum is the same exact integer),
+    // state size, and the edge-row count that sizes the stream cache.
     // explicit casts keep the collect type-safe for any caller passing an
     // int run key or integer weights (getLong/getDouble would CCE)
-    val m2Map: Map[Long, Double] = e.groupBy("run")
-      .agg(sum(WEIGHT).cast("double").as("m2"))
-      .select(col("run").cast("long"), col("m2"))
-      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val stats = ki.groupBy(col("run").cast("long").as("run"))
+      .agg(sum("k").cast("double").as("m2"), sum("deg").as("ne"),
+        count(lit(1)).as("nv"))
+      .collect()
+    val m2Map: Map[Long, Double] =
+      stats.map(r => r.getLong(0) -> r.getDouble(1)).toMap
     val m2Col = element_at(typedlit(m2Map), col("run"))
-    // k_i: weighted degree (self-loops count fully toward k_i here since the
-    // coarsened graph stores c->c weight once per direction pair)
-    val ki = e.groupBy(col("run"), col(SRC).as(ID)).agg(sum(WEIGHT).as("k")).mat
     // per-(run,vertex) state size — broadcast it into the edge join when
     // small (prims.Hint.state) so each round scans edges in place
-    val nState = ki.count()
+    val nState = stats.map(_.getLong(3)).sum
     // the loop state carries k ALONGSIDE the label: every consumer of the
     // old per-round labels⋈ki join (community totals, candidate scoring)
     // now reads one checkpointed frame — two recomputed join subplans per
@@ -245,15 +261,23 @@ object Community {
     // 58.9s → 73-75s with N pinned to the session's 32).
     val sessionParts =
       e.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toLong
-    val nERows = e.count() // e is materialized — a cached count
+    val nERows = stats.map(_.getLong(2)).sum // Σ deg — no extra edge scan
     val streamParts = nERows / 500000L + 1L
+    // Under the state-broadcast gate the per-round dst attach is a
+    // broadcast-hash join (no clustering requirement on the stream), so the
+    // stream is cached partitioned by (run, SRC) — the partitioning the
+    // candidate aggregation needs — and the whole round runs exchange-free
+    // over it (r11-opt; see the round body below). Past the gate the stream
+    // keeps its (run, DST) layout for the shuffle-hash state attach.
+    val broadcastRound = nState <= 5000000L
+    val streamKey = if (broadcastRound) col(SRC) else col(DST)
     val eNoSelfK = {
       val kSrc = ki.select(col("run"), col(ID).as(SRC), col("k").as("k_src"))
       val joined = e.filter(col(SRC) =!= col(DST))
         .join(graft.prims.Hint.state(kSrc, nState), Seq("run", SRC))
       (if (streamParts > sessionParts)
-         joined.repartition(streamParts.toInt, col("run"), col(DST))
-       else joined.repartition(col("run"), col(DST)))
+         joined.repartition(streamParts.toInt, col("run"), streamKey)
+       else joined.repartition(col("run"), streamKey))
         .cache()
     }
     // materialize the cache off the per-round path; the count also sizes
@@ -339,6 +363,104 @@ object Community {
       // per-partition state map (≤ nState/parts rows), so power-law skew
       // costs task imbalance, never a reducer blow-up.
       val stDst = state.select(col("run"), col(ID).as(DST), col("community").as("nc"))
+      // r11-opt, state-broadcast regime: the ENTIRE round is exchange-free
+      // over the big stream. One broadcast of the state table serves both
+      // per-round attaches (dst community pre-agg, own community post-agg —
+      // identical build keys (run, vid), so the exchange is built once and
+      // reused); the (run, SRC)-partitioned cache satisfies both the
+      // candidate aggregation and the best-move aggregation, so the 2E-row
+      // candidate stream that the union+repartition shape exchanged every
+      // round never moves at all. The self/stay row is not unioned into the
+      // stream anymore: the stay gain is recovered from the candidate row
+      // with nc = own community when one exists (same float expression over
+      // the same operands), or computed directly from (k, tot) when the
+      // vertex has no intra-community neighbor — exactly the value the old
+      // explicit self row carried (w_in = 0.0). Decisions are bit-identical
+      // (integral weight sums; same gain expression tree; same tie-breaks),
+      // which the full oracle suite re-confirms.
+      if (broadcastRound) {
+        // ONE broadcast per round: per-vertex (community, community k-total)
+        // — the total attached by a window INSIDE the broadcast build, so
+        // the separate tot broadcast disappears. Both stream attaches (dst:
+        // neighbor community + ITS total; src: own community + ITS total)
+        // probe this same table with the same pruned projection, so the
+        // exchange is built once and reused.
+        val stPlus = broadcast(
+          state.select(col("run").as("r2"), col(ID).as("vid"),
+              col("community").as("c2"), col("k").as("k2"))
+            .withColumn("tot2", sum(col("k2")).over(
+              Window.partitionBy(col("r2"), col("c2"))))
+            .drop("k2"))
+        val attached = eNoSelfK
+          .join(stPlus, col("run") === col("r2") && col(DST) === col("vid"))
+          .select(col("run"), col(SRC), col(WEIGHT), col("k_src"),
+            col("c2").as("nc"), col("tot2").as("tot_nc"))
+          .join(stPlus, col("run") === col("r2") && col(SRC) === col("vid"))
+          .select(col("run"), col(SRC).as(ID), col("nc"), col(WEIGHT).as("w_in"),
+            col("k_src").as("k"), col("tot_nc"),
+            col("c2").as("c_cur"), col("tot2").as("tot_cur"))
+        val cands = attached
+          .groupBy(col("run"), col(ID), col("nc"))
+          .agg(sum("w_in").as("w_in"), max("k").as("k"),
+            max("tot_nc").as("tot"), max("c_cur").as("c_cur"),
+            max("tot_cur").as("tot_cur"))
+        val scored = cands
+          .select(col("run"), col(ID), col("nc"), col("c_cur"), col("k"),
+            col("tot_cur"),
+            (col("w_in") - lit(resolution) * col("k") *
+              (when(col("nc") === col("c_cur"), col("tot") - col("k"))
+                .otherwise(col("tot"))) / m2Col).as("gain"))
+        val best = scored.groupBy(col("run"), col(ID))
+          .agg(max_by(struct(col("nc"), col("gain")),
+            struct(col("gain"), -col("nc"))).as("b"),
+            max(when(col("nc") === col("c_cur"), col("gain"))).as("intra_gain"),
+            max(lit(0.0) - lit(resolution) * col("k") * (col("tot_cur") - col("k"))
+              / m2Col).as("stay_base"))
+        val mayMove =
+          if (parityMode && !probe) pmod(col(ID) + lit(it), lit(maskMod)) === 0
+          else lit(true)
+        val roundFrame = state.join(best, Seq("run", ID), "left")
+          .select(col("run"), col(ID), col("community").as("old"),
+            when(mayMove &&
+                 col("b.gain") > coalesce(col("intra_gain"), col("stay_base")) + lit(1e-12),
+              col("b.nc")).otherwise(col("community")).as("community"),
+            col("k"))
+        if (it == 2 && sys.env.contains("GRAFT_LOUVAIN_DEBUG"))
+          System.err.println(roundFrame.queryExecution.executedPlan.toString)
+        val (nextC, movedNow) = graft.prims.Iterate.materializeCount(roundFrame,
+          sum(when(col("community") =!= col("old"), 1L).otherwise(0L)),
+          _.filter(col("community") =!= col("old")).count())
+        moved = movedNow
+        if (carryTot && moved > 0) {
+          val movers = nextC.filter(col("community") =!= col("old"))
+          val delta = movers.select(col("run"), col("old").as("community"), (-col("k")).as("d"))
+            .unionByName(movers.select(col("run"), col("community"), col("k").as("d")))
+            .groupBy("run", "community").agg(sum("d").as("d"))
+          val newTot = totState.join(delta, Seq("run", "community"), "full")
+            .select(col("run"), col("community"),
+              (coalesce(col("tot"), lit(0.0)) + coalesce(col("d"), lit(0.0))).as("tot"))
+            .filter(col("tot") =!= 0.0)
+            .mat
+          graft.prims.Release.free(totState)
+          totState = newTot
+        }
+        if (!parityMode) {
+          if (moved == 0) zeroStreak = Int.MaxValue
+          else parityMode = true
+          prevMoved = moved
+        } else if (probe) {
+          probe = false
+          if (moved == 0) zeroStreak = Int.MaxValue
+          else { maskMod *= 2; stall = 0; zeroStreak = 0 }
+        } else {
+          zeroStreak = if (moved == 0) zeroStreak + 1 else 0
+          stall = if (moved == 0) 0 else stall + 1
+          if (stall >= StallLimit) { maskMod *= 2; stall = 0; zeroStreak = 0 }
+          if (maskMod > 2 && zeroStreak >= 2) probe = true
+        }
+        graft.prims.Release.free(state)
+        state = nextC.select(col("run"), col(ID), col("community"), col("k"))
+      } else {
       val eWithC = eNoSelfK.join(stDst.hint("shuffle_hash"), Seq("run", DST))
       // ONE exchange of the candidate stream per round: hash-partitioned
       // by (run, vertex) up front, which simultaneously satisfies the
@@ -462,6 +584,7 @@ object Community {
       // rest of the composed run (prims.Release scaladoc)
       graft.prims.Release.free(state)
       state = nextC.select(col("run"), col(ID), col("community"), col("k"))
+      }
     }
     }
     } finally {

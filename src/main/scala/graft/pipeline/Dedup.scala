@@ -322,9 +322,14 @@ object Dedup {
     * literal suffix array, is what runs at 100 TB. */
   def duplicateSpans(docs: DataFrame, k: Int = 5, idCol: String = "doc_id",
                      textCol: String = "text"): DataFrame = {
+    // materialized ONCE (r11-opt): the window stream feeds both the dup-key
+    // aggregation and the mark-back join — as a lazy frame the tokenize +
+    // per-window md5 (the kernel's dominant CPU) ran twice, once per
+    // consumer subtree.
     val wins = docs.select(col(idCol),
         posexplode(shingles(tokens(col(textCol)), k)).as(Seq("pos", "g")))
       .select(col(idCol), col("pos").cast("long").as("pos"), hash60(col("g")).as("h"))
+      .mat
     val dup = wins.groupBy("h")
       .agg(min(idCol).as("_mn"), max(idCol).as("_mx"))
       .filter(col("_mn") =!= col("_mx")).select("h")
