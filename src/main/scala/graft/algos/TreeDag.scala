@@ -73,18 +73,22 @@ object TreeDag {
         var lbl = cgSym.select(col(SRC).as(ID)).distinct()
           .select(col(ID), col(ID).as("ml")).mat
         var ch = 1L
-        // AQE off for the inner min-label rounds when the component map
-        // clears the broadcast gate — both joins are st()-hinted (the
-        // outer round's cg joins stay under AQE: `chosen` is sized at
-        // runtime there by design). See prims.Aqe.
+        // AQE off + scoped width for the inner min-label rounds (see
+        // prims.Aqe). UNLIKE the level loops, these joins are NOT
+        // broadcast-hinted (r11-opt): both sides are the SAME shrinking
+        // O(#components) merge-graph frames, so a broadcast buys no
+        // scan-in-place of a bigger side — it only added two build jobs
+        // per inner round; a plain join at the scoped width exchanges the
+        // same magnitude of rows inside the materialize job itself
+        // (2 jobs/inner round instead of 4).
         def innerLoop[T](body: => T): T =
           if (nV <= 5000000L) graft.prims.Aqe.off(canon.sparkSession, nV)(body) else body
         innerLoop {
         while (ch > 0) {
-          val nbrMin = cgSym.join(st(lbl.withColumnRenamed(ID, SRC)), SRC)
+          val nbrMin = cgSym.join(lbl.withColumnRenamed(ID, SRC), SRC)
             .groupBy(col(DST).as(ID)).agg(min("ml").as("nm"))
           val (nxt, c) = graft.prims.Iterate.materializeCount(
-            lbl.join(st(nbrMin), Seq(ID), "left")
+            lbl.join(nbrMin, Seq(ID), "left")
               .select(col(ID), col("ml").as("old"),
                 least(col("ml"), coalesce(col("nm"), col("ml"))).as("ml")),
             sum(when(col("ml") < col("old"), 1L).otherwise(0L)),

@@ -140,6 +140,58 @@ object Structure {
      .agg(sum(WEIGHT).as(WEIGHT))
   }
 
+  /** Batched structural bipartiteness over SEVERAL graphs at once — the
+    * min-(label, parity) fixpoint of PropertyGraph.isBipartite with a
+    * graph-id key on every state row, so N graphs cost ONE set of
+    * per-round jobs instead of N (the multi-source-BFS batching rule,
+    * SURVEY §7.4-2; r11-opt — q_is_bipartite checks two graphs and was
+    * paying two full fixpoint loops). Per-graph fixpoints are independent
+    * under the gid key (monotone min — a converged graph's rows simply
+    * stop changing while stragglers finish), so the booleans are exactly
+    * the per-graph results. */
+  def bipartiteBatch(gs: Seq[(String, PropertyGraph)]): Map[String, Boolean] = {
+    val und = graft.prims.Iterate.materialize(
+      gs.zipWithIndex.map { case ((_, g), i) =>
+        symmetrize(g.edges.select(SRC, DST)).select(lit(i).as("gid"), col(SRC), col(DST))
+      }.reduce(_ unionByName _))
+    val verts = gs.zipWithIndex.map { case ((_, g), i) =>
+      g.vertices.select(lit(i).as("gid"), col(ID))
+    }.reduce(_ unionByName _)
+    var st = graft.prims.Iterate.materialize(
+      verts.select(col("gid"), col(ID), col(ID).as("ml"), lit(0).as("par")))
+    val nV = st.count()
+    var ch = 1L
+    def loops[T](body: => T): T =
+      if (nV <= 5000000L) graft.prims.Aqe.off(und.sparkSession, nV)(body) else body
+    loops {
+    while (ch > 0) {
+      val nbrMin = und.join(
+          graft.prims.Hint.state(st.withColumnRenamed(ID, SRC), nV), Seq("gid", SRC))
+        .select(col("gid"), col(DST).as(ID), col("ml"), (lit(1) - col("par")).as("par"))
+        .groupBy("gid", ID).agg(min(struct(col("ml"), col("par"))).as("nb"))
+      val (nxt, c) = graft.prims.Iterate.materializeCount(
+        st.join(nbrMin, Seq("gid", ID), "left")
+          .select(col("gid"), col(ID), struct(col("ml"), col("par")).as("old"),
+            least(struct(col("ml"), col("par")),
+              coalesce(col("nb"), struct(col("ml"), col("par")))).as("nw")),
+        sum(when(col("nw") < col("old"), 1L).otherwise(0L)),
+        _.filter(col("nw") < col("old")).count())
+      ch = c
+      graft.prims.Release.free(st)
+      st = nxt.select(col("gid"), col(ID), col("nw.ml").as("ml"), col("nw.par").as("par"))
+    }
+    }
+    val badPerGid = und
+      .join(st.select(col("gid"), col(ID).as(SRC), col("par").as("pa")), Seq("gid", SRC))
+      .join(st.select(col("gid"), col(ID).as(DST), col("par").as("pb")), Seq("gid", DST))
+      .filter(col("pa") === col("pb"))
+      .groupBy("gid").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    gs.zipWithIndex.map { case ((name, _), i) =>
+      name -> (badPerGid.getOrElse(i, 0L) == 0L)
+    }.toMap
+  }
+
   /** Apply an old→new vertex id map to an edge list
     * (`graph_functions.hpp:653`) — join ×2. */
   def relabel(edges: DataFrame, mapping: DataFrame): DataFrame = {

@@ -61,12 +61,15 @@ object Dedup {
     * (`link_prediction/jaccard.py:197`), re-expressed at corpus scale. */
   def minhashLshPairs(docs: DataFrame, n: Int = 3, bands: Int = 4, rowsPerBand: Int = 2,
                       threshold: Double = 0.2,
-                      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+                      idCol: String = "doc_id", textCol: String = "text",
+                      shinglesPre: Option[DataFrame] = None): DataFrame = {
     val k = bands * rowsPerBand
     // ONE shingle build feeds both the signatures and the exact scoring —
     // the explode + distinct it saves was the pipeline's single biggest
-    // cost (2x end-to-end on the documents fixture)
-    val sh = shingleFrame(docs, n, idCol, textCol).mat
+    // cost (2x end-to-end on the documents fixture). Callers holding an
+    // already-materialized (doc, shingle) frame pass it via shinglesPre
+    // (r11-opt: the session-shared fixture serves the whole n=3 family).
+    val sh = shinglesPre.getOrElse(shingleFrame(docs, n, idCol, textCol).mat)
     val mh = minhashFromShingles(sh, k, idCol).mat
     val bandKeys = bandKeyFrame(mh, bands, rowsPerBand, idCol)
     val cand = bandKeys.as("a")
@@ -256,10 +259,11 @@ object Dedup {
     * see PipelineSpec). */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.2,
                         idCol: String = "doc_id", textCol: String = "text",
-                        maxShingleDf: Int = 0): DataFrame = {
-    val sh = docs
+                        maxShingleDf: Int = 0,
+                        shinglesPre: Option[DataFrame] = None): DataFrame = {
+    val sh = shinglesPre.getOrElse(docs
       .select(col(idCol), explode(shingles(tokens(col(textCol)), n)).as("s"))
-      .distinct().mat
+      .distinct().mat)
     val cnt = sh.groupBy(idCol).agg(count(lit(1)).as("n_sh"))
     val inter =
       if (maxShingleDf <= 0) {
