@@ -391,24 +391,26 @@ object Community {
             .withColumn("tot2", sum(col("k2")).over(
               Window.partitionBy(col("r2"), col("c2"))))
             .drop("k2"))
-        val attached = eNoSelfK
+        // dst attach (community + its total) pre-agg — it DEFINES the
+        // candidate key; the src attach (own community + its total) waits
+        // until after the aggregation and probes the COMPACTED
+        // per-(vertex, community) rows instead of the full stream
+        // (r11-opt round 2: two fewer carried columns and two fewer agg
+        // buffers through the stream-sized aggregation; both joins still
+        // probe the same broadcast, so the exchange stays built once).
+        val cands = eNoSelfK
           .join(stPlus, col("run") === col("r2") && col(DST) === col("vid"))
-          .select(col("run"), col(SRC), col(WEIGHT), col("k_src"),
-            col("c2").as("nc"), col("tot2").as("tot_nc"))
-          .join(stPlus, col("run") === col("r2") && col(SRC) === col("vid"))
-          .select(col("run"), col(SRC).as(ID), col("nc"), col(WEIGHT).as("w_in"),
-            col("k_src").as("k"), col("tot_nc"),
-            col("c2").as("c_cur"), col("tot2").as("tot_cur"))
-        val cands = attached
+          .select(col("run"), col(SRC).as(ID), col(WEIGHT).as("w_in"),
+            col("k_src").as("k"), col("c2").as("nc"), col("tot2").as("tot_nc"))
           .groupBy(col("run"), col(ID), col("nc"))
           .agg(sum("w_in").as("w_in"), max("k").as("k"),
-            max("tot_nc").as("tot"), max("c_cur").as("c_cur"),
-            max("tot_cur").as("tot_cur"))
+            max("tot_nc").as("tot"))
         val scored = cands
-          .select(col("run"), col(ID), col("nc"), col("c_cur"), col("k"),
-            col("tot_cur"),
+          .join(stPlus, col("run") === col("r2") && col(ID) === col("vid"))
+          .select(col("run"), col(ID), col("nc"), col("c2").as("c_cur"),
+            col("k"), col("tot2").as("tot_cur"),
             (col("w_in") - lit(resolution) * col("k") *
-              (when(col("nc") === col("c_cur"), col("tot") - col("k"))
+              (when(col("nc") === col("c2"), col("tot") - col("k"))
                 .otherwise(col("tot"))) / m2Col).as("gain"))
         val best = scored.groupBy(col("run"), col(ID))
           .agg(max_by(struct(col("nc"), col("gain")),
