@@ -11,6 +11,17 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver greps `runMain graft.Bench` stdout for ONE JSON line. With the
+// default LoggedOutput strategy sbt re-logs the forked process's stdout with
+// an "[info] " prefix (and stderr as "[error] "), which breaks any line-level
+// JSON parse of the captured output — every BENCH_r01..r11 capture shows the
+// line as `[info] {"metric":...}` and parsed:null. StdoutOutput passes the
+// forked process's stdout/stderr through verbatim; showSuccess drops sbt's
+// trailing "[success] Total time..." line so the bench JSON is the LAST
+// stdout line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

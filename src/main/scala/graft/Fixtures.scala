@@ -35,9 +35,21 @@ object Fixtures {
     * (`bench_algos.py` benches `create_graph` separately from the algos), so
     * graph construction is paid once, not per query. `Iterate.materialize`
     * keeps the result partition-local with reset plan statistics. */
-  private val cache = scala.collection.concurrent.TrieMap[(Int, String), DataFrame]()
+  // Session keys (ADVICE r11): identityHashCode could collide after an old
+  // session is GC'd and serve frames bound to a stopped SparkContext. A
+  // UUID minted once into the session's (session-scoped) runtime conf is
+  // unique for the process lifetime, so a new session never inherits a
+  // dead session's entries. (SparkSession.sessionUUID is private[sql].)
+  private def sessionKey(spark: SparkSession): String = this.synchronized {
+    val k = "graft.internal.session_key"
+    spark.conf.getOption(k).getOrElse {
+      val u = java.util.UUID.randomUUID().toString
+      spark.conf.set(k, u); u
+    }
+  }
+  private val cache = scala.collection.concurrent.TrieMap[(String, String), DataFrame]()
   private def cached(spark: SparkSession, key: String)(build: => DataFrame): DataFrame =
-    cache.getOrElseUpdate((System.identityHashCode(spark), key),
+    cache.getOrElseUpdate((sessionKey(spark), key),
       build.mat)
 
   /** Supplier co-order graph: suppliers appearing in the same order, canonical
@@ -197,9 +209,9 @@ object Fixtures {
     * deterministic schedule, so one run serves both (the move phase is the
     * family's dominant cost). Rounds are cached with the labels so both
     * queries keep their unroll-budget asserts. */
-  private val l1Cache = scala.collection.concurrent.TrieMap[(Int, String), (DataFrame, Int)]()
+  private val l1Cache = scala.collection.concurrent.TrieMap[(String, String), (DataFrame, Int)]()
   def supplierLouvainL1(spark: SparkSession, dir: String): (DataFrame, Int) =
-    l1Cache.getOrElseUpdate((System.identityHashCode(spark), s"louvain_l1:$dir"), {
+    l1Cache.getOrElseUpdate((sessionKey(spark), s"louvain_l1:$dir"), {
       val (labels, rounds) = graft.algos.Community.oneLevelWithRounds(
         supplierGraph(spark, dir), maxIter = 8)
       (labels.mat, rounds)
@@ -212,17 +224,17 @@ object Fixtures {
     * computation per session, the similarity-kernel sharing rule. NOT in
     * prewarm: q_betweenness (first alphabetical toucher) pays it. */
   private val brandesCache =
-    scala.collection.concurrent.TrieMap[(Int, String), graft.algos.Centrality.BrandesStates]()
+    scala.collection.concurrent.TrieMap[(String, String), graft.algos.Centrality.BrandesStates]()
   def supplierBrandes(spark: SparkSession, dir: String): graft.algos.Centrality.BrandesStates =
-    brandesCache.getOrElseUpdate((System.identityHashCode(spark), s"brandes:$dir"),
+    brandesCache.getOrElseUpdate((sessionKey(spark), s"brandes:$dir"),
       graft.algos.Centrality.brandesStates(supplierGraph(spark, dir), k = Some(32)))
 
-  private val countCache = scala.collection.concurrent.TrieMap[(Int, String), Long]()
+  private val countCache = scala.collection.concurrent.TrieMap[(String, String), Long]()
   def supplierSimNV(spark: SparkSession, dir: String): Long =
-    countCache.getOrElseUpdate((System.identityHashCode(spark), s"sim_nv:$dir"),
+    countCache.getOrElseUpdate((sessionKey(spark), s"sim_nv:$dir"),
       supplierSimDeg(spark, dir).count())
   def supplierSimNVW(spark: SparkSession, dir: String): Long =
-    countCache.getOrElseUpdate((System.identityHashCode(spark), s"sim_nv_w:$dir"),
+    countCache.getOrElseUpdate((sessionKey(spark), s"sim_nv_w:$dir"),
       supplierSimDegW(spark, dir).count())
 
   /** Shared per-edge triangle-support kernel over the supplier graph. The
