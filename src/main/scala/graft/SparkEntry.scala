@@ -1436,12 +1436,16 @@ object SparkEntry {
       // (MiscSql.ecgFullSupplier). The former modularity floor (recorded
       // 0.201 sf0.01; 0.224 with integral units) is superseded by
       // bit-exact labels; the assert pins the level branch the SQL unrolls.
-      val g = Fixtures.supplierGraph(s, dir)
+      // r12: feed the reweighted votes to louvainPrepared directly — the
+      // vote table is symmetric by construction (votes per direction of the
+      // symmetrized ensemble edges) and self-loop-free, so the
+      // louvainWithLevels re-symmetrize (fwd∪rev + groupBy min over 2E
+      // rows + checkpoint) reproduced the identical row multiset at the
+      // cost of one full shuffle + mat. Same entry Community.ecg uses for
+      // the same reason; labels bit-identical (gate re-verified).
       val rw = Community.ecgReweight(
         Fixtures.supplierEcgVotes(s, dir), ensembleSize = 4)
-      val g2 = graft.core.PropertyGraph(Structure.extractVertexList(rw), rw,
-        g.props.copy(weighted = true, directed = false))
-      val (labels, _, levels) = Community.louvainWithLevels(g2, maxLevel = 2, maxIter = 8)
+      val (labels, _, levels) = Community.louvainPrepared(rw, maxLevel = 2, maxIter = 8)
       require(levels == 2, s"oracle unrolls exactly 2 levels, ran $levels")
       labels
     },

@@ -90,16 +90,34 @@ object Community {
   def louvainPrepared(base: DataFrame, maxLevel: Int = 10, maxIter: Int = 20,
                       resolution: Double = 1.0,
                       threshold: Double = 1e-7): (DataFrame, Double, Int) = {
-    // labels carried across levels: id -> community in the ORIGINAL graph
-    var flat = Structure.extractVertexList(base)
-      .select(col(ID), col(ID).as("louvain")).mat
+    // labels carried across levels: id -> community in the ORIGINAL graph.
+    // Built lazily (r12): level 1's label table IS the flat map over the
+    // vertex list (level-1 vertices are the original vertices), so the
+    // up-front extractVertexList materialization and the level-1 re-map
+    // join are both skipped — flat starts null and level 1 assigns it.
+    var flat: DataFrame = null
     var lvlEdges = base
-    // singleton partition: in_c = 0 (base has no self-loops), so
-    // Q₀ = −res · Σ k_i² / (2m)² — two scalar aggs instead of the
-    // double edge join the general evaluator pays
-    val m2v = base.agg(sum(WEIGHT)).first().getDouble(0)
-    var prevQ = -resolution * base.groupBy(col(SRC)).agg(sum(WEIGHT).as("k"))
-      .agg(sum(pow(col("k"), 2))).first().getDouble(0) / (m2v * m2v)
+    // ONE setup pass (r12; was two edge scans — the m2 agg and the k² agg):
+    // per-vertex k from a grouped agg, then Σk (= Σw = 2m), Σk² (for the
+    // singleton-partition Q₀ = −res · Σ k_i² / (2m)², base has no
+    // self-loops) and a weight-integrality flag in one reduction.
+    val setup = base.groupBy(col(SRC))
+      .agg(sum(WEIGHT).as("k"),
+        max(when(col(WEIGHT) =!= round(col(WEIGHT)), 1).otherwise(0)).as("fr"))
+      .agg(sum("k").as("m2"), sum(pow(col("k"), 2)).as("k2"), max("fr").as("fr"))
+      .first()
+    // Integral weights (every gated fixture): the regrouped Σk is the same
+    // exact integer-valued double as the flat edge-scan Σw, and the
+    // contraction-invariant m2 can serve every level's modularity without
+    // ulp drift. Fractional weights (ADVICE r11 #1): the regrouped sum and
+    // the per-level contracted sums can differ by ulps — keep the flat
+    // edge-scan m2 and the per-level re-scan semantics there, so the
+    // q − prevQ ≤ threshold level exit sees the exact pre-r11 values.
+    val integralW = setup.getInt(2) == 0
+    val m2v = if (integralW) setup.getDouble(0)
+              else base.agg(sum(WEIGHT)).first().getDouble(0)
+    val m2ForLevels = if (integralW) m2v else Double.NaN
+    var prevQ = -resolution * setup.getDouble(1) / (m2v * m2v)
     var level = 0
     var improved = true
     // whether lvlEdges is a frame THIS loop materialized (level ≥ 2's
@@ -112,21 +130,28 @@ object Community {
       // map original vertices through this level's assignment — the level
       // label table is one row per CURRENT-level vertex (shrinks per
       // level), so it rides the same size-gated broadcast as the in-round
-      // state joins instead of shuffling the original-V flat table
-      val newFlat = flat.join(graft.prims.Hint.state(
-          lvlLabels.withColumnRenamed(ID, "louvain_old")
-            .withColumnRenamed("community", "louvain_new"), nLvl),
-          flat("louvain") === col("louvain_old"))
-        .select(flat(ID), col("louvain_new").as("louvain"))
-        .mat
-      graft.prims.Release.free(flat)
+      // state joins instead of shuffling the original-V flat table.
+      // Level 1: the label table already IS the (original id → community)
+      // map over exactly the base vertex set (oneLevel's state covers every
+      // endpoint of base, the same set extractVertexList(base) yields), so
+      // it becomes flat directly — no vertex-list build, no re-map join.
+      val newFlat =
+        if (flat == null)
+          lvlLabels.select(col(ID), col("community").as("louvain")).mat
+        else flat.join(graft.prims.Hint.state(
+            lvlLabels.withColumnRenamed(ID, "louvain_old")
+              .withColumnRenamed("community", "louvain_new"), nLvl),
+            flat("louvain") === col("louvain_old"))
+          .select(flat(ID), col("louvain_new").as("louvain"))
+          .mat
+      if (flat != null) graft.prims.Release.free(flat)
       flat = newFlat
       // modularity is contraction-invariant (coarsen keeps self-loops and
       // summed weights), so evaluate on the CURRENT level's graph — after
       // level 1 that is the contracted graph, orders of magnitude smaller
       // than re-scoring `base` with the flattened labels
       val q = modularity(lvlEdges, lvlLabels, resolution, stateRows = nLvl,
-        m2Known = m2v)
+        m2Known = m2ForLevels)
       if (q - prevQ <= threshold) improved = false
       else {
         prevQ = q
@@ -217,6 +242,10 @@ object Community {
     // per-(run,vertex) state size — broadcast it into the edge join when
     // small (prims.Hint.state) so each round scans edges in place
     val nState = stats.map(_.getLong(3)).sum
+    // regime split decided once: under the gate the per-round state
+    // broadcast serves every attach (see the round body); past it the
+    // r10 shuffle-hash shape is kept verbatim
+    val broadcastRound = nState <= 5000000L
     // the loop state carries k ALONGSIDE the label: every consumer of the
     // old per-round labels⋈ki join (community totals, candidate scoring)
     // now reads one checkpointed frame — two recomputed join subplans per
@@ -235,7 +264,12 @@ object Community {
     // default A/B (measured a wash at scale-20, BASELINE r7); anyone turning
     // it on for fractional-weight graphs gets the re-aggregation path's
     // semantics only approximately.
-    val carryTot = sys.env.contains("GRAFT_CARRY_TOT")
+    // ADVICE r11 #2: under the broadcast regime the flag bought only dead
+    // per-round work — totState was maintained (full join + mat per round)
+    // but never consumed, since stPlus recomputes community totals from
+    // state via a window inside the broadcast build. The A/B flag is now
+    // scoped to the shuffle-hash regime, the only place `tot` is read.
+    val carryTot = sys.env.contains("GRAFT_CARRY_TOT") && !broadcastRound
     var totState: DataFrame =
       if (carryTot) state.groupBy("run", "community").agg(sum("k").as("tot")).mat
       else null
@@ -269,15 +303,28 @@ object Community {
     // candidate aggregation needs — and the whole round runs exchange-free
     // over it (r11-opt; see the round body below). Past the gate the stream
     // keeps its (run, DST) layout for the shuffle-hash state attach.
-    val broadcastRound = nState <= 5000000L
     val streamKey = if (broadcastRound) col(SRC) else col(DST)
+    // r12: for a SINGLE-run level (plain Louvain levels, the ECG final
+    // pass) the run column is `lit(0)` and constant-folds INSIDE the cached
+    // plan — the cache's outputPartitioning then carries a literal
+    // (hashpartitioning(0, src, N)), which can never satisfy an agg/join
+    // clustering on the `run` ATTRIBUTE, so Catalyst silently re-exchanged
+    // (and re-sorted, for the SortAggregate best-move) the full candidate
+    // stream every round — the exact exchange the r11 cache shape was
+    // built to remove (caught by this round's GRAFT_LOUVAIN_DEBUG plan
+    // capture). Partitioning by the stream key alone is the same
+    // clustering when only one run exists (subset rule) and is fold-proof;
+    // the multi-run ensemble keeps (run, key) — its run is a real
+    // attribute and propagates fine.
+    val singleRun = stats.length == 1
+    val cacheKeys = if (singleRun) Seq(streamKey) else Seq(col("run"), streamKey)
     val eNoSelfK = {
       val kSrc = ki.select(col("run"), col(ID).as(SRC), col("k").as("k_src"))
       val joined = e.filter(col(SRC) =!= col(DST))
         .join(graft.prims.Hint.state(kSrc, nState), Seq("run", SRC))
       (if (streamParts > sessionParts)
-         joined.repartition(streamParts.toInt, col("run"), streamKey)
-       else joined.repartition(col("run"), streamKey))
+         joined.repartition(streamParts.toInt, cacheKeys: _*)
+       else joined.repartition(cacheKeys: _*))
         .cache()
     }
     // materialize the cache off the per-round path; the count also sizes
@@ -341,12 +388,6 @@ object Community {
     loopAqe {
     while (zeroStreak < maskMod && it < maxIter) {
       it += 1
-      // tot_c = Σ k_i over community members — carried frame (flag) or
-      // derived from the state frame (default)
-      val tot =
-        (if (carryTot) totState else
-          state.groupBy("run", "community").agg(sum("k").as("tot")))
-        .select(col("run"), col("community").as("nc"), col("tot"))
       // per-vertex weight to each neighboring community (self-loops
       // excluded from candidate weights — a vertex always "links" to its
       // own c). The dst-side community attach is a shuffle-hash join
@@ -362,7 +403,7 @@ object Community {
       // a shuffle-hash probe STREAMS the hub partition against a
       // per-partition state map (≤ nState/parts rows), so power-law skew
       // costs task imbalance, never a reducer blow-up.
-      val stDst = state.select(col("run"), col(ID).as(DST), col("community").as("nc"))
+      //
       // r11-opt, state-broadcast regime: the ENTIRE round is exchange-free
       // over the big stream. One broadcast of the state table serves both
       // per-round attaches (dst community pre-agg, own community post-agg —
@@ -433,19 +474,8 @@ object Community {
           sum(when(col("community") =!= col("old"), 1L).otherwise(0L)),
           _.filter(col("community") =!= col("old")).count())
         moved = movedNow
-        if (carryTot && moved > 0) {
-          val movers = nextC.filter(col("community") =!= col("old"))
-          val delta = movers.select(col("run"), col("old").as("community"), (-col("k")).as("d"))
-            .unionByName(movers.select(col("run"), col("community"), col("k").as("d")))
-            .groupBy("run", "community").agg(sum("d").as("d"))
-          val newTot = totState.join(delta, Seq("run", "community"), "full")
-            .select(col("run"), col("community"),
-              (coalesce(col("tot"), lit(0.0)) + coalesce(col("d"), lit(0.0))).as("tot"))
-            .filter(col("tot") =!= 0.0)
-            .mat
-          graft.prims.Release.free(totState)
-          totState = newTot
-        }
+        // (carryTot is never true here — see its definition: stPlus's
+        // window already carries the community totals in this regime)
         if (!parityMode) {
           if (moved == 0) zeroStreak = Int.MaxValue
           else parityMode = true
@@ -463,6 +493,13 @@ object Community {
         graft.prims.Release.free(state)
         state = nextC.select(col("run"), col(ID), col("community"), col("k"))
       } else {
+      // tot_c = Σ k_i over community members — carried frame (flag) or
+      // derived from the state frame (default)
+      val tot =
+        (if (carryTot) totState else
+          state.groupBy("run", "community").agg(sum("k").as("tot")))
+        .select(col("run"), col("community").as("nc"), col("tot"))
+      val stDst = state.select(col("run"), col(ID).as(DST), col("community").as("nc"))
       val eWithC = eNoSelfK.join(stDst.hint("shuffle_hash"), Seq("run", DST))
       // ONE exchange of the candidate stream per round: hash-partitioned
       // by (run, vertex) up front, which simultaneously satisfies the

@@ -71,9 +71,25 @@ object Spectral {
           round(hash60(concat_ws("|", lit("pic"), col(SRC), lit(seed)))
             .cast("double") / lit(math.pow(2, 60)), 8).as("v"))
     v = v.mat
-    for (_ <- 1 to iters) {
-      val y = trans.join(v.withColumnRenamed(ID, DST), DST)
-        .groupBy(col(SRC).as(ID)).agg(sum(col("w") * col("v")).as("v")).mat
+    // r12 (VERDICT r11 item #5): the matvec loop ran at SESSION width under
+    // AQE — at 32 cores every per-iteration exchange launched a full task
+    // wave over a V-row state (the driver's r11 window measured q_spectral
+    // 36s at c32 vs 8s at c8: pure width sensitivity, not data). Under the
+    // broadcast gate the state join is explicitly hinted and the loop runs
+    // AQE-off at the rows/500k width — the same scale-adaptive rule every
+    // other gated loop applies (prims.Aqe scaladoc). Values: the iterate is
+    // snapped to 1e-8 every round (and centroids likewise), which is the
+    // existing engine-reproducibility contract — the oracle already replays
+    // it across partition layouts (the bench runs c32, Verify c8).
+    def loops[T](body: => T): T =
+      if (n <= 5000000L) graft.prims.Aqe.off(und.sparkSession, n)(body) else body
+    loops {
+    for (i <- 1 to iters) {
+      val yPlan = trans.join(graft.prims.Hint.state(v.withColumnRenamed(ID, DST), n), DST)
+        .groupBy(col(SRC).as(ID)).agg(sum(col("w") * col("v")).as("v"))
+      if (i == 2 && sys.env.contains("GRAFT_SPECTRAL_DEBUG"))
+        System.err.println(yPlan.queryExecution.executedPlan.toString)
+      val y = yPlan.mat
       // center + L∞ rescale from ONE scalar agg (max|y−c| = max(mx−c, c−mn));
       // the single driver sync per iteration, same budget as the eigen
       // path's Gram collect
@@ -87,6 +103,7 @@ object Spectral {
       v = y.select(col(ID), round((col("v") - lit(c)) / lit(m), 8).as("v"))
     }
     v = v.mat
+    }
     // deterministic 1-D k-means: evenly spaced initial centroids over the
     // embedding's range (scalars from one agg — no global sort), then Lloyd
     // rounds with arg-min assignment, centroids snapped to 1e-8
@@ -98,10 +115,12 @@ object Spectral {
       least(cs.map { case (cid, c) =>
         struct(((col("v") - lit(c)) * (col("v") - lit(c))).as("d"), lit(cid).as("c"))
       }.toIndexedSeq: _*).getField("c")
+    loops {
     for (_ <- 1 to KMeansIters) {
       cents = v.withColumn("cluster", assignExpr(cents))
         .groupBy("cluster").agg(round(avg("v"), 8).as("c"))
         .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+    }
     }
     v.withColumn("cluster", assignExpr(cents))
       .select(col(ID), col("cluster").cast("long").as("cluster"))
@@ -141,9 +160,16 @@ object Spectral {
         (hash60(concat_ws("|", lit("eig"), col(ID), lit(j), lit(seed)))
           .cast("double") / lit(math.pow(2, 60)) - lit(0.5)).as(s"x$j")): _*)
       .mat
+    val nX = x.count()
+    // same scoped-width rule as picCluster (VERDICT r11 item #5); state is
+    // snapped to 1e-8 per iteration, so the layout change is absorbed by
+    // the existing engine-reproducibility contract
+    def loops[T](body: => T): T =
+      if (nX <= 5000000L) graft.prims.Aqe.off(und.sparkSession, nX)(body) else body
+    loops {
     for (_ <- 1 to powerIters) {
       // matvec for all p columns in one join + one hash agg
-      val y = aNorm.join(x.withColumnRenamed(ID, DST), DST)
+      val y = aNorm.join(graft.prims.Hint.state(x.withColumnRenamed(ID, DST), nX), DST)
         .groupBy(col(SRC).as(ID))
         .agg(xcols.map(c => sum(col("w") * col(c)).as(c)).head,
           xcols.map(c => sum(col("w") * col(c)).as(c)).tail: _*)
@@ -168,6 +194,7 @@ object Spectral {
         round((0 to j).map(i => col(s"x$i") * lit(rInv(i)(j))).reduce(_ + _), 8).as(s"x$j")): _*)
         .mat
     }
+    }
     // deterministic k-means on the embedding: centroids seeded from the k
     // smallest vertex ids, Lloyd rounds with arg-min assignment
     var cents: Array[(Long, Array[Double])] = x.orderBy(ID).limit(k).collect()
@@ -181,6 +208,7 @@ object Spectral {
       }
       least(dists.toIndexedSeq: _*).getField("c")
     }
+    loops {
     for (_ <- 1 to kmeansIters) {
       val assigned = x.withColumn("cluster", assignExpr(cents))
       // centroid snap, same engine-reproducibility reason as above
@@ -191,6 +219,7 @@ object Spectral {
         .map(row => (row.getLong(0), (0 until p).map(j => row.getDouble(1 + j)).toArray))
         .sortBy(_._1)
       cents = newCents
+    }
     }
     x.withColumn("cluster", assignExpr(cents))
       .select(col(ID), col("cluster").cast("long").as("cluster"))

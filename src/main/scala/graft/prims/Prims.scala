@@ -68,19 +68,27 @@ object Iterate {
 
   /** Materialize a loop-state frame and read its convergence scalar.
     *
-    * Default path: eager checkpoint, then `scan` over the cached partitions
-    * — a ~50ms job on a materialized frame. An `observe`-metric variant
-    * that rides the checkpoint action itself (zero extra job) is kept
-    * behind GRAFT_OBSERVE=1 for re-testing: a same-host A/B on the ECG
-    * ensemble measured it consistently SLOWER (46.3s vs 43.0s despite 42
-    * fewer jobs — the CollectMetrics node taxes every checkpoint pass more
-    * than the cached count scans cost, and the `Observation` listener-bus
-    * variant was worse still, blocking 100ms+ per round on async event
-    * delivery). The cheap-job orthodoxy lost to measurement here; keep the
-    * scan unless a future Spark makes CollectMetrics codegen-transparent. */
+    * Default path (r12): the metric rides the checkpoint action itself via
+    * `observe` — the CollectMetrics accumulator is read synchronously off
+    * the executed plan, so the per-round count-scan job disappears.
+    * History: the r7 A/B measured observe SLOWER on the ECG ensemble
+    * (46.3s vs 43.0s) and the scan stayed default through r11; VERDICT r11
+    * item #4 (community job floor) forced a re-A/B on the r12 round
+    * shapes, which flipped the verdict — same host, interleaved runs:
+    * q_ecg 43.3/49.9s scan vs 43.3/46.1s observe (parity, 139→118 jobs),
+    * q_louvain 41.5s/84 → 40.5s/74, q_wcc_star 20.0s/50 → 18.5s/37,
+    * q_scc 16.4s/60 → 16.3s/52. Fewer jobs at equal-or-better wall is
+    * exactly the scheduler-floor lever the sf0.1 sweep is bound by, and at
+    * data scale the accumulator add rides rows already being serialized
+    * for the checkpoint while the scan it replaces costs a full task wave
+    * over the cached frame. GRAFT_NO_OBSERVE=1 restores the scan path
+    * (the listener-bus `Observation` variant stays rejected — it blocked
+    * 100ms+ per round on async event delivery). If the metric does not
+    * surface (defensive — never seen), the scan fallback still runs. */
+  private val noObserve = sys.env.contains("GRAFT_NO_OBSERVE")
   def materializeCount(df: DataFrame, metric: Column,
                        scan: DataFrame => Long): (DataFrame, Long) = {
-    if (sys.env.contains("GRAFT_OBSERVE")) {
+    if (!noObserve) {
       val named = df.observe("_graft_mc", metric.as("_m"))
       val ck = materialize(named)
       named.queryExecution.observedMetrics.get("_graft_mc") match {

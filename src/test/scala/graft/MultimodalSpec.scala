@@ -174,11 +174,32 @@ class MultimodalSpec extends SparkSpec {
   test("header decoders are pure projections — no Exchange in either plan") {
     val docs = (0L until 8L).map(i => (i, "abc " * 10)).toDF("doc_id", "text")
     for (df <- Seq(Multimodal.mediaDims(Multimodal.asBinaryMedia(docs)),
-                   Multimodal.audioMeta(Multimodal.asBinaryAudio(docs)),
-                   Multimodal.rasterPixels(Multimodal.asBinaryRaster(docs)))) {
+                   Multimodal.audioMeta(Multimodal.asBinaryAudio(docs)))) {
       val plan = df.queryExecution.executedPlan.toString
       assert(!plan.contains("Exchange"), "header decode shuffled:\n" + plan.take(1200))
     }
+  }
+
+  test("rasterPixels: codegen'd posexplode + partial-agg-before-exchange shape (r12)") {
+    // r12 rewrote the per-byte fold (interpreted `aggregate` lambda —
+    // CodegenFallback) into posexplode + a real hash aggregation. The plan
+    // contract: the per-byte Generate feeds a PARTIAL HashAggregate BELOW
+    // the single exchange, so only per-doc partial rows ever shuffle, and
+    // no higher-order ArrayAggregate lambda remains in the plan.
+    val docs = (0L until 8L).map(i => (i, "abc " * 10)).toDF("doc_id", "text")
+    val df = Multimodal.rasterPixels(Multimodal.asBinaryRaster(docs))
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("aggregate(") && !plan.contains("lambdafunction"),
+      "interpreted fold lambda back in the pixel path:\n" + plan.take(1200))
+    val phys = df.queryExecution.executedPlan.toString
+    assert(phys.contains("Generate posexplode"), "pixel explode missing:\n" + phys.take(1200))
+    val partialIdx = phys.indexOf("partial_sum")
+    val exchangeIdx = phys.indexOf("Exchange")
+    assert(partialIdx >= 0, "no partial aggregation in the pixel plan")
+    // executedPlan prints top-down: the exchange must appear ABOVE (before)
+    // the partial agg, i.e. partials are computed map-side below it
+    assert(exchangeIdx >= 0 && exchangeIdx < partialIdx,
+      "per-byte rows would cross the exchange unaggregated:\n" + phys.take(1200))
   }
 
   private def hexBytes(h: String): Array[Byte] =
