@@ -321,15 +321,35 @@ object Fixtures {
     * (q_louvain was charged 69s for ~27s of its own work in the r5 driver
     * bench — the 25M-edge part fixture landed on it). */
   def prewarm(spark: SparkSession, dir: String): Unit = {
-    supplierEdges(spark, dir); supplierGraphUnd(spark, dir)
-    custSuppEdges(spark, dir); partEdges(spark, dir); partRepeatEdges(spark, dir)
-    cyclicSupplierGraph(spark, dir)
-    supplierSimInter(spark, dir); supplierSimDeg(spark, dir)
-    supplierSimInterW(spark, dir); supplierSimDegW(spark, dir)
-    supplierSimNV(spark, dir); supplierSimNVW(spark, dir)
-    supplierEdgeSupport(spark, dir)
-    rmatGraph(spark)
-    ()
+    // Base projection almost every fixture shares — built synchronously so
+    // the fan-out below never races two builds of the same cache key (a
+    // TrieMap race is correct but would orphan one checkpoint's blocks).
+    supplierGraph(spark, dir)
+    // The remaining builds are INDEPENDENT jobs: submit them from a small
+    // thread pool so the next build's tasks back-fill executors freed by
+    // the current build's straggler tail (guide §2.6 — actions are only
+    // sequential because the driver calls them sequentially). Each chain
+    // below owns its cache keys; within a chain order respects dependency
+    // (partRepeat after part, the NV counts after their degree tables).
+    // Values are untouched: same builds, same keys, deterministic inputs.
+    val chains: Seq[() => Unit] = Seq(
+      () => { supplierGraphUnd(spark, dir); () },
+      () => { custSuppEdges(spark, dir); () },
+      () => { partEdges(spark, dir); partRepeatEdges(spark, dir); () },
+      () => { cyclicSupplierGraph(spark, dir); () },
+      () => { supplierSimInter(spark, dir); supplierSimDeg(spark, dir)
+              supplierSimNV(spark, dir); () },
+      () => { supplierSimInterW(spark, dir); supplierSimDegW(spark, dir)
+              supplierSimNVW(spark, dir); () },
+      () => { supplierEdgeSupport(spark, dir); () },
+      () => { rmatGraph(spark); () })
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    try {
+      val ec = scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      val fs = chains.map(c => scala.concurrent.Future(c())(ec))
+      fs.foreach(f =>
+        scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf))
+    } finally pool.shutdown()
   }
 
   def documents(spark: SparkSession, dir: String): DataFrame = Tables(spark, dir, "documents")
