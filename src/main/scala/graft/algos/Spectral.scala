@@ -81,11 +81,15 @@ object Spectral {
     // snapped to 1e-8 every round (and centroids likewise), which is the
     // existing engine-reproducibility contract — the oracle already replays
     // it across partition layouts (the bench runs c32, Verify c8).
+    // GRAFT_SPECTRAL_BEFORE=1 reproduces the pre-r12 loop shape (session-width
+    // AQE, unhinted state join) for the plans/r12 before-capture.
+    val specBefore = sys.env.contains("GRAFT_SPECTRAL_BEFORE")
     def loops[T](body: => T): T =
-      if (n <= 5000000L) graft.prims.Aqe.off(und.sparkSession, n)(body) else body
+      if (!specBefore && n <= 5000000L) graft.prims.Aqe.off(und.sparkSession, n)(body) else body
     loops {
     for (i <- 1 to iters) {
-      val yPlan = trans.join(graft.prims.Hint.state(v.withColumnRenamed(ID, DST), n), DST)
+      val vRen = v.withColumnRenamed(ID, DST)
+      val yPlan = trans.join(if (specBefore) vRen else graft.prims.Hint.state(vRen, n), DST)
         .groupBy(col(SRC).as(ID)).agg(sum(col("w") * col("v")).as("v"))
       if (i == 2 && sys.env.contains("GRAFT_SPECTRAL_DEBUG"))
         System.err.println(yPlan.queryExecution.executedPlan.toString)

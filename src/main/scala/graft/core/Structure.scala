@@ -161,10 +161,15 @@ object Structure {
       verts.select(col("gid"), col(ID), col(ID).as("ml"), lit(0).as("par")))
     val nV = st.count()
     var ch = 1L
+    // GRAFT_BIPARTITE_BEFORE=1 reproduces the r11 shape (unhinted agg side)
+    // for the plans/r12 before-capture.
+    val bipBefore = sys.env.contains("GRAFT_BIPARTITE_BEFORE")
+    var round = 0
     def loops[T](body: => T): T =
       if (nV <= 5000000L) graft.prims.Aqe.off(und.sparkSession, nV)(body) else body
     loops {
     while (ch > 0) {
+      round += 1
       val nbrMin = und.join(
           graft.prims.Hint.state(st.withColumnRenamed(ID, SRC), nV), Seq("gid", SRC))
         .select(col("gid"), col(DST).as(ID), col("ml"), (lit(1) - col("par")).as("par"))
@@ -175,11 +180,15 @@ object Structure {
       // sorting BOTH state-sized sides every round (q_is_bipartite regressed
       // 6.6→9.1s in the r11 close; VERDICT r11 item #2 demanded the
       // isolated re-measure that found this).
-      val (nxt, c) = graft.prims.Iterate.materializeCount(
-        st.join(graft.prims.Hint.state(nbrMin, nV), Seq("gid", ID), "left")
+      val stepFrame =
+        st.join(if (bipBefore) nbrMin else graft.prims.Hint.state(nbrMin, nV),
+            Seq("gid", ID), "left")
           .select(col("gid"), col(ID), struct(col("ml"), col("par")).as("old"),
             least(struct(col("ml"), col("par")),
-              coalesce(col("nb"), struct(col("ml"), col("par")))).as("nw")),
+              coalesce(col("nb"), struct(col("ml"), col("par")))).as("nw"))
+      if (round == 2 && sys.env.contains("GRAFT_BIPARTITE_DEBUG"))
+        System.err.println(stepFrame.queryExecution.executedPlan.toString)
+      val (nxt, c) = graft.prims.Iterate.materializeCount(stepFrame,
         sum(when(col("nw") < col("old"), 1L).otherwise(0L)),
         _.filter(col("nw") < col("old")).count())
       ch = c
