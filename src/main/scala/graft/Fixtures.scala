@@ -230,6 +230,19 @@ object Fixtures {
       graft.algos.Centrality.brandesStates(supplierGraph(spark, dir), k = Some(32)))
 
   private val countCache = scala.collection.concurrent.TrieMap[(String, String), Long]()
+
+  /** Drop every cache entry belonging to `spark`'s session. The session
+    * TrieMaps are never evicted otherwise, so a process that stops one
+    * session and sweeps again in a fresh one (Bench's degraded-rule rerun)
+    * would pin the dead session's ~15 materialized fixture frames, the
+    * Brandes states and the shared kernel frames for the rest of the JVM —
+    * exactly when the rerun needs the heap headroom to re-pay the builds. */
+  def evictSession(spark: SparkSession): Unit = {
+    val k = sessionKey(spark)
+    Seq(cache, l1Cache, brandesCache, countCache).foreach { m =>
+      m.keys.filter(_._1 == k).foreach(m.remove)
+    }
+  }
   def supplierSimNV(spark: SparkSession, dir: String): Long =
     countCache.getOrElseUpdate((sessionKey(spark), s"sim_nv:$dir"),
       supplierSimDeg(spark, dir).count())
@@ -347,8 +360,14 @@ object Fixtures {
     try {
       val ec = scala.concurrent.ExecutionContext.fromExecutorService(pool)
       val fs = chains.map(c => scala.concurrent.Future(c())(ec))
-      fs.foreach(f =>
-        scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf))
+      // Drain EVERY future before surfacing a failure: rethrowing on the
+      // first failed Await would leave the other chains' Spark jobs running
+      // concurrently with the caller's error handling / session stop.
+      val errs = fs.flatMap(f =>
+        scala.util.Try(
+          scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf)
+        ).failed.toOption)
+      errs.headOption.foreach(throw _)
     } finally pool.shutdown()
   }
 

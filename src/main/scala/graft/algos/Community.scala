@@ -168,6 +168,11 @@ object Community {
       graft.prims.Release.free(lvlLabels)
     }
     if (ownsLvlEdges) graft.prims.Release.free(lvlEdges)
+    // maxLevel <= 0 means no level ever ran and the lazy flat is still
+    // null — return the identity (singleton-community) labels the pre-r12
+    // eager build produced for that degenerate call.
+    if (flat == null)
+      flat = Structure.extractVertexList(base).select(col(ID), col(ID).as("louvain"))
     (flat, prevQ, level)
   }
 

@@ -282,7 +282,10 @@ object Multimodal {
     * codec batch decode would slot in; this decoder proves the Spark-side
     * pixel path on formats whose bytes ARE the pixels.
     * Output (doc_id, format, width, height, n_pixels, sum_r, sum_g, sum_b);
-    * unparseable payloads come back 'unknown' with -1 fields. */
+    * unparseable payloads come back 'unknown' with -1 fields.
+    * `doc_id` is treated as the record KEY (one output row per doc_id),
+    * matching every media producer in this module (asMedia/asBinary*) —
+    * rows sharing a doc_id would have their channel sums combined. */
   def rasterPixels(media: DataFrame): DataFrame = {
     val b = col("bytes")
     // ISO-8859-1, not US-ASCII: the 24-byte prefix spills into raster
@@ -318,7 +321,25 @@ object Multimodal {
     // partials, never per-byte rows (guide §2.3 "aggregate before you
     // shuffle"). Zero-UDF discipline intact: explode + groupBy are
     // declarative, codegen'd operators.
-    val hexCells = split(hex(b.substr(hdrLen + lit(1L), nBytes)), "(?<=\\G..)")
+    // Bounded per-row memory (r12 review): hexing the WHOLE raster and
+    // splitting it into one per-byte cell array materialized ~40× the
+    // payload inside a single task (a 50 MB raster → a ~2.5 GB UTF8String
+    // cell array). Chunk first: one projection slices the region into
+    // 64 KiB chunk hex strings (`transform` runs its lambda per CHUNK —
+    // hundreds, not millions, so its CodegenFallback tax is noise and the
+    // substr+hex inside evaluate compiled), the outer explode emits one
+    // row per chunk, and only then does the per-byte split run — the
+    // per-row transient is one chunk's cells (~3 MB), independent of
+    // raster size. The partial aggregation still collapses everything to
+    // one row per doc before any exchange (§2.3), and integer channel
+    // sums are associative, so chunk boundaries cannot change a value.
+    val chunkB = 65536L
+    // Column `/` is DOUBLE division — floor() brings the chunk count back
+    // to LongType for sequence(); exact for any realistic payload (< 2^52)
+    val nChunks = floor((nBytes + lit(chunkB) - lit(1L)) / lit(chunkB))
+    val chunkHexes = transform(sequence(lit(0L), nChunks - lit(1L)),
+      ci => hex(b.substr(hdrLen + lit(1L) + ci * lit(chunkB),
+        least(lit(chunkB), nBytes - ci * lit(chunkB)))))
     val perDoc = media.select(
       col("doc_id"),
       when(ok && magic === "P6", "ppm").when(ok && gray, "pgm")
@@ -327,14 +348,18 @@ object Multimodal {
       when(ok, h).otherwise(-1L).as("height"),
       when(ok, w * h).otherwise(-1L).as("n_pixels"),
       ok.as("_ok"), gray.as("_gray"), bpp.as("_bpp"),
-      when(ok, hexCells).otherwise(array(lit(null).cast("string"))).as("_cells"))
-    val exploded = perDoc.select(col("doc_id"), col("format"), col("width"),
+      when(ok, chunkHexes).otherwise(array(lit(null).cast("string"))).as("_chunks"))
+    val chunks = perDoc.select(col("doc_id"), col("format"), col("width"),
       col("height"), col("n_pixels"), col("_ok"), col("_gray"), col("_bpp"),
-      posexplode_outer(col("_cells")).as(Seq("_i", "_hx")))
+      posexplode_outer(col("_chunks")).as(Seq("_ci", "_chx")))
+    val exploded = chunks.select(col("doc_id"), col("format"), col("width"),
+      col("height"), col("n_pixels"), col("_ok"), col("_gray"), col("_bpp"),
+      col("_ci"),
+      posexplode_outer(split(col("_chx"), "(?<=\\G..)")).as(Seq("_i", "_hx")))
     // trailing empty split cell (limit=-1 keeps it) carries length 0 and a
     // null conv — the conditional sums ignore it like any non-matching row
     val v = conv(col("_hx"), 16, 10).cast("long")
-    val chan = col("_i") % col("_bpp")
+    val chan = (col("_ci") * lit(chunkB) + col("_i")) % col("_bpp")
     exploded
       .groupBy(col("doc_id"), col("format"), col("width"), col("height"),
         col("n_pixels"), col("_ok"), col("_gray"))

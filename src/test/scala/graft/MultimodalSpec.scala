@@ -189,10 +189,16 @@ class MultimodalSpec extends SparkSpec {
     val docs = (0L until 8L).map(i => (i, "abc " * 10)).toDF("doc_id", "text")
     val df = Multimodal.rasterPixels(Multimodal.asBinaryRaster(docs))
     val plan = df.queryExecution.optimizedPlan.toString
-    assert(!plan.contains("aggregate(") && !plan.contains("lambdafunction"),
+    // the per-BYTE ArrayAggregate fold must stay gone; the per-CHUNK
+    // `transform` lambda (runs once per 64 KiB slice, bounding per-row
+    // memory) is the one higher-order function the shape allows
+    assert(!plan.contains("aggregate("),
       "interpreted fold lambda back in the pixel path:\n" + plan.take(1200))
     val phys = df.queryExecution.executedPlan.toString
-    assert(phys.contains("Generate posexplode"), "pixel explode missing:\n" + phys.take(1200))
+    val gen1 = phys.indexOf("Generate posexplode")
+    assert(gen1 >= 0, "pixel explode missing:\n" + phys.take(1200))
+    assert(phys.indexOf("Generate posexplode", gen1 + 1) > gen1,
+      "chunk explode missing (per-row memory no longer bounded):\n" + phys.take(1200))
     val partialIdx = phys.indexOf("partial_sum")
     val exchangeIdx = phys.indexOf("Exchange")
     assert(partialIdx >= 0, "no partial aggregation in the pixel plan")
